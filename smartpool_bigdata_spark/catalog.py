@@ -1,0 +1,142 @@
+"""Named-dataset catalog.
+
+The reference addresses every table by a raw ``s3a://`` path string scattered
+through its jobs (``spark-apps/smartpool_config.py:13-17``). Here datasets
+are addressed by name through a catalog that knows path, format and
+type-normalization rules — one place to fix schema/precision drift, which
+was the reference's biggest operational bug class
+(``ProyectoFinal_ASBD_PMD_IVHG/main.tex:150-153``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.session import apply_runtime_confs
+
+# Tables the test driver materializes (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_ns_timestamps(df: DataFrame, ns_columns: dict[str, str]) -> DataFrame:
+    """Convert ns-as-long epoch columns to microsecond timestamps.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` a parquet
+    TIMESTAMP(NANOS) column arrives as LongType epoch-nanos. ``div 1000`` is
+    integral (no double round-trip: ns epochs exceed double's 53-bit exact
+    range), so µs-precision data converts losslessly.
+    """
+    for col, dtype in ns_columns.items():
+        if dtype == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+# Columns that are known event-time timestamps per table; these get
+# ns→µs normalization when the parquet file stores nanos.
+_TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
+    ns_cols = {
+        c: dtypes[c]
+        for c in _TIMESTAMP_COLUMNS.get(name, ())
+        if dtypes.get(c) == "bigint"
+    }
+    return _normalize_ns_timestamps(df, ns_cols)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register each table as a temp view for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@dataclass
+class Dataset:
+    name: str
+    path: str
+    fmt: str = "parquet"
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class Catalog:
+    """Path-layout catalog for medallion pipelines (Bronze/Silver/Gold).
+
+    Mirrors the reference's BASE/BRONZE/SILVER/GOLD/_state layout
+    (``spark-apps/smartpool_config.py:13-17``) but with named registration
+    instead of hardcoded strings.
+    """
+
+    root: str
+    fmt: str = "parquet"  # "delta" when delta-spark is on the classpath
+    datasets: dict[str, Dataset] = field(default_factory=dict)
+
+    def layer_path(self, layer: str, name: str) -> str:
+        return os.path.join(self.root, layer, name)
+
+    def define(self, layer: str, name: str, partition_by: tuple[str, ...] = ()) -> Dataset:
+        ds = Dataset(
+            name=f"{layer}.{name}",
+            path=self.layer_path(layer, name),
+            fmt=self.fmt,
+            partition_by=partition_by,
+        )
+        self.datasets[ds.name] = ds
+        return ds
+
+    def get(self, qualified: str) -> Dataset:
+        return self.datasets[qualified]
+
+    def read(self, spark: SparkSession, qualified: str) -> DataFrame:
+        ds = self.get(qualified)
+        return spark.read.format(ds.fmt).load(ds.path)
+
+    def write(
+        self,
+        df: DataFrame,
+        qualified: str,
+        mode: str = "append",
+        overwrite_schema: bool = False,
+    ) -> None:
+        ds = self.get(qualified)
+        writer = df.write.format(ds.fmt).mode(mode)
+        if ds.partition_by:
+            writer = writer.partitionBy(*ds.partition_by)
+        if overwrite_schema and ds.fmt == "delta":
+            writer = writer.option("overwriteSchema", "true")
+        writer.save(ds.path)
+
+    def exists(self, spark: SparkSession, qualified: str) -> bool:
+        ds = self.get(qualified)
+        try:
+            spark.read.format(ds.fmt).load(ds.path).schema
+            return True
+        except Exception:
+            return False

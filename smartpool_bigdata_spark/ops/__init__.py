@@ -1,0 +1,25 @@
+from smartpool_bigdata_spark.ops.relational import (
+    latest_by_key,
+    top_n_per_group,
+    conditional_pivot,
+    map_lookup,
+    case_when_chain,
+    range_flags,
+    dedupe_exact,
+    duplicate_keys,
+    orphan_rows,
+    tumbling_agg,
+)
+
+__all__ = [
+    "latest_by_key",
+    "top_n_per_group",
+    "conditional_pivot",
+    "map_lookup",
+    "case_when_chain",
+    "range_flags",
+    "dedupe_exact",
+    "duplicate_keys",
+    "orphan_rows",
+    "tumbling_agg",
+]

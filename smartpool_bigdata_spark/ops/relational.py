@@ -1,0 +1,211 @@
+"""Core relational operators (SURVEY.md §2.2-2.6) as composable functions.
+
+Each function takes and returns DataFrames and stays inside the Column
+expression DSL, so every operator remains visible to Catalyst (pushdown,
+pruning, whole-stage codegen) — no UDFs on these paths, matching the
+reference's UDF-free surface (SURVEY.md §2.8).
+
+Scale notes are attached per operator: these run on 100 TB inputs, so each
+states its shuffle behavior and the mitigation for skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_columns(order_by: Sequence) -> list[Column]:
+    cols = []
+    for o in order_by:
+        cols.append(F.col(o) if isinstance(o, str) else o)
+    return cols
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence,
+) -> DataFrame:
+    """Latest-version-per-key dedupe — THE core Silver operator (W1/W2).
+
+    Reference: row_number over (partition by pk order by updated_at desc
+    [, id desc]) then rn==1 — ``spark-apps/03_silver_smartpool.py:14-20``,
+    tie-breaks at ``notebooks/03_silver_smartpool.ipynb:235``.
+
+    ``order_by`` should order BEST-first (i.e. pass descending columns) and
+    include a unique tie-breaker for determinism.
+
+    Scale: one hash-shuffle on ``keys`` + per-partition sort. Equivalent to
+    SQL ``QUALIFY row_number() = 1``. With AQE skew-join/partition-split
+    enabled a hot key is split automatically; for pathological single-key
+    skew prefer ``max_by``-style aggregation (one fewer sort).
+    """
+    w = Window.partitionBy(*keys).orderBy(*_order_columns(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence,
+    n: int,
+    method: str = "row_number",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-N per group (W3/W4), with both reference semantics:
+
+    * ``row_number`` — exactly N rows/group, deterministic with tie-break
+      (notebook top-5: ``notebooks/06_gold_electricity_enrichment.ipynb:242-249``)
+    * ``dense_rank`` — ties share a rank, groups may exceed N rows
+      (script top-3: ``spark-apps/06_gold_electricity_enrichment.py:51-54``)
+
+    Scale: single shuffle on ``keys``; rank predicate is applied before any
+    downstream join so only N·groups rows survive the stage.
+    """
+    fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[method]
+    w = Window.partitionBy(*keys).orderBy(*_order_columns(order_by))
+    ranked = df.withColumn(rank_col or "__rank", fn().over(w))
+    out = ranked.filter(F.col(rank_col or "__rank") <= n)
+    return out if rank_col else out.drop("__rank")
+
+
+def conditional_pivot(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg_expr: Column | None = None,
+    extra_aggs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Manual pivot via conditional aggregates (A3).
+
+    Reference: ``sum(when(type=='chlorine',1).otherwise(0))`` × 4 types
+    (``notebooks/04_gold_smartpool.ipynb:222-232``). ``agg_expr`` defaults
+    to counting rows (lit(1)); pass e.g. ``F.col('amount')`` to sum values.
+
+    Scale: one hash aggregate — partial (map-side) combine keeps the shuffle
+    tiny regardless of input size; preferable to ``groupBy().pivot()`` when
+    the pivot domain is known, because it avoids the extra distinct-values
+    job pivot() launches.
+    """
+    src = agg_expr if agg_expr is not None else F.lit(1)
+    aggs = [
+        F.sum(F.when(F.col(pivot_col) == v, src).otherwise(F.lit(0))).alias(f"{v}_count")
+        for v in values
+    ]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def map_lookup(mapping: Mapping, key: Column, default=None) -> Column:
+    """Literal-map lookup column (P8).
+
+    Reference: ``create_map(lit(k),lit(v),…)[col]`` for intervention→kWh
+    (``notebooks/06_gold_electricity_enrichment.ipynb:367-375``).
+    """
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    looked = F.create_map(*pairs)[key]
+    return looked if default is None else F.coalesce(looked, F.lit(default))
+
+
+def case_when_chain(rules: Sequence[tuple[Column, object]], default) -> Column:
+    """CASE WHEN chain (P7) — reference cost model
+    ``spark-apps/04_gold_smartpool.py:40-47``."""
+    expr = None
+    for cond, value in rules:
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
+def range_flags(
+    df: DataFrame,
+    bounds: Mapping[str, tuple[float, float]],
+    prefix: str = "",
+    suffix: str = "_in_range",
+) -> DataFrame:
+    """Per-column between-range boolean flags (P5/P6).
+
+    Reference sensor DQ ranges ``notebooks/07_kafka_smartpool_sensors.ipynb:421-427``
+    and gold alert flags ``spark-apps/07_kafka_smartpool_sensors.py:125-128``.
+    """
+    for col, (lo, hi) in bounds.items():
+        df = df.withColumn(f"{prefix}{col}{suffix}", F.col(col).between(lo, hi))
+    return df
+
+
+def dedupe_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (A6): dropDuplicates / distinct.
+
+    Scale: hash-shuffle on the dedupe key. For wide rows prefer passing the
+    key columns rather than distinct() on the whole row, so the shuffle
+    carries only the first row per key (Spark keeps an arbitrary winner; use
+    ``latest_by_key`` when the winner must be deterministic).
+    """
+    return df.dropDuplicates(list(keys)) if keys else df.distinct()
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Duplicate detection (A5 / QA): groupBy(pk).count().filter(count>1).
+
+    Reference ``notebooks/03_silver_smartpool.ipynb:658-659``.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def orphan_rows(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """FK orphan check (J4): left-anti join fact→dim.
+
+    Reference ``notebooks/03_silver_smartpool.ipynb:687-690``.
+
+    Scale: if the dim fits the broadcast threshold Catalyst plans a
+    BroadcastHashJoin(LeftAnti) — no shuffle of the fact table at all.
+    """
+    return fact.join(dim, fact[fact_key] == dim[dim_key], "left_anti")
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+    window_alias: str = "window",
+) -> DataFrame:
+    """Tumbling event-time window aggregate (A7/T2), batch or streaming.
+
+    Reference: per (pool_id, 1-minute window) sensor rollup
+    ``spark-apps/07_kafka_smartpool_sensors.py:104-131``. The same plan
+    serves batch backfill and the streaming path (streaming adds
+    ``withWatermark`` upstream — see streaming.sensor_pipeline).
+
+    Output flattens the window struct to ``window_start``/``window_end``
+    (reference flattens the same way, :121-122).
+    """
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    grouped = df.groupBy(F.window(F.col(ts_col), duration).alias(window_alias), *keys)
+    out = grouped.agg(*agg_cols)
+    return out.select(
+        F.col(f"{window_alias}.start").alias("window_start"),
+        F.col(f"{window_alias}.end").alias("window_end"),
+        *keys,
+        *[F.col(name) for name in aggs],
+    )

@@ -1,0 +1,536 @@
+"""Query registry: every SURVEY.md §2 operator exercised as a named query
+over the driver's testdata tables, each paired with a DuckDB oracle SQL.
+
+Conventions that make the oracle comparison exact:
+
+* Every computed column is aliased identically in Spark and SQL.
+* Aggregates over doubles are ``round()``-ed (2-6 decimals) on BOTH sides so
+  summation-order differences between engines can't flip the value hash.
+* DuckDB ``sum(INTEGER)`` returns HUGEINT and ``hour()``/rank functions
+  return BIGINT — oracles cast to BIGINT/INTEGER to match Spark's types.
+* Timestamps are µs precision on both sides (catalog normalizes parquet ns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.catalog import load_table
+from smartpool_bigdata_spark.ops import (
+    case_when_chain,
+    conditional_pivot,
+    duplicate_keys,
+    latest_by_key,
+    map_lookup,
+    orphan_rows,
+    top_n_per_group,
+    tumbling_agg,
+)
+
+
+@dataclass
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — hash aggregates with map-side partial combine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary (A1/A2 multi-aggregate). "
+    "Single hash aggregate; Catalyst does partial map-side combine, filter "
+    "pushed to parquet scan.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "daily_event_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    description="Daily stats rollup (A1) — mirrors gold electricity_daily_stats "
+    "(spark-apps/06_gold_electricity_enrichment.py:31-40).",
+)
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "order_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O_count,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F_count,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P_count,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="Conditional-aggregate manual pivot (A3) — mirrors "
+    "pool_daily_metrics intervention counts (notebooks/04_gold_smartpool.ipynb:222-232).",
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return conditional_pivot(
+        orders,
+        keys=["o_orderpriority"],
+        pivot_col="o_orderstatus",
+        values=["O", "F", "P"],
+        extra_aggs={"total_price": F.round(F.sum("o_totalprice"), 2)},
+    )
+
+
+@query(
+    "ingest_watermark",
+    oracle="""
+    SELECT CAST(max(ts) AS TIMESTAMP) AS last_ts, count(*) AS cnt FROM events
+    """,
+    description="Global aggregate for incremental-state watermark (A4) — "
+    "mirrors max(updated_at) state computation (spark-apps/02_ingest_smartpool.py:74).",
+)
+def ingest_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    description="Latest-per-key dedupe (W1/W2) — THE core Silver operator "
+    "(spark-apps/03_silver_smartpool.py:14-20), deterministic tie-break on pk.",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    latest = latest_by_key(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+@query(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank_in_group
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    description="Top-N per group, row_number semantics (W3) — mirrors top-5 "
+    "expensive hours (notebooks/06_gold_electricity_enrichment.ipynb:242-249).",
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_n_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        keys=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=3,
+        method="row_number",
+        rank_col="rank_in_group",
+    )
+
+
+@query(
+    "peak_event_hours",
+    oracle="""
+    SELECT event_date, event_hour, avg_value, CAST(rk AS INTEGER) AS peak_rank
+    FROM (SELECT event_date, event_hour, round(avg_value_raw, 4) AS avg_value,
+                 dense_rank() OVER (PARTITION BY event_date
+                                    ORDER BY avg_value_raw DESC) AS rk
+          FROM (SELECT CAST(ts AS DATE) AS event_date,
+                       CAST(hour(ts) AS INTEGER) AS event_hour,
+                       avg(value) AS avg_value_raw
+                FROM events GROUP BY 1, 2))
+    WHERE rk <= 3
+    """,
+    description="Top-N per group, dense_rank semantics (W4) — mirrors gold "
+    "peak hours (spark-apps/06_gold_electricity_enrichment.py:51-54).",
+)
+def peak_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    ).agg(F.avg("value").alias("avg_value_raw"))
+    top = top_n_per_group(
+        hourly,
+        keys=["event_date"],
+        order_by=[F.col("avg_value_raw").desc()],
+        n=3,
+        method="dense_rank",
+        rank_col="peak_rank",
+    )
+    return top.select(
+        "event_date",
+        "event_hour",
+        F.round("avg_value_raw", 4).alias("avg_value"),
+        "peak_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_summary",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           count(o.o_orderkey) AS order_cnt,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    """,
+    description="Left equi-join dim→fact + per-key aggregate (J1/J2/A2) — "
+    "mirrors daily agg ⟕ pools dim (notebooks/04_gold_smartpool.ipynb:276-286).",
+)
+def customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").alias("c")
+    orders = _t(spark, sf_dir, "orders").alias("o")
+    return (
+        cust.join(orders, F.col("c.c_custkey") == F.col("o.o_custkey"), "left")
+        .groupBy("c.c_custkey", "c.c_name", "c.c_mktsegment")
+        .agg(
+            F.count("o.o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o.o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "segment_fee_model",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 50.0
+                          WHEN c_mktsegment = 'AUTOMOBILE' THEN 80.0
+                          WHEN c_mktsegment = 'MACHINERY'  THEN 150.0
+                          WHEN c_mktsegment = 'HOUSEHOLD'  THEN 60.0
+                          ELSE 120.0 END), 2) AS total_fee
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="CASE WHEN scalar model after an equi-join (J1 + P7) — mirrors "
+    "the intervention→cost model (spark-apps/04_gold_smartpool.py:40-47).",
+)
+def segment_fee_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    fee = case_when_chain(
+        [
+            (F.col("c_mktsegment") == "BUILDING", 50.0),
+            (F.col("c_mktsegment") == "AUTOMOBILE", 80.0),
+            (F.col("c_mktsegment") == "MACHINERY", 150.0),
+            (F.col("c_mktsegment") == "HOUSEHOLD", 60.0),
+        ],
+        default=120.0,
+    )
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+        "inner",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(fee), 2).alias("total_fee"),
+    )
+
+
+@query(
+    "event_orphan_users",
+    oracle="""
+    SELECT event_type, count(*) AS orphan_events
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    GROUP BY event_type
+    """,
+    description="FK orphan QA via left-anti join (J4/§2.9) — mirrors the "
+    "orphan pool_id check (notebooks/03_silver_smartpool.ipynb:687-690).",
+)
+def event_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orphans = orphan_rows(ev, F.broadcast(cust.select("c_custkey")), "user_id", "c_custkey")
+    return orphans.groupBy("event_type").agg(F.count(F.lit(1)).alias("orphan_events"))
+
+
+@query(
+    "events_from_customers",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    GROUP BY event_type
+    """,
+    description="Referential-integrity filter as left-semi join (J3) — the "
+    "clean primitive for the reference's inner-join RI filter "
+    "(notebooks/03_silver_smartpool.ipynb:231-232).",
+)
+def events_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    kept = ev.join(
+        F.broadcast(cust.select("c_custkey")),
+        ev["user_id"] == F.col("c_custkey"),
+        "left_semi",
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "hourly_value_deviation",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, event_type,
+               avg(value) AS hourly_avg
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT e.event_id, round(e.value - hourly.hourly_avg, 4) AS deviation
+    FROM events e
+    JOIN hourly ON CAST(e.ts AS DATE) = hourly.d
+               AND CAST(hour(e.ts) AS INTEGER) = hourly.h
+               AND e.event_type = hourly.event_type
+    """,
+    description="Multi-key (3-column) equi-join (J5) — mirrors events × prices "
+    "on (date,hour,region) (notebooks/06_gold_electricity_enrichment.ipynb:318).",
+)
+def hourly_value_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+    )
+    hourly = ev.groupBy("d", "h", "event_type").agg(F.avg("value").alias("hourly_avg"))
+    joined = ev.join(hourly, on=["d", "h", "event_type"], how="inner")
+    return joined.select(
+        "event_id", F.round(F.col("value") - F.col("hourly_avg"), 4).alias("deviation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / scalar expressions / set ops (SURVEY §2.2, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_cost_model",
+    oracle="""
+    SELECT event_type,
+           round(sum(round(CASE event_type WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.05
+                           WHEN 'purchase' THEN 0.3 WHEN 'signup' THEN 0.2
+                           WHEN 'error' THEN 0.0 ELSE 0.15 END * value, 4)), 2) AS total_cost,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    description="Literal-map lookup × value with rounding (P8/P10) — mirrors "
+    "the create_map kWh cost model (notebooks/06_gold_electricity_enrichment.ipynb:367-377).",
+)
+def event_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kwh = map_lookup(
+        {"click": 0.1, "view": 0.05, "purchase": 0.3, "signup": 0.2, "error": 0.0},
+        F.col("event_type"),
+        default=0.15,
+    )
+    cost = F.round(kwh * F.col("value"), 4)
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(cost), 2).alias("total_cost"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "event_range_flags",
+    oracle="""
+    SELECT event_type,
+           value BETWEEN 25.0 AND 75.0 AS value_in_range,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="Range predicate → boolean flag columns (P5/P6) — mirrors the "
+    "sensor validity flags (notebooks/07_kafka_smartpool_sensors.ipynb:421-427).",
+)
+def event_range_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn("value_in_range", F.col("value").between(25.0, 75.0))
+    return flagged.groupBy("event_type", "value_in_range").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "active_ids_union",
+    oracle="""
+    SELECT user_id AS id FROM events
+    UNION
+    SELECT o_custkey AS id FROM orders
+    """,
+    description="Union + distinct (O3/A6) — mirrors the CDC union pattern "
+    "(spark-apps/spark_job.py:51).",
+)
+def active_ids_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return ev.union(orders).distinct()
+
+
+@query(
+    "order_dup_check",
+    oracle="""
+    SELECT o_orderkey, count(*) AS dup_count
+    FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+    """,
+    description="Primary-key uniqueness QA (A5/§2.9) — mirrors the duplicate "
+    "check (notebooks/03_silver_smartpool.ipynb:658-659). Expected empty.",
+)
+def order_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return duplicate_keys(orders, ["o_orderkey"])
+
+
+@query(
+    "event_null_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user
+    FROM events
+    """,
+    description="Null-rate profiling (§2.9) — mirrors "
+    "notebooks/06_gold_electricity_enrichment.ipynb:466-470.",
+)
+def event_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def nulls(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nulls("props").alias("null_props"),
+        nulls("value").alias("null_value"),
+        nulls("user_id").alias("null_user"),
+    )
+
+
+@query(
+    "event_hourly_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="Tumbling event-time window aggregate (A7/T2), batch plan "
+    "identical to the streaming one — mirrors the 1-minute sensor rollup "
+    "(spark-apps/07_kafka_smartpool_sensors.py:104-131).",
+)
+def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 4),
+            "max_value": F.round(F.max("value"), 4),
+        },
+    )
+    return out.drop("window_end")
