@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Execution uses the ``noop`` sink so every query runs end-to-end JVM-side
+(full scan→shuffle→agg pipeline, no driver collect bottleneck) — the same
+shape a cluster write would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from smartpool_bigdata_spark.session import get_spark
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="smartpool-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        q = REGISTRY[name]
+        # Warm the metadata path (file listing, schema read) once so timings
+        # measure execution, then time a full materialization.
+        df = q.build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
+row count, column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def value_key(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                v = f"{v:.6f}"
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from smartpool_bigdata_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, build in queries.items():
+        if only and name not in only:
+            continue
+        sdf = build(spark, sf_dir)
+        srows = [r.asDict() for r in sdf.collect()]
+        scols = sorted(sdf.columns)
+        if name not in oracles:
+            print(f"  {name:34s} rows-only: {len(srows)} rows")
+            continue
+        ddf = con.execute(oracles[name]).fetch_arrow_table()
+        drows = ddf.to_pylist()
+        dcols = sorted(ddf.column_names)
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"ROWCOUNT {len(srows)} vs {len(drows)}")
+        if scols != dcols:
+            status.append(f"SCHEMA {scols} vs {dcols}")
+        if not status:
+            sk, dk = value_key(srows, scols), value_key(drows, dcols)
+            if sk != dk:
+                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+                status.append(f"VALUES differ, e.g. {diff}")
+        if status:
+            failures.append(name)
+            print(f"  {name:34s} FAIL: {'; '.join(status)}")
+        else:
+            print(f"  {name:34s} ok ({len(srows)} rows)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,13 +39,20 @@ def _normalize_ns_timestamps(df: DataFrame, ns_columns: dict[str, str]) -> DataF
     """Convert ns-as-long epoch columns to microsecond timestamps.
 
     With ``spark.sql.legacy.parquet.nanosAsLong=true`` a parquet
-    TIMESTAMP(NANOS) column arrives as LongType epoch-nanos. ``div 1000`` is
-    integral (no double round-trip: ns epochs exceed double's 53-bit exact
-    range), so µs-precision data converts losslessly.
+    TIMESTAMP(NANOS) column arrives as LongType epoch-nanos. Integral
+    division avoids a double round-trip (ns epochs exceed double's 53-bit
+    exact range); ``floor(... / 1000)`` semantics (not truncate-toward-zero)
+    keep the conversion exact for pre-1970 negative epochs too.
     """
     for col, dtype in ns_columns.items():
         if dtype == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestamp_micros(CASE WHEN `{col}` >= 0 THEN `{col}` div 1000 "
+                    f"ELSE -((-`{col}` + 999) div 1000) END)"
+                ),
+            )
     return df
 
 

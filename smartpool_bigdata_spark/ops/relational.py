@@ -24,6 +24,15 @@ def _order_columns(order_by: Sequence) -> list[Column]:
     return cols
 
 
+def _helper_col(df: DataFrame, base: str) -> str:
+    """Name for an internal helper column that cannot collide with input
+    columns (withColumn would silently overwrite a same-named column)."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def latest_by_key(
     df: DataFrame,
     keys: Sequence[str],
@@ -44,10 +53,11 @@ def latest_by_key(
     skew prefer ``max_by``-style aggregation (one fewer sort).
     """
     w = Window.partitionBy(*keys).orderBy(*_order_columns(order_by))
+    rn = _helper_col(df, "__rn")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -71,9 +81,10 @@ def top_n_per_group(
     """
     fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[method]
     w = Window.partitionBy(*keys).orderBy(*_order_columns(order_by))
-    ranked = df.withColumn(rank_col or "__rank", fn().over(w))
-    out = ranked.filter(F.col(rank_col or "__rank") <= n)
-    return out if rank_col else out.drop("__rank")
+    out_col = rank_col or _helper_col(df, "__rank")
+    ranked = df.withColumn(out_col, fn().over(w))
+    out = ranked.filter(F.col(out_col) <= n)
+    return out if rank_col else out.drop(out_col)
 
 
 def conditional_pivot(

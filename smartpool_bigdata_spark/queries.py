@@ -38,14 +38,22 @@ class Query:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     description: str = ""
+    # Excluded from bench.py's headline loop (e.g. quadratic-oracle demos
+    # whose scale path is a separate query, or trivially tiny outputs).
+    skip_bench: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, description: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    skip_bench: bool = False,
+):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, description)
+        REGISTRY[name] = Query(name, fn, oracle, description, skip_bench)
         return fn
 
     return deco
@@ -291,11 +299,11 @@ def customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           round(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 50.0
-                          WHEN c_mktsegment = 'AUTOMOBILE' THEN 80.0
-                          WHEN c_mktsegment = 'MACHINERY'  THEN 150.0
-                          WHEN c_mktsegment = 'HOUSEHOLD'  THEN 60.0
-                          ELSE 120.0 END), 2) AS total_fee
+           round(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'   THEN 50.0
+                               WHEN c_mktsegment = 'AUTOMOBILE' THEN 80.0
+                               WHEN c_mktsegment = 'MACHINERY'  THEN 150.0
+                               WHEN c_mktsegment = 'HOUSEHOLD'  THEN 60.0
+                               ELSE 120.0 END AS DOUBLE)), 2) AS total_fee
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -371,7 +379,7 @@ def events_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, event_type,
-               avg(value) AS hourly_avg
+               round(avg(value), 4) AS hourly_avg
         FROM events GROUP BY 1, 2, 3
     )
     SELECT e.event_id, round(e.value - hourly.hourly_avg, 4) AS deviation
@@ -391,7 +399,13 @@ def hourly_value_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"),
         F.hour("ts").alias("h"),
     )
-    hourly = ev.groupBy("d", "h", "event_type").agg(F.avg("value").alias("hourly_avg"))
+    # The average is rounded BEFORE the subtraction on both Spark and oracle
+    # sides: engines sum doubles in different orders, so an unrounded avg
+    # differs in the ~13th digit and rounding the *difference* amplifies
+    # that into a flipped last digit (round-1 hash mismatch).
+    hourly = ev.groupBy("d", "h", "event_type").agg(
+        F.round(F.avg("value"), 4).alias("hourly_avg")
+    )
     joined = ev.join(hourly, on=["d", "h", "event_type"], how="inner")
     return joined.select(
         "event_id", F.round(F.col("value") - F.col("hourly_avg"), 4).alias("deviation")

@@ -67,12 +67,27 @@ def session_builder(
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime-settable confs to an existing session."""
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    ``catalog.load_table`` depends on ``nanosAsLong`` taking effect; a
+    locked-down session that silently rejects it would otherwise fail much
+    later with an opaque PARQUET_TYPE_ILLEGAL, so verify the conf stuck.
+    """
+    import warnings
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf locked down on this deployment; reads may still work
+        except Exception as exc:
+            warnings.warn(f"could not set {k}={v!r}: {exc}", stacklevel=2)
+            continue
+        applied = spark.conf.get(k, None)
+        if applied != v:
+            warnings.warn(
+                f"conf {k} did not take effect (wanted {v!r}, got {applied!r}); "
+                "ns-timestamp parquet reads may fail or skip normalization",
+                stacklevel=2,
+            )
     return spark
 
 
