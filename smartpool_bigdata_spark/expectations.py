@@ -1,0 +1,237 @@
+"""Declarative data-quality expectations (SURVEY.md §2.9).
+
+The reference validates its Silver/Gold layers with inline QA cells that
+``raise`` on violation — uniqueness, critical-nulls, domain membership, FK
+orphans, physical partitioning, expected cardinality, null-rate profiling
+(``notebooks/03_silver_smartpool.ipynb:648-714``,
+``notebooks/05_ingest_electricity_csv.ipynb:409``,
+``notebooks/06_gold_electricity_enrichment.ipynb:460-500``). Here the same
+checks are a declarative suite: each expectation compiles to ONE aggregate
+over the DataFrame, and the whole suite is validated in a SINGLE pass
+(one job, map-side combined) instead of one action per check — at 100 TB
+the difference between N scans and 1 scan of the table.
+
+Checks that cannot fold into the single pass (uniqueness needs a groupBy,
+FK needs a join) run as their own minimal job, each still expressible as
+one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ExpectationError(AssertionError):
+    """Raised by ``Suite.validate`` with every failed expectation listed."""
+
+
+@dataclass
+class Violation:
+    check: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - cosmetic
+        return f"{self.check}: {self.detail}"
+
+
+# --- single-pass (aggregate-foldable) checks --------------------------------
+
+
+@dataclass
+class NotNull:
+    """Critical-column null check (reference: "pool_id IS NULL OR ..." cells)."""
+
+    columns: Sequence[str]
+
+    def aggs(self):
+        return [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
+            for c in self.columns
+        ]
+
+    def violations(self, row) -> list[Violation]:
+        return [
+            Violation("not_null", f"column {c!r} has {row[f'__nn_{c}']} null rows")
+            for c in self.columns
+            if row[f"__nn_{c}"]
+        ]
+
+
+@dataclass
+class InSet:
+    """Domain/catalog membership (reference: ``~isin(allowed)`` QA)."""
+
+    column: str
+    allowed: Sequence
+
+    def aggs(self):
+        cond = ~F.col(self.column).isin(list(self.allowed)) & F.col(self.column).isNotNull()
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__is_{self.column}")]
+
+    def violations(self, row) -> list[Violation]:
+        n = row[f"__is_{self.column}"]
+        if n:
+            return [Violation("in_set", f"column {self.column!r}: {n} rows outside domain")]
+        return []
+
+
+@dataclass
+class InRange:
+    """Value-range check (reference: sensor DQ ``between`` rules)."""
+
+    column: str
+    lo: float
+    hi: float
+
+    def aggs(self):
+        cond = ~F.col(self.column).between(self.lo, self.hi) & F.col(self.column).isNotNull()
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__ir_{self.column}")]
+
+    def violations(self, row) -> list[Violation]:
+        n = row[f"__ir_{self.column}"]
+        if n:
+            return [
+                Violation(
+                    "in_range",
+                    f"column {self.column!r}: {n} rows outside [{self.lo}, {self.hi}]",
+                )
+            ]
+        return []
+
+
+@dataclass
+class RowCountBetween:
+    """Expected-cardinality check (reference: 24 rows/day/region)."""
+
+    lo: int
+    hi: int | None = None
+
+    def aggs(self):
+        return [F.count(F.lit(1)).alias("__rc")]
+
+    def violations(self, row) -> list[Violation]:
+        n = row["__rc"]
+        if n < self.lo or (self.hi is not None and n > self.hi):
+            return [Violation("row_count", f"count {n} outside [{self.lo}, {self.hi}]")]
+        return []
+
+
+# --- own-job checks ---------------------------------------------------------
+
+
+@dataclass
+class Unique:
+    """Primary-key uniqueness (reference: groupBy(pk).count()>1 cell).
+
+    One hash-shuffle on the key; only violating keys come back.
+    """
+
+    keys: Sequence[str]
+
+    def check(self, df: DataFrame) -> list[Violation]:
+        dup = (
+            df.groupBy(*self.keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        n = dup.limit(1).count()
+        if n:
+            return [Violation("unique", f"duplicate keys exist for {list(self.keys)}")]
+        return []
+
+
+@dataclass
+class ForeignKey:
+    """FK orphan check (reference: left-anti join QA cell).
+
+    Broadcast the dim side when small → no fact shuffle at all.
+    """
+
+    fact_key: str
+    dim: DataFrame
+    dim_key: str
+    broadcast: bool = True
+
+    def check(self, df: DataFrame) -> list[Violation]:
+        dim = self.dim.select(self.dim_key).distinct()
+        if self.broadcast:
+            dim = F.broadcast(dim)
+        orphans = df.join(
+            dim, df[self.fact_key] == dim[self.dim_key], "left_anti"
+        )
+        if not orphans.isEmpty():
+            return [
+                Violation(
+                    "foreign_key",
+                    f"{self.fact_key!r} has values missing from dim.{self.dim_key}",
+                )
+            ]
+        return []
+
+
+@dataclass
+class PartitionedBy:
+    """Physical-partitioning assertion (reference: DESCRIBE DETAIL cell).
+
+    Parquet/Delta layout check on the sink path, not the DataFrame.
+    """
+
+    path: str
+    columns: Sequence[str]
+
+    def check(self, _df: DataFrame | None = None) -> list[Violation]:
+        import os
+
+        missing = []
+        for c in self.columns:
+            try:
+                entries = os.listdir(self.path)
+            except OSError as exc:
+                return [Violation("partitioned_by", f"cannot list {self.path}: {exc}")]
+            if not any(e.startswith(f"{c}=") for e in entries):
+                missing.append(c)
+        if missing:
+            return [
+                Violation("partitioned_by", f"no {missing} partition dirs under {self.path}")
+            ]
+        return []
+
+
+@dataclass
+class Suite:
+    """A set of expectations validated together.
+
+    ``validate`` raises ``ExpectationError`` listing all violations;
+    ``profile`` returns them without raising (the reference does both:
+    raising QA cells and null-rate profiling).
+    """
+
+    checks: list = field(default_factory=list)
+
+    def add(self, check) -> "Suite":
+        self.checks.append(check)
+        return self
+
+    def profile(self, df: DataFrame) -> list[Violation]:
+        foldable = [c for c in self.checks if hasattr(c, "aggs")]
+        own_job = [c for c in self.checks if not hasattr(c, "aggs")]
+        violations: list[Violation] = []
+        if foldable:
+            aggs = [a for c in foldable for a in c.aggs()]
+            row = df.agg(*aggs).collect()[0]
+            for c in foldable:
+                violations.extend(c.violations(row))
+        for c in own_job:
+            violations.extend(c.check(df))
+        return violations
+
+    def validate(self, df: DataFrame) -> None:
+        violations = self.profile(df)
+        if violations:
+            raise ExpectationError(
+                "; ".join(str(v) for v in violations)
+            )

@@ -193,6 +193,31 @@ def orphan_rows(
     return fact.join(dim, fact[fact_key] == dim[dim_key], "left_anti")
 
 
+def with_audit_columns(
+    df: DataFrame,
+    source: str | None = None,
+    ingest_ts: Column | None = None,
+    ts_col: str = "_ingest_ts",
+    date_col: str = "_ingest_date",
+    source_col: str = "_source",
+) -> DataFrame:
+    """Standard audit columns on every layer write (P13).
+
+    Reference: ``_ingest_ts=current_timestamp()`` + ``input_file_name()``
+    audit columns (``spark-apps/05_ingest_electricity_csv.py:48-56``,
+    ``spark-apps/02_ingest_smartpool.py:68``).
+
+    ``ingest_ts`` is injectable (pass ``F.lit(...).cast('timestamp')``) so
+    golden tests stay deterministic — the reference's wall-clock audit cols
+    are exactly what SURVEY §7.4.6 flags as ungoldenable.
+    """
+    ts = ingest_ts if ingest_ts is not None else F.current_timestamp()
+    out = df.withColumn(ts_col, ts).withColumn(date_col, F.col(ts_col).cast("date"))
+    if source is not None:
+        out = out.withColumn(source_col, F.lit(source))
+    return out
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

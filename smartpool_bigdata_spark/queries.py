@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smartpool_bigdata_spark.catalog import load_table
+from smartpool_bigdata_spark.functions import stable_avg, stable_sum
 from smartpool_bigdata_spark.ops import (
     case_when_chain,
     conditional_pivot,
@@ -72,14 +73,19 @@ def _t(spark, sf_dir, name):
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,10))) AS DOUBLE), 2)                  AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(38,10))) AS DOUBLE), 2)                  AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(l_quantity), 4)                                          AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(l_extendedprice), 4)                                     AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -94,13 +100,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        stable_sum("l_quantity", 2).alias("sum_qty"),
+        stable_sum("l_extendedprice", 2).alias("sum_base_price"),
+        stable_sum(disc_price, 2).alias("sum_disc_price"),
+        stable_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+        stable_avg("l_quantity", 4).alias("avg_qty"),
+        stable_avg("l_extendedprice", 4).alias("avg_price"),
+        stable_avg("l_discount", 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -110,7 +116,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -123,7 +130,7 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        stable_avg("value", 4).alias("avg_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.countDistinct("user_id").alias("n_users"),
@@ -137,7 +144,7 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O_count,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F_count,
            CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P_count,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
     description="Conditional-aggregate manual pivot (A3) — mirrors "
@@ -150,7 +157,7 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderpriority"],
         pivot_col="o_orderstatus",
         values=["O", "F", "P"],
-        extra_aggs={"total_price": F.round(F.sum("o_totalprice"), 2)},
+        extra_aggs={"total_price": stable_sum("o_totalprice", 2)},
     )
 
 
@@ -233,7 +240,8 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY avg_value_raw DESC) AS rk
           FROM (SELECT CAST(ts AS DATE) AS event_date,
                        CAST(hour(ts) AS INTEGER) AS event_hour,
-                       avg(value) AS avg_value_raw
+                       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                           / count(value) AS avg_value_raw
                 FROM events GROUP BY 1, 2))
     WHERE rk <= 3
     """,
@@ -242,10 +250,12 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def peak_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # Ranking over an unrounded avg demands determinism: stable_avg's exact
+    # decimal sum makes the rank order reproducible across engines/runs.
     hourly = ev.groupBy(
         F.col("ts").cast("date").alias("event_date"),
         F.hour("ts").alias("event_hour"),
-    ).agg(F.avg("value").alias("avg_value_raw"))
+    ).agg(stable_avg("value", scale=None).alias("avg_value_raw"))
     top = top_n_per_group(
         hourly,
         keys=["event_date"],
@@ -272,7 +282,8 @@ def peak_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
            count(o.o_orderkey) AS order_cnt,
-           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+           coalesce(round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                               AS DOUBLE), 2), 0.0) AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
     """,
@@ -287,7 +298,7 @@ def customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c.c_custkey", "c.c_name", "c.c_mktsegment")
         .agg(
             F.count("o.o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o.o_totalprice"), F.lit(0.0)), 2).alias(
+            F.coalesce(stable_sum("o.o_totalprice", 2), F.lit(0.0)).alias(
                 "total_spent"
             ),
         )
@@ -379,7 +390,8 @@ def events_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, event_type,
-               round(avg(value), 4) AS hourly_avg
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(value), 4) AS hourly_avg
         FROM events GROUP BY 1, 2, 3
     )
     SELECT e.event_id, round(e.value - hourly.hourly_avg, 4) AS deviation
@@ -404,7 +416,7 @@ def hourly_value_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differs in the ~13th digit and rounding the *difference* amplifies
     # that into a flipped last digit (round-1 hash mismatch).
     hourly = ev.groupBy("d", "h", "event_type").agg(
-        F.round(F.avg("value"), 4).alias("hourly_avg")
+        stable_avg("value", 4).alias("hourly_avg")
     )
     joined = ev.join(hourly, on=["d", "h", "event_type"], how="inner")
     return joined.select(
@@ -421,9 +433,10 @@ def hourly_value_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_cost_model",
     oracle="""
     SELECT event_type,
-           round(sum(round(CASE event_type WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.05
+           round(CAST(sum(CAST(round(CASE event_type WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.05
                            WHEN 'purchase' THEN 0.3 WHEN 'signup' THEN 0.2
-                           WHEN 'error' THEN 0.0 ELSE 0.15 END * value, 4)), 2) AS total_cost,
+                           WHEN 'error' THEN 0.0 ELSE 0.15 END * value, 4)
+                          AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_cost,
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -439,7 +452,7 @@ def event_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = F.round(kwh * F.col("value"), 4)
     return ev.groupBy("event_type").agg(
-        F.round(F.sum(cost), 2).alias("total_cost"),
+        stable_sum(cost, 2).alias("total_cost"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -450,7 +463,8 @@ def event_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            value BETWEEN 25.0 AND 75.0 AS value_in_range,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     description="Range predicate → boolean flag columns (P5/P6) — mirrors the "
@@ -461,7 +475,7 @@ def event_range_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.withColumn("value_in_range", F.col("value").between(25.0, 75.0))
     return flagged.groupBy("event_type", "value_in_range").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        stable_avg("value", 4).alias("avg_value"),
     )
 
 
@@ -522,11 +536,81 @@ def event_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "urgent_open_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_open,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS open_value
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+    """,
+    description="SQL-string predicate filter (P2) — mirrors "
+    "filter('is_heated = true') (spark-apps/01_architecture_smartpool.py:67). "
+    "Catalyst parses the string to the same predicate tree as the Column "
+    "form, so pushdown to the parquet scan is identical.",
+)
+def urgent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    kept = orders.filter("o_orderstatus = 'O' AND o_totalprice > 100000.0")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_open"),
+        stable_sum("o_totalprice", 2).alias("open_value"),
+    )
+
+
+@query(
+    "allowed_event_types",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY event_type
+    """,
+    description="Domain membership isin filter (P4/§2.9 domain check) — "
+    "mirrors intervention_type.isin(allowed) "
+    "(notebooks/03_silver_smartpool.ipynb:224,681-683).",
+)
+def allowed_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kept = ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "top_value_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    description="Multi-key mixed-direction sort + limit (O1/O2) — mirrors "
+    "orderBy(date.desc(), hour.asc()) display queries "
+    "(notebooks/05_ingest_electricity_csv.ipynb:205-208). Spark plans a "
+    "TakeOrderedAndProject: per-partition top-K then driver merge — no "
+    "global sort shuffle, scale-safe for small K.",
+)
+def top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
     "event_hourly_window",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value,
            round(max(value), 4) AS max_value
     FROM events GROUP BY 1, 2
     """,
@@ -543,7 +627,7 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs={
             "n_events": F.count(F.lit(1)),
-            "avg_value": F.round(F.avg("value"), 4),
+            "avg_value": stable_avg("value", 4),
             "max_value": F.round(F.max("value"), 4),
         },
     )

@@ -1,0 +1,102 @@
+"""Expectations module: declarative DQ checks raise on violation and fold
+into a single pass where possible (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.expectations import (
+    ExpectationError,
+    ForeignKey,
+    InRange,
+    InSet,
+    NotNull,
+    PartitionedBy,
+    RowCountBetween,
+    Suite,
+    Unique,
+)
+
+
+@pytest.fixture
+def clean(spark):
+    return spark.createDataFrame(
+        [(1, "a", 7.0), (2, "b", 6.5), (3, "a", 8.1)],
+        ["id", "kind", "ph"],
+    )
+
+
+def test_clean_df_passes_all(spark, clean):
+    dim = spark.createDataFrame([("a",), ("b",)], ["k"])
+    suite = (
+        Suite()
+        .add(NotNull(["id", "kind"]))
+        .add(InSet("kind", ["a", "b"]))
+        .add(InRange("ph", 0.0, 14.0))
+        .add(RowCountBetween(1, 100))
+        .add(Unique(["id"]))
+        .add(ForeignKey("kind", dim, "k"))
+    )
+    suite.validate(clean)  # must not raise
+
+
+def test_all_violations_reported_together(spark):
+    df = spark.createDataFrame(
+        [(1, None, 99.0), (1, "z", -3.0)],
+        ["id", "kind", "ph"],
+    )
+    suite = (
+        Suite()
+        .add(NotNull(["kind"]))
+        .add(InSet("kind", ["a", "b"]))
+        .add(InRange("ph", 0.0, 14.0))
+        .add(RowCountBetween(5))
+        .add(Unique(["id"]))
+    )
+    with pytest.raises(ExpectationError) as exc:
+        suite.validate(df)
+    msg = str(exc.value)
+    for frag in ("not_null", "in_set", "in_range", "row_count", "unique"):
+        assert frag in msg, f"missing {frag} in: {msg}"
+
+
+def test_foreign_key_orphan(spark, clean):
+    dim = spark.createDataFrame([("a",)], ["k"])
+    violations = Suite().add(ForeignKey("kind", dim, "k")).profile(clean)
+    assert len(violations) == 1 and violations[0].check == "foreign_key"
+
+
+def test_nulls_do_not_trip_domain_or_range(spark):
+    df = spark.createDataFrame([(None, None)], "kind string, ph double")
+    violations = (
+        Suite().add(InSet("kind", ["a"])).add(InRange("ph", 0.0, 1.0)).profile(df)
+    )
+    assert violations == []
+
+
+def test_partitioned_by(spark, clean, tmp_path):
+    path = str(tmp_path / "t")
+    clean.write.partitionBy("kind").parquet(path)
+    assert PartitionedBy(path, ["kind"]).check() == []
+    bad = PartitionedBy(path, ["ph"]).check()
+    assert len(bad) == 1 and "ph" in bad[0].detail
+
+
+def test_single_pass_fold(spark, clean):
+    """Foldable checks produce one aggregate row, not one job per check."""
+    suite = Suite().add(NotNull(["id"])).add(InRange("ph", 0.0, 14.0)).add(
+        RowCountBetween(1)
+    )
+    aggs = [a for c in suite.checks for a in c.aggs()]
+    assert len(clean.agg(*aggs).collect()) == 1
+
+
+def test_audit_columns_injectable(spark, clean):
+    from smartpool_bigdata_spark.ops import with_audit_columns
+
+    out = with_audit_columns(
+        clean, source="unit", ingest_ts=F.lit("2024-06-01 12:00:00").cast("timestamp")
+    )
+    row = out.select("_ingest_ts", "_ingest_date", "_source").first()
+    assert str(row["_ingest_date"]) == "2024-06-01" and row["_source"] == "unit"

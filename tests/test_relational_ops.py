@@ -1,0 +1,138 @@
+"""Unit tests for ops.relational on tiny literal DataFrames — semantics
+pinned independently of the testdata (tie-breaks, collision guards,
+pivot defaults, window flattening)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.ops import (
+    case_when_chain,
+    conditional_pivot,
+    dedupe_exact,
+    duplicate_keys,
+    latest_by_key,
+    map_lookup,
+    orphan_rows,
+    range_flags,
+    top_n_per_group,
+    tumbling_agg,
+)
+
+
+def _versions(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "b", 20),
+            (1, "c", 20),  # tie on version → id tie-break
+            (2, "x", 5),
+        ],
+        ["key", "payload", "version"],
+    )
+
+
+def test_latest_by_key_tie_break(spark):
+    out = latest_by_key(
+        _versions(spark),
+        keys=["key"],
+        order_by=[F.col("version").desc(), F.col("payload").desc()],
+    )
+    rows = {r["key"]: r["payload"] for r in out.collect()}
+    assert rows == {1: "c", 2: "x"}
+
+
+def test_latest_by_key_helper_collision(spark):
+    df = _versions(spark).withColumn("__rn", F.lit(99))
+    out = latest_by_key(df, keys=["key"], order_by=[F.col("version").desc()])
+    assert "__rn" in out.columns  # user column survives
+    assert out.filter(F.col("__rn") != 99).count() == 0
+
+
+def test_top_n_row_number_vs_dense_rank(spark):
+    df = spark.createDataFrame(
+        [("g", 3, 1), ("g", 3, 2), ("g", 2, 3), ("g", 1, 4)],
+        ["grp", "score", "id"],
+    )
+    rn = top_n_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], n=2,
+        method="row_number",
+    )
+    assert rn.count() == 2  # exactly N
+    dr = top_n_per_group(
+        df, ["grp"], [F.col("score").desc()], n=2, method="dense_rank",
+        rank_col="rk",
+    )
+    # dense_rank: both score-3 rows share rank 1, score-2 row is rank 2 → 3 rows
+    assert dr.count() == 3
+    assert dr.schema["rk"].dataType.simpleString() == "int"
+
+
+def test_conditional_pivot_counts_and_values(spark):
+    df = spark.createDataFrame(
+        [("k", "A", 1.0), ("k", "A", 2.0), ("k", "B", 10.0)],
+        ["key", "kind", "amt"],
+    )
+    counts = conditional_pivot(df, ["key"], "kind", ["A", "B", "C"]).collect()[0]
+    assert (counts["A_count"], counts["B_count"], counts["C_count"]) == (2, 1, 0)
+    sums = conditional_pivot(
+        df, ["key"], "kind", ["A", "B"], agg_expr=F.col("amt")
+    ).collect()[0]
+    assert (sums["A_count"], sums["B_count"]) == (3.0, 10.0)
+
+
+def test_map_lookup_default(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("zzz",)], ["k"])
+    out = df.select(map_lookup({"x": 1.0, "y": 2.0}, F.col("k"), default=-1.0).alias("v"))
+    assert [r["v"] for r in out.collect()] == [1.0, 2.0, -1.0]
+
+
+def test_case_when_chain_order(spark):
+    df = spark.createDataFrame([(5,), (15,), (50,)], ["n"])
+    col = case_when_chain(
+        [(F.col("n") < 10, "small"), (F.col("n") < 20, "mid")], default="big"
+    )
+    assert [r[0] for r in df.select(col).collect()] == ["small", "mid", "big"]
+
+
+def test_range_flags(spark):
+    df = spark.createDataFrame([(7.0, 50.0), (15.0, -1.0)], ["ph", "pct"])
+    out = range_flags(df, {"ph": (0.0, 14.0), "pct": (0.0, 100.0)})
+    rows = out.collect()
+    assert (rows[0]["ph_in_range"], rows[0]["pct_in_range"]) == (True, True)
+    assert (rows[1]["ph_in_range"], rows[1]["pct_in_range"]) == (False, False)
+
+
+def test_dedupe_and_duplicate_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    assert dedupe_exact(df, ["k"]).count() == 2
+    dups = duplicate_keys(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0]["k"] == 1 and dups[0]["dup_count"] == 2
+
+
+def test_orphan_rows(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,)], ["fk"])
+    dim = spark.createDataFrame([(1,), (2,)], ["pk"])
+    orphans = orphan_rows(fact, dim, "fk", "pk")
+    assert [r["fk"] for r in orphans.collect()] == [9]
+
+
+def test_tumbling_agg_flattens_window(spark):
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0, 30), "a", 1.0),
+            (datetime(2024, 1, 1, 0, 0, 45), "a", 3.0),
+            (datetime(2024, 1, 1, 0, 1, 10), "a", 5.0),
+        ],
+        ["ts", "k", "v"],
+    )
+    out = tumbling_agg(
+        df, "ts", "1 minute", ["k"],
+        {"n": F.count(F.lit(1)), "avg_v": F.avg("v")},
+    )
+    assert set(out.columns) == {"window_start", "window_end", "k", "n", "avg_v"}
+    rows = {r["window_start"]: r for r in out.collect()}
+    first = rows[datetime(2024, 1, 1, 0, 0)]
+    assert first["n"] == 2 and first["avg_v"] == 2.0
