@@ -1,0 +1,140 @@
+"""Embedding similarity-search operators: brute-force cosine top-k (the
+correctness baseline) and an IVF-style bucketed variant (the scale path).
+
+UDF-free: dot products and norms are ``zip_with`` + ``aggregate`` folds over
+``array<double>`` — sequential fold order makes the double arithmetic
+bit-identical to DuckDB's ``list_dot_product`` (verified empirically), so
+ANN queries get full value-hash oracles.
+
+Scale design:
+
+* Brute force broadcasts the (small) query set against the corpus — one
+  scan of the big side, per-partition top-k via window, no corpus shuffle
+  beyond the final (queries × k)-row aggregation. Exact, O(n·q·d).
+* IVF: corpus is assigned once to its nearest centroid (scan-only), then
+  each query probes ONLY its centroid's bucket — candidate count drops by
+  ~n_centroids×. The assignment column is also the natural partition key
+  for a pre-bucketed layout at 100 TB (bucketBy(centroid) → searches touch
+  one bucket's files). Recall < 1.0 by construction; the brute-force twin
+  is the oracle for measuring it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+
+def spark_dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def duck_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return (
+        f"{spark_dot(a, b)} / (sqrt({spark_dot(a, a)}) * sqrt({spark_dot(b, b)}))"
+    )
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return f"{duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)}))"
+
+
+def as_double_array(df: DataFrame, col: str, out: str) -> DataFrame:
+    """float32 embeddings → array<double> so fold arithmetic is stable."""
+    return df.withColumn(out, F.expr(f"transform({col}, x -> cast(x as double))"))
+
+
+def l2_normalize(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Pre-normalize once so cosine degenerates to a single dot fold per
+    pair — at n·q pairs this saves 2 of 3 folds vs computing norms inline."""
+    return df.withColumn(
+        out,
+        F.expr(
+            f"transform({vec_col}, x -> x / sqrt({spark_dot(vec_col, vec_col)}))"
+        ),
+    )
+
+
+def duck_l2_normalize(vec: str) -> str:
+    return f"list_transform({vec}, x -> x / sqrt({duck_dot(vec, vec)}))"
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan corpus → window top-k.
+
+    Returns (query_id, neighbor_id, sim, rank). ``sim`` is rounded to 4
+    decimals BEFORE ranking with an id tie-break, so the ranking is
+    insensitive to last-ulp noise.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    sim_expr = (
+        spark_dot("__qv", vec_col)
+        if assume_normalized
+        else spark_cosine("__qv", vec_col)
+    )
+    sims = joined.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"round({sim_expr}, 4)").alias("sim"),
+    )
+    return top_n_per_group(
+        sims,
+        keys=[query_id_col],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        n=k,
+        method="row_number",
+        rank_col="rank",
+    )
+
+
+def assign_ivf_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF coarse quantizer).
+
+    One broadcast join + window argmax — scan-only over the corpus. The
+    resulting ``bucket`` column is the IVF inverted-list key.
+    """
+    joined = corpus.crossJoin(F.broadcast(centroids))
+    sim_expr = (
+        spark_dot(vec_col, centroid_vec_col)
+        if assume_normalized
+        else spark_cosine(vec_col, centroid_vec_col)
+    )
+    scored = joined.select(
+        id_col,
+        vec_col,
+        F.col(centroid_id_col).alias("bucket"),
+        F.expr(f"round({sim_expr}, 4)").alias("__csim"),
+    )
+    best = top_n_per_group(
+        scored,
+        keys=[id_col],
+        order_by=[F.col("__csim").desc(), F.col("bucket").asc()],
+        n=1,
+        method="row_number",
+    )
+    return best.select(id_col, vec_col, "bucket")

@@ -632,3 +632,10 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.drop("window_end")
+
+
+# Register the document-pipeline and similarity-search query families into
+# the same REGISTRY (import side effect; kept at the bottom so the decorator
+# and helpers above are defined).
+from smartpool_bigdata_spark import queries_text as _queries_text  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_vectors as _queries_vectors  # noqa: E402,F401

@@ -1,0 +1,258 @@
+"""Document-pipeline queries (LLM-training-data surface) over the
+``documents`` table: text quality stats, exact dedup, MinHash-LSH near-dup,
+SimHash/fingerprint signatures, language ID.
+
+Not present in the reference (its corpus is IoT rows); required by the task
+brief as first-class operators. Every query here has a FULL value-hash
+DuckDB oracle — the dual-dialect expression generators in ``ops/text.py``
+emit the same md5-derived integer algebra in both engines (validated
+bit-identical), so even the LSH pipeline is exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.functions import stable_avg
+from smartpool_bigdata_spark.ops import text as T
+from smartpool_bigdata_spark.ops.text import (
+    LANG_STOPWORDS,
+    exact_dedup,
+    language_guess,
+    minhash_near_dup_pairs,
+    with_text_stats,
+)
+from smartpool_bigdata_spark.queries import query, _t
+
+
+@query(
+    "doc_text_quality",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang,
+               len(text) AS char_count,
+               len({T.duck_tokens('text')}) AS token_count,
+               round(len(list_distinct({T.duck_tokens('text')}))
+                     / CAST(len({T.duck_tokens('text')}) AS DOUBLE), 4) AS unique_token_ratio
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(char_count AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(char_count), 4) AS avg_chars,
+           round(CAST(sum(CAST(token_count AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(token_count), 4) AS avg_tokens,
+           round(CAST(sum(CAST(unique_token_ratio AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(unique_token_ratio), 4) AS avg_unique_ratio
+    FROM stats GROUP BY lang
+    """,
+    description="Text quality scoring per language: char/token counts and "
+    "unique-token ratio, all row-local higher-order array functions (no "
+    "UDFs, no shuffle before the final tiny agg). Scale: scan-bound.",
+)
+def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = with_text_stats(docs, "text")
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        stable_avg("char_count", 4).alias("avg_chars"),
+        stable_avg("token_count", 4).alias("avg_tokens"),
+        stable_avg("unique_token_ratio", 4).alias("avg_unique_ratio"),
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    WITH kept AS (
+        SELECT source, doc_id, row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM kept GROUP BY source
+    """,
+    description="Exact content dedup via md5 hash-partitioned keep-lowest-id "
+    "(deterministic winner, unlike dropDuplicates). Scale: one uniform "
+    "shuffle on the digest; only (digest, id) travels.",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "text", "doc_id").select("source", F.lit(1).alias("__k"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("source").agg(F.sum("__k").alias("n_kept"))
+    return totals.join(kept_counts, "source", "left").select(
+        "source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+def _near_dup_corpus_spark(docs: DataFrame) -> DataFrame:
+    """documents ∪ drop-first-token mutants (ids offset by 1e6) — a
+    deterministic planted near-duplicate per document, so the LSH pipeline
+    demonstrably recalls them at any sf."""
+    toks = T.spark_tokens("text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({toks}, 2, greatest(size({toks}) - 1, 0)), ' ')"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").union(mutated)
+
+
+def _near_dup_corpus_duck() -> str:
+    toks = T.duck_tokens("text")
+    return f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(({toks})[2:], ' ') AS text
+        FROM documents
+    """
+
+
+def _near_dup_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    toks = T.duck_tokens("text")
+    sh = T.duck_word_shingles(toks, shingle_k)
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"{T.duck_band_hash('sig', b)} AS band_hash FROM sig"
+        for b in range(T.BANDS)
+    )
+    return f"""
+    WITH corpus AS ({_near_dup_corpus_duck()}),
+    base AS (
+        SELECT doc_id,
+               list_distinct({sh}) AS sh_set,
+               list_distinct(list_transform({sh}, x -> {T.duck_hash64('x')})) AS sh_hashes
+        FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id, sh_set, {T.duck_minhash_sig('sh_hashes')} AS sig FROM base
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                 / (len(a.sh_set) + len(b.sh_set)
+                    - len(list_intersect(a.sh_set, b.sh_set))), 4) AS jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.doc_a
+    JOIN sig b ON b.doc_id = cand.doc_b
+    WHERE round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                / (len(a.sh_set) + len(b.sh_set)
+                   - len(list_intersect(a.sh_set, b.sh_set))), 4) >= {threshold}
+    """
+
+
+@query(
+    "doc_near_dup_pairs",
+    oracle=_near_dup_oracle(),
+    description="MinHash-LSH near-duplicate detection (32 perms × 8 bands) "
+    "with exact-Jaccard verification, on documents ∪ planted mutants. "
+    "Scale: NEVER all-pairs — one shuffle on (band, band_hash), candidates "
+    "scale with bucket collisions; signature payload is fixed ~256 B/doc.",
+)
+def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    return minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+
+
+@query(
+    "doc_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {T.duck_simhash(f"list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')})")} AS simhash,
+           coalesce(list_aggregate(list_transform({T.duck_char_ngrams('text', 5)},
+                    g -> {T.duck_hash64('g')}), 'min'), -1) AS fingerprint
+    FROM documents
+    """,
+    description="Per-document SimHash (32-bit majority-vote over token "
+    "hashes) + winnowing-style min-hash fingerprint over char 5-grams. "
+    "Row-local map work only — scan-bound at any scale.",
+)
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.spark_tokens("text")
+    token_hashes = f"transform({toks}, t -> {T.spark_hash64('t')})"
+    grams = T.spark_char_ngrams("text", 5)
+    return docs.select(
+        "doc_id",
+        F.expr(T.spark_simhash(token_hashes)).alias("simhash"),
+        F.expr(
+            f"coalesce(array_min(transform({grams}, g -> {T.spark_hash64('g')})), -1)"
+        ).alias("fingerprint"),
+    )
+
+
+def _lang_guess_oracle() -> str:
+    toks = T.duck_tokens("text")
+    hits = {
+        lang: T.duck_stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    whens = []
+    for lang in langs:
+        others = ", ".join(f"s_{o}" for o in langs if o != lang)
+        whens.append(
+            f"WHEN s_{lang} > 0 AND s_{lang} >= greatest({others}) THEN '{lang}'"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    hit_cols = ",\n               ".join(f"{e} AS s_{lang}" for lang, e in hits.items())
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+               {hit_cols}
+        FROM documents
+    )
+    SELECT lang, {case} AS lang_guess, count(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query(
+    "doc_language_guess",
+    oracle=_lang_guess_oracle(),
+    description="Stopword-hit language-ID heuristic (deterministic argmax, "
+    "fixed tie order) vs the labeled lang — confusion-matrix counts. "
+    "Row-local scoring, tiny aggregate.",
+)
+def doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    guessed = language_guess(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(guessed, "doc_id")
+    return joined.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "doc_token_classes",
+    oracle=r"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS word_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS number_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[^a-z0-9\s]'))) AS BIGINT) AS symbol_tokens
+    FROM documents GROUP BY source
+    """,
+    description="BPE-ish regex token counting (word/number/symbol classes) "
+    "per source — regexp_extract_all is JVM-side, stays in codegen.",
+)
+def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    return docs.groupBy("source").agg(
+        F.sum(n("[a-z]+")).alias("word_tokens"),
+        F.sum(n("[0-9]+")).alias("number_tokens"),
+        F.sum(n(r"[^a-z0-9\s]")).alias("symbol_tokens"),
+    )

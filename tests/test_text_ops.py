@@ -1,0 +1,81 @@
+"""Unit tests for ops/text.py on tiny literal DataFrames — semantics of
+each operator checked directly, independent of the registry oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.ops.text import (
+    content_fingerprint,
+    exact_dedup,
+    language_guess,
+    minhash_near_dup_pairs,
+    simhash_signatures,
+    with_text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog"),  # near dup (drop 1st)
+        (4, "completely different content about spark engines"),
+        (5, "el perro y el gato de la casa que corre"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in with_text_stats(docs).collect()}
+    assert out[1]["token_count"] == 9
+    assert out[1]["char_count"] == len("the quick brown fox jumps over the lazy dog")
+    # 'the' appears twice -> 8 unique of 9
+    assert out[1]["unique_token_ratio"] == round(8 / 9, 4)
+    assert out[4]["unique_token_ratio"] == 1.0
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 removed, winner is lower id 1
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(docs, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.4  # near dup recalled
+    assert not any({a, b} & {4} for a, b in pairs)  # unrelated doc not paired
+
+
+def test_simhash_identical_docs_equal(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert all(0 <= v < 2**32 for v in sigs.values())
+
+
+def test_fingerprint_shift_invariance(spark):
+    # Min-hash over char n-grams is invariant to edits that keep the
+    # minimal gram; a doc sharing all grams has the same fingerprint.
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in content_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_fingerprint_short_doc_sentinel(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])  # < ngram 5
+    assert content_fingerprint(df).collect()[0]["fingerprint"] == -1
+
+
+def test_language_guess(docs):
+    langs = {r["doc_id"]: r["lang_guess"] for r in language_guess(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "es"

@@ -1,0 +1,101 @@
+"""Unit tests for ops/vectors.py — exact knn on hand-computable vectors,
+IVF assignment, and IVF recall measured against the brute-force oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.ops.vectors import (
+    assign_ivf_buckets,
+    brute_force_knn,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+        (5, [-1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "v"])
+
+
+def test_brute_force_knn_exact(corpus):
+    qs = corpus.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    out = brute_force_knn(corpus, qs, k=2)
+    rows = {r["rank"]: r for r in out.collect()}
+    assert rows[1]["neighbor_id"] == 2  # cos ~0.9939
+    assert rows[1]["sim"] == round(0.9 / math.sqrt(0.81 + 0.01), 4)
+    assert rows[2]["neighbor_id"] == 4  # cos ~0.1104 beats 3 (0.0) and 5 (-1)
+    assert len(rows) == 2
+
+
+def test_knn_excludes_self(corpus):
+    qs = corpus.select(F.col("vec_id").alias("query_id"), "v")
+    out = brute_force_knn(corpus, qs, k=4)
+    assert out.filter("query_id = neighbor_id").count() == 0
+
+
+def test_ivf_assignment(corpus):
+    cents = corpus.filter("vec_id in (1, 3)").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in assign_ivf_buckets(corpus, cents).collect()}
+    assert buckets[1] == 1 and buckets[2] == 1
+    assert buckets[3] == 3 and buckets[4] == 3
+    # -x axis: equidistant-ish, cos(-1,0 vs 1,0)=-1, vs (0,1)=0 -> bucket 3
+    assert buckets[5] == 3
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    # 40 deterministic 4-d vectors; IVF with 4 centroids must recall the
+    # top-1 neighbor for most queries (same-bucket neighbors dominate).
+    import itertools
+
+    rows = []
+    for i, (a, b) in enumerate(itertools.product(range(1, 6), range(1, 9))):
+        rows.append((i, [float(a), float(b), float((a * b) % 7), 1.0]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "v"])
+    cents = corpus.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = assign_ivf_buckets(corpus, cents)
+    qs = corpus.filter("vec_id % 7 = 0").select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_knn(corpus, qs, k=1).collect()
+    }
+    # probe only own bucket
+    q_assigned = assigned.join(
+        qs.select("query_id"), assigned["vec_id"] == F.col("query_id")
+    ).select("query_id", F.col("bucket").alias("qb"))
+    from smartpool_bigdata_spark.ops.vectors import spark_cosine
+    cand = assigned.join(q_assigned, assigned["bucket"] == F.col("qb")).filter(
+        "vec_id != query_id"
+    )
+    qv = qs.select(F.col("query_id").alias("qid"), F.col("v").alias("qv"))
+    sims = cand.join(qv, cand["query_id"] == F.col("qid")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"round({spark_cosine('qv', 'v')}, 4)").alias("sim"),
+    )
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in top_n_per_group(
+            sims, ["query_id"], [F.col("sim").desc(), F.col("neighbor_id").asc()], 1
+        ).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits / len(exact) >= 0.5  # bucketed recall is imperfect but real
