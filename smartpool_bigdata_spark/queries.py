@@ -639,3 +639,4 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and helpers above are defined).
 from smartpool_bigdata_spark import queries_text as _queries_text  # noqa: E402,F401
 from smartpool_bigdata_spark import queries_vectors as _queries_vectors  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_streaming as _queries_streaming  # noqa: E402,F401

@@ -1,0 +1,121 @@
+"""Streaming queries for the driver correctness gate.
+
+Each entry materializes a REAL Structured Streaming run (file source →
+``Trigger.AvailableNow`` → memory sink) and returns the drained result as a
+batch DataFrame — so the driver's DuckDB comparison checks actual streaming
+semantics, not a batch twin.
+
+The watermarked-window oracle is exact because Spark's AvailableNow runs a
+final flush micro-batch: the emitted set is precisely the windows whose end
+<= max(event_time) − watermark delay (validated empirically on pyspark
+4.1), which is plain SQL over the same input.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.catalog import load_table
+from smartpool_bigdata_spark.functions import stable_avg
+from smartpool_bigdata_spark.queries import query
+from smartpool_bigdata_spark.streaming import (
+    file_stream,
+    run_available_now,
+    stream_static_enrich,
+    watermarked_tumbling_agg,
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, cols) -> tuple[DataFrame, str]:
+    """Events table staged to a tmp dir and opened as a file stream."""
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    stage = tempfile.mkdtemp(prefix="spark_stream_src_")
+    src = os.path.join(stage, "events")
+    ev.write.parquet(src)
+    return file_stream(spark, src, ev.schema), stage
+
+
+@query(
+    "stream_event_hourly_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    HAVING window_start + INTERVAL 1 HOUR <= (SELECT cut FROM wm)
+    """,
+    description="REAL streaming run of the watermarked 1-hour tumbling agg "
+    "(T1/T2/T3): file source -> withWatermark('1 hour') -> window agg -> "
+    "append-mode memory sink, drained with Trigger.AvailableNow. Emitted "
+    "set == windows closed by the final watermark — exact SQL oracle. "
+    "Mirrors spark-apps/07_kafka_smartpool_sensors.py:89,104-141.",
+    skip_bench=True,  # staging write + stream startup dominates; batch twin is benched
+)
+def stream_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, stage = _stream_events(spark, sf_dir, ["ts", "event_type", "value"])
+    agg = watermarked_tumbling_agg(
+        stream,
+        ts_col="ts",
+        watermark="1 hour",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": stable_avg("value", 4),
+        },
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(agg.drop("window_end"), name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
+    "stream_static_segment_counts",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    description="REAL streaming run of stream-static enrichment (J6/T9): "
+    "events stream left-joined per micro-batch to the broadcast customer "
+    "dim (no streaming state, no stream-side shuffle), drained via "
+    "AvailableNow, then aggregated. Mirrors "
+    "spark-apps/07_kafka_smartpool_sensors.py:144-151.",
+    skip_bench=True,
+)
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, stage = _stream_events(spark, sf_dir, ["event_id", "user_id", "value"])
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(
+        stream, cust, on=stream["user_id"] == cust["c_custkey"], how="left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"), "value"
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(enriched, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )

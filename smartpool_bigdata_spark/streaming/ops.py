@@ -1,0 +1,90 @@
+"""Streaming transformations (T1/T2/T3 watermarked windows, J6/T9
+stream-static enrichment, the silver JSON-parse step).
+
+Every function takes and returns DataFrames and is valid on BOTH batch and
+streaming inputs — Spark's unified model means the gold window aggregate
+tested in batch is byte-for-byte the plan the stream runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from smartpool_bigdata_spark.ops.relational import tumbling_agg
+
+
+def watermarked_tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    watermark: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """Watermark + tumbling event-time window aggregate (T1/T2).
+
+    Reference: ``withWatermark("sensor_ts", "2 minutes")`` then 1-minute
+    windows per pool (``spark-apps/07_kafka_smartpool_sensors.py:89,104-131``).
+
+    Semantics under append output mode (T3): a window emits exactly once,
+    when the watermark (max observed event time − ``watermark``) passes its
+    end; rows later than the watermark are dropped, bounding state. Scale:
+    state is one row per open (window × key) — sized by key cardinality ×
+    (watermark / duration), independent of input rate.
+
+    Replay caveat (validated on pyspark 4.1): under
+    ``Trigger.AvailableNow`` the whole backlog counts as available at query
+    start, so no row is ever "late" during reprocessing —
+    ``numRowsDroppedByWatermark`` stays 0 and the emitted set is exactly
+    the windows with end <= max(event_time) − delay. Late-drop only fires
+    on genuinely late arrivals in a live stream. This makes historical
+    replays lossless (desirable) but means late-data tests must use a live
+    trigger.
+    """
+    return tumbling_agg(df.withWatermark(ts_col, watermark), ts_col, duration, keys, aggs)
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join (J6/T9): enrich a stream against a batch dim.
+
+    Reference: gold 1-min aggregates ⟕ static Silver ``pools_dim``
+    (``spark-apps/07_kafka_smartpool_sensors.py:144-151``). The static side
+    is planned per micro-batch — a broadcast hash join against the stream
+    side, no stream-side shuffle and no streaming state. Note the
+    reference-documented staleness semantic (SURVEY §7.4.5): the dim
+    snapshot is re-resolved per micro-batch from its source, not frozen at
+    query start.
+    """
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, on=on, how=how)
+
+
+def parse_json_payload(
+    raw_df: DataFrame,
+    schema: StructType | str,
+    value_col: str = "value",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kafka/raw bytes → typed columns: the bronze→silver parse step.
+
+    Reference: ``from_json(value.cast("string"), schema).alias("j")`` then
+    ``select("j.*")`` (``spark-apps/07_kafka_smartpool_sensors.py:85-88``).
+    Malformed payloads yield a NULL struct (→ NULL columns), so a
+    downstream not-null expectation quarantines them instead of killing the
+    query.
+    """
+    parsed = raw_df.select(
+        *[F.col(c) for c in keep_cols],
+        F.from_json(F.col(value_col).cast("string"), schema).alias("__j"),
+    )
+    return parsed.select(*keep_cols, "__j.*")

@@ -1,0 +1,155 @@
+"""Streaming sinks and query lifecycle (S15/S16, T4/T5/T7/T8).
+
+Sink builders return started ``StreamingQuery`` objects; lifecycle helpers
+cover the reference's bounded-run-then-graceful-stop loop and lastProgress
+observability (``spark-apps/07_kafka_smartpool_sensors.py:163-171``,
+``notebooks/07_kafka_smartpool_sensors.ipynb:775-795``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _with_trigger(writer, trigger: dict | None):
+    # trigger={"processingTime": "10 seconds"} | {"availableNow": True} | None
+    return writer.trigger(**trigger) if trigger else writer
+
+
+def start_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    trigger: dict | None = None,
+    partition_by: Sequence[str] = (),
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """File/table streaming sink (S15's parquet analog of the Delta sink).
+
+    Per-query ``checkpointLocation`` gives exactly-once file-sink semantics
+    and restartability; ``partition_by`` mirrors the reference's
+    ``partitionBy("ingest_date")`` layout so downstream readers prune.
+    """
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
+def start_memory_sink(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """In-memory table sink — the deterministic test sink; results are then
+    a plain batch table via ``spark.table(name)``."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    return _with_trigger(writer, trigger).start()
+
+
+def start_console(
+    df: DataFrame,
+    output_mode: str = "append",
+    num_rows: int = 20,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Console debug sink (S16) —
+    ``notebooks/07_kafka_smartpool_sensors.ipynb:820-835``."""
+    writer = (
+        df.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("numRows", str(num_rows))
+    )
+    return _with_trigger(writer, trigger).start()
+
+
+def run_available_now(
+    df: DataFrame,
+    sink: str,
+    checkpoint: str | None = None,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    timeout_sec: float = 120.0,
+    partition_by: Sequence[str] = (),
+) -> StreamingQuery:
+    """Run a stream to exhaustion over currently-available input
+    (``Trigger.AvailableNow``) and block until it finishes — the
+    deterministic batch-replay harness for every streaming test. ``sink``
+    is a memory-table name when ``fmt == 'memory'``, else an output path
+    (``checkpoint`` required).
+    """
+    trigger = {"availableNow": True}
+    if fmt == "memory":
+        q = start_memory_sink(df, sink, output_mode, trigger)
+    else:
+        if checkpoint is None:
+            raise ValueError("file sinks need a checkpoint location")
+        q = start_file_sink(
+            df, sink, checkpoint, fmt, output_mode, trigger, partition_by
+        )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+    return q
+
+
+def run_for(queries: Sequence[StreamingQuery], seconds: float, poll: float = 0.5) -> None:
+    """Bounded run + graceful stop for a multi-query topology (T5/T7).
+
+    Reference: run-N-seconds-then-stop loop
+    (``spark-apps/07_kafka_smartpool_sensors.py:163-171``).
+    """
+    deadline = time.monotonic() + seconds
+    try:
+        while time.monotonic() < deadline and any(q.isActive for q in queries):
+            time.sleep(poll)
+    finally:
+        stop_all(queries)
+
+
+def stop_all(queries: Sequence[StreamingQuery]) -> None:
+    for q in queries:
+        if q.isActive:
+            q.stop()
+    for q in queries:
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """Observability snapshot (T8): batchId, rows, rates, watermark —
+    the fields the reference eyeballs via ``lastProgress``."""
+    p = query.lastProgress
+    if p is None:
+        return {"queryName": query.name, "batchId": None}
+    return {
+        "queryName": p.get("name") or query.name,
+        "batchId": p.get("batchId"),
+        "numInputRows": p.get("numInputRows"),
+        "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+        "processedRowsPerSecond": p.get("processedRowsPerSecond"),
+        "watermark": (p.get("eventTime") or {}).get("watermark"),
+        "stateRows": sum(
+            s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
+        ),
+    }
+
+
+def active_queries(spark: SparkSession) -> list[StreamingQuery]:
+    return list(spark.streams.active)
