@@ -1,0 +1,134 @@
+"""Table-maintenance sinks (S12/S13/S14/S18) on the parquet test substrate.
+
+The reference uses Delta for these (MERGE, mergeSchema, ensure-empty,
+DESCRIBE DETAIL). Delta isn't on this classpath, so each op is implemented
+with equivalent semantics over parquet — the call shapes and docstrings map
+1:1 to the Delta forms a cluster deployment would swap in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Upsert (S13): matched target rows are replaced by source rows,
+    unmatched source rows are inserted — the semantics of
+    ``DeltaTable.merge(...).whenMatchedUpdateAll().whenNotMatchedInsertAll()``
+    (``notebooks/03_silver_smartpool.ipynb:253-259``).
+
+    Parquet realization: ``target ANTI-JOIN source ON keys`` ∪ ``source``,
+    staged to a sibling directory then swapped in. The swap is the
+    non-transactional step Delta's log would make atomic — acceptable for
+    local/test substrates, replaced by real MERGE on a Delta deployment.
+
+    Scale: the anti-join shuffles on ``keys`` (or broadcasts a small
+    source); cost is proportional to target ∪ source like any
+    copy-on-write MERGE without file-level pruning.
+    """
+    if not _exists(spark, target_path):
+        writer = source.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return
+    target = spark.read.parquet(target_path)
+    merged = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    merged = merged.unionByName(source, allowMissingColumns=False)
+    stage = f"{target_path.rstrip('/')}__stage_{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    os.rename(stage, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def append_with_schema_merge(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """Schema-evolving append (S12): new columns may appear in ``df``;
+    readers see the union schema. Mirrors ``mergeSchema=true`` on the
+    Bronze append (``notebooks/05_ingest_electricity_csv.ipynb:241-245``).
+    Parquet supports heterogeneous file schemas natively; returns a reader
+    over the merged view (``option("mergeSchema", "true")``)."""
+    df.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def ensure_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    partition_by: Sequence[str] = (),
+) -> bool:
+    """Create-empty-table bootstrap (S14): pre-create a table with declared
+    schema + partition layout so concurrent writers/streams find it —
+    ``ensure_delta`` (``notebooks/07_kafka_smartpool_sensors.ipynb:242-250``),
+    the ``limit(0)`` write (``notebooks/03_silver_smartpool.ipynb:244-250``).
+    Returns True when the table was created, False when it already existed.
+
+    Parquet caveat vs Delta: a zero-row partitioned write emits no data
+    files at all (schema would be uninferrable), so the bootstrap writes
+    one empty UNpartitioned schema-bearing file; the partition layout
+    materializes with the first real append (Delta records it in the log
+    up-front instead).
+    """
+    if _exists(spark, path):
+        return False
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    return True
+
+
+def table_detail(spark: SparkSession, path: str) -> dict:
+    """Table metadata scan (S18): format, file count, bytes, partition
+    columns — the parquet analog of ``DESCRIBE DETAIL delta.`path```
+    (``notebooks/03_silver_smartpool.ipynb:698,711-713``), used by the
+    partitioning assertion in the expectations layer.
+
+    Local-filesystem implementation (tests); a cluster deployment swaps in
+    the Delta API or the Hadoop FileSystem listing.
+    """
+    n_files = 0
+    n_bytes = 0
+    part_cols: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        for comp in rel.split(os.sep):
+            if "=" in comp:
+                col = comp.split("=", 1)[0]
+                if col and not col.startswith("_") and col not in part_cols:
+                    part_cols.append(col)
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, f))
+    return {
+        "format": "parquet",
+        "location": path,
+        "numFiles": n_files,
+        "sizeInBytes": n_bytes,
+        "partitionColumns": part_cols,
+    }

@@ -640,3 +640,4 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 from smartpool_bigdata_spark import queries_text as _queries_text  # noqa: E402,F401
 from smartpool_bigdata_spark import queries_vectors as _queries_vectors  # noqa: E402,F401
 from smartpool_bigdata_spark import queries_streaming as _queries_streaming  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_ingest as _queries_ingest  # noqa: E402,F401

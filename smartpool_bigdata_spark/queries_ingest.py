@@ -1,0 +1,132 @@
+"""Ingestion queries for the driver gate: drift-tolerant CSV landing and
+the keyset-incremental protocol, each run END-TO-END inside the query
+(stage → ingest → aggregate) so the gate checks real ingestion behavior
+against a plain-SQL oracle over the same source rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.catalog import load_table
+from smartpool_bigdata_spark.functions import stable_avg
+from smartpool_bigdata_spark.io import drift_tolerant_timestamp, read_landing_csv
+from smartpool_bigdata_spark.queries import query
+from smartpool_bigdata_spark.state import WatermarkStore, incremental_ingest
+
+
+@query(
+    "csv_landing_daily_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    description="S4/S5 end-to-end: events staged as headered CSV drops in "
+    "THREE drifted producer layouts (ts | ts_utc+Z | date+hour, split by "
+    "user_id%3) under date= partition dirs, read back with "
+    "inferSchema=false + explicit casts + the coalesce(to_timestamp...) "
+    "chain, then daily stats. Oracle is plain SQL over the original rows — "
+    "green means the CSV round-trip and every parse branch is lossless. "
+    "Mirrors spark-apps/05_ingest_electricity_csv.py:25-46.",
+    skip_bench=True,  # staging write dominates; not a query-latency signal
+)
+def csv_landing_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_csv_landing_")
+    landing = os.path.join(stage, "landing")
+    common = ["event_id", "user_id", "event_type", "value", "d"]
+    base = ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    # layout A: plain ts string with µs
+    base.filter(F.col("user_id") % 3 == 0).select(
+        *common, F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+    ).write.partitionBy("d").option("header", True).csv(os.path.join(landing, "a"))
+    # layout B: ISO-8601 UTC with Z suffix
+    base.filter(F.col("user_id") % 3 == 1).select(
+        *common,
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z")
+        ).alias("ts_utc"),
+    ).write.partitionBy("d").option("header", True).csv(os.path.join(landing, "b"))
+    # layout C: date + hour columns (hour-resolution producers); note the
+    # oracle stays exact because daily grouping is insensitive to the
+    # sub-hour truncation this layout implies — the parse path is what's
+    # under test
+    base.filter(F.col("user_id") % 3 == 2).select(
+        "event_id", "user_id", "event_type", "value", "d",
+        F.col("d").alias("date"), F.hour("ts").alias("hour"),
+    ).write.partitionBy("d").option("header", True).csv(os.path.join(landing, "c"))
+
+    dfs = []
+    for layout in ("a", "b", "c"):
+        raw = read_landing_csv(
+            spark,
+            os.path.join(landing, layout),
+            casts={"value": "double", "hour": "int", "event_id": "bigint"},
+        )
+        typed = drift_tolerant_timestamp(raw)
+        dfs.append(typed.select("event_id", "ts", "value"))
+    united = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    out = (
+        united.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+            stable_avg("value", 4).alias("avg_value"),
+        )
+    )
+    rows = out.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows
+
+
+@query(
+    "incremental_keyset_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, CAST(max(ts) AS TIMESTAMP) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    description="S17/S2/S3 end-to-end: events ingested in two keyset-"
+    "incremental batches (first half by ts, then the full source) through "
+    "a WatermarkStore with string-preserved µs watermarks; bronze must "
+    "contain every source row EXACTLY once — re-ingestion dups or "
+    "equal-timestamp losses (the reference's datetime2(7) bug class, "
+    "main.tex:150) would break the count oracle. Mirrors "
+    "spark-apps/02_ingest_smartpool.py:34-76.",
+    skip_bench=True,
+)
+def incremental_keyset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_incr_")
+    bronze = os.path.join(stage, "bronze")
+    store = WatermarkStore(spark, stage)
+    cutoff = ev.select(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0]["m"]
+
+    def sink(df: DataFrame) -> None:
+        df.write.mode("append").parquet(bronze)
+
+    batch1 = ev.filter(F.col("ts") <= F.lit(cutoff))
+    incremental_ingest(batch1, store, "events", "ts", sink, pk_col="event_id")
+    incremental_ingest(ev, store, "events", "ts", sink, pk_col="event_id")
+
+    landed = spark.read.parquet(bronze)
+    out = landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("max_ts")
+    )
+    rows = out.localCheckpoint(eager=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows

@@ -1,0 +1,183 @@
+"""Incremental-state protocol (PRUEBA INCREMENTAL property) + io sources
+and sinks: drift-tolerant CSV, JDBC SQL generation, merge upsert, schema
+merge, bootstrap, metadata scan."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.io import (
+    append_with_schema_merge,
+    drift_tolerant_timestamp,
+    ensure_table,
+    jdbc_keyset_reader,
+    merge_upsert,
+    read_landing_csv,
+    table_detail,
+)
+from smartpool_bigdata_spark.state import (
+    WatermarkStore,
+    incremental_ingest,
+    keyset_query_sql,
+    read_increment,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["pk", "updated_at", "val"])
+
+
+def test_incremental_keyset_property(spark, tmp_path):
+    """Mirror of sql-scripts/PRUEBA INCREMENTAL.sql: after a first ingest,
+    only delta rows land — including the equal-timestamp/higher-pk tie the
+    reference's datetime2(7) bug class used to lose."""
+    store = WatermarkStore(spark, str(tmp_path))
+    bronze = str(tmp_path / "bronze")
+
+    def sink(df):
+        df.write.mode("append").parquet(bronze)
+
+    # batch 1: two rows, max ts has µs precision that a lossy round-trip
+    # would truncate
+    v1 = _mk(
+        spark,
+        [
+            (1, _ts("2024-03-01 10:00:00.123455"), "a"),
+            (2, _ts("2024-03-01 10:00:00.123456"), "b"),
+        ],
+    )
+    assert incremental_ingest(v1, store, "t", "updated_at", sink, pk_col="pk")
+    wm = store.read_keyset("t")
+    assert wm == ("2024-03-01 10:00:00.123456", 2)  # string-preserved µs
+
+    # batch 2: source now also contains (3) equal-ts higher-pk tie,
+    # (4) strictly newer µs, and the old rows again
+    v2 = _mk(
+        spark,
+        [
+            (1, _ts("2024-03-01 10:00:00.123455"), "a"),
+            (2, _ts("2024-03-01 10:00:00.123456"), "b"),
+            (3, _ts("2024-03-01 10:00:00.123456"), "tie"),
+            (4, _ts("2024-03-01 10:00:00.123457"), "new"),
+        ],
+    )
+    assert incremental_ingest(v2, store, "t", "updated_at", sink, pk_col="pk")
+    landed = spark.read.parquet(bronze)
+    assert landed.count() == 4  # v1's two + exactly the two delta rows
+    assert {r["pk"] for r in landed.collect()} == {1, 2, 3, 4}
+    assert store.read_keyset("t") == ("2024-03-01 10:00:00.123457", 4)
+
+    # batch 3: nothing new -> short-circuit, state untouched
+    assert not incremental_ingest(v2, store, "t", "updated_at", sink, pk_col="pk")
+    assert spark.read.parquet(bronze).count() == 4
+
+
+def test_read_increment_first_run_reads_all(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path))
+    v1 = _mk(spark, [(1, _ts("2024-03-01 00:00:00"), "a")])
+    assert read_increment(v1, store, "fresh", "updated_at", "pk").count() == 1
+
+
+def test_last_ts_protocol_without_pk(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path))
+    bronze = str(tmp_path / "b2")
+    v1 = _mk(spark, [(1, _ts("2024-03-01 00:00:01"), "a")])
+    incremental_ingest(v1, store, "t2", "updated_at", lambda d: d.write.mode("append").parquet(bronze))
+    assert store.read_last_ts("t2") == "2024-03-01 00:00:01.000000"
+    # equal-ts row does NOT re-land under the ts-only protocol
+    v2 = _mk(spark, [(9, _ts("2024-03-01 00:00:01"), "dup-ts")])
+    assert not incremental_ingest(
+        v2, store, "t2", "updated_at", lambda d: d.write.mode("append").parquet(bronze)
+    )
+
+
+def test_keyset_query_sql_dialects():
+    sql = keyset_query_sql("dbo.events", "updated_at", "id", "2024-01-01 00:00:00.1234567", 42)
+    assert "CAST('2024-01-01 00:00:00.1234567' AS datetime2(7))" in sql
+    assert "OR (updated_at = CAST('2024-01-01 00:00:00.1234567' AS datetime2(7)) AND id > 42)" in sql
+    assert "CONVERT(varchar(33), updated_at, 126)" in sql
+    ansi = keyset_query_sql("events", "ts", "id", "2024-01-01 00:00:00", 1, dialect="ansi")
+    assert "CAST('2024-01-01 00:00:00' AS TIMESTAMP)" in ansi
+
+
+def test_jdbc_reader_builder(spark):
+    from pyspark.sql import DataFrameReader
+
+    reader = jdbc_keyset_reader(
+        spark, "jdbc:sqlserver://db:1433;database=x", "dbo.t", "updated_at", "id",
+        "2024-01-01 00:00:00", 7, user="u", password="p",
+    )
+    assert isinstance(reader, DataFrameReader)
+
+
+def test_csv_drift_three_layouts(spark, tmp_path):
+    """One reader handles all three producer layouts; derived ts agrees."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(f"{landing}/date=2024-01-01")
+    os.makedirs(f"{landing}/date=2024-01-02")
+    with open(f"{landing}/date=2024-01-01/a.csv", "w") as f:
+        f.write("region,price,ts\nA,1.5,2024-01-01 10:30:15.123456\n")
+    with open(f"{landing}/date=2024-01-01/b.csv", "w") as f:
+        f.write("region,price,ts_utc\nB,2.5,2024-01-01T11:30:15Z\n")
+    with open(f"{landing}/date=2024-01-02/c.csv", "w") as f:
+        f.write("region,price,date,hour\nC,3.5,2024-01-02,7\n")
+
+    out = {}
+    for path in (f"{landing}/date=2024-01-01", f"{landing}/date=2024-01-02"):
+        df = read_landing_csv(spark, path, casts={"price": "double", "hour": "int"})
+        df = drift_tolerant_timestamp(df)
+        for r in df.collect():
+            out[r["region"]] = (r["price"], r["ts"])
+    assert out["A"] == (1.5, _ts("2024-01-01 10:30:15.123456"))
+    assert out["B"] == (2.5, _ts("2024-01-01 11:30:15"))
+    assert out["C"] == (3.5, _ts("2024-01-02 07:00:00"))
+
+    # dates= pruning only lists the named partition
+    pruned = read_landing_csv(
+        spark, landing, casts={"price": "double"}, dates=["2024-01-01"]
+    )
+    assert pruned.count() == 2
+
+
+def test_merge_upsert(spark, tmp_path):
+    target = str(tmp_path / "silver")
+    base = spark.createDataFrame(
+        [(1, "old", "2024-01-01"), (2, "keep", "2024-01-01")], ["id", "v", "d"]
+    )
+    merge_upsert(spark, target, base, keys=["id"], partition_by=["d"])
+    src = spark.createDataFrame(
+        [(1, "updated", "2024-01-01"), (3, "inserted", "2024-01-02")], ["id", "v", "d"]
+    )
+    merge_upsert(spark, target, src, keys=["id"], partition_by=["d"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "updated", 2: "keep", 3: "inserted"}
+    detail = table_detail(spark, target)
+    assert detail["partitionColumns"] == ["d"]
+    assert detail["numFiles"] >= 2
+
+
+def test_schema_merge_append(spark, tmp_path):
+    path = str(tmp_path / "bronze_sm")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(path)
+    merged = append_with_schema_merge(
+        spark, path, spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "y"])
+    )
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r["id"]: r["y"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_ensure_table(spark, tmp_path):
+    path = str(tmp_path / "boot")
+    assert ensure_table(spark, path, "id INT, d STRING", partition_by=["d"])
+    boot = spark.read.parquet(path)
+    assert boot.count() == 0
+    assert [f.name for f in boot.schema.fields] == ["id", "d"]
+    assert not ensure_table(spark, path, "id INT, d STRING")  # already exists
