@@ -130,3 +130,79 @@ def incremental_keyset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.localCheckpoint(eager=True)
     shutil.rmtree(stage, ignore_errors=True)
     return rows
+
+
+@query(
+    "medallion_gold_daily",
+    oracle="""
+    SELECT CAST(e.ts AS DATE) AS event_date,
+           coalesce(c.c_mktsegment, 'unknown') AS segment,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    description="Full medallion composition under the gate: bronze "
+    "incremental ingest (2 keyset batches, audit columns) -> silver "
+    "latest-per-key snapshot behind a NotNull/Unique expectations suite -> "
+    "gold enriched daily metrics, all through real partitioned parquet "
+    "layers in a temp root. Oracle is plain SQL over the ORIGINAL rows: "
+    "green proves the whole topology lossless. Mirrors "
+    "dags/dag_10_smartpool_structured_batch.py jobs 02->03->04.",
+    skip_bench=True,
+)
+def medallion_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.catalog import Catalog
+    from smartpool_bigdata_spark.expectations import NotNull, Suite, Unique
+    from smartpool_bigdata_spark.pipelines import MedallionPipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    stage = tempfile.mkdtemp(prefix="spark_medallion_")
+    cat = Catalog(root=stage)
+    pipe = MedallionPipeline(spark, cat)
+    audit_ts = F.lit("2024-02-01 00:00:00").cast("timestamp")
+
+    cutoff = ev.select(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    pipe.bronze_ingest(
+        "events", ev.filter(F.col("ts") <= F.lit(cutoff)), "ts",
+        pk_col="event_id", audit_source="testdata", audit_ts=audit_ts,
+    )
+    pipe.bronze_ingest(
+        "events", ev, "ts", pk_col="event_id",
+        audit_source="testdata", audit_ts=audit_ts,
+    )
+    cat.define("bronze", "customer")
+    cat.write(customer, "bronze.customer", mode="overwrite")
+
+    pipe.silver_snapshot(
+        "events", keys=["event_id"], order_by=[F.col("ts").desc()],
+        expectations=Suite([NotNull(["event_id", "ts"]), Unique(["event_id"])]),
+    )
+    pipe.silver_merge(
+        "customer", keys=["c_custkey"], order_by=[F.col("c_custkey").desc()]
+    )
+
+    def build(frames):
+        sev, cust = frames["silver.events"], frames["silver.customer"]
+        joined = sev.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            sev["user_id"] == F.col("c_custkey"),
+            "left",
+        )
+        return joined.groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+
+    gold = pipe.gold(
+        "daily_segment_metrics", build, inputs=["silver.events", "silver.customer"]
+    )
+    rows = gold.localCheckpoint(eager=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows
