@@ -256,3 +256,38 @@ def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n("[0-9]+")).alias("number_tokens"),
         F.sum(n(r"[^a-z0-9\s]")).alias("symbol_tokens"),
     )
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(min(ascii(text)) AS INTEGER) AS min_first_byte,
+           CAST(max(ascii(text)) AS INTEGER) AS max_first_byte
+    FROM documents GROUP BY source
+    """,
+    description="Multimodal binary-column path end-to-end: documents get an "
+    "opaque binary payload + typed metadata struct, then Arrow-batched "
+    "mapInPandas extracts byte features (the real plumbing a media decoder "
+    "drops into — decode itself is stubbed, codecs absent). Oracle checks "
+    "the Python worker path byte-for-byte against SQL over the source text "
+    "(ASCII corpus, so octet_length/ascii are exact twins).",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.multimodal import (
+        extract_byte_features,
+        with_binary_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", mime="text/plain")
+    feats = extract_byte_features(media)
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("first_byte").alias("min_first_byte"),
+        F.max("first_byte").alias("max_first_byte"),
+    )

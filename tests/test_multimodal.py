@@ -1,0 +1,65 @@
+"""Multimodal binary-column plumbing: Arrow-batched byte features, stubbed
+decode with schema-correct fakes, frame-sampling fan-out."""
+
+from __future__ import annotations
+
+import pytest
+
+from smartpool_bigdata_spark.ops.multimodal import (
+    decode_images,
+    extract_byte_features,
+    sample_frames,
+    with_binary_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(1, "hello world"), (2, "x" * 200), (3, "")]
+    return with_binary_payload(
+        spark.createDataFrame(rows, ["doc_id", "text"]), mime="text/plain"
+    )
+
+
+def test_payload_and_metadata_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = media.select("media_meta.*").columns
+    assert meta == ["mime", "width", "height", "duration_ms"]
+
+
+def test_byte_features(media):
+    feats = {r["doc_id"]: r for r in extract_byte_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11 and feats[1]["first_byte"] == ord("h")
+    assert feats[2]["n_bytes"] == 200 and feats[2]["first_byte"] == ord("x")
+    assert feats[3]["n_bytes"] == 0 and feats[3]["first_byte"] == -1
+
+
+def test_decode_stub_raises_without_fake(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_images(media)
+
+
+def test_decode_fake_is_schema_correct(media):
+    out = decode_images(media, deterministic_fake=True)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "width", "height", "n_channels",
+    ]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["width"] == 200 % 640
+    assert all(r["n_channels"] == 3 for r in rows.values())
+
+
+def test_frame_sampling_fanout(media):
+    frames = sample_frames(media, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame_offset"]))
+    assert sorted(by_doc[1]) == [(0, 0)]  # 11 bytes -> 1 frame
+    assert sorted(by_doc[2]) == [(0, 0), (1, 64), (2, 128), (3, 192)]  # 200 -> 4
+    assert 3 not in by_doc  # empty payload -> no frames
