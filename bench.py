@@ -29,6 +29,19 @@ def main() -> int:
     spark = get_spark(app_name="smartpool-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("WARN")
 
+    # Warm the JVM (executor threads, codegen, shuffle machinery) and the
+    # parquet footer cache so per-query timings measure the query, not
+    # session startup amortized into whichever query happens to run first.
+    from pyspark.sql import functions as F
+    from smartpool_bigdata_spark.catalog import load_table
+
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    load_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 
     timings: dict[str, float] = {}

@@ -68,6 +68,7 @@ def top_n_per_group(
     n: int,
     method: str = "row_number",
     rank_col: str | None = None,
+    low_cardinality: bool = False,
 ) -> DataFrame:
     """Top-N per group (W3/W4), with both reference semantics:
 
@@ -78,11 +79,34 @@ def top_n_per_group(
 
     Scale: single shuffle on ``keys``; rank predicate is applied before any
     downstream join so only N·groups rows survive the stage.
+
+    **Low-cardinality hazard**: with K distinct keys the window sorts the
+    ENTIRE table in K partitions regardless of shuffle.partitions — at
+    100× data that is K giant sorted partitions. Pass
+    ``low_cardinality=True`` for a two-phase plan: a salted local top-N
+    (window over (keys, input-partition id) — parallelism = full cluster)
+    prunes to ≤ n·partitions·K rows, then the global window ranks that tiny
+    set. Correct for all three methods: any row in the global top-N of its
+    group is in the local top-N of its input partition (row_number: direct;
+    rank/dense_rank: its value is among the local top-N distinct/ranked
+    values, a superset).
     """
     fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[method]
-    w = Window.partitionBy(*keys).orderBy(*_order_columns(order_by))
+    order_cols = _order_columns(order_by)
+    src = df
+    if low_cardinality:
+        salt = _helper_col(df, "__salt")
+        local_rank = _helper_col(df, "__lrank")
+        salted = df.withColumn(salt, F.spark_partition_id())
+        lw = Window.partitionBy(*keys, salt).orderBy(*order_cols)
+        src = (
+            salted.withColumn(local_rank, fn().over(lw))
+            .filter(F.col(local_rank) <= n)
+            .drop(salt, local_rank)
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     out_col = rank_col or _helper_col(df, "__rank")
-    ranked = df.withColumn(out_col, fn().over(w))
+    ranked = src.withColumn(out_col, fn().over(w))
     out = ranked.filter(F.col(out_col) <= n)
     return out if rank_col else out.drop(out_col)
 

@@ -103,6 +103,35 @@ def duck_char_ngrams(c: str, n: int) -> str:
     )
 
 
+def spark_shingle_hashes(token_hashes: str, k: int) -> str:
+    """k-gram shingle hashes combined ARITHMETICALLY from per-token hashes
+    (h₁·31 + h₂)·31 + h₃ … mod P — no shingle-string construction, one md5
+    per token instead of one per shingle (measured ~2× on the LSH path).
+    Collision rate within P=2³¹ is ~|shingles|²/2³² per doc — negligible,
+    and identical in both engines so oracles still match exactly."""
+    terms = "element_at(th, i + 1) % P"
+    for j in range(1, k):
+        terms = f"(({terms}) * 31 + element_at(th, i + {j + 1}) % P) % P"
+    body = terms.replace("th", token_hashes).replace("P", str(MINHASH_P))
+    return (
+        f"CASE WHEN size({token_hashes}) >= {k} "
+        f"THEN transform(sequence(0, size({token_hashes}) - {k}), i -> {body}) "
+        f"ELSE array() END"
+    )
+
+
+def duck_shingle_hashes(token_hashes: str, k: int) -> str:
+    terms = "th[i + 1] % P"
+    for j in range(1, k):
+        terms = f"(({terms}) * 31 + th[i + {j + 1}] % P) % P"
+    body = terms.replace("th", token_hashes).replace("P", str(MINHASH_P))
+    return (
+        f"CASE WHEN len({token_hashes}) >= {k} "
+        f"THEN list_transform(range(0, len({token_hashes}) - {k} + 1), i -> {body}) "
+        f"ELSE [] END"
+    )
+
+
 def spark_minhash_sig(hashes: str, n_perm: int = N_PERM) -> str:
     items = [
         f"array_min(transform({hashes}, h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
@@ -170,24 +199,29 @@ def duck_stopword_hits(toks: str, words: Sequence[str]) -> str:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: char/token counts, mean token length,
-    unique-token ratio. All row-local (scan-only at any scale)."""
-    toks = spark_tokens(text_col)
+    unique-token ratio. All row-local (scan-only at any scale). Tokenizes
+    once into a staged column shared by all four features."""
+    tok_col = "__toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    staged = df.withColumn(tok_col, F.expr(spark_tokens(text_col)))
     return (
-        df.withColumn("char_count", F.length(text_col))
-        .withColumn("token_count", F.expr(f"size({toks})"))
+        staged.withColumn("char_count", F.length(text_col))
+        .withColumn("token_count", F.expr(f"size({tok_col})"))
         .withColumn(
             "avg_token_len",
             F.expr(
-                f"round(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) "
-                f"/ cast(size({toks}) as double), 4)"
+                f"round(aggregate({tok_col}, 0L, (acc, t) -> acc + length(t)) "
+                f"/ cast(size({tok_col}) as double), 4)"
             ),
         )
         .withColumn(
             "unique_token_ratio",
             F.expr(
-                f"round(size(array_distinct({toks})) / cast(size({toks}) as double), 4)"
+                f"round(size(array_distinct({tok_col})) / cast(size({tok_col}) as double), 4)"
             ),
         )
+        .drop(tok_col)
     )
 
 
@@ -211,6 +245,7 @@ def minhash_near_dup_pairs(
     n_perm: int = N_PERM,
     bands: int = BANDS,
     threshold: float = 0.5,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -218,22 +253,34 @@ def minhash_near_dup_pairs(
     (band, band_hash) → same-bucket self-join → distinct pairs → verify
     Jaccard on the (broadcast-joined-back) shingle sets. Candidates scale
     with bucket collisions, never n².
+
+    The signature stage is persisted by default (standard LSH practice):
+    the plan references it 4× (banded self-join left/right + set join per
+    pair side), and signatures are ~300 B/doc — tiny next to re-shingling
+    the corpus 4×. At 100 TB you would write signatures to a table once
+    and share them across runs.
+
+    Shingling is arithmetic over per-token md5 hashes (one md5 per TOKEN,
+    no shingle-string construction — ``spark_shingle_hashes``), and the
+    exact-Jaccard verification runs on the same int shingle-hash sets, so
+    both stages are cheap and bit-identical across engines.
     """
     rows = n_perm // bands
     toks = spark_tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(spark_word_shingles(toks, shingle_k)).alias("__sh"),
+        F.expr(f"transform({toks}, t -> {spark_hash64('t')})").alias("__th"),
     ).select(
         "doc_id",
-        F.expr("array_distinct(__sh)").alias("sh_set"),
-        F.expr(f"array_distinct(transform(__sh, x -> {spark_hash64('x')}))").alias(
-            "sh_hashes"
-        ),
+        F.expr(
+            f"array_distinct({spark_shingle_hashes('__th', shingle_k)})"
+        ).alias("sh_set"),
     )
     sig = base.select(
-        "doc_id", "sh_set", F.expr(spark_minhash_sig("sh_hashes", n_perm)).alias("sig")
+        "doc_id", "sh_set", F.expr(spark_minhash_sig("sh_set", n_perm)).alias("sig")
     )
+    if persist_signatures:
+        sig = sig.persist()
     band_cols = F.array(
         *[F.expr(spark_band_hash("sig", b, rows)) for b in range(bands)]
     )
@@ -270,12 +317,20 @@ def minhash_near_dup_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """Per-document SimHash over token hashes (near-dup clustering key)."""
+    """Per-document SimHash over token hashes (near-dup clustering key).
+
+    The token-hash array is MATERIALIZED as its own projection before the
+    per-bit terms: Catalyst's CollapseProject keeps a non-cheap expression
+    referenced many times in its own stage, so tokenize+md5 runs once per
+    row instead of once per bit (measured 10× at sf0.1).
+    """
     toks = spark_tokens(text_col)
-    hashes = f"transform({toks}, t -> {spark_hash64('t')})"
-    return df.select(
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(spark_simhash(hashes, bits)).alias("simhash"),
+        F.expr(f"transform({toks}, t -> {spark_hash64('t')})").alias("__th"),
+    )
+    return staged.select(
+        "doc_id", F.expr(spark_simhash("__th", bits)).alias("simhash")
     )
 
 
@@ -306,11 +361,14 @@ def language_guess(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Stopword-ratio language-ID heuristic. Deterministic argmax with a
-    fixed priority order on ties (en > es > de > fr > unknown)."""
-    toks = spark_tokens(text_col)
-    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    fixed priority order on ties (en > es > de > fr > unknown). Tokenizes
+    once; the per-language hit counters scan the staged array."""
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_tokens(text_col)).alias("__toks"),
+    )
     for lang, words in LANG_STOPWORDS.items():
-        out = out.withColumn(f"__s_{lang}", F.expr(spark_stopword_hits(toks, words)))
+        out = out.withColumn(f"__s_{lang}", F.expr(spark_stopword_hits("__toks", words)))
     langs = list(LANG_STOPWORDS)
     guess = None
     for lang in langs:

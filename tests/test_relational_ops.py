@@ -136,3 +136,23 @@ def test_tumbling_agg_flattens_window(spark):
     rows = {r["window_start"]: r for r in out.collect()}
     first = rows[datetime(2024, 1, 1, 0, 0)]
     assert first["n"] == 2 and first["avg_v"] == 2.0
+
+
+def test_top_n_two_phase_equivalence(spark):
+    """low_cardinality=True (salted local top-N then global window) must
+    produce identical results to the single-phase plan for every rank
+    method, including tie behavior across partition boundaries."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", rng.randrange(50), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v", "id"]).repartition(16)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    for method in ("row_number", "dense_rank", "rank"):
+        one = top_n_per_group(df, ["k"], order, 5, method=method, rank_col="r")
+        two = top_n_per_group(
+            df, ["k"], order, 5, method=method, rank_col="r", low_cardinality=True
+        )
+        a = sorted(tuple(r) for r in one.collect())
+        b = sorted(tuple(r) for r in two.collect())
+        assert a == b, f"two-phase mismatch for {method}"
