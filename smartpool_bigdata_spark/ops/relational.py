@@ -242,6 +242,70 @@ def with_audit_columns(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of (backward) join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` for the same keys. Left rows before the first
+    right row keep NULL values.
+
+    The reference approximates this with hour-bucket equi-joins (J5/J6 —
+    events × hourly prices); SURVEY §2.3 flags a real as-of join as the
+    missing primitive. DuckDB's native ``ASOF JOIN`` is the oracle.
+
+    Scale: implemented as union-tag + ``last_value(ignoreNulls)`` over a
+    (keys)-partitioned window ordered by (ts, side) — ONE shuffle on the
+    keys, never a range-expanded join (a naive ``ON r.ts <= l.ts`` theta
+    join explodes to O(|L|·|R|) per key; this stays O(|L|+|R|) with a
+    per-partition sort). Right rows sort BEFORE left rows at equal ts, so
+    an exactly-simultaneous right row is visible (inclusive semantics,
+    matching ASOF JOIN's <=).
+
+    Determinism: pre-aggregate the right side to ONE row per (keys, ts) —
+    with duplicates the winner among equal timestamps is unspecified (in
+    any engine's as-of join).
+    """
+    side = _helper_col(left, "__side")
+    ts = _helper_col(left, "__ts")
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *lcols,
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(v) for v in value_cols],
+        F.lit(1).alias(side),
+        F.col(left_ts).alias(ts),
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
+        *[F.col(k) for k in keys],
+        *[F.col(v) for v in value_cols],
+        F.lit(0).alias(side),
+        F.col(right_ts).alias(ts),
+    ).select(*lcols, *value_cols, side, ts)
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        side,
+        *[
+            F.last(F.col(v), ignorenulls=True).over(w).alias(f"__asof_{v}")
+            for v in value_cols
+        ],
+    )
+    out = filled.filter(F.col(side) == 1).drop(side)
+    for v in value_cols:
+        out = out.withColumn(v, F.col(f"__asof_{v}")).drop(f"__asof_{v}")
+    return out
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

@@ -638,6 +638,86 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("window_end")
 
 
+@query(
+    "events_asof_reference_value",
+    oracle="""
+    WITH updates AS (
+        SELECT event_type, ts,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(value), 4) AS ref_value
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY event_type, ts
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN u.ref_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_before_first_ref,
+           round(CAST(sum(CAST(u.ref_value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_ref_value
+    FROM events e
+    ASOF LEFT JOIN updates u
+      ON e.event_type = u.event_type AND u.ts <= e.ts
+    GROUP BY e.event_type
+    """,
+    description="As-of (backward) join — the primitive SURVEY §2.3 flags "
+    "as the reference's missing substitute for its hour-bucket price joins "
+    "(J5/J6): every event gets the latest 'reference value' update at or "
+    "before its timestamp. Spark plan: union-tag + last_value(ignoreNulls) "
+    "window — ONE shuffle on the key, O(L+R), never a range-expanded theta "
+    "join. Oracle: DuckDB's native ASOF JOIN.",
+)
+def events_asof_reference_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    updates = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", "ts")
+        .agg(stable_avg("value", 4).alias("ref_value"))
+    )
+    joined = asof_join(
+        ev,
+        updates,
+        keys=["event_type"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ref_value"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ref_value").isNull(), 1).otherwise(0)).alias(
+            "n_before_first_ref"
+        ),
+        stable_sum("ref_value", 2).alias("total_ref_value"),
+    )
+
+
+@query(
+    "event_projection_normalize",
+    oracle="""
+    SELECT event_id AS id,
+           CAST(user_id AS INTEGER) AS uid,
+           upper(event_type) AS kind,
+           CAST(round(value, 2) AS DOUBLE) AS amount,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+    description="Bronze->Silver projection normalization (P1): rename + "
+    "cast + derive in one narrow select — mirrors the pools select/cast "
+    "block (notebooks/03_silver_smartpool.ipynb:140-160). Column-pruned "
+    "scan: ReadSchema carries only the 5 source columns.",
+)
+def event_projection_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("int").alias("uid"),
+        F.upper("event_type").alias("kind"),
+        F.round("value", 2).alias("amount"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -156,3 +156,35 @@ def test_top_n_two_phase_equivalence(spark):
         a = sorted(tuple(r) for r in one.collect())
         b = sorted(tuple(r) for r in two.collect())
         assert a == b, f"two-phase mismatch for {method}"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts per key;
+    inclusive at equal ts; NULL before the first right row."""
+    left = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 0), 1),
+            ("a", datetime(2024, 1, 1, 1, 0), 2),
+            ("a", datetime(2024, 1, 1, 2, 30), 3),
+            ("b", datetime(2024, 1, 1, 5, 0), 4),
+        ],
+        ["k", "ts", "id"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 1, 0), 10.0),  # equal-ts: visible to id=2
+            ("a", datetime(2024, 1, 1, 2, 0), 20.0),
+            ("b", datetime(2024, 1, 1, 9, 0), 99.0),  # after left row -> unseen
+        ],
+        ["k", "rts", "price"],
+    )
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    out = {
+        r["id"]: r["price"]
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["price"],
+        ).collect()
+    }
+    assert out == {1: None, 2: 10.0, 3: 20.0, 4: None}
