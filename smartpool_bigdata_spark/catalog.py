@@ -65,11 +65,44 @@ _TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with normalized types."""
+def _epoch_ns(ts: str) -> int:
+    """Epoch nanoseconds for a 'YYYY-mm-dd HH:MM:SS[.ffffff]' UTC string,
+    computed in integer arithmetic (a float round-trip loses sub-µs)."""
+    import calendar
+    from datetime import datetime
+
+    dt = datetime.fromisoformat(ts)
+    return calendar.timegm(dt.timetuple()) * 10**9 + dt.microsecond * 1_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_bounds: dict[str, tuple[str | None, str | None]] | None = None,
+) -> DataFrame:
+    """Load one testdata table with normalized types.
+
+    ``ts_bounds`` maps a timestamp column to an inclusive (lo, hi) bound
+    (UTC strings, either side None). The predicate is applied **before**
+    ns→µs normalization — in raw epoch-long space when the parquet stores
+    TIMESTAMP(NANOS) — because a filter on the *converted* column is an
+    expression over the raw long and cannot reach the scan: Catalyst would
+    read every row group. In raw space it pushes down to parquet min/max
+    pruning, which at 100 TB is the difference between scanning a time
+    slice and scanning the table.
+    """
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
+    for col, (lo, hi) in (ts_bounds or {}).items():
+        raw = dtypes.get(col) == "bigint"
+        if lo is not None:
+            bound = F.lit(_epoch_ns(lo)) if raw else F.lit(lo).cast("timestamp")
+            df = df.filter(F.col(col) >= bound)
+        if hi is not None:
+            bound = F.lit(_epoch_ns(hi)) if raw else F.lit(hi).cast("timestamp")
+            df = df.filter(F.col(col) <= bound)
     ns_cols = {
         c: dtypes[c]
         for c in _TIMESTAMP_COLUMNS.get(name, ())

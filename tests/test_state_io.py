@@ -181,3 +181,40 @@ def test_ensure_table(spark, tmp_path):
     assert boot.count() == 0
     assert [f.name for f in boot.schema.fields] == ["id", "d"]
     assert not ensure_table(spark, path, "id INT, d STRING")  # already exists
+
+
+def test_ts_bounds_push_down_to_raw_scan(spark, duck):
+    """Time bounds on an ns-long parquet column must reach the scan as
+    PushedFilters on the RAW column (min/max row-group pruning), and the
+    filtered+converted result must match the oracle."""
+    import contextlib
+    import io as _io
+
+    from smartpool_bigdata_spark.catalog import load_table
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    ev = load_table(spark, SF_DIR, "events", ts_bounds={"ts": (lo, hi)})
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(ts," in plan and "LessThanOrEqual(ts," in plan
+
+    import pyspark.sql.functions as F
+
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+    )
+    assert_matches_oracle(
+        agg,
+        duck,
+        f"""
+        SELECT count(*) AS n, CAST(max(ts) AS TIMESTAMP) AS max_ts,
+               CAST(min(ts) AS TIMESTAMP) AS min_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '{lo}' AND ts <= TIMESTAMP '{hi}'
+        """,
+    )
