@@ -242,6 +242,53 @@ def with_audit_columns(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: events for a key belong to one session
+    while consecutive gaps stay ≤ ``gap``; a larger gap opens a new
+    session. Adds ``session_id`` (0-based per key, ordered by time).
+
+    Classic lag + running-sum window pair (the frame machinery SURVEY
+    §2.5 notes the reference never needed):
+    ``new_session = (ts - lag(ts)) > gap`` then
+    ``session_id = sum(new_session) ROWS UNBOUNDED PRECEDING``.
+
+    Scale: ONE shuffle on ``key_cols`` serves both window passes (same
+    partitioning, same ordering — Catalyst plans a single sort). State is
+    nothing: this is a batch operator; the streaming twin keeps one open
+    session per key (see streaming.stateful.sessionize_stream).
+    """
+    gap_expr = f"INTERVAL {gap}"
+    order = F.col(ts_col).asc()
+    w = Window.partitionBy(*key_cols).orderBy(order)
+    flag = _helper_col(df, "__new_session")
+    prev = _helper_col(df, "__prev_ts")
+    out = (
+        df.withColumn(prev, F.lag(ts_col).over(w))
+        .withColumn(
+            flag,
+            F.when(
+                F.col(prev).isNull()
+                | (F.col(ts_col) > F.expr(f"{prev} + {gap_expr}")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum(flag).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1,
+        )
+        .drop(prev, flag)
+    )
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

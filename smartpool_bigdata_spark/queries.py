@@ -693,6 +693,49 @@ def events_asof_reference_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    description="Gap-based sessionization (30-min inactivity): lag + "
+    "running-sum windows sharing ONE shuffle/sort on user_id, then a "
+    "per-session rollup reusing the same partitioning. The window-frame "
+    "machinery (lag, ROWS UNBOUNDED PRECEDING) the reference never "
+    "exercised; batch twin of the stateful streaming sessionizer.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sessions = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        stable_sum("value", 2).alias("total_value"),
+    )
+
+
+@query(
     "event_projection_normalize",
     oracle="""
     SELECT event_id AS id,

@@ -81,6 +81,79 @@ def stream_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    rollup AS (
+        SELECT user_id, session_id, count(*) AS n,
+               min(ts) AS s, max(ts) AS e
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    last AS (SELECT user_id, max(session_id) AS last_id FROM rollup GROUP BY user_id),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT r.user_id AS key,
+           CAST(r.s AS TIMESTAMP) AS session_start,
+           CAST(r.e AS TIMESTAMP) AS session_end,
+           r.n AS n_events
+    FROM rollup r JOIN last ON r.user_id = last.user_id, wm
+    WHERE r.session_id < last.last_id
+       OR r.e + INTERVAL 30 MINUTE < wm.w
+    """,
+    description="REAL custom stateful streaming run (applyInPandasWithState "
+    "+ event-time timeout): gap-based sessionization, one open session per "
+    "key in state, emitted on observed gap or when the watermark passes "
+    "end+gap. Emitted set is exactly SQL-expressible: every non-last "
+    "session per key plus last sessions with end+gap < final watermark — "
+    "validated equal at sf0.001 and sf0.01. State is one row per live key.",
+    skip_bench=True,
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os as _os
+
+    from smartpool_bigdata_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    stage = tempfile.mkdtemp(prefix="spark_sess_src_")
+    src = _os.path.join(stage, "src")
+    _os.makedirs(src)
+    # two chronological files -> the watermark advances mid-stream, so both
+    # close paths (observed gap AND event-time timeout) are exercised
+    for i, cond in enumerate(["dayofmonth(ts) <= 15", "dayofmonth(ts) > 15"]):
+        sdir = _os.path.join(src, f"_s{i}")
+        ev.filter(cond).coalesce(1).write.parquet(sdir)
+        part = glob.glob(_os.path.join(sdir, "*.parquet"))[0]
+        dst = _os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(sdir)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = file_stream(
+        spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1
+    )
+    sess = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800, watermark="1 hour")
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(sess, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
     "stream_static_segment_counts",
     oracle="""
     SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,

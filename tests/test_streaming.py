@@ -247,3 +247,40 @@ def test_graceful_stop(spark, events, tmp_path):
 
     run_for([q], seconds=3)
     assert not q.isActive
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, events, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): closed sessions
+    emitted by the stream must be EXACTLY the batch-sessionize sessions
+    that are closeable — observed-gap closes plus event-time-timeout
+    closes (session_end + gap < final watermark). Still-open sessions
+    stay in state, unemitted."""
+    import datetime
+
+    from smartpool_bigdata_spark.ops.relational import sessionize
+    from smartpool_bigdata_spark.streaming.stateful import sessionize_stream
+
+    ev = events.select("user_id", "ts")
+    src = str(tmp_path / "sess_src")
+    _chronological_files(ev, "ts", src, cuts=["2024-01-16"])
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    sess = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800, watermark="1 hour")
+    run_available_now(sess, "t_sess_out", fmt="memory")
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_sess_out").collect()
+    }
+
+    batch = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    bsess = batch.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e"), F.count(F.lit(1)).alias("n")
+    )
+    ball = {(r["user_id"], r["s"], r["e"], r["n"]) for r in bsess.collect()}
+    assert got <= ball  # never emits a session batch doesn't have
+
+    final_wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    gap = datetime.timedelta(minutes=30)
+    closeable = {s for s in ball if s[2] + gap < final_wm}
+    # every closeable session was emitted; only open tails may be missing
+    assert closeable <= got
+    assert len(got) > 100
