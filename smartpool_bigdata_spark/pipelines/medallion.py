@@ -83,7 +83,10 @@ class MedallionPipeline:
         """Silver = latest-per-key over Bronze, validated, overwritten —
         job 03's shape (``spark-apps/03_silver_smartpool.py:14-43``).
         """
-        bronze = self.catalog.read(self.spark, f"bronze.{bronze_name or name}")
+        bn = bronze_name or name
+        if f"bronze.{bn}" not in self.catalog.datasets:
+            self.catalog.define("bronze", bn)
+        bronze = self.catalog.read(self.spark, f"bronze.{bn}")
         silver = latest_by_key(bronze, keys, order_by)
         if drop_audit:
             silver = silver.drop("_ingest_ts", "_ingest_date", "_source")
@@ -109,7 +112,10 @@ class MedallionPipeline:
         variant (``notebooks/03_silver_smartpool.ipynb:253-259``): cheaper
         than a snapshot when the delta is small vs the table.
         """
-        bronze = self.catalog.read(self.spark, f"bronze.{bronze_name or name}")
+        bn = bronze_name or name
+        if f"bronze.{bn}" not in self.catalog.datasets:
+            self.catalog.define("bronze", bn)
+        bronze = self.catalog.read(self.spark, f"bronze.{bn}")
         delta = latest_by_key(bronze, keys, order_by)
         if drop_audit:
             delta = delta.drop("_ingest_ts", "_ingest_date", "_source")
@@ -133,6 +139,10 @@ class MedallionPipeline:
         """Gold build — job 04/06's shape: ``build`` receives the named
         input DataFrames (silver/gold layers) and returns the result, which
         is overwritten to ``gold.<name>``."""
+        for q in inputs:
+            if q not in self.catalog.datasets:
+                layer, _, nm = q.partition(".")
+                self.catalog.define(layer, nm)
         frames = {q: self.catalog.read(self.spark, q) for q in inputs}
         out = build(frames)
         ds = self.catalog.datasets.get(f"gold.{name}") or self.catalog.define(

@@ -81,6 +81,50 @@ def stream_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    description="Streaming exact dedup (dropDuplicatesWithinWatermark, "
+    "Spark 3.5+ bounded-state semantics): the source is events UNIONed "
+    "with itself (every row duplicated, same event time -> always within "
+    "the watermark), streamed and deduped by event_id; the drained result "
+    "must equal DISTINCT over the original rows. State is GC'd as the "
+    "watermark advances — the streaming twin of dedupe_exact.",
+    skip_bench=True,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.streaming import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = ev.union(ev)
+    stage = tempfile.mkdtemp(prefix="spark_dedup_src_")
+    src = os.path.join(stage, "src")
+    doubled.write.parquet(src)
+    stream = file_stream(spark, src, doubled.schema)
+    deduped = dedup_stream(
+        stream, ["event_id"], ts_col="ts", watermark="1 hour", within_watermark=True
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(deduped, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
     "stream_user_sessions",
     oracle="""
     WITH flagged AS (

@@ -16,6 +16,7 @@ This package re-expresses that surface as composable pieces:
 """
 
 from smartpool_bigdata_spark.streaming.ops import (
+    dedup_stream,
     parse_json_payload,
     stream_static_enrich,
     watermarked_tumbling_agg,
@@ -36,6 +37,7 @@ from smartpool_bigdata_spark.streaming.sources import (
 )
 
 __all__ = [
+    "dedup_stream",
     "file_stream",
     "kafka_json_reader",
     "parse_json_payload",

@@ -69,6 +69,32 @@ def stream_static_enrich(
     return stream_df.join(dim, on=on, how=how)
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact deduplication by key.
+
+    Without a watermark the dedup state grows forever (every key seen);
+    with ``ts_col`` + ``watermark`` the state is GC'd as event time
+    advances. ``within_watermark=True`` uses
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): keys may REAPPEAR once
+    older duplicates age past the watermark — the right semantics for
+    at-least-once upstream producers where duplicates arrive close
+    together, with strictly bounded state. The streaming twin of
+    ``ops.relational.dedupe_exact``.
+    """
+    if ts_col is not None and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+        if within_watermark:
+            return df.dropDuplicatesWithinWatermark(list(keys))
+        return df.dropDuplicates([*keys, ts_col])
+    return df.dropDuplicates(list(keys))
+
+
 def parse_json_payload(
     raw_df: DataFrame,
     schema: StructType | str,

@@ -284,3 +284,20 @@ def test_stateful_sessionize_stream_matches_batch(spark, events, tmp_path):
     # every closeable session was emitted; only open tails may be missing
     assert closeable <= got
     assert len(got) > 100
+
+
+def test_stream_dedup_within_watermark(spark, events, tmp_path):
+    """Doubled input deduped by key while streaming == batch DISTINCT."""
+    from smartpool_bigdata_spark.streaming import dedup_stream
+
+    ev = events.select("event_id", "ts", "event_type")
+    doubled = ev.union(ev)
+    src = str(tmp_path / "dd_src")
+    doubled.write.parquet(src)
+    stream = file_stream(spark, src, doubled.schema)
+    deduped = dedup_stream(
+        stream, ["event_id"], ts_col="ts", watermark="1 hour", within_watermark=True
+    )
+    run_available_now(deduped, "t_dd_out", fmt="memory")
+    assert spark.table("t_dd_out").count() == ev.count()
+    assert spark.table("t_dd_out").select("event_id").distinct().count() == ev.count()
