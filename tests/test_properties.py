@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for core operator semantics, checked
+against independent pure-Python models on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _events(draw_minutes):
+    return [(k, BASE + dt.timedelta(minutes=m)) for k, m in draw_minutes]
+
+
+ev_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=40
+)
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**SETTINGS)
+@given(ev_strategy)
+def test_sessionize_matches_model(spark, pairs):
+    from smartpool_bigdata_spark.ops.relational import sessionize
+
+    rows = _events(pairs)
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    got = {
+        (r["k"], r["ts"]): r["session_id"]
+        for r in sessionize(df, ["k"], "ts", gap="10 minutes").collect()
+    }
+    # model: sort per key, increment on gap > 10 min
+    want = {}
+    by_key: dict[int, list[dt.datetime]] = {}
+    for k, ts in rows:
+        by_key.setdefault(k, []).append(ts)
+    for k, tss in by_key.items():
+        sid = -1
+        prev = None
+        for ts in sorted(tss):
+            if prev is None or (ts - prev) > dt.timedelta(minutes=10):
+                sid += 1
+            want[(k, ts)] = sid
+            prev = ts
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.floats(0, 100)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_model(spark, left_pairs, right_rows):
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    left = [
+        (k, BASE + dt.timedelta(minutes=m), i)
+        for i, (k, m) in enumerate(left_pairs)
+    ]
+    right = [
+        (k, BASE + dt.timedelta(minutes=m), round(v, 3))
+        for k, m, v in right_rows
+    ]
+    ldf = spark.createDataFrame(left, ["k", "ts", "id"])
+    rdf = spark.createDataFrame(right, ["k", "rts", "price"]) if right else (
+        spark.createDataFrame([], "k INT, rts TIMESTAMP, price DOUBLE")
+    )
+    got = {
+        r["id"]: r["price"]
+        for r in asof_join(
+            ldf, rdf, keys=["k"], left_ts="ts", right_ts="rts", value_cols=["price"]
+        ).collect()
+    }
+    want = {}
+    for k, ts, i in left:
+        candidates = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+        want[i] = max(candidates)[1] if candidates else None
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=50), st.integers(1, 8))
+def test_stable_sum_partition_invariant(spark, values, parts):
+    from smartpool_bigdata_spark.functions import stable_sum
+
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    a = df.repartition(parts).agg(stable_sum("x", 6).alias("s")).collect()[0]["s"]
+    b = df.coalesce(1).agg(stable_sum("x", 6).alias("s")).collect()[0]["s"]
+    assert a == b  # bit-identical regardless of partitioning
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_latest_by_key_matches_model(spark, rows):
+    from smartpool_bigdata_spark.ops.relational import latest_by_key
+
+    data = [(k, BASE + dt.timedelta(minutes=m), i) for k, m, i in rows]
+    df = spark.createDataFrame(data, ["k", "ts", "id"])
+    got = {
+        r["k"]: (r["ts"], r["id"])
+        for r in latest_by_key(
+            df, ["k"], [F.col("ts").desc(), F.col("id").desc()]
+        ).collect()
+    }
+    want = {}
+    for k, ts, i in data:
+        if k not in want or (ts, i) > want[k]:
+            want[k] = (ts, i)
+    assert got == want
