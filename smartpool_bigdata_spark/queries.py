@@ -47,6 +47,66 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def _wrap_double_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, s)`` in a DuckDB oracle to
+    ``CAST(round(CAST(CAST(expr AS VARCHAR) AS DECIMAL(38,20)), s) AS DOUBLE)``.
+
+    Spark's ``round(double, s)`` rounds the SHORTEST DECIMAL REPRESENTATION
+    of the double (``BigDecimal.valueOf`` → HALF_UP); DuckDB rounds the raw
+    binary value. They disagree exactly on representation boundaries — e.g.
+    the double nearest 47.25375 prints as "47.25375" so Spark rounds up to
+    47.2538, while its binary value 47.253749999... rounds down. DuckDB
+    also prints doubles as shortest round-trip strings, so the
+    VARCHAR→DECIMAL hop reproduces Spark's semantics bit-for-bit (verified
+    over boundary cases incl. negatives and sub-scale magnitudes; scale 20
+    holds every digit of a 17-significant-digit shortest repr for
+    magnitudes down to 1e-3, and exact-boundary rationals below that
+    round identically on both sides). Applied mechanically to every oracle at registration
+    so the convention cannot be forgotten on new queries. (Round-1's
+    residual float-rounding failure and its sf0.1 recurrences were exactly
+    this class.)
+    """
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        j = sql.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        # don't match identifiers like x_round( ; allow leading ( or space
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        depth = 1
+        k = j + 6
+        top_comma = -1
+        while k < n and depth:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                top_comma = k
+            k += 1
+        inner = sql[j + 6 : k - 1]
+        if top_comma < 0 or depth:
+            out.append(sql[i:k])
+            i = k
+            continue
+        expr = sql[j + 6 : top_comma]
+        scale = sql[top_comma + 1 : k - 1]
+        expr_wrapped = _wrap_double_rounds(expr)  # nested rounds too
+        out.append(sql[i:j])
+        out.append(
+            f"CAST(round(CAST(CAST({expr_wrapped} AS VARCHAR) AS DECIMAL(38,20)),{scale}) AS DOUBLE)"
+        )
+        i = k
+    return "".join(out)
+
+
 def query(
     name: str,
     oracle: str | None = None,
@@ -54,7 +114,8 @@ def query(
     skip_bench: bool = False,
 ):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, description, skip_bench)
+        wrapped = _wrap_double_rounds(oracle) if oracle is not None else None
+        REGISTRY[name] = Query(name, fn, wrapped, description, skip_bench)
         return fn
 
     return deco

@@ -19,6 +19,7 @@ from smartpool_bigdata_spark.ops.vectors import (
     assign_ivf_buckets,
     brute_force_knn,
     spark_cosine,
+    spark_dot,
 )
 from smartpool_bigdata_spark.queries import query, _t
 
@@ -104,17 +105,24 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = corpus.filter(F.col("vec_id") % 50 == 3).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    assigned = assign_ivf_buckets(corpus, cents)
-    qs = assigned.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    assigned = assign_ivf_buckets(corpus, cents).withColumn(
+        "__nrm", F.expr(f"sqrt({spark_dot('v', 'v')})")
     )
+    qs = assigned.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("__nrm").alias("__qnrm"),
+        "bucket",
+    )
+    # per-row norms precomputed; dot/(qnrm*nrm) is bit-identical to the
+    # inline cosine (same fold and grouping) at 1/3 the pairwise cost
     sims = (
         assigned.join(qs, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(f"round({spark_cosine('qv', 'v')}, 4)").alias("sim"),
+            F.expr(f"round({spark_dot('qv', 'v')} / (__qnrm * __nrm), 4)").alias("sim"),
         )
     )
     return top_n_per_group(
