@@ -11,7 +11,7 @@ states its shuffle behavior and the mitigation for skew.
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -240,6 +240,49 @@ def with_audit_columns(
     if source is not None:
         out = out.withColumn(source_col, F.lit(source))
     return out
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: Mapping[str, tuple[Column, Callable[[Column], Column]]],
+    salt_buckets: int = 64,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-stage aggregation with explicit salting for pathological key
+    skew: stage 1 aggregates on (keys, salt) — a hot key's rows spread
+    over ``salt_buckets`` reducers — stage 2 merges the tiny partials on
+    the true keys.
+
+    ``partials`` maps output column → (partial_agg_expr, merge_fn), e.g.
+    ``{"n": (F.count(F.lit(1)), F.sum), "mx": (F.max("v"), F.max)}`` —
+    the aggregate must be algebraic (decomposable into partial + merge).
+
+    ``salt_cols`` picks the columns hashed into the salt (default: all).
+    Salting on the argument of a COUNT DISTINCT makes even distinct exact
+    across buckets: each distinct value lands in exactly one (key, salt)
+    bucket, so the per-bucket distinct counts sum to the global one.
+
+    When to use: Spark's hash aggregate already does map-side partial
+    combine, which absorbs most skew; AQE splits skewed JOIN partitions
+    but not aggregation partitions. Reach for this only when one reducer
+    key still dominates after partial combine — e.g. high-cardinality
+    DISTINCT-style state per key, where map-side combine can't shrink the
+    stream. Salt = hash of all columns mod buckets (deterministic, no
+    rand() — keeps the plan replayable/resumable).
+    """
+    salt = _helper_col(df, "__salt")
+    basis = list(salt_cols) if salt_cols else list(df.columns)
+    salted = df.withColumn(
+        salt, F.pmod(F.hash(*[F.col(c) for c in basis]), F.lit(salt_buckets))
+    )
+    stage1 = salted.groupBy(*keys, salt).agg(
+        *[expr.alias(name) for name, (expr, _merge) in partials.items()]
+    )
+    stage2 = stage1.groupBy(*keys).agg(
+        *[merge(F.col(name)).alias(name) for name, (_expr, merge) in partials.items()]
+    )
+    return stage2
 
 
 def sessionize(

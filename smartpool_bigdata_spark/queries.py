@@ -700,6 +700,46 @@ def event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_stats_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    description="Two-stage SALTED aggregation for hot-key skew: 5 distinct "
+    "event_types is exactly the pathological case where all rows funnel "
+    "into 5 reducers. Stage 1 aggregates on (key, hash(user_id)%64) — full "
+    "cluster parallelism — stage 2 merges 64 tiny partials per key. "
+    "Salting on the COUNT DISTINCT argument keeps distinct exact: each "
+    "user lands in one bucket, so bucket distincts sum to the global. "
+    "Result is identical to the plain aggregate (the oracle).",
+)
+def event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partials={
+            "n_events": (F.count(F.lit(1)), F.sum),
+            "total_value": (F.sum(F.col("value").cast("decimal(38,10)")), F.sum),
+            "n_users": (F.countDistinct("user_id"), F.sum),
+        },
+        salt_buckets=64,
+        salt_cols=["user_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+        "n_users",
+    )
+
+
+@query(
     "events_asof_reference_value",
     oracle="""
     WITH updates AS (

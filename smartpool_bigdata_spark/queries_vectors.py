@@ -117,7 +117,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row norms precomputed; dot/(qnrm*nrm) is bit-identical to the
     # inline cosine (same fold and grouping) at 1/3 the pairwise cost
     sims = (
-        assigned.join(qs, "bucket")
+        assigned.join(F.broadcast(qs), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

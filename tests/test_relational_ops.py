@@ -188,3 +188,36 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: None, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_salted_agg_equals_plain(spark):
+    """Salted two-stage aggregate == plain aggregate, including EXACT
+    count-distinct when salting on the distinct argument."""
+    import random
+
+    rng = random.Random(11)
+    rows = [("hot" if i % 10 else f"cold{i%3}", rng.randrange(40), float(i % 7))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "uid", "v"]).repartition(8)
+    from smartpool_bigdata_spark.ops.relational import salted_agg
+
+    got = {
+        r["k"]: (r["n"], r["nd"], round(r["sv"], 3))
+        for r in salted_agg(
+            df, ["k"],
+            {"n": (F.count(F.lit(1)), F.sum),
+             "nd": (F.countDistinct("uid"), F.sum),
+             "sv": (F.sum("v"), F.sum)},
+            salt_buckets=16,
+            salt_cols=["uid"],
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["nd"], round(r["sv"], 3))
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("uid").alias("nd"),
+            F.sum("v").alias("sv"),
+        ).collect()
+    }
+    assert got == want
