@@ -135,6 +135,89 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_multiprobe",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM corpus WHERE vec_id % 50 = 3),
+    scored AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, v AS qv, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored WHERE vec_id % 100 = 7)
+        WHERE rn <= 2
+    ),
+    sims AS (
+        SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id, {_duck_cos('q.qv', 'a.v')} AS sim
+        FROM assigned a JOIN qprobe q ON a.bucket = q.bucket AND a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """,
+    description="IVF with multi-probe (nprobe=2): each query searches its "
+    "TWO nearest centroids' buckets — the standard recall lever (candidates "
+    "x2, still orders of magnitude under brute force). Near-boundary "
+    "queries recover neighbors that fell in the adjacent cell; the recall "
+    "test asserts multiprobe recall >= single-probe vs the exact baseline.",
+)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    cents_n = cents.withColumn("__cnrm", F.expr(f"sqrt({spark_dot('cv', 'cv')})"))
+    assigned = assign_ivf_buckets(corpus, cents).withColumn(
+        "__nrm", F.expr(f"sqrt({spark_dot('v', 'v')})")
+    )
+    qs = corpus.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("__qnrm", F.expr(f"sqrt({spark_dot('qv', 'qv')})"))
+    qscore = qs.crossJoin(F.broadcast(cents_n)).select(
+        "query_id", "qv", "__qnrm",
+        F.col("centroid_id").alias("bucket"),
+        F.expr(f"round({spark_dot('qv', 'cv')} / (__qnrm * __cnrm), 4)").alias("csim"),
+    )
+    qbuckets = top_n_per_group(
+        qscore,
+        keys=["query_id"],
+        order_by=[F.col("csim").desc(), F.col("bucket").asc()],
+        n=2,
+        method="row_number",
+    ).select("query_id", "qv", "__qnrm", "bucket")
+    sims = (
+        assigned.join(F.broadcast(qbuckets), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"round({spark_dot('qv', 'v')} / (__qnrm * __nrm), 4)").alias("sim"),
+        )
+        .distinct()
+    )
+    return top_n_per_group(
+        sims,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        n=5,
+        method="row_number",
+        rank_col="rank",
+    )
+
+
 _SIGN_BITS = 16
 
 

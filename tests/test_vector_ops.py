@@ -99,3 +99,25 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     hits = sum(1 for q in exact if approx.get(q) == exact[q])
     assert hits / len(exact) >= 0.5  # bucketed recall is imperfect but real
+
+
+def test_multiprobe_recall_improves(spark):
+    """nprobe=2 recall@5 vs the exact baseline must be >= nprobe=1 recall."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in REGISTRY["knn_brute_force"].build(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(name):
+        got = {}
+        for r in REGISTRY[name].build(spark, sf).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r1, r2 = recall("knn_ivf"), recall("knn_ivf_multiprobe")
+    assert r2 >= r1
+    assert r2 > 0.2  # non-vacuous
