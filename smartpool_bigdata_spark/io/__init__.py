@@ -13,6 +13,7 @@ from smartpool_bigdata_spark.io.jdbc import (
 )
 from smartpool_bigdata_spark.io.sinks import (
     append_with_schema_merge,
+    compact_table,
     ensure_table,
     merge_upsert,
     table_detail,
@@ -20,6 +21,7 @@ from smartpool_bigdata_spark.io.sinks import (
 
 __all__ = [
     "append_with_schema_merge",
+    "compact_table",
     "drift_tolerant_timestamp",
     "ensure_table",
     "jdbc_keyset_reader",

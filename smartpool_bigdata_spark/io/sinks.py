@@ -102,6 +102,40 @@ def ensure_table(
     return True
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Small-files compaction: rewrite a table into ~``target_file_bytes``
+    files. Streaming file sinks emit one file per micro-batch per
+    partition — after a day of 10 s triggers that is thousands of tiny
+    files, and scan cost becomes file-open dominated (the problem Delta's
+    OPTIMIZE solves; this is the parquet analog, same staged-swap
+    non-transactionality caveat as ``merge_upsert``).
+
+    Returns {'files_before', 'files_after'}. Sizing uses the CURRENT
+    on-disk bytes, so compaction is idempotent.
+    """
+    import math
+
+    before = table_detail(spark, path)
+    n_out = max(1, math.ceil(before["sizeInBytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    stage = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = table_detail(spark, path)
+    return {"files_before": before["numFiles"], "files_after": after["numFiles"]}
+
+
 def table_detail(spark: SparkSession, path: str) -> dict:
     """Table metadata scan (S18): format, file count, bytes, partition
     columns — the parquet analog of ``DESCRIBE DETAIL delta.`path```

@@ -23,6 +23,7 @@ from smartpool_bigdata_spark.streaming.ops import (
 )
 from smartpool_bigdata_spark.streaming.runner import (
     progress_summary,
+    start_foreach_batch_upsert,
     run_available_now,
     run_for,
     start_console,
@@ -47,6 +48,7 @@ __all__ = [
     "run_for",
     "start_console",
     "start_file_sink",
+    "start_foreach_batch_upsert",
     "start_memory_sink",
     "stop_all",
     "stream_static_enrich",

@@ -77,6 +77,46 @@ def start_console(
     return _with_trigger(writer, trigger).start()
 
 
+def start_foreach_batch_upsert(
+    df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    dedupe_order: Sequence | None = None,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming MERGE: each micro-batch is upserted into ``target_path``
+    by key via ``foreachBatch`` + ``merge_upsert`` — the pattern for a
+    continuously-maintained Silver table (Delta's streaming MERGE analog;
+    the reference only ever appended from streams and merged in batch).
+
+    ``dedupe_order`` (best-first columns) collapses multiple versions of a
+    key WITHIN one micro-batch before the merge, so the upsert is
+    deterministic regardless of batch boundaries. Exactly-once: foreachBatch
+    may re-run a batch on recovery, but MERGE by key is idempotent.
+    """
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+    from smartpool_bigdata_spark.ops.relational import latest_by_key
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = (
+            latest_by_key(batch_df, keys, dedupe_order)
+            if dedupe_order is not None
+            else batch_df
+        )
+        merge_upsert(batch_df.sparkSession, target_path, batch, keys)
+
+    writer = df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: str,

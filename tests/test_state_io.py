@@ -218,3 +218,19 @@ def test_ts_bounds_push_down_to_raw_scan(spark, duck):
         WHERE ts >= TIMESTAMP '{lo}' AND ts <= TIMESTAMP '{hi}'
         """,
     )
+
+
+def test_compact_table(spark, tmp_path):
+    from smartpool_bigdata_spark.io import compact_table
+
+    path = str(tmp_path / "many_small")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    stats = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert {r["id"] for r in after.collect()} == set(range(10_000))

@@ -301,3 +301,43 @@ def test_stream_dedup_within_watermark(spark, events, tmp_path):
     run_available_now(deduped, "t_dd_out", fmt="memory")
     assert spark.table("t_dd_out").count() == ev.count()
     assert spark.table("t_dd_out").select("event_id").distinct().count() == ev.count()
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """Streaming MERGE via foreachBatch: two chronological files carrying
+    overlapping keys; the continuously-merged target ends as latest-per-key
+    over the whole stream."""
+    from smartpool_bigdata_spark.streaming import start_foreach_batch_upsert
+
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (2, "2024-01-01 00:00:00", "b")],
+        ["id", "updated_at", "val"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [(2, "2024-01-02 00:00:00", "b2"), (3, "2024-01-02 00:00:00", "c")],
+        ["id", "updated_at", "val"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    src = str(tmp_path / "fb_src")
+    os.makedirs(src)
+    for i, d in enumerate([f1, f2]):
+        stage = os.path.join(src, "_stage")
+        d.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = file_stream(spark, src + "/*.parquet", f1.schema, max_files_per_trigger=1)
+    target = str(tmp_path / "silver_merged")
+    q = start_foreach_batch_upsert(
+        stream,
+        target,
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        dedupe_order=[F.col("updated_at").desc(), F.col("id").desc()],
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(120)
+    got = {r["id"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
