@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale-critical plan properties the
+round's audit established, locked in so a refactor can't silently lose
+them. Uses the AQE-final executed plan (collect first)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smartpool_bigdata_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = _final_plan(REGISTRY[name].build(spark, SF_DIR))
+        return cache[name]
+
+    return get
+
+
+def test_filter_pushdown_reaches_parquet_scan(plans):
+    plan = plans("pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(plans):
+    plan = plans("daily_event_stats")
+    # events has 6 columns; the scan must read only ts, value, user_id
+    assert "ReadSchema: struct<ts:" in plan
+    assert "props" not in plan
+
+
+def test_dim_joins_broadcast_not_sortmerge(plans):
+    for name in ("customer_order_summary", "segment_fee_model", "events_from_customers"):
+        plan = plans(name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_semi_and_anti_join_strategies(plans):
+    assert "LeftSemi" in plans("events_from_customers")
+    assert "LeftAnti" in plans("event_orphan_users")
+
+
+def test_global_topk_avoids_total_sort(plans):
+    # ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition top-K
+    # + driver merge), not a full sort shuffle
+    assert "TakeOrderedAndProject" in plans("top_value_orders")
+
+
+def test_whole_stage_codegen_present(plans):
+    plan = plans("pricing_summary")
+    assert "WholeStageCodegen" in plan or "*(" in plan
