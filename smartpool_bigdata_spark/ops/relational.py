@@ -224,6 +224,7 @@ def with_audit_columns(
     ts_col: str = "_ingest_ts",
     date_col: str = "_ingest_date",
     source_col: str = "_source",
+    file_col: str | None = None,
 ) -> DataFrame:
     """Standard audit columns on every layer write (P13).
 
@@ -239,6 +240,10 @@ def with_audit_columns(
     out = df.withColumn(ts_col, ts).withColumn(date_col, F.col(ts_col).cast("date"))
     if source is not None:
         out = out.withColumn(source_col, F.lit(source))
+    if file_col is not None:
+        # provenance per row — only meaningful directly over a file scan
+        # (returns '' once a shuffle separates the row from its file)
+        out = out.withColumn(file_col, F.input_file_name())
     return out
 
 

@@ -91,6 +91,38 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scale_conf(
+    total_cores: int,
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    partitions_per_core: int = 3,
+) -> dict[str, str]:
+    """Concrete shuffle/scan sizing for a real cluster run.
+
+    The two levers that actually move at 100 TB:
+
+    * ``shuffle.partitions`` — enough that one shuffle partition of the
+      LARGEST shuffle fits comfortably in executor memory, and at least
+      ``partitions_per_core × cores`` so stragglers rebalance. AQE then
+      coalesces small ones back down, so erring high is cheap.
+    * ``files.maxPartitionBytes`` — scan-task granularity; 128 MB keeps a
+      scan task's columnar batches inside a few hundred MB of heap.
+
+    Example: 100 TB input on 1000 executors × 4 cores →
+    ``scale_conf(4000, 100e12)`` → ~780k scan tasks (fine — they stream),
+    shuffle.partitions = max(12000, input/128MB capped at 200k).
+    """
+    by_size = min(200_000, max(1, input_bytes // target_partition_bytes))
+    by_cores = total_cores * partitions_per_core
+    return {
+        "spark.sql.shuffle.partitions": str(max(by_cores, min(by_size, 50 * total_cores))),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+
+
 def get_spark(
     app_name: str = "smartpool-bigdata-spark",
     master: str | None = None,

@@ -234,3 +234,29 @@ def test_compact_table(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == n_before
     assert {r["id"] for r in after.collect()} == set(range(10_000))
+
+
+def test_audit_file_provenance(spark, tmp_path):
+    from smartpool_bigdata_spark.ops.relational import with_audit_columns
+
+    path = str(tmp_path / "prov")
+    spark.createDataFrame([(1,), (2,)], ["id"]).write.parquet(path)
+    out = with_audit_columns(
+        spark.read.parquet(path), source="t", file_col="_input_file"
+    )
+    rows = out.collect()
+    assert all(r["_input_file"].endswith(".parquet") for r in rows)
+    assert all(path.split("/")[-1] in r["_input_file"] for r in rows)
+
+
+def test_scale_conf_sizing():
+    from smartpool_bigdata_spark.session import scale_conf
+
+    conf = scale_conf(total_cores=4000, input_bytes=100 * 10**12)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    assert parts >= 12_000  # at least partitions_per_core x cores
+    assert parts <= 200_000
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    # small job: floors at cores x 3
+    small = scale_conf(total_cores=8, input_bytes=10**9)
+    assert int(small["spark.sql.shuffle.partitions"]) == 24
