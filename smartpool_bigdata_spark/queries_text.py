@@ -171,6 +171,88 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
 
 
+def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    toks = T.duck_tokens("text")
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"{T.duck_band_hash('sig', b)} AS band_hash FROM sig"
+        for b in range(T.BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)"
+        " / (len(a.sh_set) + len(b.sh_set)"
+        " - len(list_intersect(a.sh_set, b.sh_set)))"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS ({_near_dup_corpus_duck()}),
+    th AS (
+        SELECT doc_id, list_transform({toks}, t -> {T.duck_hash64('t')}) AS th
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct({T.duck_shingle_hashes('th', shingle_k)}) AS sh_set
+        FROM th
+    ),
+    sig AS (
+        SELECT doc_id, sh_set, {T.duck_minhash_sig('sh_set')} AS sig FROM base
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sig a ON a.doc_id = cand.doc_a
+        JOIN sig b ON b.doc_id = cand.doc_b
+        WHERE round({jac}, 4) >= {threshold}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT component, count(*) AS cluster_size
+    FROM comp GROUP BY component
+    """
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=_dup_clusters_oracle(),
+    description="Near-duplicate CLUSTERING: MinHash-LSH pairs -> iterative "
+    "connected components (HashMin min-label propagation; join+agg per "
+    "iteration, lineage cut per step, converges in diameter iterations) -> "
+    "cluster sizes. The step that turns pair detection into an actionable "
+    "keep-one-per-cluster dedup. Oracle: the same LSH pipeline + a "
+    "RECURSIVE CTE reachability closure in DuckDB — a full value-hash "
+    "check of an iterative distributed algorithm.",
+    skip_bench=True,  # the pair stage is benched as doc_near_dup_pairs
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
 @query(
     "doc_signatures",
     oracle=f"""

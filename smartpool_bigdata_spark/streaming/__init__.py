@@ -19,6 +19,7 @@ from smartpool_bigdata_spark.streaming.ops import (
     dedup_stream,
     parse_json_payload,
     stream_static_enrich,
+    stream_stream_join,
     watermarked_tumbling_agg,
 )
 from smartpool_bigdata_spark.streaming.runner import (
@@ -52,5 +53,6 @@ __all__ = [
     "start_memory_sink",
     "stop_all",
     "stream_static_enrich",
+    "stream_stream_join",
     "watermarked_tumbling_agg",
 ]

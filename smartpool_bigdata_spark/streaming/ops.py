@@ -69,6 +69,36 @@ def stream_static_enrich(
     return stream_df.join(dim, on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    max_lag: str = "1 hour",
+    how: str = "inner",
+):
+    """Stream-stream equi-join with the event-time range constraint that
+    bounds both sides' state: rows join only when ``right_ts`` lies within
+    ``[left_ts - max_lag, left_ts]``. Beyond the reference's surface
+    (which only joined stream↔static); required when BOTH sides are live
+    feeds (e.g. sensor readings ⋈ maintenance commands).
+
+    State: each side buffers only rows newer than its watermark minus the
+    range bound — without the time condition, Spark must keep EVERY row
+    forever, so the range is load-bearing, not an optimization.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    range_cond = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, on & range_cond, how)
+
+
 def dedup_stream(
     df: DataFrame,
     keys: Sequence[str],

@@ -391,3 +391,40 @@ def test_four_query_topology(spark, events, tmp_path):
     # here (exact emitted-set semantics proven in the window-agg test)
     import glob as _glob
     assert _glob.glob(out["agg"] + "/*.parquet")
+
+
+def test_stream_stream_join(spark, events, tmp_path):
+    """Stream-stream join with event-time range bound: each event joins
+    the other stream's rows for the same user within the preceding hour;
+    result equals the equivalent batch join."""
+    from smartpool_bigdata_spark.streaming import stream_stream_join
+
+    ev = events.select("event_id", "ts", "user_id")
+    src_a = str(tmp_path / "ssj_a")
+    src_b = str(tmp_path / "ssj_b")
+    _chronological_files(ev, "ts", src_a, cuts=[])
+    _chronological_files(
+        ev.select(F.col("event_id").alias("cmd_id"), F.col("ts").alias("cmd_ts"),
+                  F.col("user_id").alias("cmd_user")),
+        "cmd_ts", src_b, cuts=[],
+    )
+    a = file_stream(spark, src_a + "/*.parquet", ev.schema)
+    b_schema = "cmd_id LONG, cmd_ts TIMESTAMP, cmd_user LONG"
+    b = file_stream(spark, src_b + "/*.parquet", b_schema)
+    joined = stream_stream_join(
+        a, b, on=(a["user_id"] == b["cmd_user"]),
+        left_ts="ts", right_ts="cmd_ts",
+        left_watermark="1 hour", right_watermark="1 hour", max_lag="1 hour",
+    ).select("event_id", "cmd_id")
+    run_available_now(joined, "t_ssj_out", fmt="memory", timeout_sec=180)
+    got = spark.table("t_ssj_out").count()
+
+    cmds = ev.select(F.col("event_id").alias("cmd_id"), F.col("ts").alias("cmd_ts"),
+                     F.col("user_id").alias("cmd_user"))
+    want = ev.join(
+        cmds,
+        (ev["user_id"] == cmds["cmd_user"])
+        & (cmds["cmd_ts"] >= ev["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (cmds["cmd_ts"] <= ev["ts"]),
+    ).count()
+    assert got == want and got > 0

@@ -79,3 +79,15 @@ def test_language_guess(docs):
     langs = {r["doc_id"]: r["lang_guess"] for r in language_guess(docs).collect()}
     assert langs[1] == "en"
     assert langs[5] == "es"
+
+
+def test_connected_components(spark):
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10), (10, 11)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   7: 7, 8: 7, 9: 7, 10: 7, 11: 7}
