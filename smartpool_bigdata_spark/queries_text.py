@@ -349,6 +349,53 @@ def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id, source,
+               len({T.duck_tokens('text')}) AS token_count,
+               round(len(list_distinct({T.duck_tokens('text')}))
+                     / CAST(len({T.duck_tokens('text')}) AS DOUBLE), 4) AS uniq_ratio
+        FROM documents
+    ),
+    judged AS (
+        SELECT source,
+               CASE WHEN token_count < 20 THEN 'too_short'
+                    WHEN token_count > 2000 THEN 'too_long'
+                    WHEN uniq_ratio < 0.05 THEN 'too_repetitive'
+                    ELSE 'keep' END AS verdict
+        FROM stats
+    )
+    SELECT source, verdict, count(*) AS n_docs
+    FROM judged GROUP BY source, verdict
+    """,
+    description="Training-data quality curation: composite keep/drop "
+    "policy over text-quality features (length bounds, repetition ratio) "
+    "with per-reason accounting — the filter stage of a corpus pipeline, "
+    "first matching rule wins so every document lands in exactly one "
+    "bucket. Row-local scoring, tiny aggregate; scan-bound at any scale.",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import case_when_chain
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = with_text_stats(docs, "text")
+    verdict = case_when_chain(
+        [
+            (F.col("token_count") < 20, "too_short"),
+            (F.col("token_count") > 2000, "too_long"),
+            (F.col("unique_token_ratio") < 0.05, "too_repetitive"),
+        ],
+        default="keep",
+    )
+    return (
+        stats.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "multimodal_byte_features",
     oracle="""
     SELECT source,
