@@ -348,6 +348,72 @@ def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # hash64 values are uniform in [0, 2^60)
+
+
+@query(
+    "user_distinct_kmv",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               {T.duck_hash64("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(max(nd) AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+                ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                          / max(CASE WHEN rn = {_KMV_K} THEN h END), 0) AS BIGINT)
+           END AS BIGINT) AS kmv_estimate
+    FROM ranked
+    WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+    description="KMV (k-minimum-values) distinct sketch, k=64: estimate = "
+    "(k-1)*H/h_(k) over the k smallest md5-derived hashes per group "
+    "(Bar-Yossef et al. '02). Unlike HLL the whole sketch is DETERMINISTIC "
+    "md5 arithmetic, so the estimator itself hash-matches DuckDB — a "
+    "value-checked approximate aggregate, reported beside the exact "
+    "distinct. Scale: the k-hash sketch is O(k) per group and mergeable "
+    "(union = min-k of unions), the property that makes it map-side "
+    "combinable at 100 TB.",
+)
+def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr(T.spark_hash64("CAST(user_id AS STRING)")).alias("h"),
+    ).distinct()
+    counted = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    topk = top_n_per_group(
+        hashed, ["event_type"], [F.col("h").asc()], _KMV_K,
+        method="row_number", rank_col="rn",
+    )
+    kth = topk.filter(F.col("rn") == _KMV_K).select(
+        "event_type", F.col("h").alias("kth_min")
+    )
+    out = counted.join(kth, "event_type", "left")
+    est = F.when(
+        F.col("exact_distinct") < _KMV_K, F.col("exact_distinct")
+    ).otherwise(
+        F.round((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth_min"), 0).cast("long")
+    )
+    return out.select(
+        "event_type", "exact_distinct", est.cast("long").alias("kmv_estimate")
+    )
+
+
 @query(
     "doc_quality_filter",
     oracle=f"""

@@ -91,3 +91,16 @@ def test_connected_components(spark):
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
                    7: 7, 8: 7, 9: 7, 10: 7, 11: 7}
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64 should estimate distinct counts within ~3/sqrt(k)
+    (≈38%) of exact; parity with DuckDB is covered by the oracle gate."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    rows = REGISTRY["user_distinct_kmv"].build(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        exact, est = r["exact_distinct"], r["kmv_estimate"]
+        assert est > 0
+        assert abs(est - exact) / exact < 0.38, (r["event_type"], exact, est)
