@@ -19,10 +19,16 @@ TABLES = (
 def spark():
     from smartpool_bigdata_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         app_name="smartpool-tests",
         master="local[8]",
-        extra_confs={"spark.sql.shuffle.partitions": "8"},
+        extra_confs={
+            "spark.sql.shuffle.partitions": "8",
+            # keep saveAsTable warehouses out of the repo working tree
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
