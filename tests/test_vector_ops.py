@@ -121,3 +121,29 @@ def test_multiprobe_recall_improves(spark):
     r1, r2 = recall("knn_ivf"), recall("knn_ivf_multiprobe")
     assert r2 >= r1
     assert r2 > 0.2  # non-vacuous
+
+
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The 100 TB IVF layout: corpus written partitionBy(bucket); a probe
+    of one bucket shows PartitionFilters in the scan — the search reads
+    ONE bucket's files, not the corpus."""
+    from smartpool_bigdata_spark.ops.vectors import as_double_array
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    cents = corpus.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = assign_ivf_buckets(corpus, cents)
+    layout = str(tmp_path / "ivf_layout")
+    assigned.write.partitionBy("bucket").parquet(layout)
+
+    table = spark.read.parquet(layout)
+    probe = table.filter(F.col("bucket") == 3)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruned scan must list fewer files than the table has buckets
+    n_buckets = assigned.select("bucket").distinct().count()
+    assert n_buckets > 1
+    assert probe.count() == assigned.filter("bucket = 3").count()
