@@ -256,33 +256,38 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_signatures",
     oracle=f"""
+    WITH staged AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th,
+               {T.duck_char_codes('text')} AS cs
+        FROM documents
+    )
     SELECT doc_id,
-           {T.duck_simhash(f"list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')})")} AS simhash,
-           coalesce(list_aggregate(list_transform({T.duck_char_ngrams('text', 5)},
-                    g -> {T.duck_hash64('g')}), 'min'), -1) AS fingerprint
-    FROM documents
+           {T.duck_simhash('th')} AS simhash,
+           {T.duck_poly_gram_min('cs', 5)} AS fingerprint
+    FROM staged
     """,
     description="Per-document SimHash (32-bit majority-vote over token "
-    "hashes) + winnowing-style min-hash fingerprint over char 5-grams. "
+    "hashes) + winnowing-style min polynomial hash over char 5-grams. "
     "Row-local map work only — scan-bound at any scale.",
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = T.spark_tokens("text")
-    grams = T.spark_char_ngrams("text", 5)
     # Stage the hash arrays once (own projection) so the 32 simhash bit
     # terms reuse them instead of re-tokenizing+md5-ing per bit — 10×
     # faster at sf0.1; CollapseProject keeps multi-referenced non-cheap
-    # expressions staged.
+    # expressions staged. Fingerprint uses the codepoint polynomial (no
+    # md5 per gram).
     staged = docs.select(
         "doc_id",
         F.expr(f"transform({toks}, t -> {T.spark_hash64('t')})").alias("__th"),
-        F.expr(f"transform({grams}, g -> {T.spark_hash64('g')})").alias("__gh"),
+        F.expr(T.spark_char_codes("text")).alias("__cs"),
     )
     return staged.select(
         "doc_id",
         F.expr(T.spark_simhash("__th")).alias("simhash"),
-        F.expr("coalesce(array_min(__gh), -1)").alias("fingerprint"),
+        F.expr(T.spark_poly_gram_min("__cs", 5)).alias("fingerprint"),
     )
 
 
