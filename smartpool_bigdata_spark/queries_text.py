@@ -253,6 +253,51 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 
+def _dedup_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    clusters = _dup_clusters_oracle(shingle_k, threshold)
+    # reuse the cluster CTE chain; survivors = corpus minus every
+    # clustered doc that is not its component's minimum
+    body = clusters[: clusters.rfind("SELECT component")].rstrip()
+    return f"""{body},
+    dropped AS (
+        SELECT node FROM comp WHERE node != component
+    )
+    SELECT CASE WHEN c.doc_id >= 1000000 THEN 'mutant' ELSE 'original' END AS origin,
+           count(*) AS n_survivors
+    FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT node FROM dropped)
+    GROUP BY 1
+    """
+
+
+@query(
+    "doc_dedup_survivors",
+    oracle=_dedup_survivors_oracle(),
+    description="End-to-end corpus dedup: MinHash-LSH pairs -> connected "
+    "components -> drop every clustered doc except its cluster's minimum "
+    "id -> surviving corpus counts. Each planted mutant clusters with its "
+    "original, so survivors ~= one per cluster plus unpaired docs — the "
+    "keep-one-representative step a training-data pipeline actually ships.",
+    skip_bench=True,
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return survivors.groupBy(
+        F.when(F.col("doc_id") >= 1_000_000, "mutant")
+        .otherwise("original")
+        .alias("origin")
+    ).agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
 @query(
     "doc_signatures",
     oracle=f"""
