@@ -41,6 +41,12 @@ def main() -> int:
     load_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python worker pool (Arrow path): a long-running cluster has
+    # live workers; without this the first mapInPandas query is charged
+    # ~1.5 s of interpreter startup.
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 

@@ -56,6 +56,9 @@ def _normalize_ns_timestamps(df: DataFrame, ns_columns: dict[str, str]) -> DataF
     return df
 
 
+# Scan split-count per table path (see load_table(spread=...)).
+_SCAN_PARTITIONS: dict[str, int] = {}
+
 # Columns that are known event-time timestamps per table; these get
 # ns→µs normalization when the parquet file stores nanos.
 _TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
@@ -80,6 +83,7 @@ def load_table(
     sf_dir: str,
     name: str,
     ts_bounds: dict[str, tuple[str | None, str | None]] | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Load one testdata table with normalized types.
 
@@ -108,7 +112,24 @@ def load_table(
         for c in _TIMESTAMP_COLUMNS.get(name, ())
         if dtypes.get(c) == "bigint"
     }
-    return _normalize_ns_timestamps(df, ns_cols)
+    df = _normalize_ns_timestamps(df, ns_cols)
+    if spread:
+        # The testdata files are single-row-group parquet, so the scan
+        # arrives as ONE split and every downstream map stage serializes
+        # on one core. Re-spread only when under-split: at cluster scale a
+        # table arrives in thousands of splits and this is a no-op, so no
+        # gratuitous full-table shuffle is introduced where it would hurt.
+        # The split-count probe costs a physical-planning pass, so it is
+        # cached per table path for the life of the process.
+        target = spark.sparkContext.defaultParallelism
+        key = os.path.join(sf_dir, name)
+        parts = _SCAN_PARTITIONS.get(key)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTITIONS[key] = parts
+        if parts < target:
+            df = df.repartition(target)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:

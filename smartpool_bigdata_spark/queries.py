@@ -125,6 +125,17 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _ts(spark, sf_dir, name):
+    """Spread variant for CPU-heavy map pipelines (text hashing, vector
+    math): re-splits an under-split scan (the testdata is single-row-group
+    parquet → 1 partition) so per-row work uses all cores; a no-op on a
+    cluster where the scan already arrives in many splits. Light queries
+    keep plain ``_t`` — for them the extra exchange costs more than the
+    parallelism buys. Filters applied above still push THROUGH the
+    repartition to the scan (locked by tests/test_plans.py)."""
+    return load_table(spark, sf_dir, name, spread=True)
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4) — hash aggregates with map-side partial combine.
 # ---------------------------------------------------------------------------

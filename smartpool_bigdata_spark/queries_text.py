@@ -23,7 +23,7 @@ from smartpool_bigdata_spark.ops.text import (
     minhash_near_dup_pairs,
     with_text_stats,
 )
-from smartpool_bigdata_spark.queries import query, _t
+from smartpool_bigdata_spark.queries import query, _t, _ts
 
 
 @query(
@@ -52,7 +52,7 @@ from smartpool_bigdata_spark.queries import query, _t
     "UDFs, no shuffle before the final tiny agg). Scale: scan-bound.",
 )
 def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     stats = with_text_stats(docs, "text")
     return stats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -317,7 +317,7 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Row-local map work only — scan-bound at any scale.",
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = T.spark_tokens("text")
     # Stage the hash arrays once (own projection) so the 32 simhash bit
     # terms reuse them instead of re-tokenizing+md5-ing per bit — 10×
@@ -369,7 +369,7 @@ def _lang_guess_oracle() -> str:
     "Row-local scoring, tiny aggregate.",
 )
 def doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     guessed = language_guess(docs, "doc_id", "text")
     joined = docs.select("doc_id", "lang").join(guessed, "doc_id")
     return joined.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -388,7 +388,7 @@ def doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per source — regexp_extract_all is JVM-side, stays in codegen.",
 )
 def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     def n(pat):
         return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
     return docs.groupBy("source").agg(
@@ -438,7 +438,7 @@ _KMV_SPACE = float(1 << 60)  # hash64 values are uniform in [0, 2^60)
 def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.relational import top_n_per_group
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _ts(spark, sf_dir, "events")
     hashed = ev.select(
         "event_type",
         F.expr(T.spark_hash64("CAST(user_id AS STRING)")).alias("h"),
@@ -494,7 +494,7 @@ def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.relational import case_when_chain
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     stats = with_text_stats(docs, "text")
     verdict = case_when_chain(
         [
@@ -534,7 +534,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_binary_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     media = with_binary_payload(docs, "text", mime="text/plain")
     feats = extract_byte_features(media)
     joined = feats.join(docs.select("doc_id", "source"), "doc_id")

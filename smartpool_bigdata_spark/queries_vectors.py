@@ -21,7 +21,7 @@ from smartpool_bigdata_spark.ops.vectors import (
     spark_cosine,
     spark_dot,
 )
-from smartpool_bigdata_spark.queries import query, _t
+from smartpool_bigdata_spark.queries import query, _ts as _t
 
 _DUCK_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
