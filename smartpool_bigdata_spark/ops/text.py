@@ -387,6 +387,74 @@ def simhash_signatures(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded hamming-distance search
+    (the Manku/Jain/Sarma WWW'07 scheme Google used for web dedup).
+
+    The ``bits``-bit SimHash is split into ``bits/band_bits`` exact-match
+    bands; docs sharing any band bucket become candidates, and candidates
+    are verified with ``bit_count(xor)``. Pigeonhole guarantee: a pair
+    within ``max_hamming`` bits differs in at most ``max_hamming`` bands,
+    so with ``bands > max_hamming`` at least one band matches exactly —
+    recall is 1.0 at the threshold, never all-pairs.
+
+    Defaults are 60-bit signatures (the full width of the md5-derived
+    token hashes) in 4×15-bit bands: on a topically-narrow corpus simhash
+    bits correlate across documents, and 8-bit bands measured 10× more
+    candidate pairs with 1500-doc buckets — band width is the
+    recall/bucket-size dial, and 2^15 values per band keeps buckets
+    selective at corpus scale.
+
+    Scale: one shuffle on (band_idx, band_val); signatures ride along in
+    the banded rows, so no join-back. The signature stage is persisted by
+    default: the self-join references it twice, and without the
+    materialization barrier Catalyst collapses the (interpreted
+    higher-order) simhash expression into the join, re-evaluating it per
+    CANDIDATE PAIR — measured 48 s → 4 s at sf0.1. At 100 TB you would
+    write signatures to a table once and band off that.
+    """
+    n_bands = bits // band_bits
+    assert n_bands > max_hamming, "need bands > max_hamming for full recall"
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    if persist_signatures:
+        sigs = sigs.persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> shiftright(simhash, b * {band_bits}) % {1 << band_bits})"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def content_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
 ) -> DataFrame:

@@ -336,6 +336,55 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_near_dup_oracle(band_bits: int = 15, n_bands: int = 4, max_hamming: int = 3) -> str:
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * band_bits}) % {1 << band_bits} AS band_val FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH corpus AS ({_near_dup_corpus_duck()}),
+    th AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id, {T.duck_simhash('th', 60)} AS simhash FROM th
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "doc_simhash_near_dup",
+    oracle=_simhash_near_dup_oracle(),
+    description="SimHash near-duplicate detection on documents ∪ planted "
+    "mutants: 60-bit signature, 4×15-bit exact-match bands, bit_count(xor) "
+    "hamming verification ≤ 3 (Manku et al. WWW'07). Pigeonhole: "
+    "bands > max_hamming ⇒ recall 1.0 at the threshold with one shuffle "
+    "on (band, value) — never all-pairs.",
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import simhash_near_dup_pairs
+
+    docs = _ts(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = simhash_near_dup_pairs(corpus, "doc_id", "text")
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def _lang_guess_oracle() -> str:
     toks = T.duck_tokens("text")
     hits = {

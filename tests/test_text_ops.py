@@ -104,3 +104,47 @@ def test_kmv_estimate_accuracy(spark):
         exact, est = r["exact_distinct"], r["kmv_estimate"]
         assert est > 0
         assert abs(est - exact) / exact < 0.38, (r["event_type"], exact, est)
+
+
+def test_simhash_near_dup_full_recall_vs_brute_force(spark):
+    """Pigeonhole property: with 4 bands and max_hamming=3, the banded
+    search must return EXACTLY the pairs a brute-force all-pairs hamming
+    scan finds at the threshold (recall 1.0, precision 1.0 post-verify)."""
+    from smartpool_bigdata_spark.ops.text import simhash_near_dup_pairs, simhash_signatures
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    # Plant exact twins (hamming 0) so the threshold set is non-empty
+    # even at 60 signature bits.
+    docs = base.union(
+        base.limit(20).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    sigs = simhash_signatures(docs, bits=60).collect()
+    brute = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            lo, hi = sorted((a["doc_id"], b["doc_id"]))
+            if bin(a["simhash"] ^ b["simhash"]).count("1") <= 3:
+                brute.add((lo, hi))
+    assert banded == brute
+    assert brute  # non-vacuous: the corpus does contain close signatures
+
+
+def test_simhash_near_dup_identical_docs_hamming_zero(spark):
+    from smartpool_bigdata_spark.ops.text import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different content about spark shuffles and parquet files")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
