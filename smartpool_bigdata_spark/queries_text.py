@@ -89,6 +89,80 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_train_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {T.duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN {T.duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               len({T.duck_tokens('text')}) AS token_count
+        FROM documents
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(token_count) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY lang, split
+    """,
+    description="Deterministic stratified train/valid/test split (80/10/10) "
+    "for training-data pipelines: the split is a pure function of the "
+    "stable doc_id (md5-derived bucket), NOT rand() — reproducible across "
+    "runs, partitionings and cluster sizes, and any doc's split is "
+    "recomputable later for leakage audits. Row-local map + tiny agg.",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    bucket = F.expr(T.spark_hash64("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    toks = T.spark_tokens("text")
+    return (
+        docs.select("lang", split.alias("split"), F.expr(f"size({toks})").alias("token_count"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprint_dedup",
+    oracle=f"""
+    WITH cs AS (
+        SELECT doc_id, {T.duck_char_codes('text')} AS cs FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, {T.duck_poly_gram_min('cs', 5)} AS fingerprint FROM cs
+    )
+    SELECT fingerprint,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    description="Fingerprint-based dedup: collapse documents sharing a "
+    "winnowing-style min-polynomial char-5-gram fingerprint; emit each "
+    "collision group with its deterministic survivor (lowest doc_id). "
+    "Scale: 8-byte key shuffle, uniform distribution — the cheapest "
+    "near-dup collapse tier before MinHash/SimHash.",
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import content_fingerprint
+
+    docs = _ts(spark, sf_dir, "documents")
+    fp = content_fingerprint(docs, "doc_id", "text", ngram=5)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _near_dup_corpus_spark(docs: DataFrame) -> DataFrame:
     """documents ∪ drop-first-token mutants (ids offset by 1e6) — a
     deterministic planted near-duplicate per document, so the LSH pipeline

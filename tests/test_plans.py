@@ -60,3 +60,19 @@ def test_global_topk_avoids_total_sort(plans):
 def test_whole_stage_codegen_present(plans):
     plan = plans("pricing_summary")
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_spread_repartition_keeps_filter_pushdown(spark):
+    """load_table(spread=True) inserts a repartition below user filters;
+    the filter must still push THROUGH it to the parquet scan, and the
+    spread must actually widen an under-split scan."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.catalog import load_table
+
+    df = load_table(spark, SF_DIR, "documents", spread=True).filter(
+        F.col("lang") == "en"
+    )
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
