@@ -163,6 +163,94 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_percentiles",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, len({T.duck_tokens('text')}) AS n FROM documents
+    ),
+    q AS (
+        SELECT lang, quantile_cont(n, [0.5, 0.9, 0.99]) AS qs FROM t GROUP BY lang
+    )
+    SELECT lang,
+           round(qs[1], 4) AS p50_tokens,
+           round(qs[2], 4) AS p90_tokens,
+           round(qs[3], 4) AS p99_tokens
+    FROM q
+    """,
+    description="Token-count percentiles per language (exact linear-"
+    "interpolation quantiles, p50/p90/p99) — the profiling step that sets "
+    "curation thresholds. Spark's exact percentile() matches DuckDB's "
+    "quantile_cont bit-for-bit (verified), so this carries a full value "
+    "oracle. Scale note: exact percentiles buffer per-group values; at "
+    "100 TB swap in approx_percentile and a rows-only check.",
+)
+def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    t = docs.select("lang", F.expr(f"size({T.spark_tokens('text')})").alias("n"))
+    q = t.groupBy("lang").agg(
+        F.expr("percentile(n, array(0.5D, 0.9D, 0.99D))").alias("qs")
+    )
+    return q.select(
+        "lang",
+        F.round(F.expr("element_at(qs, 1)"), 4).alias("p50_tokens"),
+        F.round(F.expr("element_at(qs, 2)"), 4).alias("p90_tokens"),
+        F.round(F.expr("element_at(qs, 3)"), 4).alias("p99_tokens"),
+    )
+
+
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {T.duck_tokens('text')} AS toks FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s:s + {_CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[s:s + {_CHUNK_SIZE - 1}], ' ')) AS chunk_hash
+    FROM ch
+    """,
+    description="Context chunking for training/RAG pipelines: split each "
+    "document into fixed-size token windows (64 tokens, 8-token overlap, "
+    "stride 56), emitting one row per chunk with its token count and "
+    "content hash. Pure row-local explode — no shuffle at any scale; "
+    "chunk_idx derives arithmetically from the window start so output is "
+    "partitioning-independent.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(T.spark_tokens("text")).alias("toks"))
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE})"
+            )
+        ).alias("s"),
+    )
+    return ch.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.expr(f"CAST(size(slice(toks, s, {_CHUNK_SIZE})) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"md5(array_join(slice(toks, s, {_CHUNK_SIZE}), ' '))"
+        ).alias("chunk_hash"),
+    )
+
+
 def _near_dup_corpus_spark(docs: DataFrame) -> DataFrame:
     """documents ∪ drop-first-token mutants (ids offset by 1e6) — a
     deterministic planted near-duplicate per document, so the LSH pipeline
