@@ -873,6 +873,106 @@ def event_projection_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Beyond-reference OLAP surface: SURVEY §2 marks rollup/grouping sets,
+# window frames (running totals) and EXCEPT as "not present" in the
+# reference — a complete engine offers them, so each gets a gated query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_type_rollup",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date, value FROM events
+    )
+    SELECT event_type, event_date,
+           CAST(GROUPING(event_type, event_date) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM t GROUP BY ROLLUP(event_type, event_date)
+    """,
+    description="ROLLUP aggregate (subtotals per event_type + grand total) "
+    "with GROUPING id to distinguish rolled-up NULLs from data NULLs. "
+    "Beyond the reference's surface (SURVEY §2.4 'not present'). Scale: "
+    "Spark expands rollup into a single hash agg over the grouping-set "
+    "union — one shuffle, map-side partial combine.",
+)
+def event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", F.col("ts").cast("date").alias("event_date"), "value"
+    )
+    return t.rollup("event_type", "event_date").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum("value", 2).alias("total_value"),
+    ).select("event_type", "event_date", "gid", "n_events", "total_value")
+
+
+@query(
+    "purchase_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS running_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    description="Per-user running purchase total — window frame "
+    "(rowsBetween) with a deterministic (ts, event_id) total order and "
+    "exact decimal accumulation, so the cumulative sum is identical under "
+    "any partitioning. Beyond the reference (SURVEY §2.5 'not present'). "
+    "Scale: one shuffle on user_id, per-partition sort.",
+)
+def purchase_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(38,10)")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(running.cast("double"), 4).alias("running_value"),
+    )
+
+
+@query(
+    "active_without_purchase_last_day",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+      AND event_type = 'purchase'
+    """,
+    description="Set difference (EXCEPT): users active on the latest day "
+    "minus users who purchased that day — the did-not-convert cohort. "
+    "Beyond the reference (SURVEY §2.6 'not present'). Scale: the scalar "
+    "max comes from a broadcast single-row aggregate; subtract plans as a "
+    "left-anti hash join on user_id.",
+)
+def active_without_purchase_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    maxd = ev.agg(F.max(d).alias("maxd"))
+    last_day = ev.join(F.broadcast(maxd), d == F.col("maxd"))
+    actives = last_day.select("user_id").distinct()
+    buyers = (
+        last_day.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return actives.subtract(buyers)
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).
