@@ -167,7 +167,11 @@ def _ts(spark, sf_dir, name):
     "pushed to parquet scan.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
+    # _ts: the 8-aggregate decimal map work over the widest table is the
+    # one relational query where re-splitting an under-split scan wins
+    # (A/B: 1.1-1.5 s -> 0.9 s steady-state); the other relational
+    # queries are shuffle-bound and keep _t.
+    li = _ts(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
