@@ -126,6 +126,66 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 64,
+    target_h: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h), emitting a NEW
+    binary payload — the N-bytes-in/M-bytes-out transform shape every
+    media pipeline stage (resize, re-encode, crop) shares.
+
+    STUB for the pixel work (PIL absent): the fake emits a deterministic
+    byte payload of exactly ``target_w*target_h*3`` bytes cycled from the
+    source payload, so downstream stages see correctly-sized binaries and
+    the schema/batching contract is fully exercised.
+    """
+    out_schema = f"{id_col} BIGINT, payload BINARY, width INT, height INT"
+
+    try:  # pragma: no cover - not installed in this environment
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil and not deterministic_fake:
+        raise NotImplementedError(
+            "image resize needs PIL (not installed); pass "
+            "deterministic_fake=True for schema-correct fake resize"
+        )
+
+    n_out = target_w * target_h * 3
+
+    def batches(it: Iterator):
+        import io as _io
+
+        for pdf in it:
+            res = pdf[[id_col]].copy()
+            if have_pil:  # pragma: no cover
+                from PIL import Image
+
+                def _resize(b):
+                    img = Image.open(_io.BytesIO(b)).resize((target_w, target_h))
+                    buf = _io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+
+                res["payload"] = pdf[payload_col].map(_resize)
+            else:
+                res["payload"] = pdf[payload_col].map(
+                    lambda b: ((b or b"\x00") * (n_out // max(len(b or b"\x00"), 1) + 1))[:n_out]
+                )
+            res["width"] = target_w
+            res["height"] = target_h
+            yield res
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,18 +206,27 @@ def sample_frames(
     out_schema = f"{id_col} BIGINT, frame_idx INT, frame_offset BIGINT"
 
     def batches(it: Iterator):
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            ids, idxs, offs = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col] or b""
-                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    ids.append(row[id_col])
-                    idxs.append(i)
-                    offs.append(off)
+            # Vectorized fan-out: per-row frame counts -> np.repeat for the
+            # ids, one concatenated arange for the frame indices. No
+            # per-row Python loop over the batch.
+            sizes = pdf[payload_col].map(lambda b: len(b) if b is not None else 0)
+            n_frames = np.maximum(
+                0, -(-sizes.to_numpy() // every_n_bytes)
+            ).astype("int64")
+            ids = np.repeat(pdf[id_col].to_numpy(), n_frames)
+            idxs = np.concatenate(
+                [np.arange(n) for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype="int64")
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "frame_offset": offs}
+                {
+                    id_col: ids,
+                    "frame_idx": idxs.astype("int32"),
+                    "frame_offset": (idxs * every_n_bytes).astype("int64"),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -63,3 +63,31 @@ def test_frame_sampling_fanout(media):
     assert sorted(by_doc[1]) == [(0, 0)]  # 11 bytes -> 1 frame
     assert sorted(by_doc[2]) == [(0, 0), (1, 64), (2, 128), (3, 192)]  # 200 -> 4
     assert 3 not in by_doc  # empty payload -> no frames
+
+
+def test_resize_stub_raises_without_fake(media):
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import resize_images
+
+    with _pytest.raises(NotImplementedError):
+        resize_images(media).collect()
+
+
+def test_resize_fake_emits_target_sized_payloads(media):
+    from smartpool_bigdata_spark.ops.multimodal import resize_images
+
+    rows = resize_images(
+        media, target_w=8, target_h=4, deterministic_fake=True
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["payload"]) == 8 * 4 * 3
+    # deterministic: same input -> same bytes
+    again = resize_images(
+        media, target_w=8, target_h=4, deterministic_fake=True
+    ).collect()
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == {
+        r["doc_id"]: bytes(r["payload"]) for r in again
+    }
