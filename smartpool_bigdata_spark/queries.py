@@ -977,6 +977,43 @@ def active_without_purchase_last_day(spark: SparkSession, sf_dir: str) -> DataFr
     return actives.subtract(buyers)
 
 
+@query(
+    "event_user_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(CAST(max(cnt) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio
+    FROM per_key
+    """,
+    description="Key-skew profile for a prospective shuffle key: per-key "
+    "count distribution (max, p50, p99) and max/mean skew ratio — the "
+    "diagnostic run BEFORE choosing salting (`salted_agg`) or trusting "
+    "AQE skew-join on a 100 TB shuffle. Two hash aggs: per-key counts, "
+    "then a single-row summary.",
+)
+def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5D)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99D)"), 4).alias("p99_cnt"),
+        F.round(
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1))),
+            4,
+        ).alias("skew_ratio"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).
