@@ -251,6 +251,76 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 128
+
+
+@query(
+    "chunk_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {T.duck_tokens('text')} AS toks FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_STRIDE})) AS s
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               len(toks[s:s + {_CHUNK_SIZE - 1}]) AS n_tokens
+        FROM ch
+    ),
+    packed AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST((sum(n_tokens) OVER (
+                   PARTITION BY doc_id ORDER BY chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+        FROM chunks
+    )
+    SELECT doc_id, pack_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY doc_id, pack_id
+    """,
+    description="Sequence packing: assign each 64-token chunk to a "
+    "fixed-budget pack (128 tokens) via a per-document running token sum "
+    "— pack_id = floor((cumsum-1)/budget). Contiguous cumsum packing "
+    "(±1 chunk overflow per boundary vs exact greedy, which needs "
+    "sequential state); packs never span documents, so the window "
+    "partitions by doc_id and the whole op is one shuffle. Deterministic "
+    "under any partitioning: the (doc_id, chunk_idx) order is total.",
+)
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(T.spark_tokens("text")).alias("toks"))
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE})"
+            )
+        ).alias("s"),
+    )
+    chunks = ch.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.expr(f"size(slice(toks, s, {_CHUNK_SIZE}))").alias("n_tokens"),
+    )
+    packed = chunks.withColumn(
+        "pack_id",
+        F.expr(f"CAST((sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) div {_PACK_BUDGET} AS BIGINT)"),
+    )
+    return packed.groupBy("doc_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
 def _near_dup_corpus_spark(docs: DataFrame) -> DataFrame:
     """documents ∪ drop-first-token mutants (ids offset by 1e6) — a
     deterministic planted near-duplicate per document, so the LSH pipeline

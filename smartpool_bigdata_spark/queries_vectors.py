@@ -259,6 +259,75 @@ def _duck_sign_bucket(v: str, bits: int = _SIGN_BITS) -> str:
     "Never all-pairs; identical vectors always share a bucket (recall 1.0 "
     "for exact dups), random pairs collide with p≈2^-16.",
 )
+@query(
+    "embedding_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, {_DUCK_V} AS v FROM embeddings
+        WHERE vec_id % 10 = 1
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {_duck_sign_bucket('v')} AS bucket FROM corpus
+    ),
+    pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b
+        FROM bucketed l JOIN bucketed r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {_duck_cos('l.v', 'r.v')} >= 0.99
+    ),
+    edges AS (
+        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT component, count(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    description="Embedding near-duplicate CLUSTERING: sign-LSH candidate "
+    "pairs (cosine >= 0.99) -> iterative connected components (HashMin "
+    "label propagation) -> cluster sizes. The same pairs-to-keep-list "
+    "step as doc_dup_clusters, over the vector modality. Oracle: DuckDB "
+    "RECURSIVE CTE reachability closure — a full value-hash check of an "
+    "iterative distributed algorithm on embeddings.",
+    skip_bench=True,  # the pair stage is benched as embedding_near_dup
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    bucketed = corpus.union(planted).withColumn(
+        "bucket", F.expr(_spark_sign_bucket("v"))
+    )
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.expr(f"round({spark_cosine('l.v', 'r.v')}, 4)").alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+    )
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
