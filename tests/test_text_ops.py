@@ -148,3 +148,27 @@ def test_simhash_near_dup_identical_docs_hamming_zero(spark):
     )
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dup_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_chunk_packing_invariants(spark):
+    """Cumsum packing invariants at sf0.001: every chunk lands in exactly
+    one pack, a pack overflows the budget by at most one chunk's tokens,
+    and pack ids are contiguous from 0 within each document."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+    from smartpool_bigdata_spark.queries_text import (
+        _CHUNK_SIZE,
+        _PACK_BUDGET,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packs = REGISTRY["chunk_packing"].build(spark, sf).collect()
+    chunks = REGISTRY["doc_chunks"].build(spark, sf).collect()
+
+    assert sum(p["n_chunks"] for p in packs) == len(chunks)
+    for p in packs:
+        assert p["pack_tokens"] <= _PACK_BUDGET + _CHUNK_SIZE - 1, p
+    by_doc = {}
+    for p in packs:
+        by_doc.setdefault(p["doc_id"], []).append(p["pack_id"])
+    for doc_id, ids in by_doc.items():
+        assert sorted(ids) == list(range(len(ids))), doc_id
