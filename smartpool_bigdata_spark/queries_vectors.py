@@ -237,29 +237,6 @@ def _duck_sign_bucket(v: str, bits: int = _SIGN_BITS) -> str:
 
 
 @query(
-    "embedding_near_dup",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, {_DUCK_V} AS v FROM embeddings
-        WHERE vec_id % 10 = 1
-    ),
-    bucketed AS (
-        SELECT vec_id, v, {_duck_sign_bucket('v')} AS bucket FROM corpus
-    )
-    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {_duck_cos('l.v', 'r.v')} AS sim
-    FROM bucketed l JOIN bucketed r
-      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE {_duck_cos('l.v', 'r.v')} >= 0.99
-    """,
-    description="Embedding-cosine near-dup via sign-LSH (first-16-dims sign "
-    "quantization buckets — an SRP sketch with axis-aligned planes): "
-    "same-bucket pairs only, cosine >= 0.99, on corpus ∪ planted duplicates. "
-    "Never all-pairs; identical vectors always share a bucket (recall 1.0 "
-    "for exact dups), random pairs collide with p≈2^-16.",
-)
-@query(
     "embedding_dup_clusters",
     oracle=f"""
     WITH RECURSIVE corpus AS (
@@ -328,6 +305,29 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, {_DUCK_V} AS v FROM embeddings
+        WHERE vec_id % 10 = 1
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {_duck_sign_bucket('v')} AS bucket FROM corpus
+    )
+    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {_duck_cos('l.v', 'r.v')} AS sim
+    FROM bucketed l JOIN bucketed r
+      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_duck_cos('l.v', 'r.v')} >= 0.99
+    """,
+    description="Embedding-cosine near-dup via sign-LSH (first-16-dims sign "
+    "quantization buckets — an SRP sketch with axis-aligned planes): "
+    "same-bucket pairs only, cosine >= 0.99, on corpus ∪ planted duplicates. "
+    "Never all-pairs; identical vectors always share a bucket (recall 1.0 "
+    "for exact dups), random pairs collide with p≈2^-16.",
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
