@@ -727,9 +727,12 @@ def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = hashed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
+    # 5 distinct event types -> low_cardinality engages the two-phase
+    # salted plan (local top-K per input partition, then global), so the
+    # window never sorts the whole table in 5 giant partitions at scale.
     topk = top_n_per_group(
         hashed, ["event_type"], [F.col("h").asc()], _KMV_K,
-        method="row_number", rank_col="rn",
+        method="row_number", rank_col="rn", low_cardinality=True,
     )
     kth = topk.filter(F.col("rn") == _KMV_K).select(
         "event_type", F.col("h").alias("kth_min")
