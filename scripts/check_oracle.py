@@ -68,6 +68,17 @@ def main() -> int:
             status.append(f"ROWCOUNT {len(srows)} vs {len(drows)}")
         if scols != dcols:
             status.append(f"SCHEMA {scols} vs {dcols}")
+        else:
+            # typed compare (driver's value-hash is typed — r2's only red
+            # row was a DuckDB HUGEINT/INTEGER vs Spark BIGINT widening
+            # with equal values, invisible to the stringified compare)
+            from tests.conftest import canon_arrow_type, canon_spark_type
+
+            stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+            dtypes = {f.name: canon_arrow_type(f.type) for f in ddf.schema}
+            tmism = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+            if tmism:
+                status.append(f"TYPES {tmism}")
         if not status:
             sk, dk = value_key(srows, scols), value_key(drows, dcols)
             if sk != dk:

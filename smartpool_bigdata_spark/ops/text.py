@@ -175,12 +175,17 @@ def spark_char_codes(c: str) -> str:
 
     Built on ``split('')`` (one linear pass) rather than per-index
     ``substring``: UTF8String.substring is O(n) per call, so the indexed
-    form is O(n²) per document — measured 6× slower at sf0.1."""
-    return f"transform(split({c}, ''), ch -> ascii(ch))"
+    form is O(n²) per document — measured 6× slower at sf0.1.
+
+    Codes are BIGINT on both sides: the 5-gram polynomial reaches
+    codepoint·31⁴ ≈ 10¹² for astral-plane chars, which silently wraps in
+    Spark's int32 (non-ANSI) and errors in DuckDB — int64 headroom makes
+    the hash total-Unicode-safe and the output type BIGINT everywhere."""
+    return f"transform(split({c}, ''), ch -> cast(ascii(ch) as bigint))"
 
 
 def duck_char_codes(c: str) -> str:
-    return f"list_transform(range(1, len({c}) + 1), i -> ascii({c}[i:i]))"
+    return f"list_transform(range(1, len({c}) + 1), i -> CAST(ascii({c}[i:i]) AS BIGINT))"
 
 
 def _poly(terms: list[str]) -> str:
@@ -286,35 +291,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__h_rn", F.row_number().over(w)).filter("__h_rn = 1").drop("__h_rn")
 
 
-def minhash_near_dup_pairs(
+def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     n_perm: int = N_PERM,
-    bands: int = BANDS,
-    threshold: float = 0.5,
-    persist_signatures: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    """Per-document MinHash state: ``(doc_id, sh_set, sig)``.
 
-    Plan shape: per-row signature → explode to ``bands`` rows → shuffle on
-    (band, band_hash) → same-bucket self-join → distinct pairs → verify
-    Jaccard on the (broadcast-joined-back) shingle sets. Candidates scale
-    with bucket collisions, never n².
-
-    The signature stage is persisted by default (standard LSH practice):
-    the plan references it 4× (banded self-join left/right + set join per
-    pair side), and signatures are ~300 B/doc — tiny next to re-shingling
-    the corpus 4×. At 100 TB you would write signatures to a table once
-    and share them across runs.
-
-    Shingling is arithmetic over per-token md5 hashes (one md5 per TOKEN,
-    no shingle-string construction — ``spark_shingle_hashes``), and the
-    exact-Jaccard verification runs on the same int shingle-hash sets, so
-    both stages are cheap and bit-identical across engines.
+    ``sh_set`` is the distinct shingle-hash set (feeds exact-Jaccard
+    verification), ``sig`` the n_perm-wide MinHash signature. Row-local map
+    work only — no shuffle. Shingling is arithmetic over per-token md5
+    hashes (one md5 per TOKEN, no shingle-string construction).
     """
-    rows = n_perm // bands
     toks = spark_tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -325,11 +315,27 @@ def minhash_near_dup_pairs(
             f"array_distinct({spark_shingle_hashes('__th', shingle_k)})"
         ).alias("sh_set"),
     )
-    sig = base.select(
+    return base.select(
         "doc_id", "sh_set", F.expr(spark_minhash_sig("sh_set", n_perm)).alias("sig")
     )
-    if persist_signatures:
-        sig = sig.persist()
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding + exact-Jaccard verify over a precomputed signature
+    frame (``minhash_signatures`` output, in-memory or read back from a
+    materialized signature table — ``write_signature_table``).
+
+    Plan shape: explode to ``bands`` rows → shuffle on (band, band_hash) →
+    same-bucket self-join → distinct pairs → verify Jaccard on the
+    joined-back shingle sets. Candidates scale with bucket collisions,
+    never n².
+    """
+    rows = n_perm // bands
     # One transform over the band index instead of `bands` materialized
     # md5 subtrees — same hashes, ~bands× smaller expression tree.
     band_cols = F.expr(
@@ -365,6 +371,99 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return pairs
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.5,
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
+    ``minhash_signatures`` → ``minhash_pairs_from_signatures``.
+
+    The signature stage is persisted by default (standard LSH practice):
+    the plan references it 4× (banded self-join left/right + set join per
+    pair side), and signatures are ~300 B/doc — tiny next to re-shingling
+    the corpus 4×. The persisted handle stays cached for the caller's
+    session (caller-owned lifecycle: call ``spark.catalog.clearCache()`` or
+    unpersist between unrelated pipelines); at 100 TB use
+    ``write_signature_table`` once and band off the table across runs.
+    """
+    sig = minhash_signatures(df, id_col, text_col, shingle_k, n_perm)
+    if persist_signatures:
+        sig = sig.persist()
+    return minhash_pairs_from_signatures(sig, n_perm, bands, threshold)
+
+
+def build_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = N_PERM,
+    simhash_bits: int = 60,
+    fingerprint_ngram: int = 5,
+) -> DataFrame:
+    """One-pass signature extraction for the whole dedup family:
+    ``(doc_id, sh_set, sig, simhash, fingerprint)``.
+
+    This is the "compute once, band many" artifact: MinHash-LSH, SimHash
+    banding and fingerprint dedup all read from the same row, and a
+    columnar store prunes the columns each consumer doesn't touch. All
+    row-local map work — writing it is a scan, not a shuffle.
+    """
+    toks = spark_tokens(text_col)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"transform({toks}, t -> {spark_hash64('t')})").alias("__th"),
+        F.expr(spark_char_codes(text_col)).alias("__cs"),
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct({spark_shingle_hashes('__th', shingle_k)})"
+        ).alias("sh_set"),
+        F.expr(spark_simhash("__th", simhash_bits)).alias("simhash"),
+        F.expr(spark_poly_gram_min("__cs", fingerprint_ngram)).alias("fingerprint"),
+    ).select(
+        "doc_id",
+        "sh_set",
+        F.expr(spark_minhash_sig("sh_set", n_perm)).alias("sig"),
+        "simhash",
+        "fingerprint",
+    )
+
+
+def write_signature_table(
+    sig: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Materialize a signature frame as a doc_id-bucketed, doc_id-sorted
+    table and return the re-read handle.
+
+    This is the 100 TB form of the LSH pipelines' ``persist()``: signatures
+    are computed ONCE (a scan of the corpus), stored ~300 B/doc, and every
+    near-dup / cluster / survivor run afterwards bands off the table
+    without re-shingling. Bucketing by doc_id pre-co-locates the
+    verify-stage join-backs (Spark's bucketed scan joins bucket-to-bucket
+    with no shuffle on the signature side), and sortBy gives row-group
+    locality for id-range reads.
+    """
+    (
+        sig.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+    return sig.sparkSession.table(table_name)
 
 
 def simhash_signatures(
@@ -418,11 +517,19 @@ def simhash_near_dup_pairs(
     default: the self-join references it twice, and without the
     materialization barrier Catalyst collapses the (interpreted
     higher-order) simhash expression into the join, re-evaluating it per
-    CANDIDATE PAIR — measured 48 s → 4 s at sf0.1. At 100 TB you would
-    write signatures to a table once and band off that.
+    CANDIDATE PAIR — measured 48 s → 4 s at sf0.1. The persisted handle is
+    caller-owned (unpersist / ``spark.catalog.clearCache()`` between
+    unrelated pipelines); at 100 TB use ``write_signature_table`` once and
+    band off the table across runs.
     """
     n_bands = bits // band_bits
-    assert n_bands > max_hamming, "need bands > max_hamming for full recall"
+    if n_bands <= max_hamming:
+        # ValueError (not assert): the pigeonhole recall guarantee must
+        # survive `python -O`.
+        raise ValueError(
+            f"bits//band_bits = {n_bands} bands must exceed max_hamming = "
+            f"{max_hamming} for the pigeonhole recall-1.0 guarantee"
+        )
     sigs = simhash_signatures(df, id_col, text_col, bits)
     if persist_signatures:
         sigs = sigs.persist()

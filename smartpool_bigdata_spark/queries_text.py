@@ -403,6 +403,45 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
 
 
+@query(
+    "doc_signature_table_pairs",
+    oracle=_near_dup_oracle(),
+    description="Materialized-signature-table near-dup: build_signature_table "
+    "computes (sh_set, minhash sig, simhash, fingerprint) in ONE corpus "
+    "pass, write_signature_table stores it doc_id-bucketed+sorted, and the "
+    "LSH banding runs off the RE-READ table — the 100 TB 'compute "
+    "signatures once, band many runs' form of doc_near_dup_pairs (whose "
+    "persist() only lives for one session). Same oracle as "
+    "doc_near_dup_pairs: the table round-trip must be lossless. Column "
+    "pruning drops simhash/fingerprint from this consumer's scan.",
+    skip_bench=False,
+)
+def doc_signature_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        minhash_pairs_from_signatures,
+        write_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    stage = tempfile.mkdtemp(prefix="spark_sigtab_")
+    try:
+        sig = build_signature_table(corpus, "doc_id", "text", shingle_k=3)
+        tbl = write_signature_table(
+            sig, "doc_signatures_tbl", os.path.join(stage, "signatures")
+        )
+        pairs = minhash_pairs_from_signatures(tbl, threshold=0.5)
+        return pairs.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_signatures_tbl")
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     toks = T.duck_tokens("text")
     band_selects = "\n        UNION ALL\n".join(
@@ -540,8 +579,8 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           {T.duck_simhash('th')} AS simhash,
-           {T.duck_poly_gram_min('cs', 5)} AS fingerprint
+           CAST({T.duck_simhash('th')} AS BIGINT) AS simhash,
+           CAST({T.duck_poly_gram_min('cs', 5)} AS BIGINT) AS fingerprint
     FROM staged
     """,
     description="Per-document SimHash (32-bit majority-vote over token "

@@ -62,6 +62,53 @@ def normalize_rows(rows: list[dict], cols: list[str]) -> list[str]:
     return sorted(out)
 
 
+def canon_arrow_type(t) -> str:
+    """Canonical type token for an Arrow type (timestamp unit/tz ignored)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return "double" if t.bit_width == 64 else f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+def canon_spark_type(dt) -> str:
+    """Same canonical tokens for a Spark DataType, so the two engines'
+    OUTPUT TYPES can be compared — the driver's value-hash is typed, and
+    round 2's only red row (doc_signatures) was DuckDB widening to
+    HUGEINT/INTEGER where Spark emits BIGINT with equal values. The
+    stringified row compare below can't see that; this can."""
+    from pyspark.sql import types as ST
+
+    if isinstance(dt, ST.ArrayType):
+        return f"array<{canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, ST.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    s = dt.simpleString()
+    return {
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "float": "float32",
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+    }.get(s, s)
+
+
 def assert_matches_oracle(sdf, duck, sql: str) -> None:
     srows = [r.asDict() for r in sdf.collect()]
     scols = sorted(sdf.columns)
@@ -69,6 +116,12 @@ def assert_matches_oracle(sdf, duck, sql: str) -> None:
     drows = table.to_pylist()
     dcols = sorted(table.column_names)
     assert scols == dcols, f"schema mismatch: spark={scols} duck={dcols}"
+    stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    dtypes = {f.name: canon_arrow_type(f.type) for f in table.schema}
+    tmism = {
+        c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]
+    }
+    assert not tmism, f"type mismatch (spark, duck): {tmism}"
     assert len(srows) == len(drows), f"rowcount: spark={len(srows)} duck={len(drows)}"
     sk, dk = normalize_rows(srows, scols), normalize_rows(drows, dcols)
     mism = [(a, b) for a, b in zip(sk, dk) if a != b]
