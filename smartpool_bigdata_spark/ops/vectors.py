@@ -111,6 +111,30 @@ def brute_force_knn(
     )
 
 
+def sample_fixed_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    salt: str = "c",
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample: the k rows with the smallest
+    ``md5(salt || id)``. md5 ordering is uniform and engine-portable
+    (lowercase hex in both Spark and DuckDB), so the same k rows come back
+    at any scale factor and in the DuckDB oracle.
+
+    This is the scale-correct way to pick IVF coarse centroids (or any
+    broadcast-side set) from the corpus itself: the result is O(k) rows —
+    independent of corpus size — so broadcasting it stays O(k·d) at 10⁹
+    vectors, where a ``vec_id % m`` filter would grow O(n) and OOM the
+    executors. Plans as TakeOrderedAndProject: one scan, per-partition
+    top-k, no shuffle of the corpus. (Production IVF would k-means-refine
+    these seeds; the sampling contract — fixed k, deterministic — is the
+    same.)
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.orderBy(key.asc()).limit(k)
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -1,11 +1,27 @@
 """Similarity-search queries over the ``embeddings`` table: exact
 brute-force cosine top-k (the correctness baseline), IVF-style bucketed ANN
-(the scale path), and sign-LSH embedding near-duplicate detection.
+(the scale path), and banded random-hyperplane sign-LSH embedding
+near-duplicate detection.
 
 All UDF-free: dot products are ``zip_with`` + ``aggregate`` folds whose
 sequential order makes the double arithmetic bit-identical to DuckDB's
 ``list_dot_product`` (validated), so every query gets a full value-hash
 oracle — including the ANN variants.
+
+Scale contracts (the 100 TB story):
+
+* Every broadcast side is FIXED-SIZE: centroids and the demo query set are
+  deterministic k-row samples (``sample_fixed_k`` — smallest md5(salt||id)),
+  so the broadcast is O(k·d) at any corpus size. Round 2 used ``vec_id %
+  m`` filters whose size grew O(n) — the textbook non-broadcastable
+  "small" side.
+* Near-dup never does all-pairs: b bands × r random-hyperplane sign bits,
+  one shuffle on (band_idx, band_val); candidates scale with bucket
+  collisions. The hyperplanes are pseudo-random integer weights derived
+  arithmetically from (band, row, dim), and the vector is quantized to
+  int64 (floor(x·10⁶)) first, so the sign sums are exact integer
+  arithmetic — bit-identical across engines and immune to float summation
+  order.
 """
 
 from __future__ import annotations
@@ -18,12 +34,20 @@ from smartpool_bigdata_spark.ops.vectors import (
     as_double_array,
     assign_ivf_buckets,
     brute_force_knn,
+    sample_fixed_k,
     spark_cosine,
     spark_dot,
 )
 from smartpool_bigdata_spark.queries import query, _ts as _t
 
 _DUCK_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+# Fixed sample sizes — independent of corpus size by design (see module
+# docstring). 16 coarse cells keep sf0.01's 500-vector corpus at ~30
+# vectors/bucket; at 10⁹ vectors you'd raise k, but it stays YOUR dial,
+# not a function of n.
+N_CENTROIDS = 16
+N_QUERIES = 8
 
 
 def _duck_cos(a: str, b: str) -> str:
@@ -33,16 +57,28 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
+def _duck_sample(k: int, salt: str) -> str:
+    """DuckDB twin of ops.vectors.sample_fixed_k over the corpus CTE."""
+    return (
+        f"SELECT vec_id, v FROM corpus "
+        f"ORDER BY md5('{salt}' || CAST(vec_id AS VARCHAR)) LIMIT {k}"
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return as_double_array(emb, "embedding", "v").select("vec_id", "v")
 
 
+_DUCK_KNN_PRELUDE = f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM ({_duck_sample(N_QUERIES, 'q')}))
+"""
+
+
 @query(
     "knn_brute_force",
-    oracle=f"""
-    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 100 = 7),
+    oracle=f"""{_DUCK_KNN_PRELUDE},
     sims AS (
         SELECT q.query_id, c.vec_id AS neighbor_id, {_duck_cos('qv', 'v')} AS sim
         FROM corpus c JOIN q ON c.vec_id != q.query_id
@@ -53,14 +89,15 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM sims)
     WHERE rn <= 5
     """,
-    description="Exact cosine top-5 ANN baseline: broadcast the (1%) query "
-    "set against the corpus scan, per-partition window top-k. O(n·q·d) but "
-    "one corpus scan, no corpus shuffle; sims rounded to 4dp before ranking "
-    "with id tie-break so the ranking is ulp-noise-proof.",
+    description="Exact cosine top-5 ANN baseline: broadcast a FIXED-SIZE "
+    "deterministic query sample (8 rows at any corpus size) against the "
+    "corpus scan, per-partition window top-k. O(n·q·d) but one corpus "
+    "scan, no corpus shuffle; sims rounded to 4dp before ranking with id "
+    "tie-break so the ranking is ulp-noise-proof.",
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    qs = corpus.filter(F.col("vec_id") % 100 == 7).select(
+    qs = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
         F.col("vec_id").alias("query_id"), F.col("v")
     )
     return brute_force_knn(corpus, qs, k=5)
@@ -70,7 +107,8 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf",
     oracle=f"""
     WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
-    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM corpus WHERE vec_id % 50 = 3),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
     scored AS (
         SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
         FROM corpus c CROSS JOIN cents t
@@ -82,8 +120,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM scored)
         WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket
-          FROM assigned WHERE vec_id % 100 = 7),
+    qids AS (SELECT vec_id FROM ({_duck_sample(N_QUERIES, 'q')})),
+    q AS (SELECT a.vec_id AS query_id, a.v AS qv, a.bucket
+          FROM assigned a JOIN qids USING (vec_id)),
     sims AS (
         SELECT q.query_id, a.vec_id AS neighbor_id, {_duck_cos('q.qv', 'a.v')} AS sim
         FROM assigned a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.query_id
@@ -95,20 +134,22 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 5
     """,
     description="IVF ANN: corpus assigned once to its max-cosine centroid "
-    "(scan + broadcast, no corpus shuffle), each query probes ONLY its "
+    "(scan + O(k·d) broadcast of a FIXED 16-centroid deterministic sample "
+    "— constant-size at any corpus scale), each query probes ONLY its "
     "centroid's bucket — candidate count drops ~n_centroids×. The bucket "
     "column doubles as the bucketBy key for a pre-partitioned 100 TB layout. "
     "Recall < 1 by construction; knn_brute_force is the recall oracle.",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") % 50 == 3).select(
+    cents = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     assigned = assign_ivf_buckets(corpus, cents).withColumn(
         "__nrm", F.expr(f"sqrt({spark_dot('v', 'v')})")
     )
-    qs = assigned.filter(F.col("vec_id") % 100 == 7).select(
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select("vec_id")
+    qs = assigned.join(F.broadcast(qids), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("__nrm").alias("__qnrm"),
@@ -139,7 +180,8 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf_multiprobe",
     oracle=f"""
     WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
-    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM corpus WHERE vec_id % 50 = 3),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
     scored AS (
         SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
         FROM corpus c CROSS JOIN cents t
@@ -151,11 +193,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM scored)
         WHERE rn = 1
     ),
+    qids AS (SELECT vec_id FROM ({_duck_sample(N_QUERIES, 'q')})),
     qprobe AS (
         SELECT vec_id AS query_id, v AS qv, bucket
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
-              FROM scored WHERE vec_id % 100 = 7)
+        FROM (SELECT s.*, row_number() OVER (
+                  PARTITION BY s.vec_id ORDER BY s.csim DESC, s.bucket ASC) AS rn
+              FROM scored s JOIN qids USING (vec_id))
         WHERE rn <= 2
     ),
     sims AS (
@@ -172,18 +215,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TWO nearest centroids' buckets — the standard recall lever (candidates "
     "x2, still orders of magnitude under brute force). Near-boundary "
     "queries recover neighbors that fell in the adjacent cell; the recall "
-    "test asserts multiprobe recall >= single-probe vs the exact baseline.",
+    "test asserts multiprobe recall >= single-probe vs the exact baseline. "
+    "Broadcasts: fixed 16 centroids + fixed 8 queries — O(k·d) at any n.",
 )
 def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") % 50 == 3).select(
+    cents = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     cents_n = cents.withColumn("__cnrm", F.expr(f"sqrt({spark_dot('cv', 'cv')})"))
     assigned = assign_ivf_buckets(corpus, cents).withColumn(
         "__nrm", F.expr(f"sqrt({spark_dot('v', 'v')})")
     )
-    qs = corpus.filter(F.col("vec_id") % 100 == 7).select(
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select("vec_id")
+    qs = corpus.join(F.broadcast(qids), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     ).withColumn("__qnrm", F.expr(f"sqrt({spark_dot('qv', 'qv')})"))
     qscore = qs.crossJoin(F.broadcast(cents_n)).select(
@@ -218,44 +263,173 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGN_BITS = 16
+# ---------------------------------------------------------------------------
+# Embedding near-dup: banded random-hyperplane sign-LSH (SRP / SimHash for
+# vectors — Charikar STOC'02), replacing round 2's single 16-bit
+# axis-aligned band. b=8 bands × r=16 sign bits each:
+#
+# * A pair at angle θ matches ONE band with p = (1 - θ/π)^16; at cosine
+#   0.99 (θ ≈ 0.1415 rad) that's ≈ 0.478 per band, so P(≥1 of 8 bands) ≈
+#   1 - (1-0.478)^8 ≈ 0.994 — near-full recall at the threshold.
+# * A RANDOM pair (θ ≈ π/2) collides per band with p ≈ 2⁻¹⁶, so expected
+#   per-band bucket size is n/65536 with INDEPENDENT pseudo-random
+#   hyperplanes per band — unlike axis-aligned sign bits, correlated
+#   coordinates can't produce one hot bucket in every band.
+# * Exact duplicates quantize identically → identical band values in all
+#   8 bands → recall 1.0 for planted dups, regardless of the bound above.
+#
+# The hyperplane weights are pseudo-random integers derived from
+# (band, row, dim) — W = (((b·16+r)·1000003 + j·7919) · 2654435761) mod
+# 1000003 − 501001 — and the vector is quantized to int64 (floor(x·10⁶))
+# first, so each sign test is an exact integer dot: no float summation
+# order to disagree on between engines, and |q|·|W|·dim ≈ 10¹⁴ stays far
+# inside int64.
+# ---------------------------------------------------------------------------
+
+LSH_BANDS = 8
+LSH_BITS = 16
+_QSCALE = "1000000D"
 
 
-def _spark_sign_bucket(v: str, bits: int = _SIGN_BITS) -> str:
-    terms = [
-        f"(CASE WHEN element_at({v}, {j + 1}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+def _w_expr(b: str, r: str, j: str) -> str:
+    """Pseudo-random integer hyperplane weight, identical in both dialects."""
+    return (
+        f"((((({b}) * {LSH_BITS} + ({r})) * 1000003 + ({j}) * 7919) "
+        f"* 2654435761) % 1000003 - 501001)"
+    )
 
 
-def _duck_sign_bucket(v: str, bits: int = _SIGN_BITS) -> str:
-    terms = [
-        f"(CASE WHEN {v}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+def _spark_band_vals(q: str) -> str:
+    w = _w_expr("b", "r", "j")
+    return (
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        f"aggregate(sequence(0, {LSH_BITS - 1}), cast(0 as bigint), (acc, r) -> acc + "
+        f"CASE WHEN aggregate(sequence(1, size({q})), cast(0 as bigint), "
+        f"(s, j) -> s + element_at({q}, j) * {w}) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), r) ELSE cast(0 as bigint) END))"
+    )
 
 
-@query(
-    "embedding_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE corpus AS (
+def _duck_band_val(q: str, b: str) -> str:
+    w = _w_expr(b, "r", "j")
+    return (
+        f"list_aggregate(list_transform(range(0, {LSH_BITS}), r -> "
+        f"CASE WHEN list_aggregate(list_transform(range(1, len({q}) + 1), j -> "
+        f"{q}[j] * {w}), 'sum') > 0 "
+        f"THEN (1::BIGINT << r) ELSE 0::BIGINT END), 'sum')"
+    )
+
+
+def _embedding_pairs_cte() -> str:
+    """WITH-body producing the verified near-dup ``pairs`` CTE (shared by
+    the pairs query and the clustering query's oracle)."""
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {b} AS band_idx, "
+        f"{_duck_band_val('q', str(b))} AS band_val FROM quant"
+        for b in range(LSH_BANDS)
+    )
+    return f"""corpus AS (
         SELECT vec_id, {_DUCK_V} AS v FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, {_DUCK_V} AS v FROM embeddings
         WHERE vec_id % 10 = 1
     ),
-    bucketed AS (
-        SELECT vec_id, v, {_duck_sign_bucket('v')} AS bucket FROM corpus
+    quant AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        FROM corpus
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.vec_id < r.vec_id
     ),
     pairs AS (
-        SELECT l.vec_id AS a, r.vec_id AS b
-        FROM bucketed l JOIN bucketed r
-          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        WHERE {_duck_cos('l.v', 'r.v')} >= 0.99
-    ),
+        SELECT c.vec_a, c.vec_b, {_duck_cos('a.v', 'b.v')} AS sim
+        FROM cand c
+        JOIN corpus a ON a.vec_id = c.vec_a
+        JOIN corpus b ON b.vec_id = c.vec_b
+        WHERE {_duck_cos('a.v', 'b.v')} >= 0.99
+    )"""
+
+
+def _embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    full = corpus.union(planted)
+    quant = full.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> cast(floor(x * {_QSCALE}) as bigint))").alias("__q"),
+    )
+    # persist: the banded frame is referenced twice by the self-join, and
+    # without the materialization barrier Catalyst collapses the
+    # (interpreted higher-order) band expression into the join, re-deriving
+    # 8×16 sign sums per CANDIDATE instead of per row (same class as the
+    # simhash 48s→4s fix).
+    sigs = quant.select(
+        "vec_id", F.expr(_spark_band_vals("__q")).alias("__bands")
+    ).persist()
+    banded = sigs.select(
+        "vec_id", F.posexplode("__bands").alias("band_idx", "band_val")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = full.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = full.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round({spark_cosine('va', 'vb')}, 4)").alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_embedding_pairs_cte()}
+    SELECT vec_a, vec_b, sim FROM pairs
+    """,
+    description="Embedding-cosine near-dup via banded random-hyperplane "
+    "sign-LSH: 8 bands × 16 pseudo-random-hyperplane sign bits over the "
+    "int64-quantized vector, one shuffle on (band_idx, band_val), "
+    "same-bucket pairs verified at cosine >= 0.99, on corpus ∪ planted "
+    "duplicates. Per-band collision p≈2^-16 for random pairs with "
+    "INDEPENDENT planes per band (no hot axis-aligned buckets); recall "
+    "≈0.994 at the 0.99 threshold and exactly 1.0 for identical vectors.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_near_dup_pairs(spark, sf_dir)
+
+
+@query(
+    "embedding_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_embedding_pairs_cte()},
     edges AS (
-        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM pairs
     ),
     reach(node, r) AS (
         SELECT DISTINCT a AS node, a AS r FROM edges
@@ -268,86 +442,17 @@ def _duck_sign_bucket(v: str, bits: int = _SIGN_BITS) -> str:
     SELECT component, count(*) AS cluster_size
     FROM comp GROUP BY component
     """,
-    description="Embedding near-duplicate CLUSTERING: sign-LSH candidate "
-    "pairs (cosine >= 0.99) -> iterative connected components (HashMin "
-    "label propagation) -> cluster sizes. The same pairs-to-keep-list "
-    "step as doc_dup_clusters, over the vector modality. Oracle: DuckDB "
-    "RECURSIVE CTE reachability closure — a full value-hash check of an "
-    "iterative distributed algorithm on embeddings.",
+    description="Embedding near-duplicate CLUSTERING: banded "
+    "random-hyperplane sign-LSH pairs (cosine >= 0.99) -> iterative "
+    "connected components (HashMin label propagation) -> cluster sizes. "
+    "The same pairs-to-keep-list step as doc_dup_clusters, over the vector "
+    "modality. Oracle: DuckDB RECURSIVE CTE reachability closure — a full "
+    "value-hash check of an iterative distributed algorithm on embeddings.",
     skip_bench=True,  # the pair stage is benched as embedding_near_dup
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    corpus = _corpus(spark, sf_dir)
-    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
-    )
-    bucketed = corpus.union(planted).withColumn(
-        "bucket", F.expr(_spark_sign_bucket("v"))
-    )
-    left = bucketed.alias("l")
-    right = bucketed.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.expr(f"round({spark_cosine('l.v', 'r.v')}, 4)").alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.99)
-    )
+    pairs = _embedding_near_dup_pairs(spark, sf_dir)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-
-
-@query(
-    "embedding_near_dup",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, {_DUCK_V} AS v FROM embeddings
-        WHERE vec_id % 10 = 1
-    ),
-    bucketed AS (
-        SELECT vec_id, v, {_duck_sign_bucket('v')} AS bucket FROM corpus
-    )
-    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {_duck_cos('l.v', 'r.v')} AS sim
-    FROM bucketed l JOIN bucketed r
-      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE {_duck_cos('l.v', 'r.v')} >= 0.99
-    """,
-    description="Embedding-cosine near-dup via sign-LSH (first-16-dims sign "
-    "quantization buckets — an SRP sketch with axis-aligned planes): "
-    "same-bucket pairs only, cosine >= 0.99, on corpus ∪ planted duplicates. "
-    "Never all-pairs; identical vectors always share a bucket (recall 1.0 "
-    "for exact dups), random pairs collide with p≈2^-16.",
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
-    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
-    )
-    bucketed = corpus.union(planted).withColumn(
-        "bucket", F.expr(_spark_sign_bucket("v"))
-    )
-    left = bucketed.alias("l")
-    right = bucketed.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.expr(f"round({spark_cosine('l.v', 'r.v')}, 4)").alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.99)
-    )

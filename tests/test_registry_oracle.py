@@ -29,3 +29,31 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_gate_window_pinned():
+    """The driver records correctness rows for exactly the FIRST 50
+    registry entries in iteration order. Pin that set: a refactor that
+    reorders registration (round 2 silently pushed embedding_near_dup and
+    all of §2.7 out of the window) must fail HERE, not at the gate."""
+    from smartpool_bigdata_spark.queries import GATE_PRIORITY
+
+    names = list(REGISTRY)
+    assert len(GATE_PRIORITY) == 50
+    assert names[: len(GATE_PRIORITY)] == GATE_PRIORITY
+    # every streaming/ingest/medallion query — round 2's invisible set —
+    # must sit inside the window
+    gated = set(GATE_PRIORITY)
+    for must in (
+        "stream_event_hourly_window",
+        "stream_dedup_events",
+        "stream_user_sessions",
+        "stream_static_segment_counts",
+        "csv_landing_daily_stats",
+        "incremental_keyset_roundtrip",
+        "medallion_gold_daily",
+        "embedding_near_dup",
+        "doc_signatures",
+        "doc_signature_table_pairs",
+    ):
+        assert must in gated, f"{must} fell outside the 50-row gate window"

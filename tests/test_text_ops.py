@@ -172,3 +172,65 @@ def test_chunk_packing_invariants(spark):
         by_doc.setdefault(p["doc_id"], []).append(p["pack_id"])
     for doc_id, ids in by_doc.items():
         assert sorted(ids) == list(range(len(ids))), doc_id
+
+
+def test_signature_table_roundtrip_equals_inline(spark, docs, tmp_path):
+    """write_signature_table → read back → band must yield EXACTLY the
+    pairs the inline (persist-based) pipeline yields — the table is a
+    lossless materialization of the LSH state, not an approximation."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        minhash_pairs_from_signatures,
+        write_signature_table,
+    )
+
+    inline = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.4).collect()
+    )
+    sig = build_signature_table(docs, "doc_id", "text")
+    tbl = write_signature_table(
+        sig, "sigtab_test", str(tmp_path / "sigs"), buckets=4
+    )
+    try:
+        from_table = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_pairs_from_signatures(tbl, threshold=0.4).collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigtab_test")
+    assert from_table == inline
+    # the table carries the whole dedup family's state in one row
+    assert set(tbl.columns) == {"doc_id", "sh_set", "sig", "simhash", "fingerprint"}
+
+
+def test_signature_table_scan_is_bucketed(spark, docs, tmp_path):
+    """The materialized table must come back as a BUCKETED scan (doc_id
+    bucket pruning / shuffle-free id joins are the point of writing it)."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        write_signature_table,
+    )
+
+    sig = build_signature_table(docs, "doc_id", "text")
+    tbl = write_signature_table(
+        sig, "sigtab_plan_test", str(tmp_path / "sigs2"), buckets=4
+    )
+    try:
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED sigtab_plan_test").collect()
+        }
+        assert "Num Buckets" in desc and "4" in desc["Num Buckets"]
+        assert "doc_id" in desc.get("Bucket Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sigtab_plan_test")
+
+
+def test_simhash_band_invariant_raises_not_asserts(docs):
+    """The bands > max_hamming recall invariant must survive python -O:
+    ValueError, not assert."""
+    from smartpool_bigdata_spark.ops.text import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, band_bits=30, max_hamming=3)

@@ -147,3 +147,43 @@ def test_ivf_partitioned_layout_prunes(spark, tmp_path):
     n_buckets = assigned.select("bucket").distinct().count()
     assert n_buckets > 1
     assert probe.count() == assigned.filter("bucket = 3").count()
+
+
+def test_sample_fixed_k_is_constant_size_and_deterministic(spark):
+    """Centroid/query samples must be k rows at ANY corpus size (the
+    broadcast-side contract) and identical across runs and partitionings."""
+    from smartpool_bigdata_spark.ops.vectors import as_double_array, sample_fixed_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    s1 = sorted(r["vec_id"] for r in sample_fixed_k(corpus, 16, salt="c").collect())
+    s2 = sorted(
+        r["vec_id"]
+        for r in sample_fixed_k(corpus.repartition(7), 16, salt="c").collect()
+    )
+    assert len(s1) == 16 and s1 == s2
+    # different salt -> different (query vs centroid) sample
+    sq = sorted(r["vec_id"] for r in sample_fixed_k(corpus, 16, salt="q").collect())
+    assert sq != s1
+    # plans as a global top-k, not a full sort/shuffle of the corpus
+    plan = sample_fixed_k(corpus, 16, salt="c")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_lsh_recall_of_planted_duplicates(spark):
+    """Banded random-hyperplane LSH must find EVERY planted exact
+    duplicate (identical vectors quantize identically in all bands) and
+    nothing with cosine < 0.99."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    rows = REGISTRY["embedding_near_dup"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["sim"] for r in rows}
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted_ids = [
+        r["vec_id"] for r in emb.filter("vec_id % 10 = 1").select("vec_id").collect()
+    ]
+    for vid in planted_ids:
+        assert pairs.get((vid, vid + 1_000_000)) == 1.0, f"lost planted dup {vid}"
+    assert all(s >= 0.99 for s in pairs.values())
