@@ -51,6 +51,7 @@ def main() -> int:
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in headline:
         q = REGISTRY[name]
         # Per-query time = min of 2 consecutive materializations
@@ -61,15 +62,23 @@ def main() -> int:
         # planning is still included; only JIT/compile warm-up and
         # transient scheduler noise are excluded.
         best = None
-        for _ in range(2):
+        first = None
+        for i in range(2):
             df = q.build(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
+            if i == 0:
+                first = elapsed
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        first_run[name] = round(first, 3)
 
     total = round(sum(timings.values()), 3)
+    # Headline "value"/"queries" stay min-of-2 steady-state (the r2
+    # methodology — PERF.md); "queries_first_run" keeps the cold numbers
+    # alongside so cross-round trajectories stay apples-to-apples however
+    # earlier rounds measured.
     print(
         json.dumps(
             {
@@ -77,6 +86,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": first_run,
+                "value_first_run": round(sum(first_run.values()), 3),
                 "sf": sf,
             }
         )

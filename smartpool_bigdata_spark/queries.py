@@ -368,20 +368,28 @@ def peak_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
     """,
     description="Left equi-join dim→fact + per-key aggregate (J1/J2/A2) — "
-    "mirrors daily agg ⟕ pools dim (notebooks/04_gold_smartpool.ipynb:276-286).",
+    "mirrors daily agg ⟕ pools dim (notebooks/04_gold_smartpool.ipynb:276-286). "
+    "Plan: orders are PRE-AGGREGATED by o_custkey before the join, so the "
+    "join input is |customers| + |custkeys| rows instead of shuffling the "
+    "full fact table through a join then re-grouping — at 100 TB the fact "
+    "side collapses map-side (partial agg) before its one shuffle, and the "
+    "join carries 2 small columns per key.",
 )
 def customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").alias("c")
-    orders = _t(spark, sf_dir, "orders").alias("o")
-    return (
-        cust.join(orders, F.col("c.c_custkey") == F.col("o.o_custkey"), "left")
-        .groupBy("c.c_custkey", "c.c_name", "c.c_mktsegment")
-        .agg(
-            F.count("o.o_orderkey").alias("order_cnt"),
-            F.coalesce(stable_sum("o.o_totalprice", 2), F.lit(0.0)).alias(
-                "total_spent"
-            ),
-        )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__cnt"),
+        stable_sum("o_totalprice", 2).alias("__spent"),
+    )
+    return cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce(F.col("__cnt"), F.lit(0).cast("bigint")).alias("order_cnt"),
+        F.coalesce(F.col("__spent"), F.lit(0.0)).alias("total_spent"),
     )
 
 

@@ -75,4 +75,7 @@ def test_spread_repartition_keeps_filter_pushdown(spark):
     )
     assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # assert the predicate reached the scan without coupling to the exact
+    # plan-string layout (which shifts across Spark versions)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("EqualTo(lang,en)" in ln for ln in pushed), plan

@@ -260,3 +260,130 @@ def test_scale_conf_sizing():
     # small job: floors at cores x 3
     small = scale_conf(total_cores=8, input_bytes=10**9)
     assert int(small["spark.sql.shuffle.partitions"]) == 24
+
+
+def test_incremental_keyset_adversarial_ties_property(spark, tmp_path):
+    """Property (hypothesis): cumulative source snapshots cut at ARBITRARY
+    batch boundaries — including boundaries INSIDE a run of equal-µs
+    timestamps — land every row exactly once. This is the main.tex:150 bug
+    class: equal-timestamp/higher-pk rows straddling a batch boundary were
+    lost (watermark parsed lossily) or doubled (ts-only predicate)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = dt.datetime.fromisoformat("2024-03-01 10:00:00.000001")
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        # 8 rows drawn from a 3-µs-value pool → guaranteed heavy ts ties;
+        # two cut points can land inside a tie run
+        ts_idx=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+        cuts=st.tuples(st.integers(1, 7), st.integers(1, 7)),
+        tag=st.integers(0, 10**6),
+    )
+    def prop(ts_idx, cuts, tag):
+        # keyset order = (ts, pk): assign pks in sorted-ts order so the
+        # source is append-ordered by keyset, as the protocol contracts
+        keys = sorted(
+            (base + dt.timedelta(microseconds=i), pk)
+            for pk, i in enumerate(ts_idx)
+        )
+        rows = [(idx, ts, f"v{idx}") for idx, (ts, _) in enumerate(keys)]
+        lo, hi = sorted(set(cuts)) if len(set(cuts)) == 2 else (cuts[0], 8)
+        batches = [rows[:lo], rows[:hi], rows]
+        store = WatermarkStore(spark, str(tmp_path / f"p{tag}"))
+        bronze = str(tmp_path / f"p{tag}" / "bronze")
+
+        def sink(df):
+            df.write.mode("append").parquet(bronze)
+
+        for batch in batches:
+            if batch:
+                incremental_ingest(
+                    _mk(spark, batch), store, "t", "updated_at", sink, pk_col="pk"
+                )
+        landed = spark.read.parquet(bronze).collect()
+        assert sorted(r["pk"] for r in landed) == list(range(8)), (
+            f"exactly-once violated for ts_idx={ts_idx} cuts={batches and (lo, hi)}"
+        )
+
+    prop()
+
+
+def test_incremental_crash_between_write_and_watermark_retries(spark, tmp_path):
+    """Crash AFTER the bronze write but BEFORE the watermark advance (the
+    ordering the protocol mandates): the retry must re-land the delta
+    (at-least-once — no silent skip), and a pk-dedupe downstream restores
+    exactly-once. The reverse ordering would lose the batch forever."""
+    store = WatermarkStore(spark, str(tmp_path))
+    bronze = str(tmp_path / "bronze")
+
+    rows = [
+        (1, _ts("2024-03-01 10:00:00.000001"), "a"),
+        (2, _ts("2024-03-01 10:00:00.000001"), "b"),
+    ]
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_sink(df):
+        df.write.mode("append").parquet(bronze)
+        raise Boom("crash between land and watermark advance")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        incremental_ingest(
+            _mk(spark, rows), store, "t", "updated_at", crashing_sink, pk_col="pk"
+        )
+    # watermark untouched -> the batch is NOT considered ingested
+    assert store.read_keyset("t") is None
+
+    def sink(df):
+        df.write.mode("append").parquet(bronze)
+
+    assert incremental_ingest(
+        _mk(spark, rows), store, "t", "updated_at", sink, pk_col="pk"
+    )
+    landed = spark.read.parquet(bronze)
+    assert landed.count() == 4  # at-least-once: the crashed write remains
+    deduped = landed.dropDuplicates(["pk"])
+    assert sorted(r["pk"] for r in deduped.collect()) == [1, 2]
+    assert store.read_keyset("t") == ("2024-03-01 10:00:00.000001", 2)
+
+
+def test_real_delta_merge(spark, tmp_path):
+    """Runs ONLY when delta-spark is importable (absent from this sandbox —
+    see SCALE.md §7): real DeltaTable.merge with the same assertions as
+    test_merge_upsert, proving the parquet analog is a drop-in twin."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("delta") is None:
+        _pytest.skip("delta-spark not on the classpath (SCALE.md §7 probe)")
+
+    from delta.tables import DeltaTable  # noqa: PLC0415
+
+    path = str(tmp_path / "delta_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["pk", "val", "amt"]
+    )
+    base.write.format("delta").save(path)
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], ["pk", "val", "amt"]
+    )
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(src.alias("s"), "t.pk = s.pk")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    rows = {r["pk"]: r["val"] for r in spark.read.format("delta").load(path).collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
