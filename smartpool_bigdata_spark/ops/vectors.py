@@ -111,6 +111,75 @@ def brute_force_knn(
     )
 
 
+# Banded random-hyperplane sign-LSH geometry (shared by the DataFrame op
+# below and the dual-dialect expression generators in queries_vectors).
+LSH_BANDS = 8
+LSH_BITS = 16
+LSH_QSCALE = 1_000_000
+
+
+def lsh_band_weights(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS):
+    """(bands·bits) × d int64 matrix of pseudo-random hyperplane weights:
+    W[h][j-1] = ((m² mod p) · 2654435761) mod p − 501001 with
+    m = h·131071 + j, p = 1000003, h = band·bits + row, 1-based j —
+    EXACTLY the arithmetic the SQL expression twins emit
+    (queries_vectors._w_expr), so signatures agree bit-for-bit. The
+    quadratic mix matters: one affine mix followed by multiply-mod is
+    separable into f(h)+g(j) mod p (degenerate, correlated planes); m²'s
+    cross term decorrelates the planes."""
+    import numpy as np
+
+    h = np.arange(bands * bits, dtype=np.int64)
+    j = np.arange(1, d + 1, dtype=np.int64)
+    m = h[:, None] * 131071 + j[None, :]
+    return ((m * m) % 1000003 * 2654435761) % 1000003 - 501001
+
+
+def lsh_band_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Per-vector band values for banded random-hyperplane sign-LSH:
+    ``(id, bands: array<long>)`` with ``bands[b] = Σ_r sign_bit(b,r)·2^r``.
+
+    The vector is quantized to int64 (floor(x·10⁶)) and the bands·bits
+    sign tests are ONE int64 matrix multiply per Arrow batch — exact
+    integer arithmetic, so the result is bit-identical to the interpreted
+    SQL-expression formulation (pinned by a parity test) while running
+    ~100× faster: 8×16 hyperplanes × d dims as interpreted Catalyst
+    lambdas cost ~µs/row; the vectorized matmul costs ~ns/row. This is the
+    Arrow-batched-Python-beats-interpreted-JVM case, same as multimodal.
+
+    Scale: row-local map work (no shuffle); the weight matrix is built
+    once per executor from (bands, bits, d) — nothing is broadcast.
+    """
+    schema = f"{id_col} long, bands array<long>"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            if W is None:
+                W = lsh_band_weights(V.shape[1], bands, bits)
+            Q = np.floor(V * float(LSH_QSCALE)).astype(np.int64)
+            S = Q @ W.T  # n × (bands·bits), exact int64
+            B = (S > 0).astype(np.int64).reshape(len(pdf), bands, bits)
+            vals = (B << np.arange(bits, dtype=np.int64)[None, None, :]).sum(axis=2)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "bands": list(vals)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def sample_fixed_k(
     df: DataFrame,
     k: int,

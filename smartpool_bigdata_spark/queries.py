@@ -1022,14 +1022,6 @@ def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Register the document-pipeline and similarity-search query families into
-# the same REGISTRY (import side effect; kept at the bottom so the decorator
-# and helpers above are defined).
-from smartpool_bigdata_spark import queries_text as _queries_text  # noqa: E402,F401
-from smartpool_bigdata_spark import queries_vectors as _queries_vectors  # noqa: E402,F401
-from smartpool_bigdata_spark import queries_streaming as _queries_streaming  # noqa: E402,F401
-from smartpool_bigdata_spark import queries_ingest as _queries_ingest  # noqa: E402,F401
-
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
@@ -1103,13 +1095,33 @@ GATE_PRIORITY: list[str] = [
 
 
 def _apply_gate_priority() -> None:
-    missing = [n for n in GATE_PRIORITY if n not in REGISTRY]
-    if missing:
-        raise RuntimeError(f"GATE_PRIORITY names unknown queries: {missing}")
+    """Reorder REGISTRY so GATE_PRIORITY comes first.
+
+    No-op while any prioritized query is still unregistered: importing a
+    family submodule directly (e.g. ``import queries_vectors``) re-enters
+    this module circularly BEFORE that family's decorators have run, so
+    each family module re-invokes this from its own tail — the last one
+    to finish registering applies the order. A wrong name in
+    GATE_PRIORITY would leave the order unapplied; the
+    ``test_gate_window_pinned`` test asserts the final first-50 order, so
+    that failure mode is loud."""
+    if any(n not in REGISTRY for n in GATE_PRIORITY):
+        return
     ordered = {n: REGISTRY[n] for n in GATE_PRIORITY}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
+
+_apply_gate_priority()
+
+
+# Register the document-pipeline and similarity-search query families into
+# the same REGISTRY (import side effect; kept at the bottom so the decorator
+# and helpers above are defined).
+from smartpool_bigdata_spark import queries_text as _queries_text  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_vectors as _queries_vectors  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_streaming as _queries_streaming  # noqa: E402,F401
+from smartpool_bigdata_spark import queries_ingest as _queries_ingest  # noqa: E402,F401
 
 _apply_gate_priority()

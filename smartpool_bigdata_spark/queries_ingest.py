@@ -206,3 +206,11 @@ def medallion_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = gold.localCheckpoint(eager=True)
     shutil.rmtree(stage, ignore_errors=True)
     return rows
+
+
+# Re-apply the gate-priority order now this family is fully registered —
+# covers direct imports of this module, which enter queries.py circularly
+# before these decorators have run (see queries._apply_gate_priority).
+from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
+
+__reorder()

@@ -236,3 +236,11 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Re-apply the gate-priority order now this family is fully registered —
+# covers direct imports of this module, which enter queries.py circularly
+# before these decorators have run (see queries._apply_gate_priority).
+from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
+
+__reorder()

@@ -278,25 +278,36 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # * Exact duplicates quantize identically → identical band values in all
 #   8 bands → recall 1.0 for planted dups, regardless of the bound above.
 #
-# The hyperplane weights are pseudo-random integers derived from
-# (band, row, dim) — W = (((b·16+r)·1000003 + j·7919) · 2654435761) mod
-# 1000003 − 501001 — and the vector is quantized to int64 (floor(x·10⁶))
-# first, so each sign test is an exact integer dot: no float summation
-# order to disagree on between engines, and |q|·|W|·dim ≈ 10¹⁴ stays far
-# inside int64.
+# The hyperplane weights are pseudo-random integers derived from the
+# (band·bits+row, dim) index pair via a QUADRATIC mix (see _w_expr for
+# why affine mixes degenerate), and the vector is quantized to int64
+# (floor(x·10⁶)) first, so each sign test is an exact integer dot: no
+# float summation order to disagree on between engines, and
+# |q|·|W|·dim ≈ 10¹⁴ stays far inside int64.
 # ---------------------------------------------------------------------------
 
-LSH_BANDS = 8
-LSH_BITS = 16
-_QSCALE = "1000000D"
+from smartpool_bigdata_spark.ops.vectors import (  # noqa: E402
+    LSH_BANDS,
+    LSH_BITS,
+    LSH_QSCALE,
+    lsh_band_signatures,
+)
+
+_QSCALE = f"{LSH_QSCALE}D"
 
 
 def _w_expr(b: str, r: str, j: str) -> str:
-    """Pseudo-random integer hyperplane weight, identical in both dialects."""
-    return (
-        f"((((({b}) * {LSH_BITS} + ({r})) * 1000003 + ({j}) * 7919) "
-        f"* 2654435761) % 1000003 - 501001)"
-    )
+    """Pseudo-random integer hyperplane weight, identical in both dialects.
+
+    The (plane, dim) index is mixed QUADRATICALLY before the multiply-mod:
+    any affine mix ((αh + βj)·M) mod p is separable into f(h)+g(j) mod p —
+    with stride p it even cancels h entirely, which made every plane
+    identical (two buckets per band, ~n²/4 candidates; caught by the
+    bucket-spread test below). m² injects the h·j cross term, so planes
+    decorrelate. |W| ≤ 501001, m² ≤ 2.8e14 — all exact in int64.
+    """
+    m = f"CAST((({b}) * {LSH_BITS} + ({r})) * 131071 + ({j}) AS BIGINT)"
+    return f"((((({m}) * ({m})) % 1000003) * 2654435761) % 1000003 - 501001)"
 
 
 def _spark_band_vals(q: str) -> str:
@@ -363,20 +374,15 @@ def _embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
     )
     full = corpus.union(planted)
-    quant = full.select(
-        "vec_id",
-        F.expr(f"transform(v, x -> cast(floor(x * {_QSCALE}) as bigint))").alias("__q"),
-    )
-    # persist: the banded frame is referenced twice by the self-join, and
-    # without the materialization barrier Catalyst collapses the
-    # (interpreted higher-order) band expression into the join, re-deriving
-    # 8×16 sign sums per CANDIDATE instead of per row (same class as the
-    # simhash 48s→4s fix).
-    sigs = quant.select(
-        "vec_id", F.expr(_spark_band_vals("__q")).alias("__bands")
-    ).persist()
+    # Band signatures via the vectorized int64-matmul op (bit-identical to
+    # the _spark_band_vals expression form — parity-pinned in
+    # tests/test_vector_ops.py — and ~100× faster than interpreting 8×16
+    # sign sums per row as Catalyst lambdas). persist: the banded frame is
+    # referenced twice by the self-join; the barrier also keeps the Python
+    # stage from running once per join side.
+    sigs = lsh_band_signatures(full, "vec_id", "v").persist()
     banded = sigs.select(
-        "vec_id", F.posexplode("__bands").alias("band_idx", "band_val")
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -456,3 +462,11 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _embedding_near_dup_pairs(spark, sf_dir)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+# Re-apply the gate-priority order now this family is fully registered —
+# covers direct imports of this module, which enter queries.py circularly
+# before these decorators have run (see queries._apply_gate_priority).
+from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
+
+__reorder()

@@ -187,3 +187,59 @@ def test_embedding_lsh_recall_of_planted_duplicates(spark):
     for vid in planted_ids:
         assert pairs.get((vid, vid + 1_000_000)) == 1.0, f"lost planted dup {vid}"
     assert all(s >= 0.99 for s in pairs.values())
+
+
+def test_lsh_matmul_matches_expression_form(spark):
+    """The vectorized int64-matmul band signatures must be BIT-IDENTICAL
+    to the interpreted SQL-expression formulation (the DuckDB oracle's
+    algebra) — integer arithmetic end-to-end, so exact equality, not
+    tolerance."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.ops.vectors import as_double_array, lsh_band_signatures
+    from smartpool_bigdata_spark.queries_vectors import _QSCALE, _spark_band_vals
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    fast = {
+        r["vec_id"]: list(r["bands"])
+        for r in lsh_band_signatures(corpus, "vec_id", "v").collect()
+    }
+    quant = corpus.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> cast(floor(x * {_QSCALE}) as bigint))").alias("__q"),
+    )
+    slow = {
+        r["vec_id"]: list(r["b"])
+        for r in quant.select(
+            "vec_id", F.expr(_spark_band_vals("__q")).alias("b")
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_lsh_hyperplanes_are_not_degenerate(spark):
+    """Regression for the affine-mix weight bug: with W separable in
+    (plane, dim) — e.g. a stride equal to the modulus — every plane is the
+    SAME hyperplane, each band collapses to 2 buckets and the candidate
+    join goes quadratic (~n²/4). Assert planes are distinct and buckets
+    spread: max bucket far below n/2, and per-plane sign bits balanced."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        lsh_band_signatures,
+        lsh_band_weights,
+    )
+
+    W = lsh_band_weights(64)
+    assert len({tuple(row) for row in W.tolist()}) == len(W)  # distinct planes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    sigs = lsh_band_signatures(corpus, "vec_id", "v").collect()
+    n = len(sigs)
+    vals = np.array([r["bands"] for r in sigs])  # n × bands
+    for b in range(vals.shape[1]):
+        _, cnt = np.unique(vals[:, b], return_counts=True)
+        assert cnt.max() < n / 8, f"band {b}: hot bucket of {cnt.max()}/{n}"
