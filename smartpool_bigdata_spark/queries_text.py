@@ -871,6 +871,79 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _char_jaccard_oracle(gram: int = 4, threshold: float = 0.6) -> str:
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"{T.duck_band_hash('sig', b)} AS band_hash FROM sig"
+        for b in range(T.BANDS)
+    )
+    return f"""
+    WITH corpus AS ({_near_dup_corpus_duck()}),
+    cs AS (
+        SELECT doc_id, {T.duck_char_codes('text')} AS cs FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct({T.duck_shingle_hashes('cs', gram)}) AS sh_set
+        FROM cs
+    ),
+    sig AS (
+        SELECT doc_id, sh_set, {T.duck_minhash_sig('sh_set')} AS sig FROM base
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                 / (len(a.sh_set) + len(b.sh_set)
+                    - len(list_intersect(a.sh_set, b.sh_set))), 4) AS jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.doc_a
+    JOIN sig b ON b.doc_id = cand.doc_b
+    WHERE round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                / (len(a.sh_set) + len(b.sh_set)
+                   - len(list_intersect(a.sh_set, b.sh_set))), 4) >= {threshold}
+    """
+
+
+@query(
+    "doc_char_jaccard_pairs",
+    oracle=_char_jaccard_oracle(),
+    description="Character-n-gram Jaccard near-dup (the tokenization-"
+    "independent tier of the dedup family): MinHash-LSH over polynomial "
+    "char-4-gram hashes with exact char-gram Jaccard verification — "
+    "catches near-dups that word-shingle pipelines miss when whitespace/"
+    "punctuation drifts. Same banded plan shape as doc_near_dup_pairs "
+    "(one shuffle on (band, band_hash), never all-pairs); char-gram sets "
+    "are denser than word-shingle sets, so the verify threshold is "
+    "higher (0.6).",
+    skip_bench=True,  # same plan family as doc_near_dup_pairs, denser sets
+)
+def doc_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import minhash_pairs_from_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    base = corpus.select(
+        "doc_id", F.expr(T.spark_char_codes("text")).alias("__cs")
+    ).select(
+        "doc_id",
+        F.expr(f"array_distinct({T.spark_shingle_hashes('__cs', 4)})").alias(
+            "sh_set"
+        ),
+    )
+    sig = base.select(
+        "doc_id", "sh_set", F.expr(T.spark_minhash_sig("sh_set")).alias("sig")
+    ).persist()
+    return minhash_pairs_from_signatures(sig, threshold=0.6)
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

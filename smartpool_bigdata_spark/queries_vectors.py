@@ -464,6 +464,62 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 
+@query(
+    "embedding_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_embedding_pairs_cte()},
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    ),
+    dropped AS (
+        SELECT node FROM comp WHERE node != component
+    )
+    SELECT CASE WHEN c.vec_id >= 1000000 THEN 'planted' ELSE 'original' END AS origin,
+           count(*) AS n_survivors
+    FROM corpus c
+    WHERE c.vec_id NOT IN (SELECT node FROM dropped)
+    GROUP BY 1
+    """,
+    description="End-to-end embedding dedup: banded sign-LSH pairs -> "
+    "connected components -> drop every clustered vector except its "
+    "cluster's minimum id -> surviving corpus counts by origin. Every "
+    "planted duplicate clusters with its original (exact copies share all "
+    "bands), so survivors = originals only — the keep-one-representative "
+    "step a multimodal training-data pipeline ships, mirroring "
+    "doc_dedup_survivors on the vector modality.",
+    skip_bench=True,
+)
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    full = corpus.union(planted)
+    pairs = _embedding_near_dup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    survivors = full.join(F.broadcast(dropped), "vec_id", "left_anti")
+    return survivors.groupBy(
+        F.when(F.col("vec_id") >= 1_000_000, "planted")
+        .otherwise("original")
+        .alias("origin")
+    ).agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
