@@ -73,6 +73,10 @@ def main() -> int:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         first_run[name] = round(first, 3)
+        # LSH/signature queries persist() their signature stage; each
+        # build creates a fresh frame, so without this the cache grows by
+        # every run's signatures for the life of the session.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # Headline "value"/"queries" stay min-of-2 steady-state (the r2
