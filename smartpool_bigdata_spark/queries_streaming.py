@@ -241,6 +241,66 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
+@query(
+    "stream_merge_upsert_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    description="REAL streaming MERGE (T4/T6 + S13 composed): the silver "
+    "table is pre-seeded with STALE rows (half the events, value "
+    "poisoned to -1), then the fresh events stream in across ~4 "
+    "micro-batches (maxFilesPerTrigger rate limiting) through "
+    "foreachBatch + merge_upsert on event_id, Trigger.AvailableNow. The "
+    "oracle is plain SQL over the ORIGINAL rows, so green proves every "
+    "stale row was overwritten, every fresh row landed exactly once, and "
+    "batch-boundary re-merges stayed idempotent — the "
+    "continuously-maintained-Silver pattern of the reference's job 07, "
+    "upgraded from append to upsert.",
+    skip_bench=True,  # staging + stream startup dominates
+)
+def stream_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+    from smartpool_bigdata_spark.streaming.runner import start_foreach_batch_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_stream_merge_")
+    src = os.path.join(stage, "src")
+    silver = os.path.join(stage, "silver")
+    ckpt = os.path.join(stage, "ckpt")
+    # 8 source files + maxFilesPerTrigger=2 → ~4 micro-batches
+    ev.repartition(8).write.parquet(src)
+    stale = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.lit(-1.0)
+    )
+    merge_upsert(spark, silver, stale, keys=["event_id"])
+
+    stream = file_stream(spark, src, ev.schema, max_files_per_trigger=2)
+    q = start_foreach_batch_upsert(
+        stream,
+        target_path=silver,
+        keys=["event_id"],
+        checkpoint=ckpt,
+        trigger={"availableNow": True},
+        query_name="silver_merge",
+    )
+    try:
+        if not q.awaitTermination(180):
+            q.stop()
+        landed = spark.read.parquet(silver)
+        out = landed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
