@@ -180,6 +180,55 @@ def lsh_band_signatures(
     return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+    scale: int = 6,
+) -> DataFrame:
+    """Lloyd-refine IVF seed centroids: assign → per-bucket element-wise
+    mean, ``iters`` times. Returns the refined ``(centroid_id, cv)`` frame
+    (ids are the previous iteration's bucket ids; empty buckets drop).
+
+    Deterministic across engines/partitionings: the per-dimension mean is
+    a decimal-stable aggregate (``stable_avg``) rounded to ``scale``, so
+    the refined centroids — and everything downstream of them — carry a
+    full value-hash oracle, unusual for an iterative float algorithm.
+
+    Scale: each iteration is one assign (broadcast O(k·d)) + one explode
+    to (bucket, dim, x) rows that PARTIALLY AGGREGATES map-side to
+    ≤ k·d rows per partition before its shuffle — the classic distributed
+    k-means step; centroids never exceed O(k·d) anywhere.
+    """
+    from smartpool_bigdata_spark.functions import stable_avg
+
+    cents = seeds
+    for _ in range(iters):
+        assigned = assign_ivf_buckets(
+            corpus, cents, id_col, vec_col, centroid_id_col, centroid_vec_col
+        )
+        exploded = assigned.select(
+            "bucket", F.posexplode(F.col(vec_col)).alias("j", "x")
+        )
+        means = exploded.groupBy("bucket", "j").agg(
+            stable_avg("x", scale).alias("m")
+        )
+        cents = (
+            means.groupBy("bucket")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, m))), s -> s.m)"
+                ).alias(centroid_vec_col)
+            )
+            .select(F.col("bucket").alias(centroid_id_col), centroid_vec_col)
+        )
+    return cents
+
+
 def sample_fixed_k(
     df: DataFrame,
     k: int,

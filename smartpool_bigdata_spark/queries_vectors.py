@@ -465,6 +465,110 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_kmeans",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS centroid_id, v AS cv
+               FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored0 AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents0 t
+    ),
+    assigned0 AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored0)
+        WHERE rn = 1
+    ),
+    ex AS (
+        SELECT bucket, unnest(v) AS x, generate_subscripts(v, 1) AS j
+        FROM assigned0
+    ),
+    means AS (
+        SELECT bucket, j,
+               round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(x), 6) AS m
+        FROM ex GROUP BY bucket, j
+    ),
+    cents AS (
+        SELECT bucket AS centroid_id, list(m ORDER BY j) AS cv
+        FROM means GROUP BY bucket
+    ),
+    scored AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    qids AS (SELECT vec_id FROM ({_duck_sample(N_QUERIES, 'q')})),
+    q AS (SELECT a.vec_id AS query_id, a.v AS qv, a.bucket
+          FROM assigned a JOIN qids USING (vec_id)),
+    sims AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, {_duck_cos('q.qv', 'a.v')} AS sim
+        FROM assigned a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """,
+    description="IVF with ONE Lloyd refinement of the fixed-k seed "
+    "centroids (real IVF training, not just sampling): assign -> "
+    "per-bucket decimal-stable element-wise mean (rounded 6dp, so the "
+    "refined centroids are bit-identical across engines and "
+    "partitionings — a full value-hash oracle over an iterative float "
+    "algorithm) -> reassign -> probe own bucket, top-5. Refinement cost "
+    "per iteration: one O(k·d) broadcast assign + one explode that "
+    "partially aggregates map-side to <= k·d rows per partition; "
+    "centroids never exceed O(k·d) anywhere.",
+    skip_bench=True,  # same probe plan as knn_ivf; the refine step is the
+    # only addition and is exercised at gate scale
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import kmeans_refine
+
+    corpus = _corpus(spark, sf_dir)
+    seeds = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    cents = kmeans_refine(corpus, seeds, iters=1)
+    assigned = assign_ivf_buckets(corpus, cents).withColumn(
+        "__nrm", F.expr(f"sqrt({spark_dot('v', 'v')})")
+    )
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select("vec_id")
+    qs = assigned.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("__nrm").alias("__qnrm"),
+        "bucket",
+    )
+    sims = (
+        assigned.join(F.broadcast(qs), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"round({spark_dot('qv', 'v')} / (__qnrm * __nrm), 4)").alias("sim"),
+        )
+    )
+    return top_n_per_group(
+        sims,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        n=5,
+        method="row_number",
+        rank_col="rank",
+    )
+
+
+@query(
     "embedding_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {_embedding_pairs_cte()},

@@ -243,3 +243,55 @@ def test_lsh_hyperplanes_are_not_degenerate(spark):
     for b in range(vals.shape[1]):
         _, cnt = np.unique(vals[:, b], return_counts=True)
         assert cnt.max() < n / 8, f"band {b}: hot bucket of {cnt.max()}/{n}"
+
+
+def test_kmeans_refined_ivf_recall(spark):
+    """One Lloyd step must keep the probe useful: recall@5 vs the exact
+    baseline stays non-vacuous and within slack of the seed-centroid IVF
+    (refinement moves centroids toward bucket means — it must not
+    collapse the index)."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in REGISTRY["knn_brute_force"].build(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(name):
+        got = {}
+        for r in REGISTRY[name].build(spark, sf).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    seed, refined = recall("knn_ivf"), recall("knn_ivf_kmeans")
+    assert refined > 0.2
+    assert refined >= seed - 0.2, (seed, refined)
+
+
+def test_kmeans_refine_deterministic_across_partitionings(spark):
+    """The decimal-stable per-dimension means make refined centroids
+    IDENTICAL under any input partitioning — the property that lets an
+    iterative float algorithm carry a value-hash oracle."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        kmeans_refine,
+        sample_fixed_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    seeds = sample_fixed_k(corpus, 8, salt="c").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    a = {
+        r["centroid_id"]: list(r["cv"])
+        for r in kmeans_refine(corpus, seeds, iters=1).collect()
+    }
+    b = {
+        r["centroid_id"]: list(r["cv"])
+        for r in kmeans_refine(corpus.repartition(7), seeds, iters=1).collect()
+    }
+    assert a == b
