@@ -215,6 +215,65 @@ def duck_poly_gram_min(codes: str, n: int) -> str:
     )
 
 
+def spark_winnow(gram_hashes: str, w: int) -> str:
+    """Winnowing fingerprint SET (Schleimer et al., SIGMOD'03 / MOSS):
+    the distinct minima of every w-length window over the gram-hash
+    array. Guarantees any shared substring of length ≥ w+k-1 chars
+    yields at least one shared fingerprint — positional robustness the
+    single global-min fingerprint lacks. CASE guard: Spark's
+    ``sequence(1, n)`` DESCENDS when n < 1, so short docs must
+    short-circuit to an empty set."""
+    return (
+        f"CASE WHEN size({gram_hashes}) >= {w} "
+        f"THEN array_distinct(transform(sequence(1, size({gram_hashes}) - {w} + 1), "
+        f"i -> array_min(slice({gram_hashes}, i, {w})))) "
+        f"ELSE array() END"
+    )
+
+
+def duck_winnow(gram_hashes: str, w: int) -> str:
+    return (
+        f"CASE WHEN len({gram_hashes}) >= {w} "
+        f"THEN list_distinct(list_transform(range(1, len({gram_hashes}) - {w} + 2), "
+        f"i -> list_aggregate({gram_hashes}[i:i + {w} - 1], 'min'))) "
+        f"ELSE [] END"
+    )
+
+
+def _poly_mod(terms: list[str]) -> str:
+    """Base-31 polynomial with a mod PER STEP — mandatory for wide grams:
+    the end-mod form (``_poly``) reaches c·31^(n-1) ≈ 10²⁸ at n=16 and
+    overflows int64 (DuckDB raises, Spark ANSI raises). Per-step keeps
+    every intermediate < 31·P ≈ 6.7·10¹⁰. Same value for n ≤ 5, so the
+    legacy fingerprint tier keeps ``_poly`` for bit-stability of its
+    already-gated hashes."""
+    expr = f"({terms[0]}) % {MINHASH_P}"
+    for t in terms[1:]:
+        expr = f"(({expr}) * 31 + ({t})) % {MINHASH_P}"
+    return f"({expr})"
+
+
+def spark_gram_hashes(codes: str, n: int) -> str:
+    """Polynomial hash per char n-gram position (the array the winnow
+    windows slide over) — base-31 algebra like ``spark_poly_gram_min``
+    without the global min, mod-per-step so wide grams stay in int64."""
+    body = _poly_mod([f"element_at({codes}, i + {j})" for j in range(n)])
+    return (
+        f"CASE WHEN size({codes}) >= {n} "
+        f"THEN transform(sequence(1, size({codes}) - {n - 1}), i -> {body}) "
+        f"ELSE array() END"
+    )
+
+
+def duck_gram_hashes(codes: str, n: int) -> str:
+    body = _poly_mod([f"{codes}[i + {j}]" for j in range(n)])
+    return (
+        f"CASE WHEN len({codes}) >= {n} "
+        f"THEN list_transform(range(1, len({codes}) - {n - 1} + 1), i -> {body}) "
+        f"ELSE [] END"
+    )
+
+
 def spark_simhash(hashes: str, bits: int = 32) -> str:
     """Per-doc SimHash: bit j is set iff the majority of token hashes have
     bit j set. Row-local (no shuffle). One aggregate over the bit index —

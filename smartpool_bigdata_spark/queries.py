@@ -1022,6 +1022,56 @@ def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+    description="Native session_window sessionization (gap 30 min) — "
+    "Spark's built-in session-window operator, complementing the "
+    "lag+running-sum `sessionize` op (same boundary semantics, verified "
+    "empirically: events exactly `gap` apart MERGE; a new session opens "
+    "only when the gap is strictly exceeded; window end = last event + "
+    "gap). Oracle: gaps-and-islands SQL. One shuffle on the grouping "
+    "key; Spark merges windows via its session-merge exec, no second "
+    "window pass.",
+    skip_bench=False,
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum("value", 2).alias("total_value"),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #

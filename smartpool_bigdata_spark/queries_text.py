@@ -944,6 +944,108 @@ def doc_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_signatures(sig, threshold=0.6)
 
 
+_WINNOW_K = 16  # char-gram width: ~2-3 words, so grams capture word ORDER —
+# narrow grams on a small shared vocabulary degenerate (every doc shares
+# every 5-gram; measured 346k of 500k possible pairs passing)
+_WINNOW_W = 8   # winnow window: shared substrings >= w+k-1 = 23 chars guarantee a shared fingerprint
+
+
+def _winnow_overlap_oracle(min_containment: float = 0.5) -> str:
+    return f"""
+    WITH corpus AS ({_near_dup_corpus_duck()}),
+    cs AS (
+        SELECT doc_id, {T.duck_char_codes('text')} AS cs FROM corpus
+    ),
+    gh AS (
+        SELECT doc_id, {T.duck_gram_hashes('cs', _WINNOW_K)} AS gh FROM cs
+    ),
+    wn AS (
+        SELECT doc_id, {T.duck_winnow('gh', _WINNOW_W)} AS fps FROM gh
+    ),
+    fp AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wn
+    ),
+    sizes AS (
+        SELECT doc_id, len(fps) AS n_fp FROM wn
+    ),
+    shared AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+        FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / least(sa.n_fp, sb.n_fp), 4) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE round(CAST(s.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 4)
+          >= {min_containment}
+    """
+
+
+@query(
+    "doc_winnow_fingerprint_overlap",
+    oracle=_winnow_overlap_oracle(),
+    description="TRUE winnowing fingerprints (Schleimer/MOSS): distinct "
+    "minima of every 8-wide window over char-16-gram hashes (any shared "
+    "substring of >= 23 chars guarantees a shared fingerprint — the "
+    "positional robustness the single global-min fingerprint tier "
+    "lacks), then docs paired by fingerprint CONTAINMENT >= 0.8 "
+    "(shared / smaller set — MOSS's metric; absolute thresholds and "
+    "narrow grams both degenerate to all-pairs on small-vocabulary "
+    "corpora — measured, see _WINNOW_K note). Plan: explode fingerprints, ONE "
+    "shuffle joining on the fingerprint value (each fingerprint is its "
+    "own LSH bucket) — candidates scale with fingerprint collisions, "
+    "never all-pairs.",
+    skip_bench=True,  # w·positions interpreted ops/row — profiling tier,
+    # run at gate scale; the cheap tier (doc_fingerprint_dedup) is benched
+)
+def doc_winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    staged = corpus.select(
+        "doc_id", F.expr(T.spark_char_codes("text")).alias("__cs")
+    ).select(
+        "doc_id", F.expr(T.spark_gram_hashes("__cs", _WINNOW_K)).alias("__gh")
+    )
+    # persist: the fingerprint stage feeds both sides of the self-join and
+    # the winnow expression is interpreted higher-order work (same class
+    # as the simhash persist fix)
+    wn = staged.select(
+        "doc_id", F.expr(T.spark_winnow("__gh", _WINNOW_W)).alias("__fps")
+    ).persist()
+    fps = wn.select("doc_id", F.explode("__fps").alias("fp"))
+    sizes = wn.select("doc_id", F.expr("size(__fps)").alias("n_fp"))
+    left = fps.alias("l")
+    right = fps.alias("r")
+    shared = (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "__na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "__nb")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("__na", "__nb"), 4
+            ),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

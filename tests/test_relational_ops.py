@@ -221,3 +221,35 @@ def test_salted_agg_equals_plain(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_native_session_window_boundary_semantics(spark):
+    """Pin the convention the user_session_windows oracle encodes: events
+    exactly `gap` apart MERGE (Spark merges on touch, not just overlap);
+    a new session opens only when the gap is strictly exceeded; window
+    end = last event + gap."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),          # exactly 30 min -> merges
+            (1, "2024-01-01 11:00:00.000001"),   # 30 min + 1 us -> new
+        ],
+        ["uid", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r["s"].isoformat(), r["e"].isoformat(), r["n"])
+        for r in df.groupBy("uid", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    assert out == [
+        ("2024-01-01T10:00:00", "2024-01-01T11:00:00", 2),
+        ("2024-01-01T11:00:00.000001", "2024-01-01T11:30:00.000001", 1),
+    ]

@@ -234,3 +234,33 @@ def test_simhash_band_invariant_raises_not_asserts(docs):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(docs, band_bits=30, max_hamming=3)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: two docs sharing a substring of length
+    >= w+k-1 chars share at least one fingerprint; disjoint-content docs
+    share none."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.ops import text as T
+
+    k, w = 16, 8
+    shared_run = "zqxjvkwpyfghbndm algorithmic fingerprints"  # 41 chars
+    rows = [
+        (1, "aaaa bbbb cccc " + shared_run + " dddd eeee"),
+        (2, "ffff gggg hhhh iiii " + shared_run),
+        (3, "totally unrelated content with other words entirely spam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    staged = df.select(
+        "doc_id", F.expr(T.spark_char_codes("text")).alias("__cs")
+    ).select("doc_id", F.expr(T.spark_gram_hashes("__cs", k)).alias("__gh"))
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in staged.select(
+            "doc_id", F.expr(T.spark_winnow("__gh", w)).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing a 41-char run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
