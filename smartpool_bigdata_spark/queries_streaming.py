@@ -25,6 +25,7 @@ from smartpool_bigdata_spark.catalog import load_table
 from smartpool_bigdata_spark.functions import stable_avg
 from smartpool_bigdata_spark.queries import query
 from smartpool_bigdata_spark.streaming import (
+    event_time_ltz,
     file_stream,
     run_available_now,
     stream_static_enrich,
@@ -33,8 +34,14 @@ from smartpool_bigdata_spark.streaming import (
 
 
 def _stream_events(spark: SparkSession, sf_dir: str, cols) -> tuple[DataFrame, str]:
-    """Events table staged to a tmp dir and opened as a file stream."""
+    """Events table staged to a tmp dir and opened as a file stream.
+
+    ``ts`` is cast NTZ→LTZ before staging (event_time_ltz): the testdata
+    parquet stores naive µs timestamps, and watermarking needs TIMESTAMP.
+    """
     ev = load_table(spark, sf_dir, "events").select(*cols)
+    if "ts" in ev.columns:
+        ev = event_time_ltz(ev, "ts")
     stage = tempfile.mkdtemp(prefix="spark_stream_src_")
     src = os.path.join(stage, "events")
     ev.write.parquet(src)
@@ -77,7 +84,11 @@ def stream_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now(agg.drop("window_end"), name, fmt="memory")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return spark.table(name)
+    # post-drain (batch side): relabel LTZ back to NTZ so the emitted type
+    # matches the naive-timestamp oracle exactly, like every batch query
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
 
 
 @query(
@@ -98,8 +109,11 @@ def stream_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.streaming import dedup_stream
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
+    ev = event_time_ltz(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ),
+        "ts",
     )
     doubled = ev.union(ev)
     stage = tempfile.mkdtemp(prefix="spark_dedup_src_")
@@ -170,7 +184,9 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smartpool_bigdata_spark.streaming.stateful import sessionize_stream
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev = event_time_ltz(
+        load_table(spark, sf_dir, "events").select("user_id", "ts"), "ts"
+    )
     stage = tempfile.mkdtemp(prefix="spark_sess_src_")
     src = _os.path.join(stage, "src")
     _os.makedirs(src)
@@ -194,7 +210,11 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now(sess, name, fmt="memory")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    )
 
 
 @query(

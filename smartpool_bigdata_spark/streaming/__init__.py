@@ -17,6 +17,7 @@ This package re-expresses that surface as composable pieces:
 
 from smartpool_bigdata_spark.streaming.ops import (
     dedup_stream,
+    event_time_ltz,
     parse_json_payload,
     stream_static_enrich,
     stream_stream_join,
@@ -40,6 +41,7 @@ from smartpool_bigdata_spark.streaming.sources import (
 
 __all__ = [
     "dedup_stream",
+    "event_time_ltz",
     "file_stream",
     "kafka_json_reader",
     "parse_json_payload",

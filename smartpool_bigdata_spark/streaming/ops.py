@@ -12,9 +12,26 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
 
 from smartpool_bigdata_spark.ops.relational import tumbling_agg
+
+
+def event_time_ltz(df: DataFrame, *ts_cols: str) -> DataFrame:
+    """Cast TIMESTAMP_NTZ event-time columns to TIMESTAMP (LTZ).
+
+    ``withWatermark`` requires session-local TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), but parquet written
+    without ``isAdjustedToUTC`` arrives as TIMESTAMP_NTZ under Spark 4's
+    NTZ inference. With the engine's UTC session timezone
+    (session.BUILDER_CONFS) the cast is a value-identity relabel — no
+    wall-clock shift — so watermark arithmetic matches the naive-timestamp
+    oracle exactly. No-op for columns already LTZ.
+    """
+    for c in ts_cols:
+        if isinstance(df.schema[c].dataType, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def watermarked_tumbling_agg(

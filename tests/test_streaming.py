@@ -55,8 +55,13 @@ def _chronological_files(df, ts_col, out_dir, cuts):
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return load_table(spark, SF_DIR, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    from smartpool_bigdata_spark.streaming import event_time_ltz
+
+    return event_time_ltz(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        "ts",
     )
 
 
