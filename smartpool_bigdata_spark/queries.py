@@ -1072,6 +1072,181 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_with_late_shipments",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    description="Correlated EXISTS subquery (TPC-H Q4 shape, adapted to "
+    "this schema's columns): orders with at least one lineitem shipped "
+    ">60 days after the order date, counted per priority. Expressed as "
+    "SQL EXISTS so Catalyst's decorrelation is exercised: the optimizer "
+    "rewrites the correlated subquery into a LEFT SEMI hash join on "
+    "l_orderkey — one shuffle, no per-row re-execution. Beyond the "
+    "reference's surface (SURVEY §2.3 covers only explicit joins).",
+)
+def orders_with_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q_ex_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_ex_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM q_ex_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM q_ex_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "brand_small_qty_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    description="Scalar correlated subquery (TPC-H Q17 shape): revenue "
+    "from small-quantity orders of one brand, where 'small' is relative "
+    "to each part's own average quantity. Catalyst decorrelates the "
+    "scalar subquery into an aggregate-then-join: per-part averages are "
+    "computed once in a single hash agg and joined back — not "
+    "re-evaluated per row. Exact decimal accumulation for the revenue "
+    "sum. Beyond the reference's surface.",
+)
+def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_sc_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q_sc_part")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM q_sc_lineitem, q_sc_part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM q_sc_lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "event_type_hour_cube",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, value
+        FROM events
+    )
+    SELECT event_type, hour_of_day,
+           CAST(GROUPING(event_type, hour_of_day) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM t GROUP BY CUBE(event_type, hour_of_day)
+    """,
+    description="CUBE aggregate over (event_type, hour-of-day): all four "
+    "grouping sets — full detail, per-type, per-hour, grand total — in "
+    "one pass, with GROUPING id disambiguating rolled-up NULLs. "
+    "Complements the ROLLUP query (SURVEY §2.4 'not present' in the "
+    "reference). Scale: Spark expands the cube into a single hash "
+    "aggregate over the grouping-set union — one shuffle with map-side "
+    "partial combine, rows ≈ 4× the grouping-set cardinality, not 4 "
+    "passes over the input.",
+)
+def event_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
+    )
+    return (
+        t.cube("event_type", "hour_of_day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        .select("event_type", "hour_of_day", "gid", "n_events", "total_value")
+    )
+
+
+@query(
+    "views_before_purchase",
+    oracle="""
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_prior_views
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 4 HOUR
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    description="Range join via time-bucket binning: views by the same "
+    "user in the 4 hours before each purchase. A naive range join "
+    "degenerates to a per-user cross product (Spark plans inequality "
+    "joins as BroadcastNestedLoop); instead both sides are bucketed into "
+    "bin-width = range-width epoch bins and the purchase side probes "
+    "exactly two bins (its own and the previous — (t-W) div W = "
+    "t div W - 1, so the candidate set provably covers the window), "
+    "making it an EQUI-join on (user_id, bin) with the exact range "
+    "applied as a post-filter. Scale: shuffle keyed on (user, bin) — "
+    "candidate count is bounded by per-user-per-window activity, never "
+    "|user events|².",
+)
+def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 4 * 3600  # bin width == range width (seconds)
+    ev = _t(spark, sf_dir, "events")
+    # integer `div`, not floor(double/W): float division at an exact bin
+    # boundary could round across the boundary and void the two-bin
+    # coverage guarantee
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        epoch.alias("v_epoch"),
+    ).select("user_id", "vts", F.expr(f"v_epoch div {W}").alias("bin"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", epoch.alias("p_epoch")
+    )
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(
+            F.array(
+                F.expr(f"(p_epoch - {W}) div {W}"),
+                F.expr(f"p_epoch div {W}"),
+            )
+        ).alias("bin"),
+    )
+    return (
+        probes.join(views, ["user_id", "bin"])
+        .filter(
+            (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 4 HOUR"))
+            & (F.col("vts") < F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_prior_views"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #

@@ -321,6 +321,71 @@ def stream_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "stream_view_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 4 HOUR
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    description="REAL stream-stream inner join (beyond the reference's "
+    "stream-static surface): the purchases stream joins the views stream "
+    "on user_id with views in the 4 hours up to each purchase. Both "
+    "sides watermarked; the event-time range bound is what lets Spark GC "
+    "join state (without it every row buffers forever). Under "
+    "Trigger.AvailableNow an inner join emits exactly the matching "
+    "pairs, so the oracle is the plain batch SQL join — the batch twin "
+    "of this exact plan is views_before_purchase's binned equi-join.",
+    skip_bench=True,  # staging + two stream sources dominate
+)
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.streaming import stream_stream_join
+
+    ev = event_time_ltz(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ),
+        "ts",
+    )
+    stage = tempfile.mkdtemp(prefix="spark_ssj_src_")
+    p_src = os.path.join(stage, "purchases")
+    v_src = os.path.join(stage, "views")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+    )
+    purchases.write.parquet(p_src)
+    views.write.parquet(v_src)
+    p_stream = file_stream(spark, p_src, purchases.schema)
+    v_stream = file_stream(spark, v_src, views.schema)
+    joined = stream_stream_join(
+        p_stream,
+        v_stream,
+        on=F.col("p_user") == F.col("v_user"),
+        left_ts="pts",
+        right_ts="vts",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        max_lag="4 hours",
+    ).select("purchase_id", "view_id")
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(joined, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()

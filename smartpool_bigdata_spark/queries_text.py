@@ -1046,6 +1046,131 @@ def doc_winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= 20
+    """,
+    description="Stratified sampling for training-data curation: a "
+    "deterministic 20-doc sample per language, ranked by md5(doc_id) — a "
+    "uniform pseudo-random order that is reproducible across engines, "
+    "runs and partitionings (unlike rand()), so sample membership is "
+    "auditable. Uses the two-phase salted top-N plan: language strata "
+    "are LOW cardinality (~5), so a naive window would sort the whole "
+    "corpus in 5 partitions; the salted local-top-20 pass prunes to "
+    "≤20·partitions·strata rows first (ops/relational.py:64).",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    out = top_n_per_group(
+        docs,
+        keys=["lang"],
+        order_by=["__h", "doc_id"],
+        n=20,
+        rank_col="rk",
+        low_cardinality=True,
+    )
+    return out.select("doc_id", "lang", "source", "rk")
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t AS term
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * (n.n_docs + 1.0) / (d.df + 1.0), 4) AS score
+        FROM tf t JOIN dfreq d USING (term), n
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+    """,
+    description="TF-IDF top-3 terms per document: lowercase alnum "
+    "tokenization (explode), per-doc term frequency, corpus document "
+    "frequency, and a RATIONAL idf (n+1)/(df+1) — deliberately not "
+    "log-scaled: one multiply + one divide over integer-derived doubles "
+    "is identically rounded in every IEEE engine, so the oracle is "
+    "bit-exact, whereas Java's Math.log and libm ln differ in the last "
+    "ulp (swapping to log-idf is a one-line change; ranking is "
+    "unaffected since log is monotone). Scale: two hash aggs (tf, df) + "
+    "one broadcast scalar (corpus size) + a per-doc window — shuffles "
+    "keyed on (doc_id, term) and term, both high-cardinality; no "
+    "low-cardinality window hazard.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _ts(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
