@@ -79,3 +79,46 @@ def test_spread_repartition_keeps_filter_pushdown(spark):
     # plan-string layout (which shifts across Spark versions)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("EqualTo(lang,en)" in ln for ln in pushed), plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(plans):
+    """SQL EXISTS must decorrelate into a single LeftSemi hash join —
+    no per-row subquery re-execution, no nested-loop fallback."""
+    plan = plans("orders_with_late_shipments")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(plans):
+    """The correlated scalar subquery (per-part avg) must plan as ONE
+    hash aggregate joined back — the avg appears as a join-side column,
+    not a re-executed subquery per probe row."""
+    plan = plans("brand_small_qty_revenue")
+    assert "HashAggregate" in plan
+    assert "avg(l_quantity)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_is_equi_join(plans):
+    """The 4-hour range join must plan as a HASH equi-join on
+    (user_id, bin) with the range as a residual condition — a naive
+    inequality join would fall back to BroadcastNestedLoopJoin, which is
+    quadratic per user at scale."""
+    plan = plans("views_before_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cube_single_aggregate_pass(plans):
+    """CUBE must expand into one Expand + hash aggregate over the
+    grouping-set union — not four scans of the input."""
+    plan = plans("event_type_hour_cube")
+    assert "Expand" in plan
+    # exactly one parquet scan of events feeds the cube (the AQE plan
+    # string repeats the tree as "== Initial Plan ==" — look only at the
+    # final plan section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
