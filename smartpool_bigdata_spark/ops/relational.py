@@ -290,6 +290,43 @@ def salted_agg(
     return stage2
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    salt_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for pathological join-key skew.
+
+    The skewed side gets a deterministic salt in [0, salt_buckets) hashed
+    from ``salt_cols`` (default: all its columns), spreading a hot key's
+    rows over ``salt_buckets`` reducers; the other side is replicated
+    once per salt value (explode over sequence — a row-count multiply of
+    the SMALLER side only). The join runs on (keys..., salt), which is an
+    exact rewrite: every (skewed row, other row) pair meets in exactly
+    one salt bucket, so the result equals the unsalted join for inner and
+    left joins (the skewed side must be the left/preserved side).
+
+    When to use: two LARGE tables (neither broadcastable) whose join key
+    has a dominant hot value. AQE's skew-join split handles most cases at
+    runtime — prefer it; reach for explicit salting when a single key is
+    so hot that even a split partition exceeds executor memory, or when
+    the plan must be stable across runs (AQE decisions are data-driven).
+    Deterministic hash salt, no rand(): replayable under task retries.
+    """
+    salt = _helper_col(skewed, "__salt")
+    basis = list(salt_cols) if salt_cols else list(skewed.columns)
+    salted = skewed.withColumn(
+        salt, F.pmod(F.hash(*[F.col(c) for c in basis]), F.lit(salt_buckets))
+    )
+    replicated = other.withColumn(
+        salt, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted.join(replicated, [*on, salt], how).drop(salt)
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1247,6 +1247,115 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "priority_revenue_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description="Large-large equi-join through the explicit salted-join "
+    "rewrite (ops/relational.py:salted_join): the lineitem side carries a "
+    "deterministic hash salt, orders replicate once per salt value, and "
+    "the join runs on (orderkey, salt) — an exact rewrite whose result "
+    "is provably the unsalted join, verified here by the plain-SQL "
+    "oracle. This is the manual fallback for join keys so hot that even "
+    "AQE's skew-partition split leaves one reducer over memory; the "
+    "deterministic salt (no rand()) keeps it replayable under task "
+    "retries. Revenue per order priority downstream.",
+)
+def priority_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on=["o_orderkey"],
+        salt_buckets=8,
+        salt_cols=["o_orderkey", "l_linenumber"],
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        stable_sum(revenue, 2).alias("revenue"),
+    )
+
+
+@query(
+    "order_priority_pivot_native",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="Native groupBy().pivot() with the pivot domain supplied "
+    "explicitly — the API twin of the conditional-aggregate manual pivot "
+    "(order_priority_pivot). Supplying values= matters at scale: without "
+    "it Spark runs an extra distinct-values job over the full table "
+    "before it can even plan. Count aggregate per (priority × status); "
+    "missing cells are 0 via coalesce.",
+)
+def order_priority_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    # absent (priority, status) combos pivot to NULL; the oracle's CASE
+    # sum yields 0 — normalize
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("O", "F", "P")],
+    )
+
+
+@query(
+    "user_distinct_hll",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    description="Built-in HyperLogLog++ distinct sketch "
+    "(approx_count_distinct, rsd=0.05) next to the exact count, with a "
+    "self-certifying error bound: hll_within_5pct asserts "
+    "|approx−exact|/exact <= 0.05 per group, so the oracle row only "
+    "matches if Spark's sketch really landed inside its configured "
+    "error. Complements the KMV sketch (user_distinct_kmv), which has a "
+    "full value-hash oracle — HLL++'s estimate is engine-specific, so "
+    "the EXACT value can't be oracle'd across engines, but the bound "
+    "can. Scale: HLL state is a fixed ~1.5 KB registers/group versus "
+    "count(DISTINCT)'s per-value shuffle — the sketch is the 100 TB "
+    "path; the exact count here exists to certify it.",
+)
+def user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__hll"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__hll") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #

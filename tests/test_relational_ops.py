@@ -253,3 +253,33 @@ def test_native_session_window_boundary_semantics(spark):
         ("2024-01-01T10:00:00", "2024-01-01T11:00:00", 2),
         ("2024-01-01T11:00:00.000001", "2024-01-01T11:30:00.000001", 1),
     ]
+
+
+def test_salted_join_equals_plain(spark):
+    """salted_join must be an exact rewrite of the unsalted join — every
+    (left, right) pair meets in exactly one salt bucket — for inner AND
+    left joins, including unmatched left rows and a pathological hot key."""
+    from smartpool_bigdata_spark.ops import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)]          # hot key: 500 rows on k=1
+        + [(2, 900), (3, 901), (7, 902)],     # 7 has no match on the right
+        ["k", "payload"],
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "tag"]
+    )
+
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r) for r in left.join(right, ["k"], how).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(
+                left, right, on=["k"], salt_buckets=8, how=how
+            ).collect()
+        }
+        assert salted == plain, how
+        if how == "left":
+            assert (7, 902, None) in salted  # unmatched row preserved once
