@@ -1356,6 +1356,79 @@ def user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_props_parsed",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           round(CAST(sum(CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                               AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    description="Semi-structured JSON column parsed in batch: from_json "
+    "with an explicit schema over the events.props payload, then "
+    "aggregated — the batch twin of the streaming Kafka-JSON parse "
+    "(streaming/ops.py:parse_json_payload, mirroring "
+    "spark-apps/07_kafka_smartpool_sensors.py's silver step). Explicit "
+    "schema matters at scale: schema_of_json/inference needs an extra "
+    "pass, and a typed struct lets Catalyst prune to the single field "
+    "read. JVM-side JsonToStructs — no UDF.",
+)
+def event_props_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        "props",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        stable_avg("k", 4).alias("avg_k"),
+    )
+
+
+@query(
+    "order_value_window_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="Distribution-rank window functions — ntile(4), "
+    "percent_rank, cume_dist — per order priority, completing the §2.5 "
+    "window surface beyond row_number/rank/dense_rank. The ORDER BY "
+    "includes the key (o_totalprice, o_orderkey) so ntile's positional "
+    "assignment is a total order — deterministic across engines and "
+    "partitionings. Scale note: these are inherently full-partition "
+    "ranks, and priority is LOW cardinality, so at 100 TB each of the 5 "
+    "partitions sorts serially; the scalable substitute is approximate "
+    "quantile cuts joined back (the doc_token_percentiles pattern) — "
+    "this query exists for exact-semantics coverage.",
+    skip_bench=False,
+)
+def order_value_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
