@@ -1429,6 +1429,98 @@ def order_value_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repeat_purchasers_first_last_day",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+      AND event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+      AND event_type = 'purchase'
+    """,
+    description="Set intersection (INTERSECT): users who purchased on "
+    "BOTH the first and the last day of the data — the retained-buyer "
+    "cohort. Completes the set-op family (union, EXCEPT already "
+    "covered). Scale: the two scalar day bounds come from broadcast "
+    "single-row aggregates; intersect plans as a left-semi hash join "
+    "over the two deduplicated sides.",
+)
+def repeat_purchasers_first_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(F.min(d).alias("mind"), F.max(d).alias("maxd"))
+    first_day = (
+        purchases.join(F.broadcast(bounds), d == F.col("mind"))
+        .select("user_id")
+        .distinct()
+    )
+    last_day = (
+        purchases.join(F.broadcast(bounds), d == F.col("maxd"))
+        .select("user_id")
+        .distinct()
+    )
+    return first_day.intersect(last_day)
+
+
+@query(
+    "daily_purchase_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sv
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day,
+           coalesce(d.n_purchases, 0) AS n_purchases,
+           round(CAST(coalesce(d.sv, 0) AS DOUBLE), 2) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    description="Date-spine zero-fill: a generated continuous day "
+    "dimension (sequence + explode — no source table needed) "
+    "left-joined to per-day purchase aggregates, so days with NO "
+    "purchases appear as explicit zeros — the gaps a plain groupBy "
+    "silently drops and every downstream time series/forecast needs. "
+    "Scale: the spine is O(days) — generated on the driver-free "
+    "sequence expression and broadcast; the fact side is one hash agg.",
+)
+def daily_purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    bounds = ev.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(d.alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sv"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_purchases", F.lit(0).cast("bigint")).alias("n_purchases"),
+        F.round(
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,10)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #

