@@ -235,3 +235,49 @@ class Suite:
             raise ExpectationError(
                 "; ".join(str(v) for v in violations)
             )
+
+    # --- zero-extra-pass validation via df.observe ---------------------
+
+    def observe(self, df: DataFrame, name: str = "expectations"):
+        """Attach the suite's foldable checks to ``df`` as an Observation.
+
+        Returns ``(observed_df, observation)``. The metrics are computed
+        DURING whatever action the caller runs next (typically the write
+        that materializes the table), costing zero additional passes —
+        versus ``profile``/``validate``, which run their own aggregate
+        job. At 100 TB that is the difference between validating for free
+        inside the ingest job and re-scanning the freshly written table.
+
+        Only aggregate-foldable checks (NotNull/InSet/InRange/
+        RowCountBetween) ride the observation; groupBy/join checks
+        (Unique, ForeignKey) still need their own job — call
+        ``validate_observation(obs, df)`` to run both halves.
+        """
+        from pyspark.sql import Observation
+
+        foldable = [c for c in self.checks if hasattr(c, "aggs")]
+        aggs = [a for c in foldable for a in c.aggs()]
+        if not aggs:
+            # nothing foldable: no Observation to wait on (obs.get would
+            # block forever on a metric-less observation)
+            return df, None
+        obs = Observation(name)
+        return df.observe(obs, *aggs), obs
+
+    def validate_observation(self, obs, df: DataFrame | None = None) -> None:
+        """Raise on violations recorded by an ``observe`` run.
+
+        ``obs.get`` blocks until the observed DataFrame's action has
+        completed. Pass ``df`` to ALSO run the non-foldable (own-job)
+        checks; omit it to validate only the free observed half.
+        """
+        row = obs.get if obs is not None else {}
+        violations: list[Violation] = []
+        for c in self.checks:
+            if hasattr(c, "aggs"):
+                if obs is not None:
+                    violations.extend(c.violations(row))
+            elif df is not None:
+                violations.extend(c.check(df))
+        if violations:
+            raise ExpectationError("; ".join(str(v) for v in violations))

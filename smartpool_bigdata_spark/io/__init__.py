@@ -17,6 +17,7 @@ from smartpool_bigdata_spark.io.sinks import (
     ensure_table,
     merge_upsert,
     table_detail,
+    write_clustered,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "jdbc_query_reader",
     "jdbc_table_reader",
     "merge_upsert",
+    "write_clustered",
     "read_landing_csv",
     "table_detail",
 ]

@@ -100,3 +100,39 @@ def test_audit_columns_injectable(spark, clean):
     )
     row = out.select("_ingest_ts", "_ingest_date", "_source").first()
     assert str(row["_ingest_date"]) == "2024-06-01" and row["_source"] == "unit"
+
+
+def test_observe_validates_during_action(spark, clean, tmp_path):
+    """Suite.observe rides the foldable checks on the write action itself
+    (zero extra scans); validate_observation raises from the observed
+    metrics and still runs own-job checks when given the df."""
+    suite = (
+        Suite()
+        .add(NotNull(["id", "kind"]))
+        .add(InRange("ph", 0.0, 14.0))
+        .add(RowCountBetween(1, 100))
+        .add(Unique(["id"]))  # own-job: not foldable into the observation
+    )
+    observed, obs = suite.observe(clean)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "t"))  # the action
+    suite.validate_observation(obs, clean)  # no violations -> no raise
+
+    dirty = clean.union(
+        spark.createDataFrame([(3, None, 99.0)], clean.schema)  # dup id, null kind, ph out
+    )
+    observed, obs = suite.observe(dirty)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "t2"))
+    with pytest.raises(ExpectationError) as err:
+        suite.validate_observation(obs, dirty)
+    msg = str(err.value)
+    assert "not_null" in msg and "in_range" in msg and "unique" in msg
+
+
+def test_observe_with_no_foldable_checks(spark, clean):
+    """No foldable checks -> no Observation (obs.get would block forever);
+    own-job checks still run."""
+    suite = Suite().add(Unique(["id"]))
+    observed, obs = suite.observe(clean)
+    assert obs is None
+    observed.count()
+    suite.validate_observation(obs, clean)  # clean id column -> passes

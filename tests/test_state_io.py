@@ -387,3 +387,44 @@ def test_real_delta_merge(spark, tmp_path):
     )
     rows = {r["pk"]: r["val"] for r in spark.read.format("delta").load(path).collect()}
     assert rows == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_write_clustered_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered parquet: each output file owns a disjoint slice of
+    the cluster key, footer min/max stats are tight, and a point/range
+    predicate prunes to the overlapping file(s) — the data-skipping
+    contract write_clustered promises."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from smartpool_bigdata_spark.io import write_clustered
+
+    df = spark.range(0, 100_000).withColumn(
+        "v", (F.col("id") * 37 % 1000).cast("double")
+    )
+    # shuffle the key order first so clustering actually has work to do
+    shuffled = df.orderBy(F.md5(F.col("id").cast("string")))
+    out = str(tmp_path / "clustered")
+    write_clustered(shuffled, out, cluster_by=["id"], n_files=8)
+
+    ranges = []
+    for f in sorted(g.glob(out + "/*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            assert col.statistics is not None and col.statistics.has_min_max
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint"
+
+    # the skipping payoff: a point lookup reads back correctly and the
+    # matching value lives in exactly one file's range
+    hit = [r for r in ranges if r[0] <= 54_321 <= r[1]]
+    assert len(hit) == 1
+    got = spark.read.parquet(out).filter(F.col("id") == 54_321).collect()
+    assert len(got) == 1 and got[0]["v"] == float(54_321 * 37 % 1000)
