@@ -208,6 +208,54 @@ def medallion_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+@query(
+    "clustered_time_slice",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+    description="Data-skipping round-trip: events are written "
+    "range-clustered on ts (io.write_clustered — each parquet file owns "
+    "a disjoint time slice with tight footer min/max), then a 2-day "
+    "slice is read back with the predicate on the scan and aggregated. "
+    "Green proves the clustered layout preserves every row and the "
+    "pruned read returns exactly the slice — the at-scale access "
+    "pattern where a time-bounded query reads only the files whose "
+    "[min, max] overlaps instead of the whole table. "
+    "tests/test_state_io.py locks the disjoint-footer contract itself.",
+    skip_bench=True,  # staging write dominates, like the other ingest queries
+)
+def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.io import write_clustered
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stage = tempfile.mkdtemp(prefix="spark_clustered_")
+    out = os.path.join(stage, "events_by_ts")
+    write_clustered(ev, out, cluster_by=["ts"], n_files=8)
+    sliced = (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+    rows = sliced.localCheckpoint(eager=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
