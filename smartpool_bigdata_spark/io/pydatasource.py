@@ -1,0 +1,196 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference's live connectors (Kafka sensor feed, JDBC) cannot run in
+this sandbox, so the *extension point itself* is exercised instead: a
+fully functional custom source with batch + streaming readers, partitioned
+parallel reads, and filter pushdown into the source — the same surface a
+REST/queue/proprietary-store connector would implement.
+
+``SensorFeedDataSource`` emits the reference producer's sensor shape
+(16 sensors, ~8 % injected anomalies —
+``producers/producer_smartpool_sensors.py:29-40``) as a PURE arithmetic
+function of ``reading_id``, so any engine can regenerate the exact rows:
+the driver's DuckDB oracle does, via ``generate_series`` — giving a
+custom connector a full value-hash correctness gate.
+
+Row function (all exact integer/IEEE-double arithmetic):
+
+* ``sensor_id  = reading_id % 16``
+* ``temp       = 20.0 + (reading_id * 37 % 1000) / 100.0``
+* ``ph         = 6.5  + (reading_id * 53 % 200)  / 100.0``
+* ``anomaly    = (reading_id * 7919) % 97 < 8``   (≈ 8.2 %)
+
+Scale notes: ``partitions()`` splits the id range so the read is
+parallel (a real connector returns its natural splits — Kafka partitions,
+JDBC ranges); ``pushFilters`` trims the range BEFORE partitioning, so a
+bounded query never even generates pruned splits — the Python-source
+equivalent of parquet min/max pruning. The streaming reader treats
+``reading_id`` as the offset, advancing ``rows_per_batch`` per
+micro-batch (the ``maxOffsetsPerTrigger`` rate-limit analog, T6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SENSOR_FEED_SCHEMA = StructType(
+    [
+        StructField("reading_id", LongType(), False),
+        StructField("sensor_id", IntegerType(), False),
+        StructField("temp", DoubleType(), False),
+        StructField("ph", DoubleType(), False),
+        StructField("anomaly", BooleanType(), False),
+    ]
+)
+
+
+def sensor_row(i: int) -> tuple:
+    """The pure row function — shared by batch and stream readers."""
+    return (
+        i,
+        i % 16,
+        20.0 + (i * 37 % 1000) / 100.0,
+        6.5 + (i * 53 % 200) / 100.0,
+        (i * 7919) % 97 < 8,
+    )
+
+
+@dataclass
+class _IdRange(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+def _gen_rows(start: int, end: int):
+    for i in range(start, end):
+        yield sensor_row(i)
+
+
+class SensorFeedReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.lo = int(options.get("start", 0))
+        self.hi = self.lo + int(options.get("n", 10_000))
+        self.num_partitions = int(options.get("num_partitions", 8))
+
+    def pushFilters(self, filters):
+        """Trim [lo, hi) from reading_id bound filters; fully honored
+        bounds are consumed (not returned), everything else is left for
+        Spark to evaluate post-scan."""
+        leftover = []
+        for f in filters:
+            if getattr(f, "attribute", None) == ("reading_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            leftover.append(f)
+        return leftover
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.num_partitions)
+        span = max(1, (hi - lo + n - 1) // n) if hi > lo else 1
+        parts = [
+            _IdRange(s, min(s + span, hi)) for s in range(lo, hi, span)
+        ] or [_IdRange(lo, lo)]
+        return parts
+
+    def read(self, partition: _IdRange):
+        return _gen_rows(partition.start, partition.end)
+
+
+class SensorFeedStreamReader(DataSourceStreamReader):
+    """reading_id is the offset; each micro-batch advances by
+    ``rows_per_batch`` until ``n`` rows have been emitted."""
+
+    def __init__(self, options: dict):
+        self.start = int(options.get("start", 0))
+        self.end = self.start + int(options.get("n", 10_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+
+    def initialOffset(self):
+        return {"reading_id": self.start}
+
+    def latestOffset(self):
+        # a live feed reports its head; this bounded demo advances one
+        # rate-limited step per call, capped at the configured end
+        cur = getattr(self, "_cur", self.start)
+        nxt = min(cur + self.rows_per_batch, self.end)
+        self._cur = nxt
+        return {"reading_id": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        return [_IdRange(start["reading_id"], end["reading_id"])]
+
+    def read(self, partition: _IdRange):
+        return _gen_rows(partition.start, partition.end)
+
+    def commit(self, end: dict):
+        pass
+
+    def stop(self):
+        pass
+
+
+class SensorFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_feed"
+
+    def schema(self):
+        return SENSOR_FEED_SCHEMA
+
+    def reader(self, schema: StructType) -> SensorFeedReader:
+        return SensorFeedReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SensorFeedStreamReader:
+        return SensorFeedStreamReader(self.options)
+
+
+def register_sensor_feed(spark) -> None:
+    """Idempotent registration: ``spark.read.format('sensor_feed')``.
+
+    Also applies the engine's runtime confs: Spark 4.1 refuses to even
+    initialize a reader that implements ``pushFilters`` unless
+    ``spark.sql.python.filterPushdown.enabled`` is true, and an
+    externally created session (e.g. the verification driver's) won't
+    have it set.
+    """
+    from smartpool_bigdata_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(SensorFeedDataSource)

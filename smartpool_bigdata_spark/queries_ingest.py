@@ -256,6 +256,54 @@ def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+@query(
+    "sensor_feed_stats",
+    oracle="""
+    WITH feed AS (
+        SELECT g AS reading_id,
+               CAST(g % 16 AS INTEGER) AS sensor_id,
+               20.0 + CAST(g * 37 % 1000 AS DOUBLE) / 100.0 AS temp,
+               6.5 + CAST(g * 53 % 200 AS DOUBLE) / 100.0 AS ph,
+               (g * 7919) % 97 < 8 AS anomaly
+        FROM generate_series(0, 9999) t(g)
+    )
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(CASE WHEN anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(CAST(sum(CAST(temp AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(temp), 4) AS avg_temp,
+           round(CAST(sum(CAST(ph AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(ph), 4) AS avg_ph
+    FROM feed GROUP BY sensor_id
+    """,
+    description="Custom Python data source end-to-end (Spark 4 "
+    "pyspark.sql.datasource): the sensor_feed source (partitioned batch "
+    "reader + reading_id filter pushdown + streaming offset protocol — "
+    "io/pydatasource.py, standing in for the reference's sandbox-blocked "
+    "Kafka/JDBC connectors) read through the engine and aggregated per "
+    "sensor. The rows are a pure arithmetic function of reading_id, so "
+    "DuckDB regenerates them exactly via generate_series — a custom "
+    "CONNECTOR with a full value-hash oracle, not just a rows-only "
+    "check. ~8% injected anomalies mirror the reference producer "
+    "(producers/producer_smartpool_sensors.py:29-40).",
+    skip_bench=True,  # Python-worker source: measures the API, not the engine
+)
+def sensor_feed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_avg as _avg
+    from smartpool_bigdata_spark.io.pydatasource import register_sensor_feed
+
+    register_sensor_feed(spark)
+    feed = spark.read.format("sensor_feed").option("n", 10_000).load()
+    return feed.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_readings"),
+        F.sum(F.when(F.col("anomaly"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        _avg("temp", 4).alias("avg_temp"),
+        _avg("ph", 4).alias("avg_ph"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

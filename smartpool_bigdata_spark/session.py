@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any toPandas / pandas_udf path (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Allow custom Python data sources to implement pushFilters
+    # (io/pydatasource.py) — off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 BUILDER_CONFS: dict[str, str] = {

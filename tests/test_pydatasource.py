@@ -1,0 +1,90 @@
+"""Custom Python data source (Spark 4 pyspark.sql.datasource): batch
+partitioned read, filter pushdown INTO the source, and the streaming
+offset protocol."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from smartpool_bigdata_spark.io.pydatasource import (
+    SensorFeedReader,
+    register_sensor_feed,
+    sensor_row,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sensor_feed(spark)
+
+
+def test_batch_read_matches_row_function(spark):
+    df = spark.read.format("sensor_feed").option("n", 2000).load()
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {sensor_row(i) for i in range(2000)}
+    # parallel: the range is split across partitions
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_push_filters_trim_range_before_partitioning():
+    r = SensorFeedReader({"n": "10000"})
+    other = EqualTo(("sensor_id",), 3)  # not a reading_id bound -> leftover
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("reading_id",), 9000), LessThan(("reading_id",), 9500), other]
+        )
+    )
+    assert leftover == [other]
+    parts = r.partitions()
+    assert parts[0].start == 9000 and parts[-1].end == 9500
+    covered = sorted((p.start, p.end) for p in parts)
+    for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
+        assert e1 == s2  # contiguous, no overlap, no gap
+
+
+def test_pushed_query_returns_exact_slice(spark):
+    df = (
+        spark.read.format("sensor_feed")
+        .option("n", 10000)
+        .load()
+        .filter((F.col("reading_id") >= 9990) & (F.col("sensor_id") == 2))
+    )
+    got = [r["reading_id"] for r in df.collect()]
+    want = [i for i in range(9990, 10000) if i % 16 == 2]
+    assert got == want
+
+
+def test_stream_reader_drains_in_rate_limited_batches(spark):
+    n, per = 5000, 1000
+    stream = (
+        spark.readStream.format("sensor_feed")
+        .option("n", n)
+        .option("rows_per_batch", per)
+        .load()
+    )
+    name = f"t_feed_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            time.sleep(0.5)
+        rows = {tuple(r) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert rows == {sensor_row(i) for i in range(n)}
+    # rate limiting: no single micro-batch exceeded rows_per_batch
+    assert all(
+        p["numInputRows"] <= per for p in q.recentProgress if p["numInputRows"]
+    )
