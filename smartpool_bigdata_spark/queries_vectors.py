@@ -624,6 +624,191 @@ def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_survivors"))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer) — 64 dims as 4 subspaces
+# × 16 dims, 16 codes per subspace. A vector compresses to 4 code ids
+# (≈4 B vs 256 B of float32): at 10⁹ vectors the encoded corpus fits in
+# executor memory where raw vectors cannot, and query-time ADC (asymmetric
+# distance computation) replaces d-dim folds per pair with 4 lookups into
+# a per-query 4×16 distance table. Codebooks here are deterministic
+# fixed-size samples (the sample_fixed_k contract; kmeans_refine is the
+# orthogonal quality upgrade, proven separately in knn_ivf_kmeans).
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16
+PQ_CODES = 16
+
+
+def _pq_duck_cb() -> str:
+    """Codebook CTE: per subspace, 16 deterministically sampled corpus
+    vectors sliced to that subspace; the sampled vec_id IS the code id."""
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = PQ_SUBDIM * s + 1, PQ_SUBDIM * (s + 1)
+        blocks.append(
+            f"        SELECT {s} AS sub, vec_id AS code, v[{lo}:{hi}] AS csub\n"
+            f"        FROM ({_duck_sample(PQ_CODES, f'pq{s}')})"
+        )
+    return "\n        UNION ALL\n".join(blocks)
+
+
+def _pq_duck_subvecs(src: str, idc: str, out: str) -> str:
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = PQ_SUBDIM * s + 1, PQ_SUBDIM * (s + 1)
+        blocks.append(
+            f"        SELECT {idc}, {s} AS sub, v[{lo}:{hi}] AS {out} FROM {src}"
+        )
+    return "\n        UNION ALL\n".join(blocks)
+
+
+def _dd(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cb AS (
+{_pq_duck_cb()}
+    ),
+    subvecs AS (
+{_pq_duck_subvecs('corpus', 'vec_id', 'sv')}
+    ),
+    escore AS (
+        SELECT vec_id, sub, code,
+               round(2 * {_dd('sv', 'csub')} - {_dd('csub', 'csub')}, 4) AS sc
+        FROM subvecs JOIN cb USING (sub)
+    ),
+    encoded AS (
+        SELECT vec_id, sub, code
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY sc DESC, code ASC) AS rn
+              FROM escore)
+        WHERE rn = 1
+    ),
+    qids AS (SELECT vec_id AS query_id FROM ({_duck_sample(N_QUERIES, 'q')})),
+    qsubs AS (
+        SELECT query_id, sub, sv AS qsv
+        FROM ({_pq_duck_subvecs('corpus', 'vec_id', 'sv')}) t
+        JOIN qids ON t.vec_id = qids.query_id
+    ),
+    qdist AS (
+        SELECT query_id, sub, code,
+               {_dd('qsv', 'qsv')} - 2 * {_dd('qsv', 'csub')} + {_dd('csub', 'csub')} AS contrib
+        FROM qsubs JOIN cb USING (sub)
+    ),
+    adc AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               round(CAST(sum(CAST(contrib AS DECIMAL(38,10))) AS DOUBLE), 4) AS adc_dist
+        FROM encoded e JOIN qdist d ON e.sub = d.sub AND e.code = d.code
+        WHERE e.vec_id != d.query_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+          FROM adc)
+    WHERE rn <= 3
+    """,
+    description="Product quantization with asymmetric distance (IVF-PQ's "
+    "fine quantizer): 64-dim vectors encode to 4 code ids (one 16-code "
+    "codebook per 16-dim subspace — ≈64× compression, the trick that "
+    "fits a billion-vector index in memory), and each query builds a "
+    "4×16 lookup table so candidate distance is 4 table lookups instead "
+    "of a 64-dim fold. Encoding = argmin L2² via the 2a·b − b·b form "
+    "(a·a constant per row), rounded + code-tie-broken so ranking is "
+    "ulp-noise-proof; ADC sums per-subspace contributions through exact "
+    "DECIMAL so the sum is order-independent. Codebooks are "
+    "deterministic fixed-size samples (O(codes·d) broadcast at any "
+    "corpus size); kmeans_refine is the orthogonal quality upgrade. "
+    "Full value-hash oracle — DuckDB reproduces encode AND ADC "
+    "bit-for-bit.",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+
+    def subspace(df: DataFrame, idc: str, out: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.col(idc),
+                F.lit(s).alias("sub"),
+                F.expr(f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias(out),
+            )
+            for s in range(PQ_SUBSPACES)
+        ]
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.union(p)
+        return out_df
+
+    cb_parts = []
+    for s in range(PQ_SUBSPACES):
+        cb_parts.append(
+            sample_fixed_k(corpus, PQ_CODES, salt=f"pq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias("csub"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+
+    subvecs = subspace(corpus, "vec_id", "sv")
+    escore = subvecs.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.expr(
+            f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
+        ).alias("sc"),
+    )
+    encoded = top_n_per_group(
+        escore,
+        keys=["vec_id", "sub"],
+        order_by=[F.col("sc").desc(), F.col("code").asc()],
+        n=1,
+        method="row_number",
+    ).select("vec_id", "sub", "code")
+
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
+        F.col("vec_id").alias("query_id")
+    )
+    qsubs = subspace(corpus, "vec_id", "sv").join(
+        F.broadcast(qids), F.col("vec_id") == F.col("query_id")
+    ).select("query_id", "sub", F.col("sv").alias("qsv"))
+    qdist = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.expr(
+            f"{spark_dot('qsv', 'qsv')} - 2 * {spark_dot('qsv', 'csub')}"
+            f" + {spark_dot('csub', 'csub')}"
+        ).alias("contrib"),
+    )
+    adc = (
+        encoded.join(F.broadcast(qdist), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("adc_dist")
+        )
+    )
+    return top_n_per_group(
+        adc,
+        keys=["query_id"],
+        order_by=[F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        n=3,
+        method="row_number",
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

@@ -295,3 +295,39 @@ def test_kmeans_refine_deterministic_across_partitionings(spark):
         for r in kmeans_refine(corpus.repartition(7), seeds, iters=1).collect()
     }
     assert a == b
+
+
+def test_pq_encoding_structure_and_adc_sanity(spark):
+    """PQ result-shape invariants (exact values are pinned by the DuckDB
+    oracle): each query emits a dense 1..3 ranking, and every per-subspace
+    codebook is a fixed-size subset of the corpus — the property that
+    keeps the broadcast O(codes·d) at any scale."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+    from smartpool_bigdata_spark.queries_vectors import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+    )
+
+    out = REGISTRY["knn_pq_adc"].build(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # 8 queries × top-3, ranks are 1..3 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    assert all(len(v) == 3 for v in by_q.values())
+
+    # structural invariants of the encode stage
+    from smartpool_bigdata_spark.ops.vectors import as_double_array, sample_fixed_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    n = corpus.count()
+    codebook_ids = {
+        s: {r["vec_id"] for r in sample_fixed_k(corpus, PQ_CODES, salt=f"pq{s}").collect()}
+        for s in range(PQ_SUBSPACES)
+    }
+    assert all(len(ids) == PQ_CODES for ids in codebook_ids.values())
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert all(ids <= corpus_ids for ids in codebook_ids.values())
+    assert n >= PQ_CODES
