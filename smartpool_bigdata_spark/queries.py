@@ -1521,6 +1521,110 @@ def daily_purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_event_type_profile",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    description="Set-valued aggregation: the distinct event types each "
+    "user has produced, as a SORTED joined string — collect_set is "
+    "nondeterministically ordered by partitioning, so array_sort before "
+    "array_join is what makes a set-valued column comparable, hashable "
+    "and testable at all. Scale: one hash agg; the per-key set is "
+    "bounded by the event-type domain (5), not event count — map-side "
+    "partial collect_set keeps the shuffle tiny.",
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "event_grouping_sets",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, value
+        FROM events
+    )
+    SELECT event_type, hour_of_day,
+           CAST(GROUPING(event_type, hour_of_day) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM t GROUP BY GROUPING SETS ((event_type), (hour_of_day))
+    """,
+    description="Explicit GROUPING SETS — exactly the two marginal "
+    "aggregations (per-type, per-hour), no full detail and no grand "
+    "total: the shape CUBE can't express without computing the extra "
+    "sets. One Expand + hash aggregate pass; when only k of 2^n sets "
+    "are needed, GROUPING SETS expands to k copies of each row where "
+    "CUBE expands to 2^n — at 100 TB that multiplier is the whole cost.",
+)
+def event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
+    ).createOrReplaceTempView("q_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, hour_of_day,
+               CAST(grouping_id(event_type, hour_of_day) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+                   AS total_value
+        FROM q_gs_events GROUP BY GROUPING SETS ((event_type), (hour_of_day))
+        """
+    )
+
+
+@query(
+    "user_first_last_events",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    description="Window navigation functions — first_value / last_value / "
+    "nth_value over the full per-user frame (the journey summary: how a "
+    "user arrived, what they did second, where they ended). The frame "
+    "must be explicitly UNBOUNDED FOLLOWING: the default frame stops at "
+    "CURRENT ROW, silently making last_value ≡ current row — the classic "
+    "window-function bug, same in every engine. Deterministic total "
+    "order via (ts, event_id) tie-break. One shuffle on user_id.",
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("user_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_events"),
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
