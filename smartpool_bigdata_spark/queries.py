@@ -1625,6 +1625,96 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@query(
+    "daily_activity_reconciliation",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    o AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT coalesce(e.day, o.day) AS day,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CASE WHEN e.day IS NULL THEN 'orders_only'
+                WHEN o.day IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM e FULL OUTER JOIN o ON e.day = o.day
+    """,
+    description="FULL OUTER join — the reconciliation shape: daily event "
+    "counts against daily order counts, keeping days present on either "
+    "side only, labeled. Completes the join-type family (inner/left/"
+    "semi/anti/as-of/range/stream-stream already gated). Scale: both "
+    "sides pre-aggregate to one row per day BEFORE the join, so the "
+    "full-outer shuffle carries O(days) rows, not the fact tables.",
+)
+def daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    e, o = ev.alias("e"), orders.alias("o")
+    joined = e.join(o, F.col("e.day") == F.col("o.day"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("e.day"), F.col("o.day")).alias("day"),
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+        F.when(F.col("e.day").isNull(), "orders_only")
+        .when(F.col("o.day").isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query(
+    "lineitem_measures_unpivot",
+    oracle="""
+    WITH long AS (
+        SELECT 'quantity' AS measure, l_quantity AS amount FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(amount AS DECIMAL(38,10))) AS DOUBLE), 2) AS total
+    FROM long GROUP BY measure
+    """,
+    description="Unpivot / melt (DataFrame.unpivot, wide->long): four "
+    "lineitem measures become (measure, amount) rows, then aggregate "
+    "per measure. The oracle uses the dialect-safe UNION ALL expansion "
+    "— semantically what unpivot plans (an Expand node, one scan, rows "
+    "x measures; NOT four scans). Long form is what generic per-metric "
+    "pipelines (profiling, drift detection) consume.",
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")  # l_quantity -> quantity
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        stable_sum("amount", 2).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
