@@ -79,6 +79,34 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Apples-to-apples continuity: the total over exactly the 48 queries
+    # the round-2 bench measured (BENCH_r02.json), so the headline total
+    # growing with each round's NEW queries is never mistaken for a
+    # regression of the existing ones.
+    R2_BENCH_SET = {
+        "active_ids_union", "active_without_purchase_last_day",
+        "allowed_event_types", "chunk_packing", "customer_order_summary",
+        "daily_event_stats", "doc_chunks", "doc_exact_dedup",
+        "doc_fingerprint_dedup", "doc_language_guess", "doc_near_dup_pairs",
+        "doc_quality_filter", "doc_signatures", "doc_simhash_near_dup",
+        "doc_text_quality", "doc_token_classes", "doc_token_percentiles",
+        "doc_train_split", "embedding_near_dup", "event_cost_model",
+        "event_hourly_window", "event_null_profile", "event_orphan_users",
+        "event_projection_normalize", "event_range_flags",
+        "event_type_rollup", "event_type_stats_salted",
+        "event_user_skew_profile", "events_asof_reference_value",
+        "events_from_customers", "hourly_value_deviation",
+        "ingest_watermark", "knn_brute_force", "knn_ivf",
+        "knn_ivf_multiprobe", "latest_order_per_customer",
+        "multimodal_byte_features", "order_dup_check",
+        "order_priority_pivot", "peak_event_hours", "pricing_summary",
+        "purchase_running_total", "segment_fee_model",
+        "top_orders_per_priority", "top_value_orders", "urgent_open_orders",
+        "user_distinct_kmv", "user_sessions",
+    }
+    value_r2_subset = round(
+        sum(v for k, v in timings.items() if k in R2_BENCH_SET), 3
+    )
     # Headline "value"/"queries" stay min-of-2 steady-state (the r2
     # methodology — PERF.md); "queries_first_run" keeps the cold numbers
     # alongside so cross-round trajectories stay apples-to-apples however
@@ -92,6 +120,8 @@ def main() -> int:
                 "queries": timings,
                 "queries_first_run": first_run,
                 "value_first_run": round(sum(first_run.values()), 3),
+                "value_r2_subset": value_r2_subset,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )
