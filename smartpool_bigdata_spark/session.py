@@ -33,6 +33,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # Allow custom Python data sources to implement pushFilters
     # (io/pydatasource.py) — off by default in Spark 4.1.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Pin UTC on ANY session the engine touches (runtime-settable):
+    # NTZ→LTZ casts, unix_timestamp and date casts must match the
+    # naive-timestamp oracle even when the engine runs inside an
+    # externally created session (e.g. the verification driver's).
+    "spark.sql.session.timeZone": "UTC",
 }
 
 BUILDER_CONFS: dict[str, str] = {
