@@ -1715,6 +1715,109 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 1) AS lo,
+           round((CAST(floor(value / 50.0) AS BIGINT) + 1) * 50.0, 1) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    description="Fixed-width histogram (bucket = floor(value/width)) — "
+    "the profiling primitive behind drift detection and range checks. "
+    "One hash agg over O(buckets) groups; the bucket arithmetic is a "
+    "single double divide + floor, identical in every IEEE engine, so "
+    "bucket membership is deterministic cross-engine (unlike "
+    "width_bucket variants with engine-specific edge handling).",
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 50.0).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 50.0, 1).alias("lo"),
+            F.round((F.col("bucket") + 1) * 50.0, 1).alias("hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "event_value_dispersion",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value,
+               CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS k
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(k AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(k * k AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(value * k AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 4) AS mean_value,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS stddev_value,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_value_k
+    FROM s
+    """,
+    description="Deterministic dispersion statistics: sample stddev and "
+    "Pearson correlation computed from exact DECIMAL power sums "
+    "(Σx, Σx², Σy, Σy², Σxy) cast to double once, with a fixed "
+    "expression shape — NOT the built-in stddev/corr aggregates, whose "
+    "streaming update/merge order makes the low-order bits "
+    "partitioning-dependent and engine-specific. Same single-pass "
+    "hash-agg cost (the sums all fold map-side); bit-identical result "
+    "under any partitioning, property the decimal-stable sums already "
+    "guarantee. Correlates value with the props JSON payload's k.",
+)
+def event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        "value",
+        F.from_json("props", "k BIGINT").getField("k").cast("double").alias("k"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,10)")).cast("double")
+
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum(F.col("k")).alias("sy"),
+        dsum(F.col("k") * F.col("k")).alias("syy"),
+        dsum(F.col("value") * F.col("k")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 4).alias("mean_value"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4).alias(
+            "stddev_value"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            4,
+        ).alias("corr_value_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
