@@ -123,3 +123,56 @@ def test_latest_by_key_matches_model(spark, rows):
         if k not in want or (ts, i) > want[k]:
             want[k] = (ts, i)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(  # (user, epoch-seconds, is_purchase)
+        st.tuples(st.integers(0, 2), st.integers(0, 100_000), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_binned_range_join_covers_window(spark, rows):
+    """The two-bin probe (bin width == range width W) must find EXACTLY
+    the naive-join pairs: every view in [p-W, p) shares a (user, bin)
+    key with one of the purchase's two probes — including rows landing
+    exactly on bin boundaries, where float binning would break."""
+    W = 3600
+    purchases = [(i, u, t) for i, (u, t, p) in enumerate(rows) if p]
+    views = [(u, t) for (u, t, p) in rows if not p]
+    if not purchases or not views:
+        return
+    want = {}
+    for pid, pu, pt in purchases:
+        n = sum(1 for (vu, vt) in views if vu == pu and pt - W <= vt < pt)
+        if n:
+            want[pid] = n
+
+    pdf = spark.createDataFrame(purchases, ["event_id", "user_id", "p_epoch"])
+    vdf = spark.createDataFrame(views, ["user_id", "v_epoch"])
+    probes = pdf.select(
+        "event_id",
+        "user_id",
+        "p_epoch",
+        F.explode(
+            F.array(
+                F.expr(f"(p_epoch - {W}) div {W}"), F.expr(f"p_epoch div {W}")
+            )
+        ).alias("bin"),
+    )
+    binned = vdf.select(
+        "user_id", "v_epoch", F.expr(f"v_epoch div {W}").alias("bin")
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in probes.join(binned, ["user_id", "bin"])
+        .filter(
+            (F.col("v_epoch") >= F.col("p_epoch") - W)
+            & (F.col("v_epoch") < F.col("p_epoch"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -465,3 +465,31 @@ def test_checkpoint_restart_exactly_once(spark, events, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == ev.count()  # no re-processing, no loss
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_parse_json_payload_quarantines_corrupt_rows(spark):
+    """Malformed payloads must parse to NULL columns (PERMISSIVE
+    semantics), so the not-null expectation quarantines them instead of
+    failing the stream — the bronze->silver contract."""
+    from smartpool_bigdata_spark.streaming import parse_json_payload
+
+    raw = spark.createDataFrame(
+        [
+            (1, '{"sensor": "a", "temp": 21.5}'),
+            (2, "{not json at all"),
+            (3, '{"sensor": "b"}'),   # missing field -> NULL temp only
+            (4, ""),
+        ],
+        ["offset", "value"],
+    )
+    parsed = parse_json_payload(
+        raw, "sensor STRING, temp DOUBLE", keep_cols=["offset"]
+    )
+    rows = {r["offset"]: (r["sensor"], r["temp"]) for r in parsed.collect()}
+    assert rows[1] == ("a", 21.5)
+    assert rows[2] == (None, None)
+    assert rows[3] == ("b", None)
+    assert rows[4] == (None, None)
+    good = parsed.filter(F.col("sensor").isNotNull())
+    quarantined = parsed.filter(F.col("sensor").isNull())
+    assert good.count() == 2 and quarantined.count() == 2
