@@ -1172,6 +1172,126 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id, text,
+               len({T.duck_tokens('text')}) AS token_count,
+               round(len(list_distinct({T.duck_tokens('text')}))
+                     / CAST(len({T.duck_tokens('text')}) AS DOUBLE), 4) AS uniq_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text FROM stats
+        WHERE token_count BETWEEN 20 AND 2000 AND uniq_ratio >= 0.05
+    ),
+    deduped AS (
+        SELECT doc_id, text
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+              FROM kept)
+        WHERE rn = 1
+    ),
+    split AS (
+        SELECT doc_id, text,
+               CASE WHEN {T.duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN {T.duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM deduped
+    ),
+    t AS (SELECT doc_id, split, {T.duck_tokens('text')} AS toks FROM split),
+    ch AS (
+        SELECT doc_id, split, toks,
+               unnest(range(1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_STRIDE})) AS s
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, split,
+               CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               len(toks[s:s + {_CHUNK_SIZE - 1}]) AS n_tokens
+        FROM ch
+    ),
+    packed AS (
+        SELECT doc_id, split, chunk_idx, n_tokens,
+               CAST((sum(n_tokens) OVER (
+                   PARTITION BY doc_id ORDER BY chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+        FROM chunks
+    ),
+    packs AS (
+        SELECT doc_id, split, pack_id, sum(n_tokens) AS pack_tokens
+        FROM packed GROUP BY doc_id, split, pack_id
+    )
+    SELECT split,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens
+    FROM packs GROUP BY split
+    """,
+    description="The END-TO-END training-corpus pipeline as ONE Spark "
+    "plan: quality filter (length + repetition policy) -> exact dedup "
+    "(deterministic min-id winner per content hash) -> reproducible "
+    "80/10/10 split (hash of doc_id) -> 64-token chunking (8 overlap) "
+    "-> 128-token sequence packing -> per-split corpus accounting. "
+    "Every stage is the already-gated operator, composed: one scan, one "
+    "dedup shuffle, one per-doc window — no materialization between "
+    "stages, which is exactly how the pipeline should run at 100 TB "
+    "(stage boundaries become bucketed tables only when stages are "
+    "re-run independently). Full value-hash oracle over the composed "
+    "plan.",
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    stats = with_text_stats(docs, "text")
+    kept = stats.filter(
+        F.col("token_count").between(20, 2000)
+        & (F.col("unique_token_ratio") >= 0.05)
+    ).select("doc_id", "text")
+    deduped = exact_dedup(kept, "text", "doc_id")
+    bucket = F.expr(T.spark_hash64("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    t = deduped.select(
+        "doc_id", split.alias("split"), F.expr(T.spark_tokens("text")).alias("toks")
+    )
+    ch = t.select(
+        "doc_id",
+        "split",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE})"
+            )
+        ).alias("s"),
+    )
+    chunks = ch.select(
+        "doc_id",
+        "split",
+        F.expr(f"CAST((s - 1) div {_CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.expr(f"size(slice(toks, s, {_CHUNK_SIZE}))").alias("n_tokens"),
+    )
+    packed = chunks.withColumn(
+        "pack_id",
+        F.expr(
+            f"CAST((sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) "
+            f"div {_PACK_BUDGET} AS BIGINT)"
+        ),
+    )
+    packs = packed.groupBy("doc_id", "split", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    return packs.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
