@@ -731,18 +731,16 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
 
     def subspace(df: DataFrame, idc: str, out: str) -> DataFrame:
-        parts = [
-            df.select(
-                F.col(idc),
-                F.lit(s).alias("sub"),
-                F.expr(f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias(out),
-            )
+        # one scan: posexplode over the array of subspace slices (a
+        # 4-way union of projections would scan the corpus 4x)
+        slices = ", ".join(
+            f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})"
             for s in range(PQ_SUBSPACES)
-        ]
-        out_df = parts[0]
-        for p in parts[1:]:
-            out_df = out_df.union(p)
-        return out_df
+        )
+        return df.select(
+            F.col(idc),
+            F.posexplode(F.expr(f"array({slices})")).alias("sub", out),
+        )
 
     cb_parts = []
     for s in range(PQ_SUBSPACES):
@@ -766,13 +764,13 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
         ).alias("sc"),
     )
-    encoded = top_n_per_group(
-        escore,
-        keys=["vec_id", "sub"],
-        order_by=[F.col("sc").desc(), F.col("code").asc()],
-        n=1,
-        method="row_number",
-    ).select("vec_id", "sub", "code")
+    # argmax via max_by on the (sc, -code) tuple — same result as the
+    # oracle's row_number (sc DESC, code ASC) because code is unique per
+    # (vec, sub), but a hash agg with map-side partial combine instead of
+    # a full window sort
+    encoded = escore.groupBy("vec_id", "sub").agg(
+        F.expr("max_by(code, struct(sc, -code))").alias("code")
+    )
 
     qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
         F.col("vec_id").alias("query_id")
