@@ -1173,6 +1173,46 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_index",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source, (strlen(text) + 63) // 64 AS nf
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nf) AS BIGINT) AS n_frames,
+           CAST(max((nf - 1) * 64) AS BIGINT) AS max_frame_offset
+    FROM f WHERE nf > 0 GROUP BY source
+    """,
+    description="Multimodal frame fan-out end-to-end: binary payloads -> "
+    "sample_frames (vectorized mapInPandas row EXPLOSION, one output row "
+    "per 64-byte frame with its offset — the N-in/M-out shape video "
+    "decode needs) -> per-source frame accounting. The oracle recomputes "
+    "the fan-out arithmetically (ceil(bytes/64) frames, last offset "
+    "(nf-1)*64), so the Python worker's variable-fanout plumbing is "
+    "value-checked, not just schema-checked. Codec decode itself stays "
+    "stubbed (no ffmpeg in env) — what's gated is the real Spark "
+    "machinery a decoder drops into.",
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", mime="text/plain")
+    frames = sample_frames(media, every_n_bytes=64)
+    joined = frames.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("frame_offset").cast("bigint").alias("max_frame_offset"),
+    )
+
+
+@query(
     "llm_corpus_pipeline",
     oracle=f"""
     WITH stats AS (
