@@ -322,6 +322,76 @@ def stream_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+        FROM g GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT s.* FROM sess s, wm WHERE s.session_end <= wm.w
+    """,
+    description="REAL streaming run of Spark's NATIVE session_window "
+    "(gap 30 min) with a 1-hour watermark, append mode, drained via "
+    "AvailableNow: emitted set == sessions whose end (last event + gap) "
+    "<= final watermark — the built-in-operator twin of the custom "
+    "applyInPandasWithState sessionizer (stream_user_sessions), which "
+    "also emits observed-gap closes the native operator holds in state. "
+    "Oracle: gaps-and-islands SQL + the watermark cut. State: one "
+    "merged window per open (user, session).",
+    skip_bench=True,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+
+    stream, stage = _stream_events(spark, sf_dir, ["user_id", "ts", "value"])
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(agg, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.table(name)
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    )
+
+
+@query(
     "stream_view_purchase_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id
