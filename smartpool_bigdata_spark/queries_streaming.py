@@ -456,6 +456,83 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_purchase_attribution_outer",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM v))
+               - INTERVAL 1 HOUR AS w
+    )
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 4 HOUR
+     AND v.ts <= p.ts, wm
+    WHERE v.event_id IS NOT NULL OR p.ts < wm.w
+    """,
+    description="REAL stream-stream LEFT OUTER join: every matched "
+    "(purchase, view-within-4h) pair emits on match; an unmatched "
+    "purchase emits with NULL only once the watermark proves no view "
+    "can still arrive — i.e. its state is evicted when pts < watermark, "
+    "where the engine's watermark is the MIN across both sources' "
+    "watermarks (multipleWatermarkPolicy=min, both = max(side ts) − 1h "
+    "under AvailableNow; semantics verified empirically and encoded "
+    "exactly in the oracle's wm CTE). Purchases newer than the final "
+    "watermark stay in state, unemitted — exactly the rows the oracle "
+    "excludes. The outer twin of stream_view_purchase_join.",
+    skip_bench=True,
+)
+def stream_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.streaming import stream_stream_join
+
+    ev = event_time_ltz(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ),
+        "ts",
+    )
+    stage = tempfile.mkdtemp(prefix="spark_ssjo_src_")
+    p_src = os.path.join(stage, "purchases")
+    v_src = os.path.join(stage, "views")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+    )
+    purchases.write.parquet(p_src)
+    views.write.parquet(v_src)
+    p_stream = file_stream(spark, p_src, purchases.schema)
+    v_stream = file_stream(spark, v_src, views.schema)
+    joined = stream_stream_join(
+        p_stream,
+        v_stream,
+        on=F.col("p_user") == F.col("v_user"),
+        left_ts="pts",
+        right_ts="vts",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        max_lag="4 hours",
+        how="left_outer",
+    ).select("purchase_id", "view_id")
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(joined, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
