@@ -428,3 +428,31 @@ def test_write_clustered_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(hit) == 1
     got = spark.read.parquet(out).filter(F.col("id") == 54_321).collect()
     assert len(got) == 1 and got[0]["v"] == float(54_321 * 37 % 1000)
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
+    """Operational tolerance: a corrupt file inside a table directory
+    fails the whole scan by default (fail-fast is the right default);
+    with spark.sql.files.ignoreCorruptFiles the scan completes on the
+    surviving files — the recovery switch for a 100 TB backfill where
+    one bad file must not kill a 6-hour job."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    out = str(tmp_path / "t")
+    spark.range(0, 1000).withColumn("v", F.col("id") * 2).coalesce(2).write.parquet(out)
+    with open(out + "/zz_corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not really parquet")
+
+    with _pytest.raises(Exception) as err:
+        spark.read.parquet(out).count()  # fail-fast default
+    assert "parquet" in str(err.value).lower() or isinstance(
+        err.value, Py4JJavaError
+    )
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(out).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert got == 1000
