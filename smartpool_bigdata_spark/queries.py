@@ -1818,6 +1818,133 @@ def event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_daily_value_interpolated",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(value), 4) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    grid AS (
+        SELECT u.user_id, d.day, daily.v
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    ),
+    filled AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER w_ff AS ff_v,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER w_ff AS ff_day,
+               first_value(v IGNORE NULLS) OVER w_bf AS bf_v,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER w_bf AS bf_day
+        FROM grid
+        WINDOW w_ff AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_bf AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN ff_v IS NOT NULL AND bf_v IS NOT NULL THEN
+                   ff_v + (bf_v - ff_v)
+                        * (CAST(date_diff('day', ff_day, day) AS DOUBLE)
+                           / CAST(date_diff('day', ff_day, bf_day) AS DOUBLE))
+               WHEN ff_v IS NOT NULL THEN ff_v
+               ELSE bf_v
+           END, 4) AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN ff_v IS NOT NULL AND bf_v IS NOT NULL THEN 'interpolated'
+                WHEN ff_v IS NOT NULL THEN 'ffill'
+                WHEN bf_v IS NOT NULL THEN 'bfill'
+                ELSE 'empty' END AS fill_kind
+    FROM filled
+    """,
+    description="Time-series gap fill with linear interpolation: each "
+    "user's daily purchase average on a continuous day grid — observed "
+    "days pass through, interior gaps interpolate linearly between the "
+    "surrounding observations (weighted by day distance), leading/"
+    "trailing gaps back-/forward-fill, labeled per row. Built from "
+    "last_value/first_value IGNORE NULLS over per-user day order — one "
+    "shuffle on user_id. Scale: the grid is |cohort| × |days| — bound "
+    "the cohort (here: users present in events) and the window, as any "
+    "TS completion must; inputs are rounded BEFORE interpolating so the "
+    "arithmetic is cross-engine exact.",
+)
+def user_daily_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    bounds = ev.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", d.alias("day"))
+        .agg(stable_avg("value", 4).alias("v"))
+    )
+    grid = users.crossJoin(F.broadcast(days)).join(daily, ["user_id", "day"], "left")
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nn_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    filled = grid.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_ff).alias("ff_v"),
+        F.last(nn_day, ignorenulls=True).over(w_ff).alias("ff_day"),
+        F.first("v", ignorenulls=True).over(w_bf).alias("bf_v"),
+        F.first(nn_day, ignorenulls=True).over(w_bf).alias("bf_day"),
+    )
+    interp = F.col("ff_v") + (F.col("bf_v") - F.col("ff_v")) * (
+        F.datediff("day", "ff_day").cast("double")
+        / F.datediff("bf_day", "ff_day").cast("double")
+    )
+    value_filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("ff_v").isNotNull() & F.col("bf_v").isNotNull(), interp)
+        .when(F.col("ff_v").isNotNull(), F.col("ff_v"))
+        .otherwise(F.col("bf_v"))
+    )
+    fill_kind = (
+        F.when(F.col("v").isNotNull(), "observed")
+        .when(F.col("ff_v").isNotNull() & F.col("bf_v").isNotNull(), "interpolated")
+        .when(F.col("ff_v").isNotNull(), "ffill")
+        .when(F.col("bf_v").isNotNull(), "bfill")
+        .otherwise("empty")
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.round(value_filled, 4).alias("value_filled"),
+        fill_kind.alias("fill_kind"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
