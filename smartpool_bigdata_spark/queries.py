@@ -1945,6 +1945,128 @@ def user_daily_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "daily_event_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    trail AS (
+        SELECT event_type, day, n,
+               CAST(count(*) OVER w AS BIGINT) AS n_prior,
+               CAST(sum(CAST(n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sx,
+               CAST(sum(CAST(CAST(n AS DOUBLE) * n AS DECIMAL(38,10))) OVER w
+                    AS DOUBLE) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           round(sx / n_prior, 4) AS trailing_mean,
+           round(sqrt(greatest(sxx / n_prior - (sx / n_prior) * (sx / n_prior),
+                               0.0)), 4) AS trailing_std,
+           CAST(abs(n - sx / n_prior) >
+                3.0 * sqrt(greatest(sxx / n_prior - (sx / n_prior) * (sx / n_prior),
+                                    0.0)) AS BOOLEAN) AS is_anomaly
+    FROM trail WHERE n_prior = 7
+    """,
+    description="Trailing-window anomaly detection: each day's event "
+    "count per type against the mean and population σ of the previous 7 "
+    "days, flagged at 3σ — the monitoring primitive behind volume-drop/"
+    "spike alerts. The moving-frame sums go through exact DECIMAL so "
+    "the result is independent of how either engine associates the "
+    "frame arithmetic (segment trees vs running sums — the hidden "
+    "cross-engine trap in moving-window floats). One shuffle on "
+    "event_type; emits only days with a full 7-day history.",
+)
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    trailing = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior"),
+        F.sum(F.col("n").cast("decimal(38,10)")).over(w).cast("double").alias("sx"),
+        F.sum((F.col("n").cast("double") * F.col("n")).cast("decimal(38,10)"))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_prior")
+    var = F.greatest(
+        F.col("sxx") / F.col("n_prior") - mean * mean, F.lit(0.0)
+    )
+    return trailing.filter(F.col("n_prior") == 7).select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean, 4).alias("trailing_mean"),
+        F.round(F.sqrt(var), 4).alias("trailing_std"),
+        (F.abs(F.col("n") - mean) > 3.0 * F.sqrt(var)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                              AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+    FROM steps GROUP BY day
+    """,
+    description="Ordered conversion funnel (view -> click -> purchase "
+    "within a user-day): per-step first-occurrence timestamps from ONE "
+    "conditional aggregation, then ordering predicates — the sequence "
+    "pattern expressed as a single hash agg instead of 3 self-joins "
+    "(which at 100 TB would be three shuffles of the fact table; this "
+    "is one). NULL comparisons make 'never did the step' fall out of "
+    "the > predicates naturally.",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return steps.groupBy("day").agg(
+        F.sum(F.when(viewed, 1).otherwise(0)).cast("bigint").alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchased_after_click"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
