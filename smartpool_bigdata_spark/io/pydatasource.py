@@ -31,6 +31,7 @@ micro-batch (the ``maxOffsetsPerTrigger`` rate-limit analog, T6).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -134,23 +135,50 @@ class SensorFeedReader(DataSourceReader):
 
 
 class SensorFeedStreamReader(DataSourceStreamReader):
-    """reading_id is the offset; each micro-batch advances by
-    ``rows_per_batch`` until ``n`` rows have been emitted."""
+    """reading_id is the offset.
+
+    ``latestOffset`` must be MONOTONIC across query restarts: a fresh
+    reader instance that restarts its cursor from scratch reports a head
+    BEHIND the checkpoint's committed offset, and the engine then plans
+    batches that re-emit committed rows (reproduced: thousands of
+    duplicate rows in the sink after a stop/restart). A real connector
+    gets this for free by asking the external system for its head; this
+    synthetic feed has no external system, so:
+
+    * with ``progress_path`` set, the emitted head is persisted to that
+      sidecar file — the stand-in for the external system's state — and
+      a restarted reader resumes from it, advancing ``rows_per_batch``
+      per micro-batch (the ``maxOffsetsPerTrigger`` analog, T6);
+    * without it, the reader reports the FULL end immediately (one
+      batch, no incremental state to lose) — restart-safe by
+      construction, just not rate-limited.
+    """
 
     def __init__(self, options: dict):
         self.start = int(options.get("start", 0))
         self.end = self.start + int(options.get("n", 10_000))
         self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+        self.progress_path = options.get("progress_path")
 
     def initialOffset(self):
         return {"reading_id": self.start}
 
+    def _read_cursor(self) -> int:
+        try:
+            with open(self.progress_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return self.start
+
     def latestOffset(self):
-        # a live feed reports its head; this bounded demo advances one
-        # rate-limited step per call, capped at the configured end
-        cur = getattr(self, "_cur", self.start)
+        if not self.progress_path:
+            return {"reading_id": self.end}
+        cur = max(self._read_cursor(), self.start)
         nxt = min(cur + self.rows_per_batch, self.end)
-        self._cur = nxt
+        tmp = f"{self.progress_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self.progress_path)  # atomic on POSIX
         return {"reading_id": nxt}
 
     def partitions(self, start: dict, end: dict):

@@ -316,7 +316,17 @@ def salted_join(
     the plan must be stable across runs (AQE decisions are data-driven).
     Deterministic hash salt, no rand(): replayable under task retries.
     """
+    if how not in ("inner", "left"):
+        # the rewrite is an exact equivalence ONLY when the skewed side is
+        # the preserved side: a right/full/anti join over the replicated
+        # side double-counts unmatched replicas — corrupt data, not an
+        # optimization. Refuse loudly.
+        raise ValueError(
+            f"salted_join is only an exact rewrite for how='inner'/'left', got {how!r}"
+        )
     salt = _helper_col(skewed, "__salt")
+    while salt in other.columns:  # must be absent from BOTH sides
+        salt += "_"
     basis = list(salt_cols) if salt_cols else list(skewed.columns)
     salted = skewed.withColumn(
         salt, F.pmod(F.hash(*[F.col(c) for c in basis]), F.lit(salt_buckets))

@@ -1324,15 +1324,17 @@ def order_priority_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           TRUE AS hll_within_5pct
+           TRUE AS hll_within_15pct
     FROM events GROUP BY event_type
     """,
     description="Built-in HyperLogLog++ distinct sketch "
     "(approx_count_distinct, rsd=0.05) next to the exact count, with a "
-    "self-certifying error bound: hll_within_5pct asserts "
-    "|approx−exact|/exact <= 0.05 per group, so the oracle row only "
-    "matches if Spark's sketch really landed inside its configured "
-    "error. Complements the KMV sketch (user_distinct_kmv), which has a "
+    "self-certifying error bound: hll_within_15pct asserts "
+    "|approx−exact|/exact <= 0.15 per group — 3x the configured rsd, so "
+    "the bound holds with ~3-sigma margin rather than the ~1-sigma "
+    "coin-flip a 5% assertion would be (rsd is a standard deviation, "
+    "not a guarantee), and the oracle row only matches if Spark's "
+    "sketch landed inside it. Complements the KMV sketch (user_distinct_kmv), which has a "
     "full value-hash oracle — HLL++'s estimate is engine-specific, so "
     "the EXACT value can't be oracle'd across engines, but the bound "
     "can. Scale: HLL state is a fixed ~1.5 KB registers/group versus "
@@ -1351,8 +1353,8 @@ def user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("__hll") - F.col("n_exact"))
             / F.col("n_exact").cast("double")
-            <= 0.05
-        ).alias("hll_within_5pct"),
+            <= 0.15
+        ).alias("hll_within_15pct"),
     )
 
 

@@ -231,6 +231,7 @@ def medallion_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip_bench=True,  # staging write dominates, like the other ingest queries
 )
 def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
     from smartpool_bigdata_spark.io import write_clustered
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
@@ -246,9 +247,7 @@ def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 2
-            ).alias("total_value"),
+            stable_sum("value", 2).alias("total_value"),
         )
     )
     rows = sliced.localCheckpoint(eager=True)

@@ -772,12 +772,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(code, struct(sc, -code))").alias("code")
     )
 
-    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
-        F.col("vec_id").alias("query_id")
+    # slice only the 8 sampled query vectors — exploding the whole corpus
+    # into 4x subspace rows and then filtering would discard 99.9% of it
+    queries = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
+        F.col("vec_id").alias("query_id"), "v"
     )
-    qsubs = subspace(corpus, "vec_id", "sv").join(
-        F.broadcast(qids), F.col("vec_id") == F.col("query_id")
-    ).select("query_id", "sub", F.col("sv").alias("qsv"))
+    qsubs = subspace(queries, "query_id", "qsv")
     qdist = qsubs.join(F.broadcast(cb), "sub").select(
         "query_id",
         "sub",

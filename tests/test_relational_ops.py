@@ -270,16 +270,33 @@ def test_salted_join_equals_plain(spark):
         [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "tag"]
     )
 
+    from collections import Counter
+
     for how in ("inner", "left"):
-        plain = {
+        # Counter, not set: replicated-pair bugs (each pair emitted once
+        # per salt bucket) are exactly what a set compare would hide
+        plain = Counter(
             tuple(r) for r in left.join(right, ["k"], how).collect()
-        }
-        salted = {
+        )
+        salted = Counter(
             tuple(r)
             for r in salted_join(
                 left, right, on=["k"], salt_buckets=8, how=how
             ).collect()
-        }
+        )
         assert salted == plain, how
         if how == "left":
-            assert (7, 902, None) in salted  # unmatched row preserved once
+            assert salted[(7, 902, None)] == 1  # unmatched row exactly once
+
+    # the rewrite is NOT an equivalence for right/full/anti joins — must
+    # refuse instead of returning corrupt data
+    import pytest as _pytest
+
+    for bad in ("right", "full_outer", "left_anti"):
+        with _pytest.raises(ValueError):
+            salted_join(left, right, on=["k"], how=bad)
+
+    # a salt-name collision on the OTHER side must not clobber its column
+    right_clash = right.withColumn("__salt", F.col("k") * 100)
+    got = salted_join(left.filter("k = 2"), right_clash, on=["k"]).collect()
+    assert got and all(r["__salt"] == 200 for r in got)
