@@ -2069,6 +2069,55 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_value_winsorized",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 4) AS p05,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT e.event_type, c.p05, c.p95,
+               least(greatest(e.value, c.p05), c.p95) AS v
+        FROM events e JOIN cuts c USING (event_type)
+        WHERE e.value IS NOT NULL
+    )
+    SELECT event_type, p05, p95,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 4)
+               AS winsorized_mean
+    FROM clamped GROUP BY event_type, p05, p95
+    """,
+    description="Winsorized aggregation (outlier-robust curation): "
+    "per-type p05/p95 exact quantiles (rounded, bit-matched across "
+    "engines), values clamped into [p05, p95], then an exact-decimal "
+    "mean — the robust-statistics step quality pipelines run before "
+    "thresholding on means that outliers would drag. Two passes by "
+    "necessity (quantiles, then clamp): the cuts side is O(groups) and "
+    "broadcast back, so the second pass is scan + broadcast join, no "
+    "extra fact shuffle. At 100 TB swap exact quantile_cont for "
+    "approx_percentile, same shape.",
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05D)"), 4).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("v"),
+    )
+    return clamped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        stable_avg("v", 4).alias("winsorized_mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
