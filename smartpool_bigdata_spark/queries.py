@@ -2118,6 +2118,71 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_day
+    )
+    SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           round(CAST(count(*) AS DOUBLE) / s.cohort_size, 4) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    WHERE a.day_offset <= 14
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+    """,
+    description="Retention cohort analysis: users grouped by first-seen "
+    "day, activity tracked as distinct (user, day-offset) pairs, "
+    "retention = active/cohort-size per offset up to day 14 — the "
+    "product-analytics table every growth dashboard is built on. "
+    "Shape: one agg for cohort assignment (min per user), the "
+    "assignment joined back (at 100 TB the firsts table is "
+    "O(users) — bucket or broadcast by tier), then distinct + agg.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(d).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(d, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
