@@ -2183,6 +2183,53 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    totals AS (SELECT cur, sum(n) AS total FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           round(CAST(p.n AS DOUBLE) / t.total, 4) AS p_next
+    FROM pairs p JOIN totals t ON p.cur = t.cur
+    """,
+    description="Event-transition matrix (first-order Markov estimate): "
+    "for each user's chronologically ordered events, count cur->next "
+    "pairs via lead() over a deterministic (ts, event_id) total order, "
+    "then normalize per source state — the sequence-mining primitive "
+    "behind next-action prediction and funnel-drop diagnosis. One "
+    "shuffle on user_id for the window, one tiny agg on (cur, nxt) — "
+    "5x5 output regardless of input size.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("total"))
+    return pairs.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 4).alias("p_next"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-priority ordering.
 #
