@@ -1332,6 +1332,50 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_embedding_profile",
+    oracle="""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_embedding,
+           round(CAST(sum(CAST(sqrt(list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                 AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(e.vec_id), 4) AS avg_norm
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+    description="Cross-modal join profile: documents left-joined to their "
+    "embedding rows (doc_id = vec_id — the text↔vector alignment every "
+    "ANN/RAG pipeline performs before indexing), with per-language "
+    "coverage counts and the mean L2 norm of the joined vectors (the "
+    "sanity stat that catches unnormalized or zero embeddings before "
+    "they poison a cosine index). Norm via the same sequential-fold dot "
+    "product the ANN oracles pin bit-exact; exact-decimal mean. One "
+    "broadcast-able join + one hash agg.",
+)
+def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import as_double_array, spark_dot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = as_double_array(
+        _t(spark, sf_dir, "embeddings"), "embedding", "v"
+    ).select("vec_id", "v")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+    norm = F.expr(f"sqrt({spark_dot('v', 'v')})")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_embedding"),
+        F.round(
+            F.sum(norm.cast("decimal(38,10)")).cast("double") / F.count("vec_id"), 4
+        ).alias("avg_norm"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
