@@ -1651,7 +1651,10 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "side only, labeled. Completes the join-type family (inner/left/"
     "semi/anti/as-of/range/stream-stream already gated). Scale: both "
     "sides pre-aggregate to one row per day BEFORE the join, so the "
-    "full-outer shuffle carries O(days) rows, not the fact tables.",
+    "full-outer shuffle carries O(days) rows, not the fact tables. "
+    "This is the registry's one SortMergeJoin — Spark's only full-outer "
+    "strategy (broadcast hash join cannot preserve both sides) — and "
+    "it sorts O(days) rows, which is immaterial at any scale.",
 )
 def daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
