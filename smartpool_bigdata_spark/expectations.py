@@ -47,17 +47,17 @@ class NotNull:
 
     columns: Sequence[str]
 
-    def aggs(self):
+    def aggs(self, tag: str = ""):
         return [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn{tag}_{c}")
             for c in self.columns
         ]
 
-    def violations(self, row) -> list[Violation]:
+    def violations(self, row, tag: str = "") -> list[Violation]:
         return [
-            Violation("not_null", f"column {c!r} has {row[f'__nn_{c}']} null rows")
+            Violation("not_null", f"column {c!r} has {row[f'__nn{tag}_{c}']} null rows")
             for c in self.columns
-            if row[f"__nn_{c}"]
+            if row[f"__nn{tag}_{c}"]
         ]
 
 
@@ -68,12 +68,12 @@ class InSet:
     column: str
     allowed: Sequence
 
-    def aggs(self):
+    def aggs(self, tag: str = ""):
         cond = ~F.col(self.column).isin(list(self.allowed)) & F.col(self.column).isNotNull()
-        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__is_{self.column}")]
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__is{tag}_{self.column}")]
 
-    def violations(self, row) -> list[Violation]:
-        n = row[f"__is_{self.column}"]
+    def violations(self, row, tag: str = "") -> list[Violation]:
+        n = row[f"__is{tag}_{self.column}"]
         if n:
             return [Violation("in_set", f"column {self.column!r}: {n} rows outside domain")]
         return []
@@ -87,12 +87,12 @@ class InRange:
     lo: float
     hi: float
 
-    def aggs(self):
+    def aggs(self, tag: str = ""):
         cond = ~F.col(self.column).between(self.lo, self.hi) & F.col(self.column).isNotNull()
-        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__ir_{self.column}")]
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__ir{tag}_{self.column}")]
 
-    def violations(self, row) -> list[Violation]:
-        n = row[f"__ir_{self.column}"]
+    def violations(self, row, tag: str = "") -> list[Violation]:
+        n = row[f"__ir{tag}_{self.column}"]
         if n:
             return [
                 Violation(
@@ -110,11 +110,11 @@ class RowCountBetween:
     lo: int
     hi: int | None = None
 
-    def aggs(self):
-        return [F.count(F.lit(1)).alias("__rc")]
+    def aggs(self, tag: str = ""):
+        return [F.count(F.lit(1)).alias(f"__rc{tag}")]
 
-    def violations(self, row) -> list[Violation]:
-        n = row["__rc"]
+    def violations(self, row, tag: str = "") -> list[Violation]:
+        n = row[f"__rc{tag}"]
         if n < self.lo or (self.hi is not None and n > self.hi):
             return [Violation("row_count", f"count {n} outside [{self.lo}, {self.hi}]")]
         return []
@@ -216,15 +216,26 @@ class Suite:
         self.checks.append(check)
         return self
 
+    def _foldable(self) -> list[tuple[str, object]]:
+        """(tag, check) pairs for the aggregate-foldable checks. The tag
+        is the check's index in the suite, baked into every metric alias
+        so two same-typed checks on the same column (e.g. two InRange on
+        'ph' with different bounds) never collide in the single shared
+        ``df.agg``/``df.observe`` list — a duplicate alias either fails
+        analysis or silently reads the wrong metric."""
+        return [
+            (f"_{i}", c) for i, c in enumerate(self.checks) if hasattr(c, "aggs")
+        ]
+
     def profile(self, df: DataFrame) -> list[Violation]:
-        foldable = [c for c in self.checks if hasattr(c, "aggs")]
+        foldable = self._foldable()
         own_job = [c for c in self.checks if not hasattr(c, "aggs")]
         violations: list[Violation] = []
         if foldable:
-            aggs = [a for c in foldable for a in c.aggs()]
+            aggs = [a for tag, c in foldable for a in c.aggs(tag)]
             row = df.agg(*aggs).collect()[0]
-            for c in foldable:
-                violations.extend(c.violations(row))
+            for tag, c in foldable:
+                violations.extend(c.violations(row, tag))
         for c in own_job:
             violations.extend(c.check(df))
         return violations
@@ -255,8 +266,7 @@ class Suite:
         """
         from pyspark.sql import Observation
 
-        foldable = [c for c in self.checks if hasattr(c, "aggs")]
-        aggs = [a for c in foldable for a in c.aggs()]
+        aggs = [a for tag, c in self._foldable() for a in c.aggs(tag)]
         if not aggs:
             # nothing foldable: no Observation to wait on (obs.get would
             # block forever on a metric-less observation)
@@ -273,10 +283,10 @@ class Suite:
         """
         row = obs.get if obs is not None else {}
         violations: list[Violation] = []
-        for c in self.checks:
+        for i, c in enumerate(self.checks):
             if hasattr(c, "aggs"):
                 if obs is not None:
-                    violations.extend(c.violations(row))
+                    violations.extend(c.violations(row, f"_{i}"))
             elif df is not None:
                 violations.extend(c.check(df))
         if violations:

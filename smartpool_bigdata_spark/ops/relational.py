@@ -324,8 +324,12 @@ def salted_join(
         raise ValueError(
             f"salted_join is only an exact rewrite for how='inner'/'left', got {how!r}"
         )
-    salt = _helper_col(skewed, "__salt")
-    while salt in other.columns:  # must be absent from BOTH sides
+    # must be absent from BOTH sides: resolving against one side and then
+    # extending only while it collides with the other can land back on a
+    # real column of the first side (e.g. skewed has '__salt_' and other
+    # has '__salt'), and withColumn would silently overwrite it
+    salt = "__salt"
+    while salt in skewed.columns or salt in other.columns:
         salt += "_"
     basis = list(salt_cols) if salt_cols else list(skewed.columns)
     salted = skewed.withColumn(

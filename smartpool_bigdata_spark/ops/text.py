@@ -39,6 +39,37 @@ BANDS = 8
 ROWS_PER_BAND = 4
 assert BANDS * ROWS_PER_BAND == N_PERM
 
+# Handles for the signature stages the *_near_dup_pairs operators persist
+# (the pair plan references the signature frame 2-4x; without the
+# materialization barrier the shingle/simhash expression re-evaluates per
+# candidate pair). A long-lived session calling the operators repeatedly
+# would otherwise accumulate one cache per call with no way to release
+# them short of spark.catalog.clearCache().
+_SIGNATURE_CACHES: list[DataFrame] = []
+
+
+def _track_signature_cache(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _SIGNATURE_CACHES.append(out)
+    return out
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature cache created by ``minhash_near_dup_pairs``
+    / ``simhash_near_dup_pairs`` so far; returns how many were released.
+
+    Call AFTER the pairs DataFrame has been materialized (written or
+    collected) — releasing earlier just re-shingles the corpus once per
+    plan reference on the next action (correct, slower). Per-call control
+    stays available via ``persist_signatures=False``; for cross-run reuse
+    at 100 TB, ``write_signature_table`` replaces caching entirely.
+    """
+    n = 0
+    while _SIGNATURE_CACHES:
+        _SIGNATURE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def perm_seeds(n_perm: int = N_PERM) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
@@ -448,14 +479,14 @@ def minhash_near_dup_pairs(
     The signature stage is persisted by default (standard LSH practice):
     the plan references it 4× (banded self-join left/right + set join per
     pair side), and signatures are ~300 B/doc — tiny next to re-shingling
-    the corpus 4×. The persisted handle stays cached for the caller's
-    session (caller-owned lifecycle: call ``spark.catalog.clearCache()`` or
-    unpersist between unrelated pipelines); at 100 TB use
+    the corpus 4×. The persisted handle is tracked module-side: call
+    ``release_signature_caches()`` once the pairs are materialized (or
+    pass ``persist_signatures=False``); at 100 TB use
     ``write_signature_table`` once and band off the table across runs.
     """
     sig = minhash_signatures(df, id_col, text_col, shingle_k, n_perm)
     if persist_signatures:
-        sig = sig.persist()
+        sig = _track_signature_cache(sig)
     return minhash_pairs_from_signatures(sig, n_perm, bands, threshold)
 
 
@@ -577,9 +608,10 @@ def simhash_near_dup_pairs(
     materialization barrier Catalyst collapses the (interpreted
     higher-order) simhash expression into the join, re-evaluating it per
     CANDIDATE PAIR — measured 48 s → 4 s at sf0.1. The persisted handle is
-    caller-owned (unpersist / ``spark.catalog.clearCache()`` between
-    unrelated pipelines); at 100 TB use ``write_signature_table`` once and
-    band off the table across runs.
+    tracked module-side: call ``release_signature_caches()`` once the
+    pairs are materialized (or pass ``persist_signatures=False``); at
+    100 TB use ``write_signature_table`` once and band off the table
+    across runs.
     """
     n_bands = bits // band_bits
     if n_bands <= max_hamming:
@@ -591,7 +623,7 @@ def simhash_near_dup_pairs(
         )
     sigs = simhash_signatures(df, id_col, text_col, bits)
     if persist_signatures:
-        sigs = sigs.persist()
+        sigs = _track_signature_cache(sigs)
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -136,3 +136,29 @@ def test_observe_with_no_foldable_checks(spark, clean):
     assert obs is None
     observed.count()
     suite.validate_observation(obs, clean)  # clean id column -> passes
+
+
+def test_duplicate_check_instances_get_unique_aliases(spark, clean):
+    """Two same-typed checks on the same column (two InRange('ph', ...)
+    with different bounds) must fold into ONE agg/observe list without
+    alias collisions — and each must report against ITS OWN bounds
+    (ADVICE.md r3: duplicate '__ir_ph' aliases failed analysis or read
+    the wrong metric)."""
+    suite = (
+        Suite()
+        .add(InRange("ph", 0.0, 14.0))   # passes on clean
+        .add(InRange("ph", 7.0, 7.1))    # fails on clean (ph spans wider)
+        .add(RowCountBetween(1, 100))
+        .add(RowCountBetween(9999, None))  # fails: clean has few rows
+    )
+    violations = suite.profile(clean)
+    kinds = sorted(str(v) for v in violations)
+    assert len(violations) == 2
+    assert any("[7.0, 7.1]" in v for v in kinds)
+    assert any("[9999, None]" in v for v in kinds)
+
+    observed, obs = suite.observe(clean)
+    observed.count()
+    with pytest.raises(ExpectationError) as err:
+        suite.validate_observation(obs)
+    assert "[7.0, 7.1]" in str(err.value) and "[9999, None]" in str(err.value)

@@ -300,3 +300,12 @@ def test_salted_join_equals_plain(spark):
     right_clash = right.withColumn("__salt", F.col("k") * 100)
     got = salted_join(left.filter("k = 2"), right_clash, on=["k"]).collect()
     assert got and all(r["__salt"] == 200 for r in got)
+
+    # the adversarial cross-collision: skewed carries '__salt_' while
+    # other carries '__salt'. Resolving the helper name against skewed
+    # first ('__salt' is free there) and then extending past other's
+    # '__salt' lands exactly on skewed's real '__salt_' column — the
+    # silent-data-loss case ADVICE.md flagged. Both columns must survive.
+    left_clash = left.filter("k = 2").withColumn("__salt_", F.col("k") * 7)
+    got = salted_join(left_clash, right_clash, on=["k"]).collect()
+    assert got and all(r["__salt_"] == 14 and r["__salt"] == 200 for r in got)

@@ -264,3 +264,28 @@ def test_winnow_shared_substring_guarantee(spark):
     assert fps[1] & fps[2], "docs sharing a 41-char run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_release_signature_caches_unpersists_tracked_handles(docs):
+    """Each *_near_dup_pairs call persists its signature stage; a
+    long-lived session must be able to release them all after the pairs
+    are materialized instead of leaking one cache per call."""
+    from smartpool_bigdata_spark.ops.text import (
+        release_signature_caches,
+        simhash_near_dup_pairs,
+    )
+
+    from smartpool_bigdata_spark.ops import text as text_mod
+
+    release_signature_caches()  # drain anything from earlier tests
+    minhash_near_dup_pairs(docs).count()
+    simhash_near_dup_pairs(docs).count()
+    handles = list(text_mod._SIGNATURE_CACHES)
+    assert len(handles) == 2 and all(h.is_cached for h in handles)
+    assert release_signature_caches() == 2
+    assert all(not h.is_cached for h in handles)
+    assert release_signature_caches() == 0  # idempotent
+
+    # opting out of the cache registers nothing
+    minhash_near_dup_pairs(docs, persist_signatures=False).count()
+    assert release_signature_caches() == 0
