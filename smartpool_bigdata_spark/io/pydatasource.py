@@ -148,7 +148,9 @@ class SensorFeedStreamReader(DataSourceStreamReader):
     * with ``progress_path`` set, the emitted head is persisted to that
       sidecar file — the stand-in for the external system's state — and
       a restarted reader resumes from it, advancing ``rows_per_batch``
-      per micro-batch (the ``maxOffsetsPerTrigger`` analog, T6);
+      per micro-batch (the ``maxOffsetsPerTrigger`` analog, T6; exact in
+      steady state, up to 2x on the first batch after a crash landing in
+      the window described in ``latestOffset``);
     * without it, the reader reports the FULL end immediately (one
       batch, no incremental state to lose) — restart-safe by
       construction, just not rate-limited.
@@ -173,6 +175,20 @@ class SensorFeedStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         if not self.progress_path:
             return {"reading_id": self.end}
+        # Read-modify-write: the sidecar is advanced HERE, not in
+        # commit(). Ideally commit() (post-offset-log) would persist the
+        # head so a crash could never leave the sidecar ahead of the
+        # checkpoint — but Spark 4.1.2's PythonStreamingSourceRunner was
+        # MEASURED (80+ triggers, instrumented) to never invoke commit()
+        # on a full DataSourceStreamReader, so a commit-persisted cursor
+        # stalls the stream after the first batch. Consequence, and the
+        # documented contract: if the driver crashes after this write but
+        # before the batch reaches the offset log, the restarted query's
+        # FIRST batch spans up to 2x rows_per_batch (cursor one batch
+        # ahead of the checkpoint; no data loss or dup — partitions()
+        # uses the engine's own start). Steady-state batches are exactly
+        # rows_per_batch. commit() below still persists the head as
+        # defense-in-depth should a future Spark start invoking it.
         cur = max(self._read_cursor(), self.start)
         nxt = min(cur + self.rows_per_batch, self.end)
         tmp = f"{self.progress_path}.tmp"
@@ -188,7 +204,15 @@ class SensorFeedStreamReader(DataSourceStreamReader):
         return _gen_rows(partition.start, partition.end)
 
     def commit(self, end: dict):
-        pass
+        # Not invoked by Spark 4.1.2 (measured — see latestOffset);
+        # kept as defense-in-depth: persisting the committed head here
+        # is idempotent with the latestOffset write and would close the
+        # 2x-first-batch window if the engine ever starts calling it.
+        if self.progress_path:
+            tmp = f"{self.progress_path}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(end["reading_id"]))
+            os.replace(tmp, self.progress_path)  # atomic on POSIX
 
     def stop(self):
         pass
