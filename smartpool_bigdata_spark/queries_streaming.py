@@ -482,10 +482,16 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "can still arrive — i.e. its state is evicted when pts < watermark, "
     "where the engine's watermark is the MIN across both sources' "
     "watermarks (multipleWatermarkPolicy=min, both = max(side ts) − 1h "
-    "under AvailableNow; semantics verified empirically and encoded "
-    "exactly in the oracle's wm CTE). Purchases newer than the final "
-    "watermark stay in state, unemitted — exactly the rows the oracle "
-    "excludes. The outer twin of stream_view_purchase_join.",
+    "under AvailableNow). The strict '<' comes from Spark's "
+    "WatermarkSupport.watermarkExpression (sql/core/.../streaming/"
+    "statefulOperators.scala), which builds 'ts <= watermarkMs - 1' for "
+    "state eviction; the boundary (a purchase exactly AT the final "
+    "watermark stays in state) is pinned by tests/test_streaming.py::"
+    "test_outer_join_null_emission_boundary_is_strict so a Spark upgrade "
+    "that shifts it fails in tests, not flakily in this oracle. "
+    "Purchases newer than the final watermark stay in state, unemitted — "
+    "exactly the rows the oracle excludes. The outer twin of "
+    "stream_view_purchase_join.",
     skip_bench=True,
 )
 def stream_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -493,3 +493,63 @@ def test_parse_json_payload_quarantines_corrupt_rows(spark):
     good = parsed.filter(F.col("sensor").isNotNull())
     quarantined = parsed.filter(F.col("sensor").isNull())
     assert good.count() == 2 and quarantined.count() == 2
+
+
+def test_outer_join_null_emission_boundary_is_strict(spark, tmp_path):
+    """Pins the eviction/emission boundary the stream_purchase_attribution_outer
+    oracle encodes, so a Spark upgrade that changes it fails HERE loudly
+    instead of flakily in the oracle gate.
+
+    Semantics under test (Spark's WatermarkSupport.watermarkExpression,
+    sql/core/.../execution/streaming/statefulOperators.scala, builds
+    ``ts <= watermarkMs - 1`` — i.e. STRICTLY below the watermark — and
+    the final watermark under AvailableNow is min over both sides of
+    max(side ts) - delay, applied in a concluding batch):
+
+    * unmatched purchase with pts == final watermark  -> NOT emitted
+    * unmatched purchase with pts == watermark - 1ms  -> emitted with NULL
+    * purchase newer than the watermark               -> stays in state
+    * matched pair                                    -> emitted regardless
+    """
+    from datetime import datetime
+
+    from smartpool_bigdata_spark.streaming import stream_stream_join
+
+    # same day, ms precision; year must be AFTER 1970 — the stream's
+    # initial watermark is the epoch, and rows below it drop as late
+    d = lambda s: datetime.strptime(f"2024-06-01 {s}", "%Y-%m-%d %H:%M:%S.%f")
+    # max(pts) = 13:00, max(vts) = 12:00, delay 1h both sides
+    # -> final watermark = min(13:00, 12:00) - 1h = 11:00:00.000
+    purchases = spark.createDataFrame(
+        [
+            ("p_at_wm", 1, d("11:00:00.000000")),   # == watermark, no view
+            ("p_below", 2, d("10:59:59.999000")),   # watermark - 1ms, no view
+            ("p_match", 3, d("11:30:00.000000")),   # has a view 30min before
+            ("p_young", 4, d("13:00:00.000000")),   # > watermark, no view
+        ],
+        "purchase_id string, p_user int, pts timestamp",
+    )
+    views = spark.createDataFrame(
+        [
+            ("v_match", 3, d("11:00:00.000000")),
+            ("v_anchor", 99, d("12:00:00.000000")),  # pins max(vts)
+        ],
+        "view_id string, v_user int, vts timestamp",
+    )
+    p_src, v_src = str(tmp_path / "p"), str(tmp_path / "v")
+    purchases.write.parquet(p_src)
+    views.write.parquet(v_src)
+    joined = stream_stream_join(
+        file_stream(spark, p_src, purchases.schema),
+        file_stream(spark, v_src, views.schema),
+        on=F.col("p_user") == F.col("v_user"),
+        left_ts="pts",
+        right_ts="vts",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        max_lag="4 hours",
+        how="left_outer",
+    ).select("purchase_id", "view_id")
+    run_available_now(joined, "t_outer_boundary", fmt="memory")
+    got = {(r["purchase_id"], r["view_id"]) for r in spark.table("t_outer_boundary").collect()}
+    assert got == {("p_match", "v_match"), ("p_below", None)}
