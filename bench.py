@@ -111,21 +111,44 @@ def main() -> int:
     # methodology — PERF.md); "queries_first_run" keeps the cold numbers
     # alongside so cross-round trajectories stay apples-to-apples however
     # earlier rounds measured.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_first_run": first_run,
-                "value_first_run": round(sum(first_run.values()), 3),
-                "value_r2_subset": value_r2_subset,
-                "n_queries": len(timings),
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_first_run": first_run,
+        "value_first_run": round(sum(first_run.values()), 3),
+        "value_r2_subset": value_r2_subset,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    # The driver records only the LAST 2000 chars of stdout and parses the
+    # final JSON line out of that tail. The full per-query map crossed
+    # 2000 chars in round 3, so the line's HEAD was cut and the driver
+    # recorded parsed=null. Split the output: the complete record goes to
+    # BENCH_FULL.json next to this script, and stdout gets ONE compact
+    # line guaranteed under the tail budget — totals plus as many of the
+    # slowest per-query steady-state timings as fit (slowest first: those
+    # are the ones a perf reader needs in the hard signal).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    budget = 1800
+    compact = dict(full)
+    compact.pop("queries_first_run")
+    compact["queries"] = {}
+    compact["queries_omitted"] = 0
+    compact["full_results"] = "BENCH_FULL.json"
+    for name in sorted(timings, key=timings.get, reverse=True):
+        candidate = dict(compact)
+        candidate["queries"] = {**compact["queries"], name: timings[name]}
+        candidate["queries_omitted"] = len(timings) - len(candidate["queries"])
+        line = json.dumps(candidate, separators=(",", ":"))
+        if len(line) > budget:
+            break
+        compact = candidate
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     return 0
 
