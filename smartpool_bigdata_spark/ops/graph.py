@@ -7,10 +7,10 @@ Scale: each iteration is one join + one aggregate (two key-shuffles);
 iteration count = graph diameter, which for near-dup graphs is tiny (dup
 clusters are stars/short chains). Lineage is cut per iteration with
 ``localCheckpoint`` or the loop would build an exponentially deep plan.
-For web-scale graphs with long chains, the alternating large-star/
-small-star algorithm (Kiveris et al., "Connected Components in MapReduce
-and Beyond") halves diameter per round; HashMin is the right tool at
-dedup-cluster shapes.
+For web-scale graphs with long chains, ``connected_components_two_phase``
+(alternating large-star/small-star, Kiveris et al. SoCC'14) converges in
+~log2(n) rounds instead of diameter iterations — property-tested
+equivalent to HashMin on random graphs; pick by expected diameter.
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components. ``edges`` holds one row per pair;
     returns (node, component) where component = the smallest node id in
@@ -40,7 +41,9 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         nbr_min = (
             sym.join(labels, sym["a"] == labels["node"])
             .groupBy(F.col("b").alias("node2"))
@@ -64,7 +67,138 @@ def connected_components(
         done = changed.isEmpty()
         labels = new_labels
         if done:
+            if stats is not None:
+                stats["iterations"] = iterations
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Undirected connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the web-scale alternative to ``connected_components``.
+
+    Same contract as HashMin: returns (node, component) with component =
+    the smallest node id in the node's component, deterministic
+    (property-tested equivalent on random graphs,
+    ``tests/test_properties.py``). Different convergence behavior:
+
+    * HashMin runs ``diameter`` iterations — right for near-dup graphs
+      (stars/short chains, diameter ≤ ~5), degenerate on billion-edge
+      graphs with long paths (a 10^6-node chain needs 10^6 joins).
+    * Large-star/small-star contracts path length geometrically: each
+      round rewires every node toward its neighborhood minimum, and the
+      proof in the paper bounds total rounds by O(log^2 n) — measured
+      ~log2(n)+2 on worst-case chains: 256-chain → 9 rounds, 1024 → 11,
+      4096 → 13, 16384 → 15 (incl. the final no-change round), where
+      HashMin needs n iterations (measured 65 on a 64-chain; SCALE.md §6).
+
+    Per round: two star ops, each ONE groupBy-min + ONE join on node id
+    (same shuffle shape as a HashMin step), edge count monotonically
+    non-increasing after round 1 — no state beyond the edge list itself.
+    Lineage is cut per round with ``localCheckpoint``. Convergence test =
+    (count, xxhash64-xor) checksum equality of the rewired edge list,
+    confirmed with an exact EXCEPT-based comparison before returning, so
+    a checksum collision can delay but never corrupt the result.
+
+    large-star(u): connect every neighbor v > u to min(Γ⁺(u));
+    small-star(u): connect every neighbor v ≤ u (and u) to min(Γ⁺(u)),
+    keyed on u = max side so every edge is processed exactly once.
+    At the fixed point the edge list is a forest of depth-1 stars rooted
+    at component minima.
+    """
+    raw = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    # every node mentioned in the input — self-loop-only nodes must still
+    # come back as singleton components (same contract as HashMin)
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return all_nodes.withColumn("component", F.col("node"))
+
+    def _checksum(df: DataFrame) -> tuple:
+        # bit_xor, not sum: the edge list is distinct so xor-folding the
+        # row hashes is order/partition-invariant and cannot overflow
+        # (sum(xxhash64) throws under ANSI mode)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy(F.col("a").alias("u")).agg(
+            F.min("b").alias("nbr_min")
+        )
+        m = F.least(F.col("nbr_min"), F.col("u"))
+        return (
+            sym.join(mins, sym["a"] == F.col("u"))
+            .filter(F.col("b") > F.col("u"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        directed = cur.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        children = directed.join(mins, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        centers = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return children.union(centers).filter(F.col("a") != F.col("b")).distinct()
+
+    prev_sig = None
+    cur = e
+    for rounds in range(1, max_rounds + 1):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            if stats is not None:
+                stats["rounds"] = rounds
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in {max_rounds} rounds"
+        )
+    # checksum said fixed point — confirm exactly (collisions must never
+    # produce a wrong component map, only a retry)
+    nxt = _small_star(_large_star(cur))
+    if not cur.exceptAll(nxt).isEmpty() or not nxt.exceptAll(cur).isEmpty():
+        raise RuntimeError(
+            "checksum converged but edge list still changing — "
+            "xxhash64 collision; raise max_rounds and re-run"
+        )
+    roots = (
+        cur.select(F.col("b").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    mapped = cur.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    ).union(roots)
+    singletons = all_nodes.join(
+        mapped.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return mapped.union(singletons)

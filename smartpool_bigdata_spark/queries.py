@@ -2238,70 +2238,82 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The driver's correctness gate records exactly the FIRST 50 registry entries
 # in iteration order, so registration order decides which queries get a hard
-# CORRECTNESS row. Round 2 registered the streaming/ingest/medallion family
-# last and they fell outside the window. The explicit list below pins the
-# gated set: every SURVEY.md §2 operator family (incl. all of §2.7 streaming,
-# the §3.1 keyset-incremental protocol and the medallion composition) lands
-# inside the first 50; beyond-reference bonus demos (ROLLUP, running-total
-# frame, EXCEPT, skew profile, salted agg, as-of join, batch sessionize,
-# token-class counts, KMV sketch) sit in the tail — still registered, still
-# benched and oracle-checked locally, just not consuming gate slots.
+# CORRECTNESS row. The window is ROTATED per round so every registry query
+# earns a driver row across consecutive rounds:
+#
+# * r3 window: the 50 SURVEY.md §2 operator-family queries (all of §2.7
+#   streaming, the §3.1 keyset protocol, medallion, the LLM dedup/ANN
+#   core) — all 50 green in CORRECTNESS_r03.json.
+# * r4 window (below): the 50 queries the r3 window displaced — the OLAP
+#   extensions, TF-IDF/winnowing/PQ/kmeans-IVF, the stream-stream join
+#   pair and the other r3 additions — plus doc_token_percentiles_approx
+#   (new in r4: the verified 100 TB percentile swap). One query stays
+#   pytest-oracle-only to make room: order_priority_pivot_native, whose
+#   semantics are the same computation as the r3-green order_priority_pivot
+#   through the native groupBy().pivot() API.
+#
+# Every query outside the current window keeps the SAME oracle via
+# tests/test_registry_oracle.py (the suite replays the driver's compare for
+# the full registry at sf0.001), so rotation trades which half gets the
+# hard signal, never which half is checked.
 # tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    "pricing_summary",
-    "daily_event_stats",
-    "order_priority_pivot",
-    "ingest_watermark",
-    "latest_order_per_customer",
-    "top_orders_per_priority",
-    "peak_event_hours",
-    "customer_order_summary",
-    "segment_fee_model",
-    "event_orphan_users",
-    "events_from_customers",
-    "hourly_value_deviation",
-    "event_cost_model",
-    "event_range_flags",
-    "active_ids_union",
-    "order_dup_check",
-    "event_null_profile",
-    "urgent_open_orders",
-    "allowed_event_types",
-    "top_value_orders",
-    "event_hourly_window",
-    "event_projection_normalize",
-    # §2.7 streaming family (real Structured Streaming runs, memory sink)
-    "stream_event_hourly_window",
-    "stream_dedup_events",
-    "stream_user_sessions",
-    "stream_static_segment_counts",
-    # §3.1 ingestion protocol + medallion composition
-    "csv_landing_daily_stats",
-    "incremental_keyset_roundtrip",
-    "medallion_gold_daily",
-    # LLM-pipeline: text/dedup family
-    "doc_text_quality",
-    "doc_exact_dedup",
-    "doc_train_split",
-    "doc_fingerprint_dedup",
-    "doc_token_percentiles",
-    "doc_chunks",
-    "chunk_packing",
-    "doc_near_dup_pairs",
-    "doc_dup_clusters",
-    "doc_dedup_survivors",
-    "doc_signatures",
-    "doc_signature_table_pairs",
-    "doc_simhash_near_dup",
-    "doc_language_guess",
-    "doc_quality_filter",
-    # LLM-pipeline: multimodal + similarity search
-    "multimodal_byte_features",
-    "knn_brute_force",
-    "knn_ivf",
-    "knn_ivf_multiprobe",
-    "embedding_near_dup",
-    "embedding_dup_clusters",
+    # §2.2-§2.6 extensions: OLAP surface (ROLLUP/CUBE/grouping sets,
+    # unpivot, windows, set ops, stats) + skew/salting demos
+    "event_type_stats_salted",
+    "events_asof_reference_value",
+    "user_sessions",
+    "event_type_rollup",
+    "purchase_running_total",
+    "active_without_purchase_last_day",
+    "event_user_skew_profile",
+    "user_session_windows",
+    "orders_with_late_shipments",
+    "brand_small_qty_revenue",
+    "event_type_hour_cube",
+    "views_before_purchase",
+    "priority_revenue_salted_join",
+    "user_distinct_hll",
+    "event_props_parsed",
+    "order_value_window_stats",
+    "repeat_purchasers_first_last_day",
+    "daily_purchase_spine",
+    "user_event_type_profile",
+    "event_grouping_sets",
+    "user_first_last_events",
+    "daily_activity_reconciliation",
+    "lineitem_measures_unpivot",
+    "event_value_histogram",
+    "event_value_dispersion",
+    "user_daily_value_interpolated",
+    "daily_event_anomalies",
+    "conversion_funnel",
+    "event_value_winsorized",
+    "user_retention_cohorts",
+    "event_transition_matrix",
+    "user_distinct_kmv",
+    # LLM-pipeline additions: text fingerprints, TF-IDF, sampling
+    "doc_token_classes",
+    "doc_char_jaccard_pairs",
+    "doc_winnow_fingerprint_overlap",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_percentiles_approx",
+    # multimodal + vectors: PQ/ADC, Lloyd-refined IVF, corpus pipeline
+    "multimodal_frame_index",
+    "llm_corpus_pipeline",
+    "doc_embedding_profile",
+    "knn_ivf_kmeans",
+    "embedding_dedup_survivors",
+    "knn_pq_adc",
+    # §2.7 streaming: the r3 additions incl. the stream-stream join pair
+    "stream_merge_upsert_roundtrip",
+    "stream_session_windows",
+    "stream_view_purchase_join",
+    "stream_purchase_attribution_outer",
+    # layout + custom-source queries
+    "clustered_time_slice",
+    "sensor_feed_stats",
 ]
 
 

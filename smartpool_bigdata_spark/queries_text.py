@@ -199,6 +199,46 @@ def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_percentiles_approx",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, len({T.duck_tokens('text')}) AS n FROM documents
+    ),
+    q AS (
+        SELECT lang, quantile_disc(n, [0.5, 0.9, 0.99]) AS qs FROM t GROUP BY lang
+    )
+    SELECT lang,
+           qs[1] AS p50_tokens,
+           qs[2] AS p90_tokens,
+           qs[3] AS p99_tokens
+    FROM q
+    """,
+    description="The documented 100 TB swap for doc_token_percentiles, "
+    "itself under the value oracle: approx_percentile (Greenwald-Khanna "
+    "sketch — bounded memory per group, mergeable map-side) instead of "
+    "exact percentile()'s per-group value buffer. With accuracy >= the "
+    "group size the GK sketch is lossless and Spark's returned element "
+    "matches DuckDB's quantile_disc rank-for-rank (convention pinned by "
+    "tests/test_text_ops.py::test_approx_percentile_matches_quantile_disc"
+    "_convention); above that the sketch guarantees rank error <= 1/"
+    "accuracy and the oracle would need a tolerance — which is exactly "
+    "when the exact twin stops scaling too.",
+)
+def doc_token_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    t = docs.select("lang", F.expr(f"size({T.spark_tokens('text')})").alias("n"))
+    q = t.groupBy("lang").agg(
+        F.expr("approx_percentile(n, array(0.5D, 0.9D, 0.99D), 100000)").alias("qs")
+    )
+    return q.select(
+        "lang",
+        F.expr("element_at(qs, 1)").cast("long").alias("p50_tokens"),
+        F.expr("element_at(qs, 2)").cast("long").alias("p90_tokens"),
+        F.expr("element_at(qs, 3)").cast("long").alias("p99_tokens"),
+    )
+
+
 _CHUNK_SIZE = 64
 _CHUNK_OVERLAP = 8
 _CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
@@ -523,6 +563,29 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+@query(
+    "doc_dup_clusters_twophase",
+    oracle=_dup_clusters_oracle(),
+    description="doc_dup_clusters through the SCALE-PATH clustering "
+    "algorithm: alternating large-star/small-star connected components "
+    "(Kiveris et al. SoCC'14, ~log2(n) rounds vs HashMin's diameter "
+    "iterations — the swap SCALE.md §6 prescribes for billion-edge dup "
+    "graphs). Same oracle SQL as doc_dup_clusters, so the two algorithms "
+    "are value-hash-locked to each other AND to the DuckDB recursive-CTE "
+    "closure; random-graph equivalence is additionally property-tested "
+    "in tests/test_properties.py.",
+    skip_bench=True,  # the pair stage is benched as doc_near_dup_pairs
+)
+def doc_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components_two_phase
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    cc = connected_components_two_phase(pairs, src="doc_a", dst="doc_b")
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 

@@ -176,3 +176,53 @@ def test_binned_range_join_covers_window(spark, rows):
         .collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_cc_equals_hashmin_and_model(spark, edge_list):
+    """connected_components_two_phase (large/small-star) must produce the
+    SAME (node -> min-of-component) map as HashMin and as a pure-Python
+    union-find, on random graphs including self-loops, parallel edges and
+    multiple components."""
+    from smartpool_bigdata_spark.ops.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    two = {
+        r["node"]: r["component"]
+        for r in connected_components_two_phase(df).collect()
+    }
+
+    # pure-Python union-find model
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edge_list:
+        # a self-loop-only node is still a (singleton) component
+        nodes.update((a, b))
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert two == want
+
+    hashmin = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert two == hashmin

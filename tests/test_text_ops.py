@@ -289,3 +289,34 @@ def test_release_signature_caches_unpersists_tracked_handles(docs):
     # opting out of the cache registers nothing
     minhash_near_dup_pairs(docs, persist_signatures=False).count()
     assert release_signature_caches() == 0
+
+
+def test_approx_percentile_matches_quantile_disc_convention(spark):
+    """Pins the rank convention doc_token_percentiles_approx's oracle
+    relies on: Spark's approx_percentile with accuracy >= n (lossless GK
+    sketch) returns the same dataset element as DuckDB's quantile_disc,
+    across even/odd sizes, skewed data and ties. If either engine changes
+    its discrete-quantile rank rule, this fails loudly."""
+    import duckdb
+
+    datasets = [
+        [1, 2, 3, 4],
+        [1, 2, 3, 4, 5],
+        [1, 1, 1, 2, 9],
+        [10],
+        [3, 3, 3, 3],
+        list(range(1, 101)),
+    ]
+    ps = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    for data in datasets:
+        sdf = spark.createDataFrame([(v,) for v in data], "n int")
+        got = sdf.agg(
+            F.expr(
+                "approx_percentile(n, array(%s), 100000)" % ",".join(f"{p}D" for p in ps)
+            ).alias("qs")
+        ).first()["qs"]
+        want = con.execute(
+            "SELECT quantile_disc(n, ?) FROM (SELECT unnest(?) AS n)", [ps, data]
+        ).fetchone()[0]
+        assert got == list(want), (data, got, want)
