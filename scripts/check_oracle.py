@@ -4,7 +4,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
 row count, column names, and an order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes a machine-readable per-query map in
+the driver's CORRECTNESS_r{N}.json row shape — used to regenerate the
+committed full-registry artifact (CORRECTNESS_FULL.json).
 """
 
 from __future__ import annotations
@@ -29,8 +33,13 @@ def value_key(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -51,6 +60,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, build in queries.items():
         if only and name not in only:
             continue
@@ -59,11 +69,13 @@ def main() -> int:
         scols = sorted(sdf.columns)
         if name not in oracles:
             print(f"  {name:34s} rows-only: {len(srows)} rows")
+            results[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         ddf = con.execute(oracles[name]).fetch_arrow_table()
         drows = ddf.to_pylist()
         dcols = sorted(ddf.column_names)
         status = []
+        tmism = {}
         if len(srows) != len(drows):
             status.append(f"ROWCOUNT {len(srows)} vs {len(drows)}")
         if scols != dcols:
@@ -89,8 +101,22 @@ def main() -> int:
             print(f"  {name:34s} FAIL: {'; '.join(status)}")
         else:
             print(f"  {name:34s} ok ({len(srows)} rows)")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": scols == dcols and not tmism,
+            "hash_match": not status,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(status) or None,
+        }
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
+            f.write("\n")
     spark.stop()
     return 1 if failures else 0
 

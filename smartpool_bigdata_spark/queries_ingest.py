@@ -303,6 +303,84 @@ def sensor_feed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sensor_feed_stream_stats",
+    oracle="""
+    WITH feed AS (
+        SELECT g AS reading_id,
+               CAST(g % 16 AS INTEGER) AS sensor_id,
+               20.0 + CAST(g * 37 % 1000 AS DOUBLE) / 100.0 AS temp,
+               6.5 + CAST(g * 53 % 200 AS DOUBLE) / 100.0 AS ph,
+               (g * 7919) % 97 < 8 AS anomaly
+        FROM generate_series(0, 5999) t(g)
+    )
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(CASE WHEN anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(CAST(sum(CAST(temp AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(temp), 4) AS avg_temp,
+           round(CAST(sum(CAST(ph AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(ph), 4) AS avg_ph
+    FROM feed GROUP BY sensor_id
+    """,
+    description="The sensor_feed custom source's STREAMING half end-to-end "
+    "under the value oracle (sensor_feed_stats gates only the batch "
+    "reader): readStream drives the full offset protocol — initialOffset, "
+    "rate-limited latestOffset advances (rows_per_batch=1500 over n=6000, "
+    "so >= 4 micro-batches), sidecar cursor persistence, partitions() "
+    "planned per (start, end] — into a memory sink, then the drained rows "
+    "aggregate per sensor. Same pure reading_id arithmetic, so DuckDB "
+    "regenerates the exact rows via generate_series. Exactly-once across "
+    "restarts is separately proven by tests/test_pydatasource.py::"
+    "test_stream_restart_is_exactly_once.",
+    skip_bench=True,  # wall-clock is trigger polling, not engine work
+)
+def sensor_feed_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time
+    import uuid
+
+    from smartpool_bigdata_spark.functions import stable_avg as _avg
+    from smartpool_bigdata_spark.io.pydatasource import register_sensor_feed
+
+    register_sensor_feed(spark)
+    n = 6_000
+    stage = tempfile.mkdtemp(prefix="spark_feed_stream_")
+    stream = (
+        spark.readStream.format("sensor_feed")
+        .option("n", n)
+        .option("rows_per_batch", 1_500)
+        .option("progress_path", os.path.join(stage, "cursor"))
+        .load()
+    )
+    name = f"mem_feed_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < n:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        shutil.rmtree(stage, ignore_errors=True)
+    drained = spark.table(name).count()
+    if drained != n:
+        raise TimeoutError(f"sensor feed drained {drained}/{n} rows in 120s")
+    return spark.table(name).groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_readings"),
+        F.sum(F.when(F.col("anomaly"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        _avg("temp", 4).alias("avg_temp"),
+        _avg("ph", 4).alias("avg_ph"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

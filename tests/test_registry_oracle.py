@@ -85,6 +85,7 @@ def test_gate_window_pinned():
     assert uncovered == {
         "order_priority_pivot_native",   # native pivot of order_priority_pivot
         "doc_dup_clusters_twophase",     # large/small-star twin of doc_dup_clusters
+        "sensor_feed_stream_stats",      # streaming half of sensor_feed_stats
     }, uncovered
     # the r2-verdict must-haves for THIS window: the never-driver-checked
     # stream-stream join pair and the r3 additions
