@@ -701,3 +701,147 @@ def language_guess(
         guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
     out = out.withColumn("lang_guess", guess.otherwise("unknown"))
     return out.select("doc_id", "lang_guess")
+
+
+def token_hash_stage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, __th) staging: per-token 60-bit hashes, materialized as
+    its own projection so tokenize+md5 runs once per row however many
+    downstream expressions reference it (same CollapseProject barrier
+    rationale as ``simhash_signatures``)."""
+    toks = spark_tokens(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"transform({toks}, t -> {spark_hash64('t')})").alias("__th"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    top_token_max: float = 0.2,
+    dup_ngram_max: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition quality signals, after the Gopher filters
+    (Rae et al. 2021, "Scaling Language Models", table A1): natural text
+    rarely repeats itself; machine-generated/boilerplate text does.
+
+    Returns (doc_id, token_count, top_token_fraction, dup_ngram_fraction,
+    repetitive) where
+
+    * ``top_token_fraction`` — share of tokens taken by the single most
+      frequent token (Gopher's "most common word" filter);
+    * ``dup_ngram_fraction`` — share of token ``ngram``-grams that occur
+      more than once in the document (token-level form of Gopher's
+      duplicate-n-gram character fraction — these docs are single-line
+      token streams, so the line-based filters are vacuous here);
+    * ``repetitive`` — either fraction above its threshold.
+
+    Scale: token/ngram multiplicities come from explode → groupBy
+    (doc_id, hash) → per-doc re-agg — two hash-shuffles on uniform
+    (doc, hash) keys, the canonical Spark shape, no per-doc quadratic
+    higher-order-function scan. N-grams are the arithmetic shingle
+    hashes (one md5 per token, no gram strings); P=2^31 collisions are
+    negligible and engine-identical, so the DuckDB oracle still matches
+    exactly.
+    """
+    staged = token_hash_stage(df, id_col, text_col)
+    uni = (
+        staged.select("doc_id", F.explode("__th").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("token_count"),
+            F.max("cnt").alias("top_tok"),
+        )
+    )
+    grams = F.expr(spark_shingle_hashes("__th", ngram))
+    ng = (
+        staged.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    out = (
+        uni.join(ng, "doc_id", "left")  # < ngram tokens -> no gram rows
+        .select(
+            "doc_id",
+            "token_count",
+            F.round(F.col("top_tok") / F.col("token_count"), 4).alias(
+                "top_token_fraction"
+            ),
+            F.coalesce(
+                F.round(F.col("dup_grams") / F.col("n_grams"), 4), F.lit(0.0)
+            ).alias("dup_ngram_fraction"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_token_fraction") > top_token_max)
+            | (F.col("dup_ngram_fraction") > dup_ngram_max),
+        )
+    )
+    return out
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram collision (the GPT-3/PaLM
+    recipe: drop or flag training documents sharing any length-``ngram``
+    token span with an evaluation set; 13 is the published default).
+
+    Returns one row per training document with at least one overlapping
+    gram: (doc_id, overlap_grams, total_grams, contamination) where
+    ``overlap_grams`` counts DISTINCT shared grams and ``contamination``
+    = overlap_grams / total distinct grams in the doc.
+
+    Scale: the benchmark side reduces to a distinct-gram-hash set —
+    eval suites are tiny next to a training corpus, so it is explicitly
+    ``broadcast()``: the training side streams map-side against the
+    hash set, no shuffle of the corpus at all. The train side dedups
+    grams per doc BEFORE the join (explode → distinct) so a gram
+    repeated in one doc cannot inflate its overlap count.
+    """
+    bench_grams = (
+        token_hash_stage(benchmark, id_col, text_col)
+        .select(F.explode(F.expr(spark_shingle_hashes("__th", ngram))).alias("g"))
+        .distinct()
+    )
+    train_grams = (
+        token_hash_stage(train, id_col, text_col)
+        .select("doc_id", F.explode(F.expr(spark_shingle_hashes("__th", ngram))).alias("g"))
+        .distinct()
+    )
+    totals = train_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_grams")
+    )
+    overlaps = (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )
+    return (
+        overlaps.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "overlap_grams",
+            "total_grams",
+            F.round(F.col("overlap_grams") / F.col("total_grams"), 4).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -200,6 +200,116 @@ def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, h, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(th) AS h FROM th)
+        GROUP BY doc_id, h
+    ),
+    unia AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS token_count,
+               CAST(max(cnt) AS BIGINT) AS top_tok
+        FROM uni GROUP BY doc_id
+    ),
+    ng AS (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 3)}) AS g FROM th)
+        GROUP BY doc_id, g
+    ),
+    nga AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
+        FROM ng GROUP BY doc_id
+    ),
+    fr AS (
+        SELECT u.doc_id, u.token_count,
+               round(top_tok / CAST(token_count AS DOUBLE), 4) AS top_token_fraction,
+               coalesce(round(dup_grams / CAST(n_grams AS DOUBLE), 4), 0.0)
+                   AS dup_ngram_fraction
+        FROM unia u LEFT JOIN nga ON u.doc_id = nga.doc_id
+    )
+    SELECT doc_id, token_count, top_token_fraction, dup_ngram_fraction,
+           (top_token_fraction > 0.2 OR dup_ngram_fraction > 0.3) AS repetitive
+    FROM fr
+    """,
+    description="Gopher-style repetition quality signals per document "
+    "(Rae et al. 2021, table A1): most-common-token fraction and "
+    "duplicate-3-gram fraction, with the composite 'repetitive' flag. "
+    "Machine-generated/boilerplate text repeats itself; these are the "
+    "standard curation signals for dropping it before training. "
+    "Explode -> groupBy(doc_id, hash) -> per-doc re-agg: two uniform "
+    "hash-shuffles, the canonical Spark shape (no per-doc quadratic "
+    "higher-order scan), arithmetic shingle hashes shared with the LSH "
+    "path so the DuckDB oracle matches bit-for-bit.",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import repetition_signals
+
+    docs = _ts(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", ngram=3)
+
+
+@query(
+    "doc_decontamination",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT g
+        FROM (SELECT unnest({T.duck_shingle_hashes('th', 4)}) AS g
+              FROM th WHERE doc_id % 40 = 7)
+    ),
+    tg AS (
+        SELECT DISTINCT doc_id, g
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 4)}) AS g
+              FROM th WHERE doc_id % 40 != 7)
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS total_grams FROM tg GROUP BY doc_id
+    ),
+    ov AS (
+        SELECT tg.doc_id, count(*) AS overlap_grams
+        FROM tg JOIN bg ON tg.g = bg.g
+        GROUP BY tg.doc_id
+    )
+    SELECT ov.doc_id, overlap_grams, total_grams,
+           round(overlap_grams / CAST(total_grams AS DOUBLE), 4) AS contamination
+    FROM ov JOIN totals ON ov.doc_id = totals.doc_id
+    """,
+    description="Benchmark decontamination by token-n-gram collision (the "
+    "GPT-3/PaLM recipe): training documents sharing any 4-gram with the "
+    "held-out evaluation set (stand-in: doc_id % 40 = 7) are flagged with "
+    "their distinct-gram overlap counts. 4 rather than the published "
+    "13-gram default because these synthetic docs run ~100 heavily-"
+    "mutated tokens (13-gram matches only 2 docs — measured; 4-gram "
+    "flags ~19, a meaningful value-hash); the operator "
+    "(ops/text.py:decontamination_overlap) defaults to 13. "
+    "Scale shape: the eval side collapses to a distinct gram-hash set "
+    "and is explicitly broadcast — the corpus streams map-side against "
+    "it, zero corpus shuffle; per-doc gram dedup happens BEFORE the join "
+    "so repetition cannot inflate overlap.",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import decontamination_overlap
+
+    docs = _ts(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 7)
+    train = docs.filter(F.col("doc_id") % 40 != 7)
+    return decontamination_overlap(train, bench, "doc_id", "text", ngram=4)
+
+
+@query(
     "doc_token_percentiles_approx",
     oracle=f"""
     WITH t AS (

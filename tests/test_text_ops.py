@@ -320,3 +320,52 @@ def test_approx_percentile_matches_quantile_disc_convention(spark):
             "SELECT quantile_disc(n, ?) FROM (SELECT unnest(?) AS n)", [ps, data]
         ).fetchone()[0]
         assert got == list(want), (data, got, want)
+
+
+def test_repetition_signals_flags_repeats(spark):
+    from smartpool_bigdata_spark.ops.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),            # one token repeated
+            (2, "alpha beta gamma delta epsilon zeta"), # all distinct
+            (3, "a b c a b c a b c a b c"),             # repeated 3-grams
+            (4, "x y"),                                 # < ngram tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df, ngram=3).collect()}
+    assert out[1]["top_token_fraction"] == 1.0 and out[1]["repetitive"]
+    assert out[1]["dup_ngram_fraction"] == 1.0
+    assert out[2]["top_token_fraction"] == round(1 / 6, 4)
+    assert out[2]["dup_ngram_fraction"] == 0.0 and not out[2]["repetitive"]
+    # doc 3: 10 of 10 3-grams belong to grams seen >1 time
+    assert out[3]["dup_ngram_fraction"] == 1.0 and out[3]["repetitive"]
+    # doc 4 has no 3-grams at all: fraction coalesces to 0, count survives
+    assert out[4]["token_count"] == 2 and out[4]["dup_ngram_fraction"] == 0.0
+
+
+def test_decontamination_overlap_counts_distinct_grams(spark):
+    from smartpool_bigdata_spark.ops.text import decontamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 3-grams; the repeated span must count ONCE
+            (1, "the quick brown fox the quick brown fox"),
+            (2, "completely disjoint tokens here only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontamination_overlap(train, bench, ngram=3).collect()
+    }
+    assert 2 not in rows  # no shared grams -> not flagged
+    r1 = rows[1]
+    # doc 1 distinct 3-grams: (the quick brown), (quick brown fox),
+    # (brown fox the), (fox the quick) -> 4 total; first two overlap bench
+    assert r1["overlap_grams"] == 2 and r1["total_grams"] == 4
+    assert r1["contamination"] == 0.5
