@@ -310,6 +310,132 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(th) AS h FROM th
+    ),
+    vocab AS (
+        SELECT h, count(*) AS cnt FROM tok GROUP BY h
+    ),
+    tot AS (
+        SELECT count(*) AS total FROM tok
+    ),
+    scored AS (
+        SELECT doc_id, -ln(cnt / CAST(total AS DOUBLE)) AS nlp
+        FROM tok JOIN vocab ON tok.h = vocab.h CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_count,
+           round(CAST(sum(CAST(nlp AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(nlp), 4) AS avg_neg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    description="Unigram language-model quality score per document: train "
+    "a corpus-wide unigram LM (token relative frequencies) in one hash "
+    "agg, then score each document by its mean negative log-likelihood — "
+    "the cheap stand-in for the KenLM-perplexity filter CCNet/RefinedWeb "
+    "use (low avg_neg_logp ~ made of common words; high ~ rare/garbage). "
+    "Shapes: vocab = ONE hash agg on token hash; corpus total rides as a "
+    "broadcast scalar; token->vocab join is AQE-broadcast here and a "
+    "plain shuffle hash join at vocab scale (the join key is the uniform "
+    "token hash, never skewed worse than the token distribution itself). "
+    "Float determinism: ln(cnt/total) computed in explicit DOUBLE (the "
+    "engines' libm ln agreed bit-for-bit on 20k probed values; Spark's "
+    "ANSI decimal literal division would NOT — measured 5e-5 divergence), "
+    "then decimal-stable summation per functions/stable.py.",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import token_hash_stage
+
+    docs = _ts(spark, sf_dir, "documents")
+    tok = token_hash_stage(docs, "doc_id", "text").select(
+        "doc_id", F.explode("__th").alias("h")
+    )
+    vocab = tok.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(vocab, "h")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("-ln(cnt / cast(total as double))").alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("token_count"),
+        stable_avg("nlp", 4).alias("avg_neg_logp"),
+    )
+
+
+@query(
+    "corpus_language_mixing",
+    oracle=f"""
+    WITH th AS (
+        SELECT lang, len({T.duck_tokens('text')}) AS n FROM documents
+    ),
+    bylang AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM th GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(sum(CAST(pow(n_tokens, 0.3) AS DECIMAL(38,10)))
+                    AS DOUBLE) AS z
+        FROM bylang
+    )
+    SELECT lang, n_tokens,
+           round(n_tokens / CAST(total AS DOUBLE), 4) AS p,
+           round(pow(n_tokens, 0.3) / z, 4) AS q,
+           round((pow(n_tokens, 0.3) / z)
+                 / (n_tokens / CAST(total AS DOUBLE)), 4) AS upsample
+    FROM bylang CROSS JOIN tot
+    """,
+    description="Temperature-based language mixing weights (the "
+    "mBERT/XLM-R alpha=0.3 exponential-smoothing recipe): per-language "
+    "token mass p, smoothed sampling weight q ∝ p^alpha, and the "
+    "resulting upsample factor q/p — the numbers a multilingual "
+    "training-data pipeline feeds its sampler so low-resource languages "
+    "are not drowned out. One scan + one 5-row agg; the normalizer z is "
+    "summed decimal-stable because even a 5-addend double sum is "
+    "partition-order dependent. pow(x, 0.3) agreed bit-for-bit across "
+    "both engines on the probed values (same libm family as ln — see "
+    "doc_unigram_logprob).",
+)
+def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.expr(f"size({T.spark_tokens('text')})").alias("n")
+    )
+    bylang = toks.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    tot = bylang.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        stable_sum(F.expr("pow(n_tokens, 0.3D)"), None).alias("z"),
+    )
+    return (
+        bylang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(F.expr("n_tokens / cast(total as double)"), 4).alias("p"),
+            F.round(F.expr("pow(n_tokens, 0.3D) / z"), 4).alias("q"),
+            F.round(
+                F.expr(
+                    "(pow(n_tokens, 0.3D) / z) / (n_tokens / cast(total as double))"
+                ),
+                4,
+            ).alias("upsample"),
+        )
+    )
+
+
+@query(
     "doc_token_percentiles_approx",
     oracle=f"""
     WITH t AS (

@@ -91,6 +91,8 @@ def test_gate_window_pinned():
     r4_additions = {
         "doc_repetition_signals",        # Gopher repetition filters
         "doc_decontamination",           # benchmark n-gram decontamination
+        "doc_unigram_logprob",           # unigram-LM quality score
+        "corpus_language_mixing",        # alpha=0.3 temperature sampling
     }
     uncovered = set(names) - gated - R3_WINDOW
     assert uncovered == twins | r4_additions, uncovered
