@@ -410,6 +410,24 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, n_perm: int = N_PERM, bands: int = BANDS
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band rows off a signature frame.
+
+    One transform over the band index instead of ``bands`` materialized
+    md5 subtrees — same hashes, ~bands× smaller expression tree."""
+    rows = n_perm // bands
+    band_cols = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"x -> cast(x as string)), ',')))"
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_cols).alias("band_idx", "band_hash")
+    )
+
+
 def minhash_pairs_from_signatures(
     sig: DataFrame,
     n_perm: int = N_PERM,
@@ -425,17 +443,7 @@ def minhash_pairs_from_signatures(
     joined-back shingle sets. Candidates scale with bucket collisions,
     never n².
     """
-    rows = n_perm // bands
-    # One transform over the band index instead of `bands` materialized
-    # md5 subtrees — same hashes, ~bands× smaller expression tree.
-    band_cols = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"x -> cast(x as string)), ',')))"
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_cols).alias("band_idx", "band_hash")
-    )
+    banded = banded_signatures(sig, n_perm, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -844,4 +852,79 @@ def decontamination_overlap(
                 "contamination"
             ),
         )
+    )
+
+
+def incremental_minhash_pairs(
+    new_sig: DataFrame,
+    base_sig: DataFrame,
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against an existing corpus:
+    candidates = (new × base) ∪ (new × new), never base × base — the
+    daily-ingest dedup shape, where yesterday's corpus already carries a
+    materialized signature table (``write_signature_table``) and only the
+    new documents are shingled.
+
+    Equivalence contract (oracle-locked by ``doc_incremental_near_dup``):
+    the result equals a FULL ``minhash_pairs_from_signatures`` run over
+    base ∪ new, restricted to pairs touching the new batch.
+
+    Scale: the new batch's band rows are explicitly ``broadcast()`` —
+    a daily drop is orders of magnitude smaller than the corpus, so the
+    corpus side streams map-side through the band join with NO shuffle
+    (and no re-shingling: its ``sig`` column comes straight off the
+    stored table). Verify-stage set lookups join back against the two
+    signature frames on doc_id; the base side of that join is bucketed
+    by doc_id in the table, so it is exchange-free too. ``doc_id`` sets
+    of base and new must be disjoint.
+    """
+    nb = banded_signatures(new_sig, n_perm, bands)
+    bb = banded_signatures(base_sig, n_perm, bands)
+    l, r = nb.alias("l"), bb.alias("r")
+    cross = (
+        r.join(
+            F.broadcast(l),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+        )
+    )
+    l2, r2 = nb.alias("l"), nb.alias("r")
+    within = (
+        l2.join(
+            r2,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    cand = cross.union(within).distinct()
+    sets = new_sig.select("doc_id", "sh_set").union(
+        base_sig.select("doc_id", "sh_set")
+    )
+    return (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "set_a"),
+            "doc_a",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "set_b"),
+            "doc_b",
+        )
+        .withColumn("inter", F.expr("size(array_intersect(set_a, set_b))"))
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "round(cast(inter as double) / (size(set_a) + size(set_b) - inter), 4)"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

@@ -720,6 +720,54 @@ def doc_signature_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "doc_incremental_near_dup",
+    # the full-run oracle restricted to pairs that touch the new batch
+    # (mutant ids sit at +1e6) — the incremental path must be LOSSLESS
+    # against a from-scratch run, not merely self-consistent
+    oracle=_near_dup_oracle()
+    + "      AND (doc_a >= 1000000 OR doc_b >= 1000000)\n",
+    description="Daily-ingest incremental dedup: the new batch (the "
+    "planted mutants) is shingled and banded, then joined against the "
+    "EXISTING corpus's materialized signature table — candidates are "
+    "(new x base) ∪ (new x new), never base x base, and the base corpus "
+    "is never re-shingled. The new batch's band rows are explicitly "
+    "broadcast, so the corpus side streams through the band join with no "
+    "shuffle (ops/text.py:incremental_minhash_pairs). Oracle: the full "
+    "from-scratch LSH run filtered to pairs touching the batch — "
+    "incremental and full must agree exactly.",
+    skip_bench=True,  # table write + localCheckpoint inside the build
+)
+def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_minhash_pairs,
+        write_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    new = corpus.filter(F.col("doc_id") >= 1_000_000)
+    stage = tempfile.mkdtemp(prefix="spark_incsig_")
+    try:
+        tbl = write_signature_table(
+            build_signature_table(base, "doc_id", "text", shingle_k=3),
+            "doc_base_sigs_tbl",
+            os.path.join(stage, "base_signatures"),
+        )
+        new_sig = build_signature_table(new, "doc_id", "text", shingle_k=3)
+        pairs = incremental_minhash_pairs(new_sig, tbl, threshold=0.5)
+        return pairs.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_base_sigs_tbl")
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     toks = T.duck_tokens("text")
     band_selects = "\n        UNION ALL\n".join(

@@ -369,3 +369,55 @@ def test_decontamination_overlap_counts_distinct_grams(spark):
     # (brown fox the), (fox the quick) -> 4 total; first two overlap bench
     assert r1["overlap_grams"] == 2 and r1["total_grams"] == 4
     assert r1["contamination"] == 0.5
+
+
+def test_incremental_minhash_pairs_equals_full_run(spark):
+    """incremental(new vs base∪new) must equal the full from-scratch run
+    restricted to pairs touching the new batch — and must broadcast the
+    new batch's band rows (the no-corpus-shuffle contract)."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_minhash_pairs,
+        minhash_pairs_from_signatures,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # base-base dup
+            (3, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps over the lazy dog"),   # near-dup of 1,2
+            (11, "quick brown fox jumps over the lazy dog"),   # dup of 10
+            (12, "unrelated fresh text with novel tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    base_sig = build_signature_table(base)
+    new_sig = build_signature_table(new)
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_minhash_pairs(new_sig, base_sig, threshold=0.4).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs_from_signatures(
+            base_sig.union(new_sig), threshold=0.4
+        ).collect()
+        if r["doc_a"] >= 10 or r["doc_b"] >= 10
+    }
+    assert inc == full and (10, 11) in inc and (1, 10) in inc
+    assert (1, 2) not in inc  # base-base pair excluded by construction
+
+    pairs = incremental_minhash_pairs(new_sig, base_sig)
+    pairs.collect()  # AQE finalizes join strategies at runtime
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # toString prints the final plan followed by the pre-AQE initial plan;
+    # judge only the section that actually ran
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
