@@ -291,3 +291,136 @@ def assign_ivf_buckets(
         method="row_number",
     )
     return best.select(id_col, vec_col, "bucket")
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Upper-triangle sample covariance of an embedding column:
+    (i, j, cov) rows for 1 <= i <= j <= d, 1-indexed.
+
+    Two passes: per-dimension means (one agg), then centered products
+    generated IN-ROW with a nested sequence transform (d(d+1)/2 structs
+    per row, one explode) and summed decimal-stable — no self-join, one
+    shuffle on the (i, j) key, bit-identical under any partitioning so
+    the DuckDB oracle hash-matches. The means ride in as one broadcast
+    array row.
+
+    Scale: at d=64 this is a 2080× row fan-out ahead of a map-side-
+    combined agg — scan-dominated and fine. At d in the thousands the
+    fan-out (d²/2) dominates; the swap is a ``mapInPandas`` partial
+    X^T X per Arrow batch (d² floats per partition, exactness traded for
+    one fewer shuffle), the same exact→approx/partial swap family as
+    SCALE.md's percentile entry.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    ex = df.select(F.posexplode(vec_col).alias("i0", "x"))
+    means = ex.groupBy("i0").agg(
+        (F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
+         / F.count("x")).alias("m")
+    )
+    marr = means.agg(
+        F.expr("transform(array_sort(collect_list(struct(i0, m))), s -> s.m)").alias(
+            "marr"
+        )
+    )
+    n = df.count()
+    prods = (
+        df.select(vec_col)
+        .crossJoin(F.broadcast(marr))
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {dim}), i -> "
+                    f"transform(sequence(i, {dim}), j -> struct(i as i, j as j, "
+                    f"(cast(element_at({vec_col}, i) as double) - element_at(marr, i)) * "
+                    f"(cast(element_at({vec_col}, j) as double) - element_at(marr, j)) as v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j", "p.v")
+    )
+    return (
+        prods.groupBy("i", "j")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+             / F.lit(n - ddof)).alias("cov")
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8, dim: int | None = None
+):
+    """Top-k principal components of the embedding distribution.
+
+    The covariance matrix is computed DISTRIBUTED (``covariance_matrix``),
+    then collected — d x d scalars, 32 KiB at d=64, a driver-side
+    constant like a watermark, NOT per-row data — and eigendecomposed
+    with numpy on the driver. Returns (components, eigenvalues):
+    components is a k x d list-of-lists (rows orthonormal, descending
+    eigenvalue), ready to broadcast into ``pca_project``. The classic
+    Spark linear-algebra split: O(n) work in the cluster, O(d^2) work on
+    the driver.
+
+    Determinism note: eigenvectors are sign-ambiguous; each component is
+    canonicalized so its largest-magnitude entry is positive.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cov = np.zeros((dim, dim))
+    for r in covariance_matrix(df, vec_col, dim).collect():
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    eigenvalues: list | None = None,
+) -> DataFrame:
+    """Project embeddings onto PCA components (optionally whitening by
+    1/sqrt(eigenvalue)) — a scan-only map, the components ride along as a
+    plan literal (k x d doubles), no shuffle, no UDF: the projection is a
+    zip_with/aggregate fold per component, inside codegen."""
+    k = len(components)
+    scale = (
+        [1.0 / (ev ** 0.5) if ev > 0 else 0.0 for ev in eigenvalues]
+        if eigenvalues is not None
+        else [1.0] * k
+    )
+    comp_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in comp) + ")"
+            for comp in components
+        )
+        + ")"
+    )
+    scale_lit = "array(" + ", ".join(f"{s!r}D" for s in scale) + ")"
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(sequence(1, {k}), c -> "
+            f"element_at({scale_lit}, c) * "
+            f"aggregate(zip_with(element_at({comp_lit}, c), {vec_col}, "
+            f"(w, x) -> w * cast(x as double)), 0D, (acc, v) -> acc + v))"
+        ),
+    )

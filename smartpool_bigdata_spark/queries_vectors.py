@@ -807,6 +807,70 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+_COV_DIM = 64
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH ex AS (
+        SELECT u.i AS i, u.x AS x FROM (
+            SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> {{'i': i, 'x': embedding[i]}})) AS u
+            FROM embeddings)
+    ),
+    m AS (
+        SELECT i,
+               CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(x) AS m
+        FROM ex GROUP BY i
+    ),
+    marr AS (
+        SELECT list(m ORDER BY i) AS marr FROM m
+    ),
+    n AS (
+        SELECT count(*) AS n FROM embeddings
+    ),
+    prods AS (
+        SELECT p.i AS i, p.j AS j, p.v AS v FROM (
+            SELECT unnest(flatten(list_transform(range(1, {_COV_DIM} + 1), i ->
+                   list_transform(range(i, {_COV_DIM} + 1), j ->
+                   {{'i': i, 'j': j,
+                    'v': (CAST(embedding[i] AS DOUBLE) - marr[i])
+                       * (CAST(embedding[j] AS DOUBLE) - marr[j])}})))) AS p
+            FROM embeddings, marr)
+    )
+    SELECT i, j,
+           round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+                 / (SELECT n - 1 FROM n), 6) AS cov
+    FROM prods GROUP BY i, j
+    """,
+    description="Distributed d x d sample covariance of the embedding "
+    "distribution (upper triangle, 2080 rows at d=64) — the substrate "
+    "for PCA/whitening-based embedding-space analysis (ops/vectors.py: "
+    "pca_components eigendecomposes this driver-side and pca_project "
+    "broadcasts the components back as plan literals; invariants "
+    "pytest-locked in tests/test_vector_ops.py). Single-pass shapes: "
+    "means = one agg riding back as a broadcast array; centered products "
+    "generated in-row by a nested sequence transform (no self-join), one "
+    "shuffle on (i, j); decimal-stable sums so the value hash holds "
+    "under any partitioning. At d in the thousands the d^2/2 fan-out "
+    "dominates and the swap is a mapInPandas partial X^T X per Arrow "
+    "batch (docstring).",
+    skip_bench=False,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "embedding", dim=_COV_DIM)
+    return cov.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.round("cov", 6).alias("cov"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

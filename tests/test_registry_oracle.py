@@ -94,6 +94,7 @@ def test_gate_window_pinned():
         "doc_unigram_logprob",           # unigram-LM quality score
         "corpus_language_mixing",        # alpha=0.3 temperature sampling
         "doc_incremental_near_dup",      # batch-vs-signature-table dedup
+        "embedding_covariance",          # distributed covariance (PCA substrate)
     }
     uncovered = set(names) - gated - R3_WINDOW
     assert uncovered == twins | r4_additions, uncovered

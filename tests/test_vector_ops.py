@@ -331,3 +331,57 @@ def test_pq_encoding_structure_and_adc_sanity(spark):
     corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
     assert all(ids <= corpus_ids for ids in codebook_ids.values())
     assert n >= PQ_CODES
+
+
+def test_pca_components_recover_known_direction(spark):
+    """2-D sanity: points spread along (1,1)/sqrt(2) with tiny noise on
+    the orthogonal axis -> first component is that direction, variance
+    ordering and orthonormality hold."""
+    import math
+
+    from smartpool_bigdata_spark.ops.vectors import pca_components
+
+    rows = []
+    for t in range(-10, 11):
+        noise = ((t * 7919) % 5 - 2) / 100.0  # deterministic tiny noise
+        rows.append((t + 10, [t / math.sqrt(2) - noise, t / math.sqrt(2) + noise]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    comps, vals = pca_components(df, "embedding", k=2, dim=2)
+    assert vals[0] > vals[1] > 0
+    c0 = comps[0]
+    assert abs(abs(c0[0]) - 1 / math.sqrt(2)) < 0.01
+    assert abs(c0[0] - c0[1]) < 0.02  # aligned with (1,1)
+    # orthonormal
+    dot = sum(a * b for a, b in zip(comps[0], comps[1]))
+    assert abs(dot) < 1e-9
+    for c in comps:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_pca_project_whitens_real_embeddings(spark):
+    """On the embeddings table: projecting onto the top-k components
+    yields (a) per-component variances equal to the eigenvalues in
+    descending order, (b) ~zero cross-covariance, and with whitening
+    (c) unit variances — the invariants that make the projection usable
+    for semantic-dedup thresholds."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.vectors import pca_components, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps, vals = pca_components(emb, "embedding", k=4)
+    proj = np.array(
+        [r["projected"] for r in pca_project(emb, comps, "embedding").collect()]
+    )
+    cov = np.cov(proj, rowvar=False, ddof=1)
+    assert np.allclose(np.diag(cov), vals, rtol=1e-6)
+    off = cov - np.diag(np.diag(cov))
+    assert np.max(np.abs(off)) < 1e-6 * max(vals)
+    white = np.array(
+        [
+            r["projected"]
+            for r in pca_project(emb, comps, "embedding", eigenvalues=vals).collect()
+        ]
+    )
+    wcov = np.cov(white, rowvar=False, ddof=1)
+    assert np.allclose(np.diag(wcov), 1.0, rtol=1e-6)
