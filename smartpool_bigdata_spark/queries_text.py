@@ -11,7 +11,7 @@ bit-identical), so even the LSH pipeline is exactly checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smartpool_bigdata_spark.functions import stable_avg
@@ -888,6 +888,81 @@ def _dedup_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     WHERE c.doc_id NOT IN (SELECT node FROM dropped)
     GROUP BY 1
     """
+
+
+def _best_quality_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    clusters = _dup_clusters_oracle(shingle_k, threshold)
+    toks = T.duck_tokens("text")
+    body = clusters[: clusters.rfind("SELECT component")].rstrip()
+    return f"""{body},
+    q AS (
+        SELECT doc_id,
+               round(len({toks}) * round(len(list_distinct({toks}))
+                     / CAST(len({toks}) AS DOUBLE), 4), 4) AS quality
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT comp.component, comp.node AS keep_doc_id, q.quality,
+               count(*) OVER (PARTITION BY comp.component) AS cluster_size,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY q.quality DESC, comp.node ASC) AS rn
+        FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT component, keep_doc_id, quality, cluster_size
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query(
+    "doc_dedup_best_quality",
+    oracle=_best_quality_survivors_oracle(),
+    description="Production keep-BEST-per-cluster dedup: near-dup "
+    "clusters (LSH pairs -> connected components) keep the highest-"
+    "quality member (token_count x unique-token ratio; deterministic "
+    "min-id tie-break) instead of the arbitrary minimum id that "
+    "doc_dedup_survivors demonstrates — what a real corpus pipeline "
+    "ships, since mutants/truncations usually score below their "
+    "originals. One window over cluster members (cluster-sized "
+    "partitions, never corpus-sized). Oracle: the recursive-CTE cluster "
+    "closure joined to the same quality formula, winner per component.",
+    skip_bench=True,  # the pair stage is benched as doc_near_dup_pairs
+)
+def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    toks = T.spark_tokens("text")
+    q = corpus.select(
+        "doc_id",
+        F.round(
+            F.expr(f"size({toks})")
+            * F.round(
+                F.expr(f"size(array_distinct({toks}))")
+                / F.expr(f"cast(size({toks}) as double)"),
+                4,
+            ),
+            4,
+        ).alias("quality"),
+    )
+    members = cc.join(q, cc["node"] == q["doc_id"])
+    w = Window.partitionBy("component")
+    ranked = members.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col("quality").desc(), F.col("node").asc())
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("node").alias("keep_doc_id"),
+        "quality",
+        "cluster_size",
+    )
 
 
 @query(

@@ -95,6 +95,7 @@ def test_gate_window_pinned():
         "corpus_language_mixing",        # alpha=0.3 temperature sampling
         "doc_incremental_near_dup",      # batch-vs-signature-table dedup
         "embedding_covariance",          # distributed covariance (PCA substrate)
+        "doc_dedup_best_quality",        # keep-best-per-cluster survivors
     }
     uncovered = set(names) - gated - R3_WINDOW
     assert uncovered == twins | r4_additions, uncovered
