@@ -226,3 +226,81 @@ def test_two_phase_cc_equals_hashmin_and_model(spark, edge_list):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert two == hashmin
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=25),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_signals_match_model(spark, docs_tokens):
+    """repetition_signals vs a pure-Python Counter model on random token
+    streams (tiny vocabulary -> heavy repetition, exercising both flag
+    thresholds and the <ngram-token edge)."""
+    from collections import Counter
+
+    from smartpool_bigdata_spark.ops.text import repetition_signals
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["token_count"],
+            r["top_token_fraction"],
+            r["dup_ngram_fraction"],
+            r["repetitive"],
+        )
+        for r in repetition_signals(df, ngram=3).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        n = len(toks)
+        top = round(max(Counter(toks).values()) / n, 4)
+        grams = [tuple(toks[j : j + 3]) for j in range(n - 2)]
+        if grams:
+            c = Counter(grams)
+            dup = round(sum(v for v in c.values() if v > 1) / len(grams), 4)
+        else:
+            dup = 0.0
+        want[i] = (n, top, dup, top > 0.2 or dup > 0.3)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=20),
+)
+def test_decontamination_matches_model(spark, train_tokens, bench_tokens):
+    from smartpool_bigdata_spark.ops.text import decontamination_overlap
+
+    train = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train_tokens)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_tokens))], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["overlap_grams"], r["total_grams"], r["contamination"])
+        for r in decontamination_overlap(train, bench, ngram=3).collect()
+    }
+    bgrams = {
+        tuple(bench_tokens[j : j + 3]) for j in range(len(bench_tokens) - 2)
+    }
+    want = {}
+    for i, toks in enumerate(train_tokens):
+        tgrams = {tuple(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        ov = len(tgrams & bgrams)
+        if ov:
+            want[i] = (ov, len(tgrams), round(ov / len(tgrams), 4))
+    assert got == want
