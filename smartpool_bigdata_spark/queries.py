@@ -1395,6 +1395,42 @@ def event_props_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           round(CAST(sum(CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                               AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    description="Spark 4 VariantType twin of event_props_parsed: "
+    "parse_json encodes the payload ONCE into the binary variant "
+    "format and every variant_get path extraction reads that encoding — "
+    "the modern engine path for semi-structured columns, vs from_json "
+    "re-parsing text per schema (with an explicit struct you pay one "
+    "parse; with N independent field reads, variant wins and also "
+    "keeps open-schema payloads queryable without declaring a struct). "
+    "Same oracle as the from_json twin: the two parse paths are "
+    "value-locked to each other.",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        stable_avg("k", 4).alias("avg_k"),
+    )
+
+
+@query(
     "order_value_window_stats",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

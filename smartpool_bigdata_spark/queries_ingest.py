@@ -304,6 +304,107 @@ def sensor_feed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
+    FROM events
+    WHERE event_type IN ('purchase', 'view') AND CAST(ts AS DATE) <= DATE '2024-01-07'
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    description="ORC source/sink round-trip (Spark's second built-in "
+    "columnar format): events stage to an ORC table partitioned by "
+    "event_type, and the consumer's event_type IN (...) filter prunes "
+    "partitions at plan time while the date bound pushes into the ORC "
+    "reader (predicate pushdown works on ORC stripe stats like parquet "
+    "row groups). Timestamps survive the round-trip at full microsecond "
+    "precision; the oracle reads the ORIGINAL parquet, so the value hash "
+    "proves the format conversion is lossless.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="spark_orc_")
+    path = os.path.join(stage, "events_orc")
+    ev.write.mode("overwrite").partitionBy("event_type").orc(path)
+    try:
+        back = (
+            spark.read.orc(path)
+            .filter(F.col("event_type").isin("purchase", "view"))
+            .filter(F.col("ts").cast("date") <= F.lit("2024-01-07").cast("date"))
+        )
+        out = (
+            back.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                stable_avg("value", 4).alias("avg_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "json_landing_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    description="JSON-lines landing-zone round-trip (the third "
+    "semi-structured ingestion mode next to the CSV landing and Kafka "
+    "JSON paths): events serialize to JSONL with the event time carried "
+    "as epoch MICROS (a bigint) — Spark's default JSON timestamp format "
+    "truncates to milliseconds, so naive round-trips silently lose "
+    "precision, the same class of bug as the reference's documented "
+    "datetime2(7) truncation (main.tex:150) — then read back with an "
+    "EXPLICIT schema (no inference pass) and timestamp_micros "
+    "reconstruction. Oracle reads the original parquet: value-hash "
+    "proves losslessness.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def json_landing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="spark_jsonl_")
+    path = os.path.join(stage, "events_jsonl")
+    ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.mode("overwrite").json(path)
+    try:
+        back = spark.read.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, "
+            "event_type string, value double"
+        ).json(path)
+        back = back.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+        )
+        out = back.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
     "sensor_feed_stream_stats",
     oracle="""
     WITH feed AS (

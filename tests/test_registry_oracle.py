@@ -96,6 +96,9 @@ def test_gate_window_pinned():
         "doc_incremental_near_dup",      # batch-vs-signature-table dedup
         "embedding_covariance",          # distributed covariance (PCA substrate)
         "doc_dedup_best_quality",        # keep-best-per-cluster survivors
+        "event_props_variant",           # Spark 4 VariantType parse path
+        "orc_roundtrip_stats",           # ORC source/sink round-trip
+        "json_landing_stats",            # JSONL landing (µs-lossless)
     }
     uncovered = set(names) - gated - R3_WINDOW
     assert uncovered == twins | r4_additions, uncovered
