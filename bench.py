@@ -15,6 +15,28 @@ import sys
 import time
 
 
+def compact_line(full: dict, budget: int = 1800) -> str:
+    """ONE JSON line guaranteed ≤ ``budget`` chars for the driver's
+    2000-char stdout tail: the totals plus as many of the slowest
+    per-query steady-state timings as fit (slowest first — the entries a
+    perf reader needs in the hard signal), with ``queries_omitted`` and a
+    pointer to the complete record in BENCH_FULL.json."""
+    timings = full["queries"]
+    compact = dict(full)
+    compact.pop("queries_first_run", None)
+    compact["queries"] = {}
+    compact["queries_omitted"] = len(timings)
+    compact["full_results"] = "BENCH_FULL.json"
+    for name in sorted(timings, key=timings.get, reverse=True):
+        candidate = dict(compact)
+        candidate["queries"] = {**compact["queries"], name: timings[name]}
+        candidate["queries_omitted"] = len(timings) - len(candidate["queries"])
+        if len(json.dumps(candidate, separators=(",", ":"))) > budget:
+            break
+        compact = candidate
+    return json.dumps(compact, separators=(",", ":"))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -126,29 +148,13 @@ def main() -> int:
     # final JSON line out of that tail. The full per-query map crossed
     # 2000 chars in round 3, so the line's HEAD was cut and the driver
     # recorded parsed=null. Split the output: the complete record goes to
-    # BENCH_FULL.json next to this script, and stdout gets ONE compact
-    # line guaranteed under the tail budget — totals plus as many of the
-    # slowest per-query steady-state timings as fit (slowest first: those
-    # are the ones a perf reader needs in the hard signal).
+    # BENCH_FULL.json next to this script, and stdout gets the bounded
+    # compact_line (tested in tests/test_runner.py).
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    budget = 1800
-    compact = dict(full)
-    compact.pop("queries_first_run")
-    compact["queries"] = {}
-    compact["queries_omitted"] = 0
-    compact["full_results"] = "BENCH_FULL.json"
-    for name in sorted(timings, key=timings.get, reverse=True):
-        candidate = dict(compact)
-        candidate["queries"] = {**compact["queries"], name: timings[name]}
-        candidate["queries_omitted"] = len(timings) - len(candidate["queries"])
-        line = json.dumps(candidate, separators=(",", ":"))
-        if len(line) > budget:
-            break
-        compact = candidate
-    print(json.dumps(compact, separators=(",", ":")))
+    print(compact_line(full))
     spark.stop()
     return 0
 

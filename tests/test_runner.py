@@ -34,3 +34,38 @@ def test_runner_ingest_silver_query(spark, tmp_path, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary" in out
+
+
+def test_bench_compact_line_bounded_at_any_registry_size():
+    """The driver parses bench stdout from a 2000-char tail; the compact
+    line must stay under budget and keep the slowest queries no matter
+    how large the registry grows (round 3 shipped an unparseable 2400-
+    char line)."""
+    import json
+
+    from bench import compact_line
+
+    full = {
+        "metric": "total_query_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"query_with_a_long_name_{i:03d}": round(i * 0.013, 3) for i in range(400)},
+        "queries_first_run": {f"query_with_a_long_name_{i:03d}": 1.0 for i in range(400)},
+        "value_first_run": 400.0,
+        "value_r2_subset": 17.8,
+        "n_queries": 400,
+        "sf": 0.1,
+    }
+    line = compact_line(full)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["metric"] == "total_query_sec" and d["value"] == 123.456
+    assert "queries_first_run" not in d  # cold map lives in BENCH_FULL.json
+    assert d["queries_omitted"] == 400 - len(d["queries"]) > 0
+    # slowest-first retention: the max-timing query must be present
+    assert "query_with_a_long_name_399" in d["queries"]
+
+    # a small registry fits entirely
+    small = dict(full, queries={"a": 1.0, "b": 2.0}, queries_first_run={})
+    d2 = json.loads(compact_line(small))
+    assert d2["queries_omitted"] == 0 and len(d2["queries"]) == 2
