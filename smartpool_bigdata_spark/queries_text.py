@@ -436,6 +436,195 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_pipeline_v2",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang, text,
+               {T.duck_tokens('text')} AS toks,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, h, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(th) AS h FROM th) GROUP BY doc_id, h
+    ),
+    unia AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS token_count,
+               CAST(max(cnt) AS BIGINT) AS top_tok
+        FROM uni GROUP BY doc_id
+    ),
+    ng AS (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 3)}) AS g FROM th)
+        GROUP BY doc_id, g
+    ),
+    nga AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
+        FROM ng GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT u.doc_id, u.token_count,
+               round(top_tok / CAST(token_count AS DOUBLE), 4) AS top_frac,
+               coalesce(round(dup_grams / CAST(n_grams AS DOUBLE), 4), 0.0) AS dup_frac
+        FROM unia u LEFT JOIN nga ON u.doc_id = nga.doc_id
+    ),
+    bg AS (
+        SELECT DISTINCT g
+        FROM (SELECT unnest({T.duck_shingle_hashes('th', 4)}) AS g
+              FROM th WHERE doc_id % 40 = 7)
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 4)}) AS g
+              FROM th WHERE doc_id % 40 != 7) tg
+        JOIN bg ON tg.g = bg.g
+    ),
+    sh AS (
+        SELECT doc_id, {T.duck_simhash('th', 60)} AS simhash FROM th
+    ),
+    flagged AS (
+        SELECT th.doc_id, th.lang, rep.token_count,
+               CASE WHEN rep.token_count < 20 OR rep.top_frac > 0.2
+                         OR rep.dup_frac > 0.3 THEN 'quality'
+                    WHEN contaminated.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'pass' END AS stage1,
+               sh.simhash AS digest
+        FROM th
+        JOIN rep ON rep.doc_id = th.doc_id
+        JOIN sh ON sh.doc_id = th.doc_id
+        LEFT JOIN contaminated ON contaminated.doc_id = th.doc_id
+        WHERE th.doc_id % 40 != 7
+    ),
+    verdicts AS (
+        SELECT doc_id, lang, token_count,
+               CASE WHEN stage1 != 'pass' THEN stage1
+                    WHEN row_number() OVER (PARTITION BY stage1, digest
+                                            ORDER BY doc_id) > 1
+                         AND stage1 = 'pass' THEN 'duplicate'
+                    ELSE 'kept' END AS verdict
+        FROM flagged
+    ),
+    bylang AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+               CAST(sum(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+               CAST(sum(CASE WHEN verdict = 'kept' THEN token_count ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM verdicts GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(tokens_kept) AS BIGINT) AS total,
+               CAST(sum(CAST(pow(tokens_kept, 0.3) AS DECIMAL(38,10))) AS DOUBLE) AS z
+        FROM bylang
+    )
+    SELECT lang, n_kept, n_quality_dropped, n_contaminated, n_dup_dropped,
+           tokens_kept,
+           round(pow(tokens_kept, 0.3) / z, 4) AS sample_q
+    FROM bylang CROSS JOIN tot
+    """,
+    description="END-TO-END curation pipeline v2 composing the round-4 "
+    "operator family in ONE plan, per-language accounting out the end: "
+    "eval holdout excluded (doc_id % 40 = 7) -> Gopher repetition + "
+    "length quality gate -> 4-gram benchmark decontamination (broadcast "
+    "gram set) -> exact dedup among survivors (md5 digest, min-id "
+    "winner) -> kept-token mass and alpha=0.3 temperature sampling "
+    "weight per language. Drop reasons are PRIORITIZED (quality beats "
+    "contamination beats duplicate) so every document lands in exactly "
+    "one bucket and the accounting sums to the corpus. The whole "
+    "composition is one DAG — scan once, two explode-agg passes, one "
+    "broadcast join, one digest window — and the oracle replays every "
+    "stage in DuckDB, so the pipeline is value-locked end to end, not "
+    "just stage by stage.",
+)
+def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.ops.text import (
+        decontamination_overlap,
+        repetition_signals,
+        simhash_signatures,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 40 != 7)
+    bench = docs.filter(F.col("doc_id") % 40 == 7)
+    rep = repetition_signals(docs, "doc_id", "text", ngram=3).select(
+        "doc_id",
+        "token_count",
+        F.col("top_token_fraction").alias("top_frac"),
+        F.col("dup_ngram_fraction").alias("dup_frac"),
+    )
+    contaminated = decontamination_overlap(
+        corpus, bench, "doc_id", "text", ngram=4
+    ).select("doc_id", F.lit(True).alias("is_contaminated"))
+    sh = simhash_signatures(docs, "doc_id", "text", bits=60)
+    flagged = (
+        corpus.join(rep, "doc_id")
+        .join(sh, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "token_count",
+            F.when(
+                (F.col("token_count") < 20)
+                | (F.col("top_frac") > 0.2)
+                | (F.col("dup_frac") > 0.3),
+                "quality",
+            )
+            .when(F.col("is_contaminated"), "contaminated")
+            .otherwise("pass")
+            .alias("stage1"),
+            F.col("simhash").alias("digest"),
+        )
+    )
+    w = Window.partitionBy("stage1", "digest").orderBy("doc_id")
+    verdicts = flagged.select(
+        "doc_id",
+        "lang",
+        "token_count",
+        F.when(F.col("stage1") != "pass", F.col("stage1"))
+        .when(
+            (F.row_number().over(w) > 1) & (F.col("stage1") == "pass"),
+            "duplicate",
+        )
+        .otherwise("kept")
+        .alias("verdict"),
+    )
+    bylang = verdicts.groupBy("lang").agg(
+        F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("verdict") == "quality", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_dropped"),
+        F.sum(F.when(F.col("verdict") == "contaminated", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("verdict") == "duplicate", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+        F.sum(F.when(F.col("verdict") == "kept", F.col("token_count")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    tot = bylang.agg(
+        F.sum("tokens_kept").cast("bigint").alias("total"),
+        stable_sum(F.expr("pow(tokens_kept, 0.3D)"), None).alias("z"),
+    )
+    return bylang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_kept",
+        "n_quality_dropped",
+        "n_contaminated",
+        "n_dup_dropped",
+        "tokens_kept",
+        F.round(F.expr("pow(tokens_kept, 0.3D) / z"), 4).alias("sample_q"),
+    )
+
+
+@query(
     "doc_token_percentiles_approx",
     oracle=f"""
     WITH t AS (

@@ -99,6 +99,7 @@ def test_gate_window_pinned():
         "event_props_variant",           # Spark 4 VariantType parse path
         "orc_roundtrip_stats",           # ORC source/sink round-trip
         "json_landing_stats",            # JSONL landing (µs-lossless)
+        "llm_corpus_pipeline_v2",        # r4 curation composition
     }
     uncovered = set(names) - gated - R3_WINDOW
     assert uncovered == twins | r4_additions, uncovered
