@@ -2283,16 +2283,20 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # * r4 window (below): the 50 queries the r3 window displaced — the OLAP
 #   extensions, TF-IDF/winnowing/PQ/kmeans-IVF, the stream-stream join
 #   pair and the other r3 additions — plus doc_token_percentiles_approx
-#   (new in r4: the verified 100 TB percentile swap). One query stays
-#   pytest-oracle-only to make room: order_priority_pivot_native, whose
-#   semantics are the same computation as the r3-green order_priority_pivot
-#   through the native groupBy().pivot() API.
+#   (new in r4: the verified 100 TB percentile swap).
+# * Outside both windows: disclosed twins of gated queries (native pivot,
+#   two-phase CC, streaming sensor feed) and the operators ADDED during
+#   r4 (curation filters, LM scoring, mixing, incremental dedup,
+#   covariance, format round-trips, variant parse, pipeline v2) — first
+#   in line for the r5 rotation. test_gate_window_pinned enumerates both
+#   buckets exactly.
 #
 # Every query outside the current window keeps the SAME oracle via
-# tests/test_registry_oracle.py (the suite replays the driver's compare for
-# the full registry at sf0.001), so rotation trades which half gets the
-# hard signal, never which half is checked.
-# tests/test_registry_oracle.py pins the first-50 set.
+# tests/test_registry_oracle.py (the suite replays the driver's compare
+# for the full registry at sf0.001) and via the committed
+# CORRECTNESS_FULL.json (all queries, three SFs), so rotation trades
+# which slice gets the driver's hard signal, never which slice is
+# checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
     # §2.2-§2.6 extensions: OLAP surface (ROLLUP/CUBE/grouping sets,
     # unpivot, windows, set ops, stats) + skew/salting demos
