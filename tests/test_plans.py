@@ -167,3 +167,27 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_orc_roundtrip_prunes_partitions_and_pushes_filters(spark, tmp_path):
+    """The ORC round-trip's scale claims, plan-locked: the event_type
+    IN-list must land in PartitionFilters (pruned at planning, no
+    partition dirs read) and the date bound must push into the ORC
+    reader (PushedFilters against stripe stats)."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").limit(2000)
+    path = str(tmp_path / "orc_ev")
+    ev.write.mode("overwrite").partitionBy("event_type").orc(path)
+    back = (
+        spark.read.orc(path)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .filter(F.col("ts").cast("date") <= F.lit("2024-01-07").cast("date"))
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("event_type" in ln for ln in part), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("ts" in ln for ln in pushed), plan
