@@ -304,3 +304,75 @@ def test_decontamination_matches_model(spark, train_tokens, bench_tokens):
         if ov:
             want[i] = (ov, len(tgrams), round(ov / len(tgrams), 4))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=4, max_size=15),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(1, 5),
+)
+def test_incremental_lsh_equals_full_on_random_corpora(spark, docs_tokens, split):
+    """incremental(new vs base∪new) == full-run pairs touching the new
+    batch, on random corpora and random batch splits — the oracle query
+    pins one concrete corpus; this pins the contract itself."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_minhash_pairs,
+        minhash_pairs_from_signatures,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    cut = min(split, len(rows) - 1)
+    base_rows, new_rows = rows[:cut], rows[cut:]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    base_sig = build_signature_table(base)
+    new_sig = build_signature_table(new)
+    new_ids = {i for i, _ in new_rows}
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_minhash_pairs(new_sig, base_sig, threshold=0.3).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs_from_signatures(
+            base_sig.union(new_sig), threshold=0.3
+        ).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert inc == full
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.floats(-100, 100, width=32), min_size=3, max_size=3),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_covariance_matrix_matches_numpy(spark, vectors):
+    """covariance_matrix vs numpy's independent np.cov implementation on
+    random float32 vectors (the DuckDB oracle shares our formula; numpy
+    does not)."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.vectors import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], "vec_id int, embedding array<float>"
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "embedding", dim=3).collect()
+    }
+    want = np.cov(
+        np.array(vectors, dtype=np.float32).astype(np.float64), rowvar=False, ddof=1
+    )
+    for (i, j), v in got.items():
+        w = want[i - 1, j - 1]
+        assert abs(v - w) <= 1e-9 * max(1.0, abs(w)), ((i, j), v, w)
