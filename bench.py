@@ -97,7 +97,12 @@ def main() -> int:
         first_run[name] = round(first, 3)
         # LSH/signature queries persist() their signature stage; each
         # build creates a fresh frame, so without this the cache grows by
-        # every run's signatures for the life of the session.
+        # every run's signatures for the life of the session. Draining
+        # the module-side handle registry alongside keeps it from
+        # accumulating dead references across the ~170 builds of a run.
+        from smartpool_bigdata_spark.ops.text import release_signature_caches
+
+        release_signature_caches()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -35,9 +35,10 @@ def value_key(rows, cols):
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:  # accept the flag at any position
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -59,6 +60,13 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd (or misplaced-flag) name must not silently run zero
+        # queries and print "all green"
+        print(f"unknown queries: {sorted(unknown)}")
+        spark.stop()
+        return 2
     failures = []
     results = {}
     for name, build in queries.items():

@@ -205,13 +205,17 @@ class SensorFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict):
         # Not invoked by Spark 4.1.2 (measured — see latestOffset);
-        # kept as defense-in-depth: persisting the committed head here
-        # is idempotent with the latestOffset write and would close the
-        # 2x-first-batch window if the engine ever starts calling it.
+        # kept as defense-in-depth for an engine that starts calling it.
+        # MONOTONIC: commit(batch N) may land after latestOffset has
+        # already advanced the sidecar to batch N+1's head — writing
+        # end_N unconditionally would rewind the cursor and make every
+        # other trigger plan an empty batch (halved rate), so only
+        # fast-forward, never rewind.
         if self.progress_path:
+            head = max(int(end["reading_id"]), self._read_cursor())
             tmp = f"{self.progress_path}.tmp"
             with open(tmp, "w") as f:
-                f.write(str(end["reading_id"]))
+                f.write(str(head))
             os.replace(tmp, self.progress_path)  # atomic on POSIX
 
     def stop(self):

@@ -66,8 +66,15 @@ def release_signature_caches() -> int:
     """
     n = 0
     while _SIGNATURE_CACHES:
-        _SIGNATURE_CACHES.pop().unpersist()
-        n += 1
+        handle = _SIGNATURE_CACHES.pop()
+        try:
+            handle.unpersist()
+            n += 1
+        except Exception:
+            # a handle whose owning SparkSession already stopped cannot
+            # be unpersisted (and holds no live cache); keep draining so
+            # one dead handle never aborts the release of the rest
+            continue
     return n
 
 
@@ -879,8 +886,20 @@ def incremental_minhash_pairs(
     stored table). Verify-stage set lookups join back against the two
     signature frames on doc_id; the base side of that join is bucketed
     by doc_id in the table, so it is exchange-free too. ``doc_id`` sets
-    of base and new must be disjoint.
+    of base and new must be disjoint — checked up front (one tiny id
+    join), because an overlap silently corrupts the pair output.
     """
+    overlap = new_sig.select("doc_id").join(
+        base_sig.select("doc_id"), "doc_id"
+    )
+    if not overlap.isEmpty():
+        # an id on both sides would appear twice in the verify-stage set
+        # frame and fan every candidate out into duplicated pairs with
+        # mixed sh_set versions — corrupt output, so fail fast instead
+        raise ValueError(
+            "incremental_minhash_pairs: base and new doc_id sets overlap "
+            f"(e.g. {[r['doc_id'] for r in overlap.limit(3).collect()]})"
+        )
     nb = banded_signatures(new_sig, n_perm, bands)
     bb = banded_signatures(base_sig, n_perm, bands)
     l, r = nb.alias("l"), bb.alias("r")

@@ -318,6 +318,13 @@ def covariance_matrix(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    n = df.count()
+    if n <= ddof:
+        # dividing by n - ddof would emit Infinity rows that poison any
+        # downstream eigendecomposition with NaNs — fail loudly instead
+        raise ValueError(
+            f"covariance_matrix needs more than ddof={ddof} rows, got {n}"
+        )
     ex = df.select(F.posexplode(vec_col).alias("i0", "x"))
     means = ex.groupBy("i0").agg(
         (F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
@@ -328,7 +335,6 @@ def covariance_matrix(
             "marr"
         )
     )
-    n = df.count()
     prods = (
         df.select(vec_col)
         .crossJoin(F.broadcast(marr))

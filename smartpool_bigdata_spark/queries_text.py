@@ -409,7 +409,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.functions import stable_sum
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.expr(f"size({T.spark_tokens('text')})").alias("n")
     )
@@ -532,11 +532,15 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winner) -> kept-token mass and alpha=0.3 temperature sampling "
     "weight per language. Drop reasons are PRIORITIZED (quality beats "
     "contamination beats duplicate) so every document lands in exactly "
-    "one bucket and the accounting sums to the corpus. The whole "
-    "composition is one DAG — scan once, two explode-agg passes, one "
-    "broadcast join, one digest window — and the oracle replays every "
-    "stage in DuckDB, so the pipeline is value-locked end to end, not "
-    "just stage by stage.",
+    "one bucket and the accounting sums to the corpus. One DAG, one "
+    "action; the plan tokenizes the corpus once per branch (repetition "
+    "x2, decontamination grams, simhash, ~5 passes) because each branch "
+    "is an independent aggregation — at 100 TB feed the stages from the "
+    "materialized signature table (write_signature_table carries th-"
+    "derived sh_set/simhash; SCALE.md section 2) so the corpus is "
+    "tokenized exactly once per ingest, not per consumer. The oracle "
+    "replays every stage in DuckDB, so the pipeline is value-locked end "
+    "to end, not just stage by stage.",
 )
 def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.functions import stable_sum

@@ -145,3 +145,23 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     rows = [r["reading_id"] for r in spark.read.parquet(out).collect()]
     assert len(rows) == len(set(rows)), "restart re-emitted committed rows"
     assert set(rows) == set(range(max(rows) + 1))  # contiguous, no gaps
+
+
+def test_commit_never_rewinds_cursor(tmp_path):
+    """commit(end) is defense-in-depth for engines that invoke it; if it
+    lands AFTER latestOffset advanced the sidecar, it must fast-forward
+    only — a rewind would make every other trigger plan an empty batch."""
+    from smartpool_bigdata_spark.io.pydatasource import SensorFeedStreamReader
+
+    prog = str(tmp_path / "cursor")
+    r = SensorFeedStreamReader(
+        {"n": 10_000, "rows_per_batch": 1000, "progress_path": prog}
+    )
+    assert r.latestOffset() == {"reading_id": 1000}  # advances sidecar
+    r.commit({"reading_id": 1000})
+    assert r._read_cursor() == 1000
+    assert r.latestOffset() == {"reading_id": 2000}  # sidecar now 2000
+    r.commit({"reading_id": 1000})  # late commit of the PREVIOUS batch
+    assert r._read_cursor() == 2000  # no rewind
+    r.commit({"reading_id": 3000})  # a future engine committing ahead
+    assert r._read_cursor() == 3000

@@ -421,3 +421,21 @@ def test_incremental_minhash_pairs_equals_full_run(spark):
     # judge only the section that actually ran
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+
+
+def test_incremental_minhash_pairs_rejects_id_overlap(spark):
+    """Overlapping base/new doc_ids would silently fan candidates into
+    duplicated pairs with mixed shingle-set versions — must fail fast."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_minhash_pairs,
+    )
+
+    a = build_signature_table(
+        spark.createDataFrame([(1, "x y z"), (2, "p q r")], ["doc_id", "text"])
+    )
+    b = build_signature_table(
+        spark.createDataFrame([(2, "x y z w")], ["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        incremental_minhash_pairs(b, a)

@@ -385,3 +385,17 @@ def test_pca_project_whitens_real_embeddings(spark):
     )
     wcov = np.cov(white, rowvar=False, ddof=1)
     assert np.allclose(np.diag(wcov), 1.0, rtol=1e-6)
+
+
+def test_covariance_rejects_degenerate_row_count(spark):
+    """n <= ddof would divide by zero and emit Infinity rows that poison
+    pca_components with NaNs — must raise instead."""
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.vectors import covariance_matrix
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="more than ddof"):
+        covariance_matrix(one, "embedding", dim=2)
