@@ -581,11 +581,13 @@ def simhash_signatures(
     referenced many times in its own stage, so tokenize+md5 runs once per
     row instead of once per bit (measured 10× at sf0.1).
     """
-    toks = spark_tokens(text_col)
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(f"transform({toks}, t -> {spark_hash64('t')})").alias("__th"),
-    )
+    return simhash_from_stage(token_hash_stage(df, id_col, text_col), bits)
+
+
+def simhash_from_stage(staged: DataFrame, bits: int = 32) -> DataFrame:
+    """``simhash_signatures`` off a pre-staged ``token_hash_stage`` frame
+    — lets a multi-signal pipeline tokenize the corpus ONCE and derive
+    every signal from the shared (materialized) stage."""
     return staged.select(
         "doc_id", F.expr(spark_simhash("__th", bits)).alias("simhash")
     )
@@ -763,7 +765,18 @@ def repetition_signals(
     negligible and engine-identical, so the DuckDB oracle still matches
     exactly.
     """
-    staged = token_hash_stage(df, id_col, text_col)
+    return repetition_signals_from_stage(
+        token_hash_stage(df, id_col, text_col), ngram, top_token_max, dup_ngram_max
+    )
+
+
+def repetition_signals_from_stage(
+    staged: DataFrame,
+    ngram: int = 3,
+    top_token_max: float = 0.2,
+    dup_ngram_max: float = 0.3,
+) -> DataFrame:
+    """``repetition_signals`` off a pre-staged token-hash frame."""
     uni = (
         staged.select("doc_id", F.explode("__th").alias("h"))
         .groupBy("doc_id", "h")
@@ -831,13 +844,24 @@ def decontamination_overlap(
     grams per doc BEFORE the join (explode → distinct) so a gram
     repeated in one doc cannot inflate its overlap count.
     """
+    return decontamination_overlap_from_stage(
+        token_hash_stage(train, id_col, text_col),
+        token_hash_stage(benchmark, id_col, text_col),
+        ngram,
+    )
+
+
+def decontamination_overlap_from_stage(
+    train_staged: DataFrame, bench_staged: DataFrame, ngram: int = 13
+) -> DataFrame:
+    """``decontamination_overlap`` off pre-staged token-hash frames."""
     bench_grams = (
-        token_hash_stage(benchmark, id_col, text_col)
+        bench_staged
         .select(F.explode(F.expr(spark_shingle_hashes("__th", ngram))).alias("g"))
         .distinct()
     )
     train_grams = (
-        token_hash_stage(train, id_col, text_col)
+        train_staged
         .select("doc_id", F.explode(F.expr(spark_shingle_hashes("__th", ngram))).alias("g"))
         .distinct()
     )

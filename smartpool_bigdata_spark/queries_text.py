@@ -533,36 +533,45 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weight per language. Drop reasons are PRIORITIZED (quality beats "
     "contamination beats duplicate) so every document lands in exactly "
     "one bucket and the accounting sums to the corpus. One DAG, one "
-    "action; the plan tokenizes the corpus once per branch (repetition "
-    "x2, decontamination grams, simhash, ~5 passes) because each branch "
-    "is an independent aggregation — at 100 TB feed the stages from the "
-    "materialized signature table (write_signature_table carries th-"
-    "derived sh_set/simhash; SCALE.md section 2) so the corpus is "
-    "tokenized exactly once per ingest, not per consumer. The oracle "
-    "replays every stage in DuckDB, so the pipeline is value-locked end "
-    "to end, not just stage by stage.",
+    "action, ONE tokenize pass: the signal branches share a lazily-"
+    "checkpointed token-hash stage (measured 2.9 -> 2.2 s at sf0.1); at "
+    "100 TB the same role is played by the materialized signature table "
+    "(write_signature_table; SCALE.md section 2) so the corpus is "
+    "tokenized once per ingest, not per consumer. The oracle replays "
+    "every stage in DuckDB, so the pipeline is value-locked end to end, "
+    "not just stage by stage.",
 )
 def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.functions import stable_sum
     from smartpool_bigdata_spark.ops.text import (
-        decontamination_overlap,
-        repetition_signals,
-        simhash_signatures,
+        decontamination_overlap_from_stage,
+        repetition_signals_from_stage,
+        simhash_from_stage,
+        token_hash_stage,
     )
 
     docs = _ts(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 40 != 7)
-    bench = docs.filter(F.col("doc_id") % 40 == 7)
-    rep = repetition_signals(docs, "doc_id", "text", ngram=3).select(
+    # Tokenize+hash the corpus ONCE and share the stage: the signal
+    # branches (repetition x2 aggs, decontamination grams, simhash) read
+    # the checkpointed arrays instead of re-running the tokenize+md5
+    # scan per branch — the single-plan analog of the signature-table
+    # pattern. eager=False keeps the materialization INSIDE the query's
+    # own action (an eager checkpoint here would move the dominant cost
+    # into untimed build, silently flattering the bench).
+    staged = token_hash_stage(docs, "doc_id", "text").localCheckpoint(eager=False)
+    rep = repetition_signals_from_stage(staged, ngram=3).select(
         "doc_id",
         "token_count",
         F.col("top_token_fraction").alias("top_frac"),
         F.col("dup_ngram_fraction").alias("dup_frac"),
     )
-    contaminated = decontamination_overlap(
-        corpus, bench, "doc_id", "text", ngram=4
+    contaminated = decontamination_overlap_from_stage(
+        staged.filter(F.col("doc_id") % 40 != 7),
+        staged.filter(F.col("doc_id") % 40 == 7),
+        ngram=4,
     ).select("doc_id", F.lit(True).alias("is_contaminated"))
-    sh = simhash_signatures(docs, "doc_id", "text", bits=60)
+    sh = simhash_from_stage(staged, bits=60)
     flagged = (
         corpus.join(rep, "doc_id")
         .join(sh, "doc_id")
