@@ -765,8 +765,18 @@ def repetition_signals(
     negligible and engine-identical, so the DuckDB oracle still matches
     exactly.
     """
+    # lazy checkpoint: the unigram and ngram branches both read the
+    # token-hash arrays; without the barrier each branch re-runs
+    # tokenize+md5. At TWO branches the block write roughly cancels the
+    # saved tokenize locally (1.36 -> 1.29 s at sf0.1, within noise) —
+    # the win grows with branch count (pipeline v2's four branches:
+    # 2.9 -> 2.2 s) and with document size at scale. Lazy so the cost
+    # stays inside the caller's own action.
     return repetition_signals_from_stage(
-        token_hash_stage(df, id_col, text_col), ngram, top_token_max, dup_ngram_max
+        token_hash_stage(df, id_col, text_col).localCheckpoint(eager=False),
+        ngram,
+        top_token_max,
+        dup_ngram_max,
     )
 
 

@@ -354,8 +354,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.text import token_hash_stage
 
     docs = _ts(spark, sf_dir, "documents")
-    tok = token_hash_stage(docs, "doc_id", "text").select(
-        "doc_id", F.explode("__th").alias("h")
+    # the exploded token frame feeds three consumers (vocab, the corpus
+    # total, the per-token scoring join); the lazy checkpoint computes
+    # the tokenize+explode once inside the query's own action
+    tok = (
+        token_hash_stage(docs, "doc_id", "text")
+        .select("doc_id", F.explode("__th").alias("h"))
+        .localCheckpoint(eager=False)
     )
     vocab = tok.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     total = tok.agg(F.count(F.lit(1)).alias("total"))
