@@ -191,3 +191,22 @@ def test_orc_roundtrip_prunes_partitions_and_pushes_filters(spark, tmp_path):
     assert part and any("event_type" in ln for ln in part), plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("ts" in ln for ln in pushed), plan
+
+
+def test_r4_curation_queries_never_sort_merge_join(plans):
+    """The r4 curation/analysis family's scale posture, plan-locked: the
+    final AQE plans contain only broadcast/hash joins — a refactor that
+    loses a broadcast (eval gram set, corpus total, centroid-style dims)
+    falls back to SortMergeJoin and fails here, not at 100 TB."""
+    for name in (
+        "doc_decontamination",
+        "doc_unigram_logprob",
+        "corpus_language_mixing",
+        "embedding_covariance",
+        "llm_corpus_pipeline_v2",
+        "doc_repetition_signals",
+    ):
+        plan = plans(name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "CartesianProduct" not in final, name
