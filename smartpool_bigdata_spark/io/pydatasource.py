@@ -149,8 +149,10 @@ class SensorFeedStreamReader(DataSourceStreamReader):
       sidecar file — the stand-in for the external system's state — and
       a restarted reader resumes from it, advancing ``rows_per_batch``
       per micro-batch (the ``maxOffsetsPerTrigger`` analog, T6; exact in
-      steady state, up to 2x on the first batch after a crash landing in
-      the window described in ``latestOffset``);
+      steady state — regression-locked by
+      ``tests/test_pydatasource.py::test_stream_rate_contract`` — and
+      bounded at 2x on the first batch after any number of crashes, via
+      the engine-start clamp described in ``latestOffset``);
     * without it, the reader reports the FULL end immediately (one
       batch, no incremental state to lose) — restart-safe by
       construction, just not rate-limited.
@@ -184,12 +186,20 @@ class SensorFeedStreamReader(DataSourceStreamReader):
         # stalls the stream after the first batch. Consequence, and the
         # documented contract: if the driver crashes after this write but
         # before the batch reaches the offset log, the restarted query's
-        # FIRST batch spans up to 2x rows_per_batch (cursor one batch
-        # ahead of the checkpoint; no data loss or dup — partitions()
-        # uses the engine's own start). Steady-state batches are exactly
-        # rows_per_batch. commit() below still persists the head as
-        # defense-in-depth should a future Spark start invoking it.
+        # FIRST batch spans up to 2x rows_per_batch — and no worse, even
+        # across REPEATED crashes in that window: partitions() persists
+        # the engine's own start offset (the checkpoint's committed
+        # position) to a second sidecar, and the cursor is clamped to at
+        # most one batch beyond it, so each crash re-advances the SAME
+        # window instead of compounding (no data loss or dup either way —
+        # partitions() uses the engine's own start). Steady-state batches
+        # are exactly rows_per_batch. commit() below still persists the
+        # head as defense-in-depth should a future Spark start invoking
+        # it.
         cur = max(self._read_cursor(), self.start)
+        eng = self._read_engine_start()
+        if eng is not None:
+            cur = min(cur, eng + self.rows_per_batch)
         nxt = min(cur + self.rows_per_batch, self.end)
         tmp = f"{self.progress_path}.tmp"
         with open(tmp, "w") as f:
@@ -197,7 +207,25 @@ class SensorFeedStreamReader(DataSourceStreamReader):
         os.replace(tmp, self.progress_path)  # atomic on POSIX
         return {"reading_id": nxt}
 
+    def _read_engine_start(self) -> int | None:
+        try:
+            with open(f"{self.progress_path}.engine") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError, TypeError):
+            return None
+
     def partitions(self, start: dict, end: dict):
+        if self.progress_path:
+            # Record the engine's planned start — on a restart this is the
+            # checkpoint's committed offset, which latestOffset uses to
+            # clamp sidecar-cursor drift to at most one batch. Within a
+            # run starts are monotonic; the restart replay's start equals
+            # the checkpoint, so a plain overwrite never regresses below
+            # the committed position.
+            tmp = f"{self.progress_path}.engine.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(int(start["reading_id"])))
+            os.replace(tmp, f"{self.progress_path}.engine")
         return [_IdRange(start["reading_id"], end["reading_id"])]
 
     def read(self, partition: _IdRange):

@@ -861,6 +861,73 @@ def decontamination_overlap(
     )
 
 
+def incremental_dedup_batch(
+    batch_df: DataFrame,
+    sig_table_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.5,
+) -> None:
+    """One ingest batch through the incremental dedup loop, IDEMPOTENTLY:
+
+    1. sign the batch once (``build_signature_table``, one scan);
+    2. pair it against the current materialized signature corpus via
+       ``incremental_minhash_pairs`` — (new x base) ∪ (new x new), never
+       base x base, new side broadcast;
+    3. MERGE the near-dup pairs into ``pairs_path`` keyed on
+       (doc_a, doc_b);
+    4. MERGE the batch signatures into ``sig_table_path`` keyed on
+       doc_id — so later batches dedup against earlier ones.
+
+    Replay safety (foreachBatch re-runs the last uncommitted batch after
+    a crash): the batch's own ids are anti-joined OUT of the base before
+    pairing, so a replay whose signatures already landed recomputes the
+    SAME pairs instead of tripping the id-overlap fail-fast; both writes
+    are keyed MERGEs, so re-writing them is a no-op. Step order (pairs
+    before signatures) is immaterial under that anti-join — a crash
+    between 3 and 4 replays to the identical end state.
+
+    Scale: the parquet ``merge_upsert`` rewrites the target per batch —
+    the local-substrate analog; a Delta/Iceberg deployment swaps in real
+    MERGE with file pruning so each ingest touches O(batch) files. The
+    pairing itself is already the 100 TB shape (signatures stored, corpus
+    never re-shingled, batch side broadcast).
+    """
+    from smartpool_bigdata_spark.io.sinks import _exists, merge_upsert
+
+    spark = batch_df.sparkSession
+    new_sig = build_signature_table(
+        batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+        "text",
+        shingle_k=shingle_k,
+        n_perm=n_perm,
+    ).localCheckpoint(eager=True)  # referenced 5x below (bands, set joins, merge)
+    try:
+        if _exists(spark, sig_table_path):
+            base = spark.read.parquet(sig_table_path).join(
+                new_sig.select("doc_id"), "doc_id", "left_anti"
+            )
+        else:
+            base = new_sig.limit(0)
+        pairs = incremental_minhash_pairs(
+            new_sig, base, n_perm=n_perm, bands=bands, threshold=threshold
+        )
+        merge_upsert(spark, pairs_path, pairs, keys=["doc_a", "doc_b"])
+        merge_upsert(
+            spark,
+            sig_table_path,
+            new_sig.select("doc_id", "sh_set", "sig", "simhash", "fingerprint"),
+            keys=["doc_id"],
+        )
+    finally:
+        new_sig.unpersist()
+
+
 def decontamination_overlap_from_stage(
     train_staged: DataFrame, bench_staged: DataFrame, ngram: int = 13
 ) -> DataFrame:

@@ -318,12 +318,32 @@ def covariance_matrix(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    n = df.count()
+    # One driver-side scalar pass validates shape AND counts rows: a
+    # ragged array (element_at past the end -> NULL) or a null element
+    # silently drops out of the decimal sums while the denominator stays
+    # the global n - ddof, biasing the output — fail loudly instead,
+    # matching the n <= ddof guard below.
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+        F.max(F.exists(vec_col, lambda x: x.isNull()).cast("int")).alias("has_null"),
+    ).first()
+    n = chk["n"]
     if n <= ddof:
         # dividing by n - ddof would emit Infinity rows that poison any
         # downstream eigendecomposition with NaNs — fail loudly instead
         raise ValueError(
             f"covariance_matrix needs more than ddof={ddof} rows, got {n}"
+        )
+    if chk["lo"] != dim or chk["hi"] != dim:
+        raise ValueError(
+            f"covariance_matrix needs uniform {vec_col} length {dim}, "
+            f"got lengths in [{chk['lo']}, {chk['hi']}]"
+        )
+    if chk["has_null"]:
+        raise ValueError(
+            f"covariance_matrix: {vec_col} contains null elements"
         )
     ex = df.select(F.posexplode(vec_col).alias("i0", "x"))
     means = ex.groupBy("i0").agg(
@@ -356,6 +376,103 @@ def covariance_matrix(
             (F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
              / F.lit(n - ddof)).alias("cov")
         )
+    )
+
+
+def covariance_matrix_partial(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Large-d twin of ``covariance_matrix``: same (i, j, cov) upper
+    triangle, computed as partial centered X^T X per Arrow batch via
+    ``mapInPandas`` instead of a d^2/2 in-row fan-out.
+
+    Shape: (1) the per-dimension means ride in as a d-double closure
+    constant (one decimal-stable agg + collect — driver-side scalars,
+    like a watermark); (2) each Arrow batch contributes ONE d x d
+    partial ``(X - mu)^T (X - mu)`` (a float64 BLAS matmul), emitted as
+    d(d+1)/2 rows per PARTITION, not per input row; (3) one tiny
+    (i, j)-keyed reduce (partitions x 2080 rows at d=64) finishes the
+    sum decimal-stably. The per-row fan-out of the exact form is gone —
+    at d=4096 the partial rows are partitions x 8.4M vs rows x 8.4M,
+    the difference between a 100 TB shuffle and a few GB one. Centering
+    by the true means keeps the per-batch float64 sums cancellation-free,
+    so the result agrees with the exact decimal form to ~1e-12 relative
+    (property-locked in tests/test_vector_ops.py); within-batch float
+    association is the only nondeterminism, bounded far below the 6
+    decimals any consumer rounds to.
+
+    Fail-loud posture matches ``covariance_matrix``: ragged vectors or
+    null elements raise inside the batch function (no silent bias), and
+    n <= ddof raises before any cluster work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    ex = df.select(F.posexplode(vec_col).alias("i0", "x"))
+    mrows = ex.groupBy("i0").agg(
+        (F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
+         / F.count("x")).alias("m"),
+        F.count("x").alias("cnt"),
+    ).collect()
+    if len(mrows) != dim or any(r["cnt"] != mrows[0]["cnt"] for r in mrows):
+        raise ValueError(
+            f"covariance_matrix_partial needs uniform {vec_col} length {dim}: "
+            f"got {len(mrows)} distinct positions with per-position counts "
+            f"{sorted({r['cnt'] for r in mrows})}"
+        )
+    n = mrows[0]["cnt"]
+    if n <= ddof:
+        raise ValueError(
+            f"covariance_matrix_partial needs more than ddof={ddof} rows, got {n}"
+        )
+    mu_list = [0.0] * dim
+    for r in mrows:
+        mu_list[r["i0"]] = float(r["m"])
+    d = dim
+
+    def partials(it):
+        mu = np.asarray(mu_list, dtype=np.float64)
+        pn = 0
+        S = np.zeros((d, d), dtype=np.float64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            if X.ndim != 2 or X.shape[1] != d:
+                raise ValueError(
+                    f"covariance_matrix_partial needs uniform length-{d} "
+                    f"vectors, got batch shape {X.shape}"
+                )
+            if np.isnan(X).any():
+                raise ValueError(
+                    "covariance_matrix_partial: null/NaN element in "
+                    f"'{vec_col}'"
+                )
+            pn += X.shape[0]
+            Xc = X - mu
+            S += Xc.T @ Xc
+        if pn:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "pv": S[iu],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(partials, schema="i int, j int, pv double")
+    return part.groupBy("i", "j").agg(
+        (F.sum(F.col("pv").cast("decimal(38,10)")).cast("double")
+         / F.lit(n - ddof)).alias("cov")
     )
 
 

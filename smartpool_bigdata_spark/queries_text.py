@@ -533,8 +533,10 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator family in ONE plan, per-language accounting out the end: "
     "eval holdout excluded (doc_id % 40 = 7) -> Gopher repetition + "
     "length quality gate -> 4-gram benchmark decontamination (broadcast "
-    "gram set) -> exact dedup among survivors (md5 digest, min-id "
-    "winner) -> kept-token mass and alpha=0.3 temperature sampling "
+    "gram set) -> simhash-equality dedup among survivors (60-bit "
+    "fingerprint, min-id winner; near-identical docs collapse together, "
+    "distinct docs can collide only at ~2^-60) -> kept-token mass and "
+    "alpha=0.3 temperature sampling "
     "weight per language. Drop reasons are PRIORITIZED (quality beats "
     "contamination beats duplicate) so every document lands in exactly "
     "one bucket and the accounting sums to the corpus. One DAG, one "
@@ -972,6 +974,68 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pairs.localCheckpoint(eager=True)  # materialize before cleanup
     finally:
         spark.sql("DROP TABLE IF EXISTS doc_base_sigs_tbl")
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "stream_incremental_near_dup",
+    # identical contract to doc_incremental_near_dup: a full from-scratch
+    # LSH run filtered to pairs touching the new ids — the STREAMING
+    # delivery of the batch must be lossless too
+    oracle=_near_dup_oracle()
+    + "      AND (doc_a >= 1000000 OR doc_b >= 1000000)\n",
+    description="The incremental-ingest dedup loop CLOSED AS A STREAM "
+    "(reference protocol 'PRUEBA INCREMENTAL.sql' fused with the LLM "
+    "dedup family): the new documents arrive as a file stream in ~4 "
+    "rate-limited micro-batches (maxFilesPerTrigger=1) through "
+    "foreachBatch + incremental_dedup_batch — each batch is signed once, "
+    "paired against the CURRENT signature corpus ((new x base) ∪ "
+    "(new x new), batch side broadcast, base never re-shingled), then "
+    "its pairs and signatures MERGE in, so batch N dedups against "
+    "batches 1..N-1 as well as the base corpus. Keyed MERGEs + a "
+    "batch-id anti-join make crash replays idempotent "
+    "(checkpoint-restart pytest-locked in tests/test_streaming.py). "
+    "Oracle: the one-shot from-scratch run — batch boundaries must not "
+    "change the answer.",
+    skip_bench=True,  # staging writes + stream startup dominate
+)
+def stream_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.text import build_signature_table
+    from smartpool_bigdata_spark.streaming import file_stream
+    from smartpool_bigdata_spark.streaming.runner import start_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    new = corpus.filter(F.col("doc_id") >= 1_000_000)
+    stage = tempfile.mkdtemp(prefix="spark_incstream_")
+    sig_path = os.path.join(stage, "sig_table")
+    pairs_path = os.path.join(stage, "pairs")
+    src = os.path.join(stage, "new_docs")
+    ckpt = os.path.join(stage, "ckpt")
+    try:
+        build_signature_table(base, "doc_id", "text", shingle_k=3).write.parquet(
+            sig_path
+        )
+        new.repartition(4).write.parquet(src)
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_incremental_dedup(
+            stream,
+            sig_path,
+            pairs_path,
+            ckpt,
+            trigger={"availableNow": True},
+            query_name="incremental_dedup",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        pairs = spark.read.parquet(pairs_path).select("doc_a", "doc_b", "jaccard")
+        return pairs.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
         shutil.rmtree(stage, ignore_errors=True)
 
 

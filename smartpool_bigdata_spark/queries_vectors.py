@@ -809,10 +809,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_DIM = 64
 
-
-@query(
-    "embedding_covariance",
-    oracle=f"""
+_COV_ORACLE = f"""
     WITH ex AS (
         SELECT u.i AS i, u.x AS x FROM (
             SELECT unnest(list_transform(range(1, len(embedding) + 1),
@@ -844,7 +841,12 @@ _COV_DIM = 64
            round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
                  / (SELECT n - 1 FROM n), 6) AS cov
     FROM prods GROUP BY i, j
-    """,
+    """
+
+
+@query(
+    "embedding_covariance",
+    oracle=_COV_ORACLE,
     description="Distributed d x d sample covariance of the embedding "
     "distribution (upper triangle, 2080 rows at d=64) — the substrate "
     "for PCA/whitening-based embedding-space analysis (ops/vectors.py: "
@@ -868,6 +870,106 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("bigint").alias("i"),
         F.col("j").cast("bigint").alias("j"),
         F.round("cov", 6).alias("cov"),
+    )
+
+
+@query(
+    "embedding_covariance_partial",
+    oracle=_COV_ORACLE,
+    description="Disclosed TWIN of embedding_covariance through the "
+    "large-d scale path (ops/vectors.py:covariance_matrix_partial): "
+    "centered partial X^T X per Arrow batch via mapInPandas (one d x d "
+    "float64 matmul per batch, d(d+1)/2 rows per PARTITION), then one "
+    "tiny decimal-stable (i, j) reduce — at d in the thousands this "
+    "replaces the exact form's per-ROW d^2/2 fan-out with a per-"
+    "partition one, the difference between a 100 TB shuffle and a few "
+    "GB. Same oracle as the exact twin: centering by the true means "
+    "keeps per-batch float sums cancellation-free, so both forms agree "
+    "to ~1e-12 (property-locked in tests/test_vector_ops.py) and round "
+    "identically at 6 decimals.",
+)
+def embedding_covariance_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import covariance_matrix_partial
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix_partial(emb, "embedding", dim=_COV_DIM)
+    return cov.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.round("cov", 6).alias("cov"),
+    )
+
+
+_PCA_K = 8
+
+
+@query(
+    "embedding_pca_whitened",
+    oracle=f"""
+    WITH trace AS (
+        SELECT round(CAST(sum(v) AS DOUBLE), 4) AS trace FROM (
+            SELECT var_samp(CAST(embedding[i] AS DOUBLE)) AS v
+            FROM embeddings, range(1, {_COV_DIM} + 1) AS t(i)
+            GROUP BY i))
+    SELECT CAST(a.axis AS BIGINT) AS axis,
+           CAST(1.0 AS DOUBLE) AS whitened_var,
+           CAST(0.0 AS DOUBLE) AS max_abs_crosscov,
+           trace
+    FROM range(1, {_PCA_K} + 1) AS a(axis), trace
+    """,
+    description="Value-lock of the FULL covariance -> eigh -> project "
+    "path as one query: embeddings are whitening-projected onto the "
+    "top-8 principal components (ops/vectors.py:pca_components / "
+    "pca_project — covariance distributed, d x d eigendecomposition a "
+    "driver-side constant, projection a codegen fold). The oracle is "
+    "the mathematical SPEC plus one independently-computed data "
+    "coupling: per-axis whitened variance must be exactly 1 (locks each "
+    "eigenvalue against the realized variance along its eigenvector), "
+    "max |cross-axis covariance| must be 0 (locks eigenvector "
+    "orthogonality/decorrelation), and the eigenvalue SUM must equal "
+    "the trace, which DuckDB recomputes from raw data as the sum of "
+    "per-dimension variances — a wrong covariance, eigensolve, or "
+    "projection breaks at least one column. Sign/tie ambiguity is "
+    "immaterial: every output is rotation-sign-invariant by "
+    "construction.",
+)
+def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import pca_components, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps_all, vals_all = pca_components(emb, "embedding", k=_COV_DIM, dim=_COV_DIM)
+    comps, vals = comps_all[:_PCA_K], vals_all[:_PCA_K]
+    proj = pca_project(emb, comps, "embedding", eigenvalues=vals)
+    axis_stats = (
+        proj.select(F.posexplode("projected").alias("axis0", "v"))
+        .groupBy("axis0")
+        .agg(F.round(F.var_samp("v"), 4).alias("whitened_var"))
+        .select(
+            (F.col("axis0") + 1).cast("bigint").alias("axis"), "whitened_var"
+        )
+    )
+    cross = proj.agg(
+        F.round(
+            F.greatest(
+                *[
+                    F.abs(
+                        F.covar_samp(
+                            F.element_at("projected", i),
+                            F.element_at("projected", j),
+                        )
+                    )
+                    for i in range(1, _PCA_K + 1)
+                    for j in range(i + 1, _PCA_K + 1)
+                ]
+            ),
+            4,
+        ).alias("max_abs_crosscov")
+    )
+    trace_row = spark.range(1).select(
+        F.round(F.lit(float(sum(vals_all))), 4).alias("trace")
+    )
+    return axis_stats.crossJoin(F.broadcast(cross)).crossJoin(
+        F.broadcast(trace_row)
     )
 
 

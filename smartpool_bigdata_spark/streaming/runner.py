@@ -117,6 +117,52 @@ def start_foreach_batch_upsert(
     return _with_trigger(writer, trigger).start()
 
 
+def start_incremental_dedup(
+    docs_stream: DataFrame,
+    sig_table_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """The daily-ingest dedup loop as a STREAM: a file-stream of new
+    documents drains through ``foreachBatch`` +
+    ``ops.text.incremental_dedup_batch`` — each micro-batch is signed
+    once, paired against the materialized signature corpus
+    ((new x base) ∪ (new x new), never base x base), its pairs and
+    signatures MERGEd in. This fuses the reference's incremental-ingest
+    protocol with the LLM dedup family at the shape a 100 TB corpus
+    actually runs: signatures computed once per document ever, each
+    ingest's work proportional to the batch, checkpoint-restartable
+    (keyed MERGEs + the batch-id anti-join make replays idempotent —
+    see incremental_dedup_batch)."""
+    from smartpool_bigdata_spark.ops.text import incremental_dedup_batch
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_dedup_batch(
+            batch_df,
+            sig_table_path,
+            pairs_path,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: str,

@@ -91,6 +91,76 @@ def test_stream_reader_drains_in_rate_limited_batches(spark, tmp_path):
     )
 
 
+def test_stream_rate_contract(spark, tmp_path):
+    """Pin the documented rate contract (io/pydatasource.py latestOffset):
+    with a sidecar cursor, EVERY non-empty micro-batch in a crash-free
+    run is exactly rows_per_batch (the final remainder batch may be
+    smaller). This regression-locks the measured never-invokes-commit()
+    behavior of Spark 4.1.2's PythonStreamingSourceRunner — an upgrade
+    that starts invoking commit() (or double-plans offsets) shows up here
+    as a short or oversized batch, not as a silent rate change."""
+    n, per = 5000, 1000
+    stream = (
+        spark.readStream.format("sensor_feed")
+        .option("n", n)
+        .option("rows_per_batch", per)
+        .option("progress_path", str(tmp_path / "cursor"))
+        .load()
+    )
+    name = f"t_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            time.sleep(0.5)
+        total = spark.table(name).count()
+    finally:
+        q.stop()
+    assert total == n
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+    assert sum(sizes) == n
+    # steady state: every batch exactly rows_per_batch (n % per == 0 here,
+    # so there is no remainder batch to special-case)
+    assert sizes == [per] * (n // per), sizes
+
+
+def test_crash_window_drift_is_clamped(tmp_path):
+    """ADVICE r4: repeated crashes inside the latestOffset->offset-log
+    window must NOT compound the sidecar drift. Simulate: each 'crash'
+    constructs a fresh reader whose latestOffset advances the sidecar,
+    while the engine start (persisted by partitions()) stays pinned at
+    the checkpoint's committed offset. The planned head must stay within
+    one batch of engine_start + rows_per_batch — i.e. the first
+    successful batch is at most 2x rows_per_batch, never (N+1)x."""
+    from smartpool_bigdata_spark.io.pydatasource import SensorFeedStreamReader
+
+    prog = str(tmp_path / "cursor")
+    opts = {"n": 100_000, "rows_per_batch": 1000, "progress_path": prog}
+
+    r = SensorFeedStreamReader(opts)
+    assert r.latestOffset() == {"reading_id": 1000}
+    r.partitions({"reading_id": 0}, {"reading_id": 1000})  # batch 0 planned
+    assert r.latestOffset() == {"reading_id": 2000}
+    # crash here, repeatedly: batch 1 (1000..2000) never reaches the
+    # offset log, so the engine start stays 1000 across every restart
+    for _ in range(5):
+        r_restarted = SensorFeedStreamReader(opts)
+        head = r_restarted.latestOffset()["reading_id"]
+        assert head <= 3000, "cursor drift compounded across crashes"
+        r_restarted.partitions({"reading_id": 1000}, {"reading_id": head})
+    # once a batch commits and the engine advances, the clamp follows
+    r2 = SensorFeedStreamReader(opts)
+    r2.partitions({"reading_id": 3000}, {"reading_id": 3000})
+    assert r2.latestOffset()["reading_id"] == 4000
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_path):
     """A stop/restart from checkpoint must not re-emit committed rows.
     The cursor lives in the progress_path sidecar (the stand-in for a

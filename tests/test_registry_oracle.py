@@ -32,10 +32,7 @@ def test_entry_contract(spark):
 
 
 # The 50 queries that held the driver window in round 3 (all green in
-# CORRECTNESS_r03.json). After the r4 rotation they are pytest-oracle-only,
-# so pin that they (a) stay registered with an oracle and (b) stay OUT of
-# the window — re-gating one would silently evict an r4 query that has no
-# driver row yet.
+# CORRECTNESS_r03.json).
 R3_WINDOW = frozenset({
     "pricing_summary", "daily_event_stats", "order_priority_pivot",
     "ingest_watermark", "latest_order_per_customer", "top_orders_per_priority",
@@ -58,14 +55,43 @@ R3_WINDOW = frozenset({
 })
 
 
+# The 50 queries that held the driver window in round 4 (all green in
+# CORRECTNESS_r04.json).
+R4_WINDOW = frozenset({
+    "event_type_stats_salted", "events_asof_reference_value", "user_sessions",
+    "event_type_rollup", "purchase_running_total",
+    "active_without_purchase_last_day", "event_user_skew_profile",
+    "user_session_windows", "orders_with_late_shipments",
+    "brand_small_qty_revenue", "event_type_hour_cube", "views_before_purchase",
+    "priority_revenue_salted_join", "user_distinct_hll", "event_props_parsed",
+    "order_value_window_stats", "repeat_purchasers_first_last_day",
+    "daily_purchase_spine", "user_event_type_profile", "event_grouping_sets",
+    "user_first_last_events", "daily_activity_reconciliation",
+    "lineitem_measures_unpivot", "event_value_histogram",
+    "event_value_dispersion", "user_daily_value_interpolated",
+    "daily_event_anomalies", "conversion_funnel", "event_value_winsorized",
+    "user_retention_cohorts", "event_transition_matrix", "user_distinct_kmv",
+    "doc_token_classes", "doc_char_jaccard_pairs",
+    "doc_winnow_fingerprint_overlap", "doc_stratified_sample",
+    "doc_tfidf_top_terms", "doc_token_percentiles_approx",
+    "multimodal_frame_index", "llm_corpus_pipeline", "doc_embedding_profile",
+    "knn_ivf_kmeans", "embedding_dedup_survivors", "knn_pq_adc",
+    "stream_merge_upsert_roundtrip", "stream_session_windows",
+    "stream_view_purchase_join", "stream_purchase_attribution_outer",
+    "clustered_time_slice", "sensor_feed_stats",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r4 set: together
-    with the r3 rows (R3_WINDOW, all green in CORRECTNESS_r03.json) every
-    registry query except the two disclosed twins gets a hard driver
-    row across the two rounds. A refactor that reorders registration
-    (round 2 silently pushed embedding_near_dup and all of §2.7 out of
-    the window) must fail HERE, not at the gate."""
+    registry entries in iteration order. Pin the ROTATED r5 set: the 14
+    round-4 additions that had no driver row, the 3 round-5 additions,
+    and 33 re-confirmation slots from the oldest (r3) window — so with
+    the r3 + r4 rows (all green in CORRECTNESS_r03/r04.json) EVERY
+    registry query has a hard driver row within rounds 3-5. A refactor
+    that reorders registration (round 2 silently pushed
+    embedding_near_dup and all of §2.7 out of the window) must fail
+    HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
 
     names = list(REGISTRY)
@@ -73,48 +99,28 @@ def test_gate_window_pinned():
     assert names[: len(GATE_PRIORITY)] == GATE_PRIORITY
 
     gated = set(GATE_PRIORITY)
-    # rotation invariant: nothing already proven in r3 consumes an r4 slot
-    assert not (gated & R3_WINDOW), gated & R3_WINDOW
-    # the r3-green set stays registered and oracle-checked by this suite
-    missing = R3_WINDOW - set(names)
-    assert not missing, f"r3-green queries dropped from registry: {missing}"
-    # across both rounds the only queries without a driver row are (a)
-    # disclosed twins — the SAME computation as a driver-green query
-    # through an alternative API/algorithm, value-locked by a shared or
-    # equivalent oracle — and (b) operators ADDED in r4, first in line
-    # for the r5 window rotation
-    twins = {
-        "order_priority_pivot_native",   # native pivot of order_priority_pivot
-        "doc_dup_clusters_twophase",     # large/small-star twin of doc_dup_clusters
-        "sensor_feed_stream_stats",      # streaming half of sensor_feed_stats
+    # prior-window greens stay registered and oracle-checked by this suite
+    missing = (R3_WINDOW | R4_WINDOW) - set(names)
+    assert not missing, f"driver-green queries dropped from registry: {missing}"
+    # FULL coverage: every registry query has a driver row in r3, r4, or
+    # (once this window runs) r5 — nothing is pytest-only anymore
+    uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW
+    assert not uncovered, f"queries with no driver window ever: {uncovered}"
+    # the r4-verdict must-haves for THIS window: the 14 r4 additions
+    # without a driver row plus the 3 r5 additions
+    must_haves = {
+        "llm_corpus_pipeline_v2", "doc_incremental_near_dup",
+        "doc_dup_clusters_twophase", "doc_decontamination",
+        "doc_repetition_signals", "doc_unigram_logprob",
+        "corpus_language_mixing", "embedding_covariance",
+        "doc_dedup_best_quality", "event_props_variant",
+        "json_landing_stats", "orc_roundtrip_stats",
+        "order_priority_pivot_native", "sensor_feed_stream_stats",
+        "embedding_covariance_partial", "embedding_pca_whitened",
+        "stream_incremental_near_dup",
     }
-    r4_additions = {
-        "doc_repetition_signals",        # Gopher repetition filters
-        "doc_decontamination",           # benchmark n-gram decontamination
-        "doc_unigram_logprob",           # unigram-LM quality score
-        "corpus_language_mixing",        # alpha=0.3 temperature sampling
-        "doc_incremental_near_dup",      # batch-vs-signature-table dedup
-        "embedding_covariance",          # distributed covariance (PCA substrate)
-        "doc_dedup_best_quality",        # keep-best-per-cluster survivors
-        "event_props_variant",           # Spark 4 VariantType parse path
-        "orc_roundtrip_stats",           # ORC source/sink round-trip
-        "json_landing_stats",            # JSONL landing (µs-lossless)
-        "llm_corpus_pipeline_v2",        # r4 curation composition
-    }
-    uncovered = set(names) - gated - R3_WINDOW
-    assert uncovered == twins | r4_additions, uncovered
-    # the r2-verdict must-haves for THIS window: the never-driver-checked
-    # stream-stream join pair and the r3 additions
-    for must in (
-        "stream_view_purchase_join",
-        "stream_purchase_attribution_outer",
-        "stream_merge_upsert_roundtrip",
-        "stream_session_windows",
-        "clustered_time_slice",
-        "sensor_feed_stats",
-        "knn_pq_adc",
-        "knn_ivf_kmeans",
-        "doc_tfidf_top_terms",
-        "doc_token_percentiles_approx",
-    ):
-        assert must in gated, f"{must} fell outside the 50-row gate window"
+    missing_must = must_haves - gated
+    assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
+    # every remaining slot re-confirms an r3-window green (the oldest rows)
+    fillers = gated - must_haves
+    assert fillers <= R3_WINDOW, fillers - R3_WINDOW

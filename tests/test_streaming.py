@@ -553,3 +553,79 @@ def test_outer_join_null_emission_boundary_is_strict(spark, tmp_path):
     run_available_now(joined, "t_outer_boundary", fmt="memory")
     got = {(r["purchase_id"], r["view_id"]) for r in spark.table("t_outer_boundary").collect()}
     assert got == {("p_match", "v_match"), ("p_below", None)}
+
+
+def test_incremental_dedup_stream_restart_and_replay(spark, tmp_path):
+    """The streaming incremental dedup loop survives a checkpoint restart
+    (drain half the new docs, stop, deliver the rest, restart from the
+    same checkpoint) AND a crash-replay of an already-applied batch —
+    final pairs + signature table equal the one-shot incremental run in
+    both cases."""
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_dedup_batch,
+        incremental_minhash_pairs,
+    )
+    from smartpool_bigdata_spark.streaming.runner import start_incremental_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") % 5 == 0)
+    toks = "split(lower(text), '[^a-z0-9]+')"
+    mutants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({toks}, 2, greatest(size({toks}) - 1, 0)), ' ')"
+        ).alias("text"),
+    )
+    sig_path = str(tmp_path / "sig_table")
+    pairs_path = str(tmp_path / "pairs")
+    src = str(tmp_path / "new_docs")
+    ckpt = str(tmp_path / "ckpt")
+    build_signature_table(docs, "doc_id", "text", shingle_k=3).write.parquet(sig_path)
+
+    half_a = mutants.filter(F.col("doc_id") % 2 == 0)
+    half_b = mutants.filter(F.col("doc_id") % 2 == 1)
+
+    def drain():
+        stream = file_stream(spark, src, mutants.schema, max_files_per_trigger=1)
+        q = start_incremental_dedup(
+            stream, sig_path, pairs_path, ckpt, trigger={"availableNow": True}
+        )
+        assert q.awaitTermination(240)
+
+    os.makedirs(src, exist_ok=True)
+    half_a.repartition(2).write.mode("append").parquet(src)
+    drain()  # first run: half the batch, then the query stops
+    half_b.repartition(2).write.mode("append").parquet(src)
+    drain()  # restart from the same checkpoint picks up only the new files
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    # one-shot reference: the whole mutant batch against the original base
+    want_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in incremental_minhash_pairs(
+            build_signature_table(mutants, "doc_id", "text", shingle_k=3),
+            build_signature_table(docs, "doc_id", "text", shingle_k=3),
+        ).collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+    sig_ids_before = sorted(
+        r["doc_id"] for r in spark.read.parquet(sig_path).select("doc_id").collect()
+    )
+    assert len(sig_ids_before) == len(set(sig_ids_before))
+
+    # crash replay: re-apply an already-MERGEd batch directly — state
+    # must not change (no dup signature rows, no dup/missing pairs, no
+    # id-overlap fail-fast)
+    incremental_dedup_batch(half_b, sig_path, pairs_path)
+    assert {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_path).collect()
+    } == want_pairs
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sig_path).select("doc_id").collect()
+    ) == sig_ids_before
