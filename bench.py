@@ -15,18 +15,20 @@ import sys
 import time
 
 
-def compact_line(full: dict, budget: int = 1800) -> str:
+def compact_line(
+    full: dict, budget: int = 1800, full_results: str = "BENCH_FULL.json"
+) -> str:
     """ONE JSON line guaranteed ≤ ``budget`` chars for the driver's
     2000-char stdout tail: the totals plus as many of the slowest
     per-query steady-state timings as fit (slowest first — the entries a
     perf reader needs in the hard signal), with ``queries_omitted`` and a
-    pointer to the complete record in BENCH_FULL.json."""
+    pointer to the complete record in ``full_results``."""
     timings = full["queries"]
     compact = dict(full)
     compact.pop("queries_first_run", None)
     compact["queries"] = {}
     compact["queries_omitted"] = len(timings)
-    compact["full_results"] = "BENCH_FULL.json"
+    compact["full_results"] = full_results
     for name in sorted(timings, key=timings.get, reverse=True):
         candidate = dict(compact)
         candidate["queries"] = {**compact["queries"], name: timings[name]}

@@ -341,6 +341,107 @@ def salted_join(
     return salted.join(replicated, [*on, salt], how).drop(salt)
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "running_sum",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative sum over a GLOBAL (or per-group) ordering without a
+    one-task-per-group window — the distributed prefix-sum.
+
+    Semantically identical to
+    ``sum(value) OVER (PARTITION BY groups ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING)``, but that window form funnels every group
+    through a single reducer task — at 100 TB, "cumulative tokens over
+    the English corpus" means one executor thread sorting petabytes.
+    This is the classic two-phase rewrite:
+
+    1. ``repartitionByRange(groups..., order_by...)`` — rows land in
+       globally ordered, contiguous ranges (one range shuffle, the same
+       exchange a global sort pays);
+    2. within-range running sum via a window PARTITIONED BY the physical
+       range id — every range computes in parallel;
+    3. per-(range, group) totals (tiny: #ranges x #groups rows) get a
+       driver-scale exclusive-prefix window and broadcast back as
+       offsets; row value = within-range cumsum + range offset.
+
+    The range-bucket id is a DETERMINISTIC COLUMN EXPRESSION, not
+    ``spark_partition_id()``: approxQuantile bounds on the first order
+    column are collected once (a driver-side constant, like a watermark)
+    and each row's bucket = count of bounds below its key. This matters
+    because the frame is consumed by two plan branches (within-bucket
+    cumsum + bucket totals): a sampling-based ``repartitionByRange``
+    re-executes per branch and can land boundary rows in DIFFERENT
+    physical partitions each time, silently corrupting the offsets —
+    caught by the equivalence test before this landed. Plan shape
+    (verified via executedPlan): ONE full-data hash exchange on
+    (bucket, groups) for the within-bucket window, plus two tiny ones —
+    the map-side-combined bucket totals and the #buckets x #groups
+    offsets window — and broadcast joins only; no sort-merge join, no
+    cartesian. The bounds being approximate only skews bucket SIZES,
+    never values.
+
+    The result is deterministic as long as ``order_by`` is a TOTAL order
+    per group — pass a unique tiebreaker column (ties in a rows-frame
+    cumsum are order-ambiguous in any engine, this one included). The
+    first ``order_by`` column must be numeric (it feeds approxQuantile);
+    ties on it stay within one bucket by construction.
+    """
+    spark = df.sparkSession
+    if num_range_partitions is None:
+        num_range_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    n = max(1, int(num_range_partitions))
+    ocols = [F.col(c) for c in order_by]
+    pid = _helper_col(df, "__bucket")
+    if n > 1:
+        probs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(order_by[0], probs, 0.001)))
+    else:
+        bounds = []
+    if bounds:
+        # plain CASE-sum, deliberately lambda-free: a higher-order
+        # function (aggregate/filter) whose lambda captures a data column
+        # inside a groupBy key under a window trips Catalyst attribute
+        # binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on Spark 4.1) —
+        # hit while building this; the expanded form optimizes fine
+        key = f"cast({order_by[0]} as double)"
+        bexpr = F.expr(
+            " + ".join(f"(CASE WHEN {key} > {b!r}D THEN 1 ELSE 0 END)" for b in bounds)
+        )
+    else:
+        bexpr = F.lit(0)
+    bucketed = df.withColumn(pid, bexpr)
+    w_in = (
+        Window.partitionBy(pid, *partition_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn(out_col, F.sum(value_col).over(w_in))
+    totals = bucketed.groupBy(pid, *partition_cols).agg(
+        F.sum(value_col).alias("__ptot")
+    )
+    w_off = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        pid,
+        *partition_cols,
+        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        within.join(F.broadcast(offsets), [pid, *partition_cols])
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop(pid, "__off")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -2287,9 +2287,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 3 round-5 additions (mapInPandas partial
-#   covariance, whitened-PCA value-lock, streaming incremental dedup),
-#   and 33 re-confirmation slots drawn from the oldest (r3) window —
+#   sensor stream), the 4 round-5 additions (mapInPandas partial
+#   covariance, whitened-PCA value-lock, streaming incremental dedup,
+#   token-budget selection over the distributed prefix sum),
+#   and 32 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2319,6 +2320,7 @@ GATE_PRIORITY: list[str] = [
     "embedding_covariance_partial",
     "embedding_pca_whitened",
     "stream_incremental_near_dup",
+    "corpus_token_budget_selection",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2333,7 +2335,6 @@ GATE_PRIORITY: list[str] = [
     "order_dup_check",
     "event_null_profile",
     "urgent_open_orders",
-    "event_hourly_window",
     "stream_event_hourly_window",
     "stream_dedup_events",
     "stream_static_segment_counts",

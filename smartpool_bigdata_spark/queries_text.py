@@ -441,6 +441,124 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_token_budget_selection",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len({T.duck_tokens('text')}) AS BIGINT) AS n,
+               {T.duck_hash64("('budget|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    ),
+    bylang AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM toks GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(sum(CAST(pow(n_tokens, 0.3) AS DECIMAL(38,10)))
+                    AS DOUBLE) AS z
+        FROM bylang
+    ),
+    budgets AS (
+        SELECT lang,
+               CAST(floor((total * 3 // 10) * (pow(n_tokens, 0.3) / z))
+                    AS BIGINT) AS budget_tokens
+        FROM bylang CROSS JOIN tot
+    ),
+    ordered AS (
+        SELECT lang, n,
+               sum(n) OVER (PARTITION BY lang ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    ),
+    sel AS (
+        SELECT o.lang, o.n
+        FROM ordered o JOIN budgets b USING (lang)
+        WHERE o.cum <= b.budget_tokens
+    )
+    SELECT b.lang,
+           CAST(count(s.n) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(s.n), 0) AS BIGINT) AS tokens_selected,
+           b.budget_tokens,
+           round(CASE WHEN b.budget_tokens = 0 THEN 0.0
+                 ELSE coalesce(sum(s.n), 0) / CAST(b.budget_tokens AS DOUBLE)
+                 END, 4) AS fill_ratio
+    FROM budgets b LEFT JOIN sel s USING (lang)
+    GROUP BY b.lang, b.budget_tokens
+    """,
+    description="Token-budget corpus selection: pick documents per "
+    "language, in deterministic hash-priority order, until each "
+    "language's share of a 30%-of-corpus token budget is filled — the "
+    "alpha=0.3 temperature weights of corpus_language_mixing turned "
+    "into an ACTUAL subset a sampler can train on (greedy prefix of a "
+    "seeded shuffle = uniform sampling without replacement, "
+    "reproducible across runs). The cumulative token sum uses "
+    "ops.relational.global_running_sum — the two-phase distributed "
+    "prefix sum (range shuffle -> per-range parallel window -> tiny "
+    "broadcast offsets) — NOT a window partitioned only by lang, which "
+    "would funnel each language through ONE reducer task (a 100 TB "
+    "English corpus = one thread). Budget arithmetic is integer "
+    "(total*3 DIV 10) so no float literal can flip a floor() at a "
+    "boundary; both engines replay it exactly.",
+)
+def corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({T.spark_tokens('text')})").cast("bigint").alias("n"),
+        F.expr(
+            T.spark_hash64("concat('budget|', cast(doc_id as string))")
+        ).alias("h"),
+    )
+    bylang = toks.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    tot = bylang.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        stable_sum(F.expr("pow(n_tokens, 0.3D)"), None).alias("z"),
+    )
+    budgets = (
+        bylang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.expr(
+                "CAST(floor((total * 3 DIV 10) * (pow(n_tokens, 0.3D) / z)) AS BIGINT)"
+            ).alias("budget_tokens"),
+        )
+    )
+    cum = global_running_sum(
+        toks, order_by=["h", "doc_id"], value_col="n",
+        partition_cols=["lang"], out_col="cum",
+    )
+    sel = cum.join(F.broadcast(budgets), "lang").filter(
+        F.col("cum") <= F.col("budget_tokens")
+    )
+    picked = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("tokens_selected"),
+    )
+    return (
+        budgets.join(picked, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+            F.coalesce("tokens_selected", F.lit(0).cast("bigint")).alias(
+                "tokens_selected"
+            ),
+            "budget_tokens",
+            F.round(
+                F.when(F.col("budget_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("tokens_selected", F.lit(0).cast("bigint"))
+                    / F.col("budget_tokens").cast("double")
+                ),
+                4,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+@query(
     "llm_corpus_pipeline_v2",
     oracle=f"""
     WITH th AS (

@@ -210,3 +210,38 @@ def test_r4_curation_queries_never_sort_merge_join(plans):
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
         assert "CartesianProduct" not in final, name
+
+
+def test_r5_additions_plan_posture(plans):
+    """The r5 family's scale posture, plan-locked like the r4 one:
+    broadcast/hash joins only (no SortMergeJoin, no cartesian), and for
+    the token-budget selection the distributed prefix sum keeps exactly
+    ONE full-data hash exchange — the within-bucket window — plus tiny
+    aggregate/offset exchanges; a refactor that reintroduces a
+    per-language single-task window or an unbroadcast join fails here,
+    not at 100 TB."""
+    import re
+
+    for name in (
+        "corpus_token_budget_selection",
+        "embedding_covariance_partial",
+        "embedding_pca_whitened",
+    ):
+        plan = plans(name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "CartesianProduct" not in final, name
+    budget = plans("corpus_token_budget_selection").split("== Initial Plan ==")[0]
+    # hash exchanges: window on (bucket, lang) over full rows + the
+    # map-side-combined lang/bucket aggregates; a lang-only window over
+    # the full corpus would add a single-task exchange on lang alone
+    # the FULL-data cumsum window must be partitioned (bucket, lang) —
+    # lang-only exchanges in this plan are legitimate but only for the
+    # tiny per-language aggregate/offset frames; if the prefix-sum
+    # rewrite is lost (naive one-task-per-language window), the bucket
+    # exchange disappears and this positive assertion fails
+    assert re.search(
+        r"hashpartitioning\(__bucket#\d+, lang#\d+", budget
+    ), "distributed prefix sum lost its (bucket, lang) exchange"
+    # the covariance scale path runs through Arrow mapInPandas
+    assert "MapInPandas" in plans("embedding_covariance_partial")

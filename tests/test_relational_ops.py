@@ -309,3 +309,61 @@ def test_salted_join_equals_plain(spark):
     left_clash = left.filter("k = 2").withColumn("__salt_", F.col("k") * 7)
     got = salted_join(left_clash, right_clash, on=["k"]).collect()
     assert got and all(r["__salt_"] == 14 and r["__salt"] == 200 for r in got)
+
+
+def test_global_running_sum_equals_window(spark):
+    """The two-phase distributed prefix sum (range shuffle -> per-range
+    parallel window -> broadcast offsets) must equal the naive
+    single-task-per-group window form exactly — grouped and ungrouped,
+    and regardless of how many range partitions the data lands in."""
+    from pyspark.sql import Window
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            F.xxhash64(F.col("id").cast("string")).alias("ord"),
+            ((F.col("id") * 37) % 101).alias("v"),
+        )
+        .repartition(13)  # scrambled input partitioning
+    )
+    naive = df.withColumn(
+        "running_sum",
+        F.sum("v").over(
+            Window.partitionBy("grp")
+            .orderBy("ord", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    want = {(r["id"], r["running_sum"]) for r in naive.collect()}
+    for nparts in (None, 3, 64):
+        got = {
+            (r["id"], r["running_sum"])
+            for r in global_running_sum(
+                df,
+                order_by=["ord", "id"],
+                value_col="v",
+                partition_cols=["grp"],
+                num_range_partitions=nparts,
+            ).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+    # ungrouped global cumsum too
+    naive_g = df.withColumn(
+        "running_sum",
+        F.sum("v").over(
+            Window.orderBy("ord", "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    want_g = {(r["id"], r["running_sum"]) for r in naive_g.collect()}
+    got_g = {
+        (r["id"], r["running_sum"])
+        for r in global_running_sum(
+            df, order_by=["ord", "id"], value_col="v", num_range_partitions=8
+        ).collect()
+    }
+    assert got_g == want_g
