@@ -376,6 +376,56 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII redaction patterns, ordered: each pattern is applied to the output
+# of the previous replacement, so earlier categories must never create or
+# destroy later matches (emails go first — their local part can contain
+# digits and dots that the IP pattern would otherwise chew on; the
+# replacement tokens contain no digits or '@', so they are inert to every
+# later pattern). Regex subset chosen to parse identically under Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded quantifiers, \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{16}\b", "<CARD>"),
+    ("phone", r"\b555-\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """PII redaction for training-data curation: replaces emails, IPv4
+    addresses, 16-digit card numbers and 555-prefixed phone numbers with
+    inert tokens, and adds per-category match counts (``n_email``,
+    ``n_ip``, ``n_card``, ``n_phone``) plus ``n_residual`` — matches of
+    ANY pattern remaining in the scrubbed text, which a correct scrub
+    leaves at 0 (the oracle-lockable completeness invariant).
+
+    All row-local regex work (scan-only, no shuffle at any scale); the
+    pattern list is deliberately RE2-compatible so the DuckDB oracle
+    replays it verbatim. A production deployment extends PII_PATTERNS —
+    the plan shape does not change with the pattern count.
+    """
+    counted = df.select(
+        "*",
+        *[
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("bigint").alias(f"n_{name}")
+            for name, pat, _repl in PII_PATTERNS
+        ],
+    )
+    clean = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    scrubbed = counted.withColumn(out_col, clean)
+    residual = sum(
+        F.size(F.regexp_extract_all(F.col(out_col), F.lit(pat), F.lit(0)))
+        for _name, pat, _repl in PII_PATTERNS
+    )
+    return scrubbed.withColumn("n_residual", residual.cast("bigint"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup: md5 the text, keep the lowest id per hash.
 
@@ -925,6 +975,10 @@ def incremental_dedup_batch(
             keys=["doc_id"],
         )
     finally:
+        # incremental_minhash_pairs persists its own handle on the (here
+        # already-checkpointed) new_sig — drain the registry per batch or
+        # a long-running stream accumulates one cache per micro-batch
+        release_signature_caches()
         new_sig.unpersist()
 
 
@@ -990,6 +1044,16 @@ def incremental_minhash_pairs(
     of base and new must be disjoint — checked up front (one tiny id
     join), because an overlap silently corrupts the pair output.
     """
+    # the new batch's signature frame is referenced ~6x below (overlap
+    # check, band join, within-batch self-join x2, verify-stage set
+    # union) — persist it like minhash_near_dup_pairs does its stage, or
+    # a LIVE frame (not a stored table) re-tokenizes the batch per
+    # reference (sf0.1 staged run: 23.2 s -> 17.4 s; the rest of that
+    # query's cost is its own base-signature-table write). The
+    # base side is typically a stored signature table whose re-scan is
+    # cheap and column-pruned, so it is left alone. Released by
+    # release_signature_caches() once pairs are materialized.
+    new_sig = _track_signature_cache(new_sig)
     overlap = new_sig.select("doc_id").join(
         base_sig.select("doc_id"), "doc_id"
     )

@@ -440,6 +440,96 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synthetic-PII injection (the corpus is clean word soup, so
+# the scrub needs planted targets — same device as the planted near-dup
+# mutants): one email, one IPv4, one card and one phone per document, all
+# pure functions of doc_id so both engines regenerate identical text.
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@mail',"
+    " cast(doc_id % 7 as string), '.com from 10.',"
+    " cast(doc_id % 256 as string), '.', cast((doc_id * 3) % 256 as string),"
+    " '.', cast(doc_id % 100 as string),"
+    " ' card 4111111111111111 call 555-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_PII_INJECT_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' card 4111111111111111 call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    clean = "t"
+    for _name, pat, repl in T.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _repl in T.PII_PATTERNS
+    )
+    residual = " + ".join(
+        f"len(regexp_extract_all(clean, '{pat}'))" for _name, pat, _r in T.PII_PATTERNS
+    )
+    return f"""
+    WITH injected AS (
+        SELECT doc_id, lang, {_PII_INJECT_DUCK} AS t FROM documents
+    ),
+    scrubbed AS (
+        SELECT lang,
+               {counts},
+               {clean} AS clean
+        FROM injected
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(n_card) AS BIGINT) AS n_cards,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum({residual}) AS BIGINT) AS n_residual,
+           round(CAST(sum(length(clean)) AS DOUBLE) / count(*), 2)
+               AS avg_clean_chars
+    FROM scrubbed GROUP BY lang
+    """
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=_pii_oracle(),
+    description="PII redaction for training-data curation "
+    "(ops/text.py:scrub_pii): emails, IPv4s, 16-digit cards and phone "
+    "numbers — planted deterministically per document since the corpus "
+    "is clean — are counted (regexp_extract_all) and replaced with "
+    "inert tokens (chained regexp_replace, order-safe: replacement "
+    "tokens contain no digits or '@'). n_residual re-scans the SCRUBBED "
+    "text with every pattern and must aggregate to 0 — the completeness "
+    "invariant is value-locked, not assumed. Patterns restricted to the "
+    "Java-regex ∩ RE2 subset so the DuckDB oracle replays them "
+    "verbatim. All row-local: scan-only at any scale, no shuffle before "
+    "the final 5-row agg.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", "lang", F.expr(_PII_INJECT_SPARK).alias("text")
+    )
+    scrubbed = T.scrub_pii(injected, "text", "clean")
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.sum("n_card").cast("bigint").alias("n_cards"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_residual").cast("bigint").alias("n_residual"),
+        F.round(
+            F.sum(F.length("clean")).cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_clean_chars"),
+    )
+
+
 @query(
     "corpus_token_budget_selection",
     oracle=f"""

@@ -439,3 +439,32 @@ def test_incremental_minhash_pairs_rejects_id_overlap(spark):
     )
     with pytest.raises(ValueError, match="overlap"):
         incremental_minhash_pairs(b, a)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """scrub_pii: per-category counts, inert replacement tokens, clean
+    text free of every pattern (n_residual == 0), untouched rows pass
+    through byte-identical."""
+    from smartpool_bigdata_spark.ops.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail jane.doe+x@sub.example.org or 10.1.2.3 card "
+                "4111111111111111 call 555-0142"),
+            (2, "nothing sensitive here"),
+            (3, "two emails a@b.io c.d@e-f.co and ip 192.168.0.1"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_card"], r1["n_phone"]) == (1, 1, 1, 1)
+    for tok in ("<EMAIL>", "<IP>", "<CARD>", "<PHONE>"):
+        assert tok in r1["clean_text"]
+    for leak in ("jane", "10.1.2.3", "4111111111111111", "555-0142"):
+        assert leak not in r1["clean_text"]
+    assert r1["n_residual"] == 0
+    assert out[2]["clean_text"] == "nothing sensitive here"
+    assert sum(out[2][c] for c in ("n_email", "n_ip", "n_card", "n_phone")) == 0
+    r3 = out[3]
+    assert r3["n_email"] == 2 and r3["n_ip"] == 1 and r3["n_residual"] == 0
