@@ -2287,10 +2287,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 5 round-5 additions (mapInPandas partial
+#   sensor stream), the 6 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
-#   token-budget selection over the distributed prefix sum, PII scrub),
-#   and 31 re-confirmation slots drawn from the oldest (r3) window —
+#   token-budget selection over the distributed prefix sum, PII scrub,
+#   the custom Python data-sink two-phase-commit round-trip),
+#   and 30 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2322,6 +2323,7 @@ GATE_PRIORITY: list[str] = [
     "stream_incremental_near_dup",
     "corpus_token_budget_selection",
     "doc_pii_scrub",
+    "ledger_roundtrip_stats",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2343,7 +2345,6 @@ GATE_PRIORITY: list[str] = [
     "incremental_keyset_roundtrip",
     "medallion_gold_daily",
     "doc_text_quality",
-    "doc_train_split",
     "doc_fingerprint_dedup",
     "chunk_packing",
     "doc_dedup_survivors",

@@ -488,3 +488,57 @@ def sensor_feed_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
+
+
+@query(
+    "ledger_roundtrip_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    description="Custom Python data SINK round-trip (Spark 4 "
+    "DataSourceWriter — the write half of the connector surface the "
+    "sensor_feed source covers for reads): events flow through the "
+    "'ledger' sink's two-phase commit (executor-side staged JSONL per "
+    "partition -> driver-side atomic publish via rename + manifest) and "
+    "back through its manifest-only reader; the oracle reads the "
+    "ORIGINAL parquet, so the value hash proves the stage/commit/read "
+    "protocol is lossless, doubles included (repr shortest round-trip). "
+    "Exactly-once streaming commit + abort/atomicity semantics are "
+    "pinned in tests/test_pyledger.py. io/pyledger.py.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def ledger_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.pyledger import register_ledger
+
+    register_ledger(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_ledger_")
+    path = os.path.join(stage, "ledger")
+    try:
+        ev.repartition(8).write.format("ledger").mode("append").option(
+            "path", path
+        ).save()
+        back = (
+            spark.read.format("ledger")
+            .schema("event_id bigint, event_type string, value double")
+            .option("path", path)
+            .load()
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

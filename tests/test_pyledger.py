@@ -1,0 +1,132 @@
+"""Custom Python data SINK (Spark 4 DataSourceWriter/StreamWriter): the
+two-phase commit protocol — staged files invisible until the driver-side
+commit publishes them, abort cleanup, streaming exactly-once on batch
+replay. io/pyledger.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpool_bigdata_spark.io.pyledger import (
+    LedgerStreamWriter,
+    _read_manifest,
+    _Staged,
+    register_ledger,
+)
+
+SCHEMA = "id long, k string, v double"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_ledger(spark)
+
+
+def _df(spark, n=500):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 0.1).alias("v"),
+    )
+
+
+def _read(spark, d):
+    return (
+        spark.read.format("ledger").schema(SCHEMA).option("path", str(d)).load()
+    )
+
+
+def test_batch_roundtrip_exact(spark, tmp_path):
+    d = tmp_path / "ledger"
+    df = _df(spark)
+    df.repartition(4).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    back = _read(spark, d)
+    # lossless incl. doubles (repr shortest round-trip), one committed
+    # file per partition, manifest-driven
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    assert len(_read_manifest(str(d))["files"]) == 4
+    assert back.rdd.getNumPartitions() == 4  # a split per committed file
+
+
+def test_append_and_overwrite_modes(spark, tmp_path):
+    d = tmp_path / "ledger"
+    _df(spark, 100).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    _df(spark, 10).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    assert _read(spark, d).count() == 110
+    _df(spark, 7).write.format("ledger").mode("overwrite").option(
+        "path", str(d)
+    ).save()
+    assert _read(spark, d).count() == 7
+    # overwrite removed the superseded files from disk, not just the manifest
+    data_files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(data_files) == len(_read_manifest(str(d))["files"])
+
+
+def test_uncommitted_staged_files_are_invisible(spark, tmp_path):
+    """Atomicity: a crash between stage and commit leaves .staged-* files
+    that readers must never see."""
+    d = tmp_path / "ledger"
+    _df(spark, 50).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    with open(d / ".staged-crashed.jsonl", "w") as f:
+        f.write('{"id": 777777, "k": "ghost", "v": 1.0}\n')
+    rows = _read(spark, d).collect()
+    assert len(rows) == 50
+    assert all(r["k"] != "ghost" for r in rows)
+
+
+def test_abort_removes_staged_files(tmp_path):
+    d = tmp_path / "ledger"
+    os.makedirs(d)
+    stg = str(d / ".staged-x.jsonl")
+    with open(stg, "w") as f:
+        f.write('{"id": 1, "k": "a", "v": 0.5}\n')
+    w = LedgerStreamWriter({"path": str(d)})
+    w.abort([_Staged(path=stg, rows=1)], 0)
+    assert not os.path.exists(stg)
+    assert _read_manifest(str(d)) == {"files": [], "batches": []}
+
+
+def test_stream_write_exactly_once_on_replay(spark, tmp_path):
+    """Streaming sink drains via AvailableNow (one commit per micro-batch
+    recorded in the manifest); a REPLAYED commit of an already-published
+    batch id must publish nothing and drop its staged files — the
+    checkpoint-recovery path."""
+    src = str(tmp_path / "src")
+    d = tmp_path / "ledger"
+    ckpt = str(tmp_path / "ckpt")
+    df = _df(spark, 400)
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("ledger")
+        .option("path", str(d))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert _read(spark, d).count() == 400
+    batches = _read_manifest(str(d))["batches"]
+    assert sorted(batches) == list(range(len(batches))) and len(batches) >= 2
+
+    stg = str(d / ".staged-replay.jsonl")
+    with open(stg, "w") as f:
+        f.write('{"id": 999999, "k": "dup", "v": 2.0}\n')
+    LedgerStreamWriter({"path": str(d)}).commit([_Staged(path=stg, rows=1)], 0)
+    assert _read(spark, d).count() == 400  # nothing published twice
+    assert not os.path.exists(stg)
