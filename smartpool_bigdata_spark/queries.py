@@ -2287,11 +2287,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 6 round-5 additions (mapInPandas partial
+#   sensor stream), the 7 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
-#   the custom Python data-sink two-phase-commit round-trip),
-#   and 30 re-confirmation slots drawn from the oldest (r3) window —
+#   the custom Python data-sink two-phase-commit round-trip, the
+#   Z-order multi-dimensional clustering round-trip),
+#   and 29 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2324,6 +2325,7 @@ GATE_PRIORITY: list[str] = [
     "corpus_token_budget_selection",
     "doc_pii_scrub",
     "ledger_roundtrip_stats",
+    "zorder_time_user_slice",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2334,7 +2336,6 @@ GATE_PRIORITY: list[str] = [
     "customer_order_summary",
     "segment_fee_model",
     "event_orphan_users",
-    "event_range_flags",
     "order_dup_check",
     "event_null_profile",
     "urgent_open_orders",

@@ -256,6 +256,62 @@ def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_time_user_slice",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      AND user_id BETWEEN 3 AND 9
+    GROUP BY event_type
+    """,
+    description="MULTI-dimensional data-skipping round-trip "
+    "(io.sinks.zorder_write — Delta OPTIMIZE ZORDER's vanilla-parquet "
+    "analog): events are written Z-ORDER clustered on (epoch ts, "
+    "user_id) — bit-interleaved curve, range-partitioned — then read "
+    "back with a predicate on BOTH keys and aggregated. Green proves "
+    "the curve layout preserves every row and the 2-D slice returns "
+    "exactly; the skipping property itself (per-file footer stats tight "
+    "on EVERY interleaved key, vs linear clustering's leading-key-only) "
+    "is measured and locked in tests/test_bucketing.py::"
+    "test_zorder_layout_skips_on_every_key.",
+    skip_bench=True,  # staging write dominates, like the other ingest queries
+)
+def zorder_time_user_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.sinks import zorder_write
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "event_type", "value")
+        .withColumn("__epoch", F.col("ts").cast("timestamp").cast("double"))
+    )
+    stage = tempfile.mkdtemp(prefix="spark_zorder_")
+    out = os.path.join(stage, "events_z")
+    zorder_write(ev, out, cols=["__epoch", "user_id"], n_files=16)
+    sliced = (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+            & F.col("user_id").between(3, 9)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+    )
+    rows = sliced.localCheckpoint(eager=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows
+
+
+@query(
     "sensor_feed_stats",
     oracle="""
     WITH feed AS (

@@ -56,3 +56,59 @@ def test_bucketed_join_has_no_exchange(spark, bucket_db):
         assert "Exchange hashpartitioning" in raw_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zorder_layout_skips_on_every_key(spark, tmp_path):
+    """zorder_write vs linear clustering, measured on parquet footer
+    stats: linear (ts-ordered) files are tight on ts but each spans
+    ~the WHOLE user_id range; Z-order files are tight-enough on BOTH
+    keys that a single-key predicate on either one prunes most files —
+    the multi-dimensional skipping Delta's OPTIMIZE ZORDER buys, on
+    vanilla parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from smartpool_bigdata_spark.io.sinks import write_clustered, zorder_write
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        # NTZ -> LTZ -> double (epoch seconds); zorder keys must be numeric
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        F.col("user_id").alias("u"),
+    )
+
+    def spans(path, col):
+        lo = ev.agg(F.min(col)).first()[0]
+        hi = ev.agg(F.max(col)).first()[0]
+        full = float(hi) - float(lo) or 1.0
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmins, fmaxs = [], []
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                idx = {
+                    grp.column(i).path_in_schema: i
+                    for i in range(grp.num_columns)
+                }[col]
+                st = grp.column(idx).statistics
+                assert st is not None and st.has_min_max
+                fmins.append(st.min)
+                fmaxs.append(st.max)
+            out.append((float(max(fmaxs)) - float(min(fmins))) / full)
+        return out
+
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    write_clustered(ev, lin, ["t"], n_files=16)
+    zorder_write(ev, zo, ["t", "u"], n_files=16)
+    assert len(glob.glob(f"{zo}/*.parquet")) >= 8
+
+    lin_u = spans(lin, "u")
+    zo_t = spans(zo, "t")
+    zo_u = spans(zo, "u")
+    # linear-on-t files are blind to u: nearly every file spans ~all of u
+    assert sum(lin_u) / len(lin_u) > 0.9
+    # z-order files stay narrow on BOTH dimensions (sub-rectangles);
+    # mean per-file span well under half the space on each key
+    assert sum(zo_t) / len(zo_t) < 0.5, zo_t
+    assert sum(zo_u) / len(zo_u) < 0.5, zo_u
