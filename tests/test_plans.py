@@ -245,3 +245,39 @@ def test_r5_additions_plan_posture(plans):
     ), "distributed prefix sum lost its (bucket, lang) exchange"
     # the covariance scale path runs through Arrow mapInPandas
     assert "MapInPandas" in plans("embedding_covariance_partial")
+
+
+def test_zorder_read_pushes_both_keys(spark, tmp_path):
+    """The 2-D slice over a Z-ordered layout must push BOTH key
+    predicates into the parquet scan (PushedFilters) — pushdown is what
+    turns the tight per-file footer stats (measured in
+    test_bucketing.py) into actual skipped files at runtime."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.catalog import load_table
+    from smartpool_bigdata_spark.io.sinks import zorder_write
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("ts", "user_id", "value")
+        .withColumn("__epoch", F.col("ts").cast("timestamp").cast("double"))
+    )
+    out = str(tmp_path / "events_z")
+    zorder_write(ev, out, cols=["__epoch", "user_id"], n_files=8)
+    df = spark.read.parquet(out).filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+        & F.col("user_id").between(3, 9)
+    )
+    # the scan node's metadata string elides long filter lists at 100
+    # chars — widen it so the assertion sees every pushed predicate
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _final_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(user_id,3)" in pushed
+    assert "LessThanOrEqual(user_id,9)" in pushed
+    assert "GreaterThanOrEqual(ts," in pushed
