@@ -2287,12 +2287,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 7 round-5 additions (mapInPandas partial
+#   sensor stream), the 8 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
-#   Z-order multi-dimensional clustering round-trip),
-#   and 29 re-confirmation slots drawn from the oldest (r3) window —
+#   Z-order multi-dimensional clustering round-trip, passage-level
+#   chunk dedup),
+#   and 28 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2326,13 +2327,13 @@ GATE_PRIORITY: list[str] = [
     "doc_pii_scrub",
     "ledger_roundtrip_stats",
     "zorder_time_user_slice",
+    "chunk_dedup_stats",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
     "ingest_watermark",
     "latest_order_per_customer",
     "top_orders_per_priority",
-    "peak_event_hours",
     "customer_order_summary",
     "segment_fee_model",
     "event_orphan_users",

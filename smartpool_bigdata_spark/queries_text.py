@@ -944,6 +944,86 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CHUNK = 32
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {T.duck_tokens('text')} AS toks FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, lang,
+               CAST((s.s - 1) // {_DEDUP_CHUNK} AS BIGINT) AS chunk_idx,
+               CAST(len(toks[s.s : s.s + {_DEDUP_CHUNK} - 1]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[s.s : s.s + {_DEDUP_CHUNK} - 1], ' ')) AS h
+        FROM t, unnest(range(1, len(toks) + 1, {_DEDUP_CHUNK})) AS s(s)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           round(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END)
+                 / CAST(sum(n_tokens) AS DOUBLE), 4) AS removed_frac
+    FROM ranked GROUP BY lang
+    """,
+    description="Cross-document PASSAGE-level dedup (the CCNet/RefinedWeb "
+    "paragraph-hash recipe, on fixed 32-token windows since this corpus "
+    "has no paragraph breaks): every non-overlapping chunk is hashed, "
+    "the globally-first occurrence (by doc_id, chunk_idx — "
+    "deterministic winner) survives, later copies are counted as "
+    "removed, per-language accounting out the end. Finer-grained than "
+    "whole-document dedup: catches boilerplate shared across otherwise "
+    "distinct documents. Scale: one explode + one shuffle on the "
+    "uniform 128-bit chunk hash — no skew, no all-pairs; the same "
+    "row_number-over-hash shape as exact_dedup, at chunk granularity.",
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.expr(T.spark_tokens("text")).alias("toks"))
+    ch = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"sequence(1, size(toks), {_DEDUP_CHUNK})")
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST((s - 1) div {_DEDUP_CHUNK} AS BIGINT)").alias("chunk_idx"),
+        F.expr(f"CAST(size(slice(toks, s, {_DEDUP_CHUNK})) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.expr(f"md5(array_join(slice(toks, s, {_DEDUP_CHUNK}), ' '))").alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0))
+            / F.sum("n_tokens").cast("double"),
+            4,
+        ).alias("removed_frac"),
+    )
+
+
 _PACK_BUDGET = 128
 
 
