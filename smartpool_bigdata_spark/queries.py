@@ -2287,13 +2287,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 8 round-5 additions (mapInPandas partial
+#   sensor stream), the 9 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
 #   Z-order multi-dimensional clustering round-trip, passage-level
-#   chunk dedup),
-#   and 28 re-confirmation slots drawn from the oldest (r3) window —
+#   chunk dedup, hashed-linear quality-classifier inference),
+#   and 27 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2328,6 +2328,7 @@ GATE_PRIORITY: list[str] = [
     "ledger_roundtrip_stats",
     "zorder_time_user_slice",
     "chunk_dedup_stats",
+    "doc_quality_classifier",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2349,7 +2350,6 @@ GATE_PRIORITY: list[str] = [
     "doc_text_quality",
     "doc_fingerprint_dedup",
     "chunk_packing",
-    "doc_dedup_survivors",
     "doc_simhash_near_dup",
     "doc_quality_filter",
     "multimodal_byte_features",

@@ -944,6 +944,98 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, u.h AS h FROM (
+            SELECT doc_id, lang, unnest(th) AS h FROM th
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(th)),
+                          i -> (th[i] + th[i + 1]) % 1152921504606846976)) AS h
+            FROM th)
+        AS u(doc_id, lang, h)
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(sum(CAST((h % 997) / 996.0 - 0.5 AS DECIMAL(38,10)))
+                    AS DOUBLE) / count(*) AS margin
+        FROM feats GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(CAST(sum(CAST(1.0 / (1.0 + exp(-4.0 * margin))
+                              AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4)
+               AS avg_score
+    FROM scored GROUP BY lang
+    """,
+    description="Model-based quality filtering — the fastText/logistic-"
+    "regression inference shape every major LLM pipeline runs (GPT-3's "
+    "LR filter, CCNet's fastText stage): hashed unigram + bigram "
+    "features, a weight per hash bucket, mean margin through a sigmoid, "
+    "threshold at 0.5. Weights here are a DETERMINISTIC pure function "
+    "of the bucket (hash mod 997, centered) — the stand-in for trained "
+    "parameters, exactly like the multimodal fake codec: both engines "
+    "recompute them, so the whole inference path is value-locked; a "
+    "real deployment broadcasts its trained vector instead and nothing "
+    "else changes. Scale: scan + one shuffle on doc_id for the margin "
+    "agg; weights are O(buckets) broadcast, features never materialize "
+    "outside the row. Decimal-stable margin sum so the >0 threshold "
+    "compares identically across engines and partitionings.",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    feats = th.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(th, CASE WHEN size(th) >= 2 THEN "
+                "transform(sequence(1, size(th) - 1), "
+                "i -> pmod(element_at(th, i) + element_at(th, i + 1), "
+                "1152921504606846976L)) ELSE array() END)"
+            )
+        ).alias("h"),
+    )
+    scored = feats.groupBy("doc_id", "lang").agg(
+        (
+            F.sum(
+                F.expr("CAST(pmod(h, 997) / 996.0 - 0.5 AS DECIMAL(38,10))")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("margin")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(1.0D / (1.0D + exp(-4.0D * margin)) AS DECIMAL(38,10))"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_score"),
+    )
+
+
 _DEDUP_CHUNK = 32
 
 
