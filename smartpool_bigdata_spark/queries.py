@@ -2287,13 +2287,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 9 round-5 additions (mapInPandas partial
+#   sensor stream), the 10 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
 #   Z-order multi-dimensional clustering round-trip, passage-level
-#   chunk dedup, hashed-linear quality-classifier inference),
-#   and 27 re-confirmation slots drawn from the oldest (r3) window —
+#   chunk dedup, hashed-linear quality-classifier inference, DSIR
+#   importance resampling),
+#   and 26 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2329,6 +2330,7 @@ GATE_PRIORITY: list[str] = [
     "zorder_time_user_slice",
     "chunk_dedup_stats",
     "doc_quality_classifier",
+    "doc_dsir_weights",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2340,7 +2342,6 @@ GATE_PRIORITY: list[str] = [
     "event_orphan_users",
     "order_dup_check",
     "event_null_profile",
-    "urgent_open_orders",
     "stream_event_hourly_window",
     "stream_dedup_events",
     "stream_static_segment_counts",

@@ -1036,6 +1036,147 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 4096
+
+
+@query(
+    "doc_dsir_weights",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, u.h % {_DSIR_B} AS b FROM (
+            SELECT doc_id, lang, unnest(th) AS h FROM th
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(th)),
+                          i -> (th[i] + th[i + 1]) % 1152921504606846976)) AS h
+            FROM th)
+        AS u(doc_id, lang, h)
+    ),
+    tc AS (
+        SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b
+    ),
+    rc AS (
+        SELECT b, count(*) AS cr FROM feats GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS tt,
+               (SELECT count(*) FROM feats) AS rt
+    ),
+    scored AS (
+        SELECT f.doc_id, f.lang,
+               CAST(sum(CAST(
+                   ln((coalesce(tc.ct, 0) + 1) / CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+                 - ln((rc.cr + 1)            / CAST(tot.rt + {_DSIR_B} AS DOUBLE))
+               AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS logw_norm
+        FROM feats f
+        JOIN rc ON f.b = rc.b
+        LEFT JOIN tc ON f.b = tc.b
+        CROSS JOIN tot
+        GROUP BY f.doc_id, f.lang
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY logw_norm DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= n // 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           round(CAST(sum(CAST(logw_norm AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_logw_norm
+    FROM ranked GROUP BY lang
+    """,
+    description="DSIR-style importance resampling (Xie et al. 2023, the "
+    "data-selection recipe behind targeted pretraining mixes): each "
+    "document's importance weight is the log-likelihood ratio of its "
+    "hashed unigram+bigram bag under a TARGET unigram LM (here the "
+    "English slice — the stand-in target domain) vs the RAW-corpus LM, "
+    "add-1 smoothed over 4096 hash buckets, normalized per feature so "
+    "document length cancels; the global top-quarter by normalized "
+    "weight is selected (deterministic doc_id tie-break). Per-language "
+    "accounting shows the expected separation: the target language "
+    "dominates the selected quarter. Scale: the two LMs are "
+    "O(buckets)-row aggregates broadcast back over the feature stream — "
+    "one scan + one doc_id-keyed margin agg, no shuffle proportional to "
+    "vocab. The top-K rank here is a DOC-level global window (fine at "
+    "gate scale); the 100 TB swap is an approx_percentile threshold on "
+    "logw_norm + filter, the same exact->sketch family as SCALE.md's "
+    "percentile entry. ln() agreed bit-identical across engines and "
+    "every sum is decimal-stable, so the rank order cannot flip between "
+    "Spark and the oracle.",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    feats = th.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(th, CASE WHEN size(th) >= 2 THEN "
+                "transform(sequence(1, size(th) - 1), "
+                "i -> pmod(element_at(th, i) + element_at(th, i + 1), "
+                "1152921504606846976L)) ELSE array() END)"
+            )
+        ).alias("h"),
+    ).select("doc_id", "lang", F.expr(f"pmod(h, {_DSIR_B})").alias("b"))
+    tc = feats.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = feats.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    scored = (
+        feats.join(F.broadcast(rc), "b")
+        .join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        f"CAST(ln((coalesce(ct, 0) + 1) / CAST(tt + {_DSIR_B} AS DOUBLE))"
+                        f" - ln((cr + 1) / CAST(rt + {_DSIR_B} AS DOUBLE))"
+                        " AS DECIMAL(38,10))"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("logw_norm")
+        )
+    )
+    w = Window.orderBy(F.col("logw_norm").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= F.expr("n div 4"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.round(
+            F.sum(F.expr("CAST(logw_norm AS DECIMAL(38,10))")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_logw_norm"),
+    )
+
+
 _DEDUP_CHUNK = 32
 
 

@@ -226,6 +226,9 @@ def test_r5_additions_plan_posture(plans):
         "corpus_token_budget_selection",
         "embedding_covariance_partial",
         "embedding_pca_whitened",
+        "doc_pii_scrub",
+        "chunk_dedup_stats",
+        "doc_quality_classifier",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
