@@ -807,6 +807,127 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@query(
+    "embedding_semdedup",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    full_c AS (
+        SELECT vec_id, v FROM corpus
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, v FROM corpus WHERE vec_id % 10 = 1
+    ),
+    cents0 AS (SELECT vec_id AS centroid_id, v AS cv
+               FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored0 AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket,
+               {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents0 t
+    ),
+    assigned0 AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored0)
+        WHERE rn = 1
+    ),
+    ex AS (
+        SELECT bucket, unnest(v) AS x, generate_subscripts(v, 1) AS j
+        FROM assigned0
+    ),
+    means AS (
+        SELECT bucket, j,
+               round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(x), 6) AS m
+        FROM ex GROUP BY bucket, j
+    ),
+    cents AS (
+        SELECT bucket AS centroid_id, list(m ORDER BY j) AS cv
+        FROM means GROUP BY bucket
+    ),
+    scored AS (
+        SELECT f.vec_id, f.v, t.centroid_id AS bucket,
+               {_duck_cos('f.v', 't.cv')} AS csim
+        FROM full_c f CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    pruned AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.bucket = b.bucket AND a.vec_id > b.vec_id
+        WHERE {_duck_cos('a.v', 'b.v')} >= 0.99
+    )
+    SELECT a.bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS pruned_frac
+    FROM assigned a LEFT JOIN pruned p USING (vec_id)
+    GROUP BY a.bucket
+    """,
+    description="SemDeDup (Abbas et al. 2023): SEMANTIC deduplication by "
+    "k-means clustering the embedding space (the gate's deterministic "
+    "seed + one Lloyd refinement, same dual-dialect k-means as "
+    "knn_ivf_kmeans) and pruning, within each cluster only, the "
+    "later-id member of every cosine >= 0.99 pair — never a global "
+    "all-pairs: candidate comparisons are bounded by cluster size, the "
+    "clustering IS the blocking. Run on corpus ∪ planted duplicates so "
+    "the prune set is non-trivially verified (identical vectors land in "
+    "the same cluster by construction of the argmax assignment). "
+    "Complements the sign-LSH near-dup family: LSH blocks on random "
+    "projections, SemDeDup blocks on learned cluster structure — the "
+    "recipe used to dedup LAION/web-scale image-text corpora.",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import kmeans_refine
+
+    corpus = _corpus(spark, sf_dir)
+    planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    full = corpus.union(planted)
+    seeds = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    cents = kmeans_refine(corpus, seeds, iters=1)
+    assigned = assign_ivf_buckets(full, cents).localCheckpoint(eager=False)
+    pa = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    pb = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pruned = (
+        pa.join(pb, "bucket")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(F.expr(f"round({spark_cosine('va', 'vb')}, 4) >= 0.99"))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(F.broadcast(pruned), "vec_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.coalesce("is_pruned", F.lit(0))).cast("bigint").alias(
+                "n_pruned"
+            ),
+            F.round(
+                F.sum(F.coalesce("is_pruned", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("pruned_frac"),
+        )
+    )
+
+
 _COV_DIM = 64
 
 _COV_ORACLE = f"""
