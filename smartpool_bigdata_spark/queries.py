@@ -2287,14 +2287,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 11 round-5 additions (mapInPandas partial
+#   sensor stream), the 12 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
 #   Z-order multi-dimensional clustering round-trip, passage-level
 #   chunk dedup, hashed-linear quality-classifier inference, DSIR
-#   importance resampling, SemDeDup semantic dedup),
-#   and 25 re-confirmation slots drawn from the oldest (r3) window —
+#   importance resampling, SemDeDup semantic dedup, E-S weighted
+#   sampling),
+#   and 24 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2332,6 +2333,7 @@ GATE_PRIORITY: list[str] = [
     "doc_quality_classifier",
     "doc_dsir_weights",
     "embedding_semdedup",
+    "doc_weighted_sample",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2341,7 +2343,6 @@ GATE_PRIORITY: list[str] = [
     "customer_order_summary",
     "segment_fee_model",
     "event_orphan_users",
-    "order_dup_check",
     "event_null_profile",
     "stream_event_hourly_window",
     "stream_dedup_events",

@@ -1036,6 +1036,61 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_K = 100
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({T.duck_tokens('text')}) AS BIGINT) AS w,
+               {T.duck_hash64("('ws|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, w,
+               ln(((h % 1000000) + 0.5) / 1000000.0) / w AS k
+        FROM t
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM keyed
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(w) AS BIGINT) AS tokens_selected
+    FROM ranked WHERE rn <= {_WS_K} GROUP BY lang
+    """,
+    description="Weighted sampling WITHOUT replacement via the "
+    "Efraimidis-Spirakis exponential race (key = ln(u)/w, top-K keys "
+    "win; u a deterministic per-doc hash uniform, so the 'random' "
+    "sample is reproducible and both engines agree bit-for-bit): "
+    "100 documents drawn with probability proportional to token count — "
+    "the weighted companion of the uniform stratified/fixed-k samplers "
+    "and the primitive behind quality-weighted corpus subsampling. "
+    "Scale: ONE TakeOrderedAndProject pass (per-partition top-K + "
+    "driver merge, plan-locked in tests/test_plans.py) — no global "
+    "sort, no shuffle of the corpus, no sequential draw dependency.",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({T.spark_tokens('text')}) AS BIGINT)").alias("w"),
+        F.expr(
+            "ln((pmod("
+            + T.spark_hash64("concat('ws|', cast(doc_id as string))")
+            + ", 1000000) + 0.5) / 1000000.0D)"
+        ).alias("lnu"),
+    ).select("doc_id", "lang", "w", F.expr("lnu / w").alias("k"))
+    top = keyed.orderBy(F.col("k").desc(), F.col("doc_id")).limit(_WS_K)
+    return top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("w").cast("bigint").alias("tokens_selected"),
+    )
+
+
 _DSIR_B = 4096
 
 

@@ -229,6 +229,8 @@ def test_r5_additions_plan_posture(plans):
         "doc_pii_scrub",
         "chunk_dedup_stats",
         "doc_quality_classifier",
+        "doc_dsir_weights",
+        "doc_weighted_sample",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
@@ -248,6 +250,10 @@ def test_r5_additions_plan_posture(plans):
     ), "distributed prefix sum lost its (bucket, lang) exchange"
     # the covariance scale path runs through Arrow mapInPandas
     assert "MapInPandas" in plans("embedding_covariance_partial")
+    # E-S weighted sampling is a single TakeOrdered pass, not a global sort
+    ws = plans("doc_weighted_sample")
+    assert "TakeOrderedAndProject" in ws
+    assert "Sort " not in ws.split("== Initial Plan ==")[0]
 
 
 def test_zorder_read_pushes_both_keys(spark, tmp_path):
