@@ -112,3 +112,23 @@ def test_zorder_layout_skips_on_every_key(spark, tmp_path):
     # mean per-file span well under half the space on each key
     assert sum(zo_t) / len(zo_t) < 0.5, zo_t
     assert sum(zo_u) / len(zo_u) < 0.5, zo_u
+
+
+def test_zorder_write_preserves_rows(spark, tmp_path):
+    """Layout changes must never change data: the Z-ordered table holds
+    exactly the input multiset (the curve column is internal and
+    dropped)."""
+    from smartpool_bigdata_spark.io.sinks import zorder_write
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        "user_id",
+        "value",
+    )
+    out = str(tmp_path / "z")
+    zorder_write(ev, out, cols=["t", "user_id"], n_files=8)
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == sorted(ev.columns)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).isEmpty() and ev.exceptAll(back).isEmpty()

@@ -468,3 +468,25 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert sum(out[2][c] for c in ("n_email", "n_ip", "n_card", "n_phone")) == 0
     r3 = out[3]
     assert r3["n_email"] == 2 and r3["n_ip"] == 1 and r3["n_residual"] == 0
+
+
+def test_scrub_pii_is_idempotent(spark):
+    """Replacement tokens must be inert to every pattern: scrubbing an
+    already-scrubbed corpus changes nothing and counts zero matches —
+    the property that makes re-running a curation pipeline safe."""
+    from smartpool_bigdata_spark.ops.text import scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' u', cast(doc_id as string), '@ex.io 10.0.0.',"
+            " cast(doc_id % 99 as string), ' 4111111111111111 555-0101')"
+        ).alias("text"),
+    )
+    once = scrub_pii(docs).select("doc_id", F.col("clean_text").alias("text"))
+    twice = scrub_pii(once)
+    assert twice.filter(
+        (F.col("n_email") + F.col("n_ip") + F.col("n_card") + F.col("n_phone"))
+        > 0
+    ).count() == 0
+    assert twice.filter(F.col("clean_text") != F.col("text")).count() == 0
