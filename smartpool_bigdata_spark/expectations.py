@@ -291,3 +291,40 @@ class Suite:
                 violations.extend(c.check(df))
         if violations:
             raise ExpectationError("; ".join(str(v) for v in violations))
+
+
+def quarantine_split(
+    df: DataFrame, rules: Sequence[tuple[str, object]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level disposition for ingest pipelines: split a frame into
+    (valid, invalid) where ``rules`` is an ordered list of
+    ``(reason, predicate_flagging_INVALID)`` — the FIRST matching rule
+    wins, so every bad row lands in exactly one bucket and the
+    accounting sums to the input (the same prioritized-verdict device
+    as llm_corpus_pipeline_v2). The invalid frame carries the reason in
+    ``dq_reason``.
+
+    This is the row-routing complement of ``Suite`` (which gates whole
+    frames): Suite answers "may this batch land?", quarantine_split
+    answers "which rows land where?". One CASE expression per row — a
+    single pass, no shuffle; composes with streams via
+    ``streaming.runner.start_foreach_batch_quarantine``.
+    """
+    expr = None
+    for name, pred in rules:
+        expr = (
+            F.when(pred, F.lit(name))
+            if expr is None
+            else expr.when(pred, F.lit(name))
+        )
+    if expr is None:
+        raise ValueError("quarantine_split needs at least one rule")
+    col = "__dq_reason"
+    while col in df.columns:
+        col += "_"
+    flagged = df.withColumn(col, expr)
+    valid = flagged.filter(F.col(col).isNull()).drop(col)
+    invalid = flagged.filter(F.col(col).isNotNull()).withColumnRenamed(
+        col, "dq_reason"
+    )
+    return valid, invalid

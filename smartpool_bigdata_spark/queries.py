@@ -2287,15 +2287,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 12 round-5 additions (mapInPandas partial
+#   sensor stream), the 14 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
 #   Z-order multi-dimensional clustering round-trip, passage-level
 #   chunk dedup, hashed-linear quality-classifier inference, DSIR
 #   importance resampling, SemDeDup semantic dedup, E-S weighted
-#   sampling),
-#   and 24 re-confirmation slots drawn from the oldest (r3) window —
+#   sampling, bigram-LM scoring, streaming DQ quarantine),
+#   and 22 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2334,6 +2334,8 @@ GATE_PRIORITY: list[str] = [
     "doc_dsir_weights",
     "embedding_semdedup",
     "doc_weighted_sample",
+    "doc_bigram_logprob",
+    "stream_dq_quarantine",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2343,14 +2345,12 @@ GATE_PRIORITY: list[str] = [
     "customer_order_summary",
     "segment_fee_model",
     "event_orphan_users",
-    "event_null_profile",
     "stream_event_hourly_window",
     "stream_dedup_events",
     "stream_static_segment_counts",
     "csv_landing_daily_stats",
     "incremental_keyset_roundtrip",
     "medallion_gold_daily",
-    "doc_text_quality",
     "doc_fingerprint_dedup",
     "chunk_packing",
     "doc_quality_filter",

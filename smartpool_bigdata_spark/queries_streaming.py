@@ -542,3 +542,113 @@ def stream_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
+
+
+@query(
+    "stream_dq_quarantine",
+    oracle="""
+    WITH planted AS (
+        SELECT event_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id + 1000000000, event_type, -value
+        FROM events WHERE event_id % 7 = 3
+        UNION ALL
+        SELECT event_id + 2000000000, 'bogus', value
+        FROM events WHERE event_id % 7 = 5
+    ),
+    routed AS (
+        SELECT *,
+               CASE WHEN value < 0 THEN 'neg_value'
+                    WHEN event_type NOT IN
+                         ('signup','click','error','view','purchase')
+                         THEN 'bad_type'
+                    ELSE 'clean' END AS disposition
+        FROM planted
+    )
+    SELECT disposition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value
+    FROM routed GROUP BY disposition
+    """,
+    description="STREAMING data-quality routing (the in-flight form of "
+    "the expectations gate): events with planted invalid rows (negative "
+    "values, unknown event types) drain through foreachBatch + "
+    "expectations.quarantine_split — ordered rules, first match wins, "
+    "so every row lands in exactly one bucket — with valid rows MERGEd "
+    "into the clean table and flagged rows (carrying dq_reason) into "
+    "the quarantine table, both keyed on event_id so batch replays are "
+    "idempotent. The oracle replays the routing in SQL over the same "
+    "planted corpus: green proves no row was lost, duplicated, or "
+    "mis-routed across micro-batch boundaries — bad data is preserved "
+    "for triage instead of poisoning the clean table or killing the "
+    "stream.",
+    skip_bench=True,  # staging write + stream startup dominates
+)
+def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.streaming.runner import (
+        start_foreach_batch_quarantine,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bad_val = ev.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("event_id") + 1_000_000_000).alias("event_id"),
+        "event_type",
+        (-F.col("value")).alias("value"),
+    )
+    bad_type = ev.filter(F.col("event_id") % 7 == 5).select(
+        (F.col("event_id") + 2_000_000_000).alias("event_id"),
+        F.lit("bogus").alias("event_type"),
+        "value",
+    )
+    planted = ev.unionByName(bad_val).unionByName(bad_type)
+    stage = tempfile.mkdtemp(prefix="spark_dq_stream_")
+    src = os.path.join(stage, "src")
+    clean = os.path.join(stage, "clean")
+    quar = os.path.join(stage, "quarantine")
+    ckpt = os.path.join(stage, "ckpt")
+    planted.repartition(4).write.parquet(src)
+    try:
+        stream = file_stream(
+            spark, src, planted.schema, max_files_per_trigger=1
+        )
+        q = start_foreach_batch_quarantine(
+            stream,
+            clean,
+            quar,
+            rules=[
+                ("neg_value", F.col("value") < 0),
+                (
+                    "bad_type",
+                    ~F.col("event_type").isin(
+                        "signup", "click", "error", "view", "purchase"
+                    ),
+                ),
+            ],
+            keys=["event_id"],
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+            query_name="dq_quarantine",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+        clean_df = spark.read.parquet(clean).select(
+            F.lit("clean").alias("disposition"), "value"
+        )
+        quar_df = spark.read.parquet(quar).select(
+            F.col("dq_reason").alias("disposition"), "value"
+        )
+        out = (
+            clean_df.unionByName(quar_df)
+            .groupBy("disposition")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                stable_sum("value", 2).alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -1036,6 +1036,118 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, th[i.i] AS h1, th[i.i + 1] AS h2
+        FROM th, unnest(range(1, len(th))) AS i(i)
+        WHERE len(th) >= 2
+    ),
+    uni AS (
+        SELECT u.h AS h, count(*) AS c1
+        FROM (SELECT unnest(th) AS h FROM th) AS u(h) GROUP BY u.h
+    ),
+    tot AS (
+        SELECT count(*) AS n FROM (SELECT unnest(th) AS h FROM th)
+    ),
+    bi AS (
+        SELECT h1, h2, count(*) AS c12 FROM pos GROUP BY h1, h2
+    ),
+    fol AS (
+        SELECT h1, CAST(count(*) AS BIGINT) AS f1 FROM bi GROUP BY h1
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               -ln(greatest(bi.c12 - 0.5, 0.0) / ua.c1
+                   + (0.5 * fol.f1 / ua.c1) * (ub.c1 / CAST(tot.n AS DOUBLE)))
+                   AS nlp
+        FROM pos p
+        JOIN bi  ON p.h1 = bi.h1 AND p.h2 = bi.h2
+        JOIN uni ua ON p.h1 = ua.h
+        JOIN uni ub ON p.h2 = ub.h
+        JOIN fol ON p.h1 = fol.h1
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS bigram_count,
+           round(CAST(sum(CAST(nlp AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(nlp), 4) AS avg_neg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    description="BIGRAM language-model quality score with absolute-"
+    "discounting backoff (d=0.5): p(w2|w1) = max(c12-d,0)/c1 + "
+    "(d*followers(w1)/c1) * p_uni(w2) — the conditional-probability "
+    "upgrade of doc_unigram_logprob, one step closer to the real "
+    "KenLM-perplexity filter (captures word-order structure a unigram "
+    "model is blind to). Scale: the bigram table shuffles on the "
+    "uniform (h1,h2) key; unigram counts + follower fan-outs are "
+    "O(vocab) aggregates that BROADCAST back over the position stream. "
+    "ln() bit-identical across engines, per-doc mean decimal-stable. "
+    "Docs with fewer than 2 tokens have no bigrams and are excluded on "
+    "both sides.",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    pos = (
+        th.filter(F.expr("size(th) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(th) - 1)")).alias("i"),
+            "th",
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(th, i)").alias("h1"),
+            F.expr("element_at(th, i + 1)").alias("h2"),
+        )
+    )
+    tok = th.select(F.explode("th").alias("h"))
+    uni = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    bi = pos.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    fol = bi.groupBy("h1").agg(F.count(F.lit(1)).cast("bigint").alias("f1"))
+    scored = (
+        pos.join(bi, ["h1", "h2"])
+        .join(
+            F.broadcast(uni.select(F.col("h").alias("h1"), F.col("c1").alias("ca"))),
+            "h1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("h").alias("h2"), F.col("c1").alias("cb"))),
+            "h2",
+        )
+        .join(F.broadcast(fol), "h1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "-ln(greatest(c12 - 0.5D, 0.0D) / ca"
+                " + (0.5D * f1 / ca) * (cb / CAST(n AS DOUBLE)))"
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bigram_count"),
+        F.round(
+            F.sum(F.expr("CAST(nlp AS DECIMAL(38,10))")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_neg_logp"),
+    )
+
+
 _WS_K = 100
 
 

@@ -239,3 +239,42 @@ def progress_summary(query: StreamingQuery) -> dict:
 
 def active_queries(spark: SparkSession) -> list[StreamingQuery]:
     return list(spark.streams.active)
+
+
+def start_foreach_batch_quarantine(
+    df: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    rules,
+    keys: Sequence[str],
+    checkpoint: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming data-quality routing: each micro-batch is split by
+    ``expectations.quarantine_split`` (ordered rules, first match wins)
+    and each half is MERGEd by key into its table — valid rows to
+    ``clean_path``, flagged rows (with ``dq_reason``) to
+    ``quarantine_path``. Keyed MERGEs make batch replays after
+    checkpoint recovery idempotent, same exactly-once posture as
+    ``start_foreach_batch_upsert``. This is the in-flight form of the
+    reference's batch expectations gate: bad rows are preserved for
+    triage instead of poisoning the clean table or killing the
+    stream."""
+    from smartpool_bigdata_spark.expectations import quarantine_split
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        valid, invalid = quarantine_split(batch_df, rules)
+        merge_upsert(spark, clean_path, valid, keys)
+        merge_upsert(spark, quarantine_path, invalid, keys)
+
+    writer = df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()

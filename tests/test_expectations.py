@@ -162,3 +162,39 @@ def test_duplicate_check_instances_get_unique_aliases(spark, clean):
     with pytest.raises(ExpectationError) as err:
         suite.validate_observation(obs)
     assert "[7.0, 7.1]" in str(err.value) and "[9999, None]" in str(err.value)
+
+
+def test_quarantine_split_first_match_wins(spark):
+    """Ordered rules: a row matching several rules lands in exactly one
+    bucket (the first); valid + invalid partitions the input."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.expectations import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, -5.0, "bogus"), (2, 3.0, "bogus"), (3, 4.0, "view"), (4, -1.0, "view")],
+        "id int, value double, event_type string",
+    )
+    valid, invalid = quarantine_split(
+        df,
+        [
+            ("neg_value", F.col("value") < 0),
+            ("bad_type", F.col("event_type") == "bogus"),
+        ],
+    )
+    got = {r["id"]: r["dq_reason"] for r in invalid.collect()}
+    # id=1 matches BOTH rules -> first rule wins
+    assert got == {1: "neg_value", 2: "bad_type", 4: "neg_value"}
+    assert [r["id"] for r in valid.collect()] == [3]
+    assert "dq_reason" not in valid.columns
+    assert valid.count() + invalid.count() == df.count()
+
+
+def test_quarantine_split_requires_rules(spark):
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.expectations import quarantine_split
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="at least one rule"):
+        quarantine_split(df, [])
