@@ -1832,6 +1832,68 @@ def doc_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 
+@query(
+    "doc_incremental_dup_clusters",
+    oracle=_dup_clusters_oracle(),
+    description="Incremental CLUSTER maintenance closing the dedup "
+    "loop's last gap: yesterday's corpus carries a component map (two-"
+    "phase CC over base-corpus near-dup pairs) and a signature table; "
+    "the new batch's pairs come from incremental_minhash_pairs and "
+    "merge into the map via ops.graph.connected_components_incremental "
+    "— existing components CONTRACT to their roots, CC runs only on the "
+    "O(new-edges) contracted graph, and the root remap broadcasts back, "
+    "so the corpus-sized assignment is scanned once and never shuffled "
+    "on graph structure. Oracle: the SAME from-scratch recursive-CTE "
+    "cluster oracle as doc_dup_clusters — incremental maintenance must "
+    "be indistinguishable from recomputation (property-tested on random "
+    "graphs too, tests/test_properties.py).",
+    skip_bench=True,  # signature-table write + base CC inside the build
+)
+def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.graph import (
+        connected_components_incremental,
+        connected_components_two_phase,
+    )
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        incremental_minhash_pairs,
+        minhash_pairs_from_signatures,
+        write_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    new = corpus.filter(F.col("doc_id") >= 1_000_000)
+    stage = tempfile.mkdtemp(prefix="spark_inccc_")
+    try:
+        tbl = write_signature_table(
+            build_signature_table(base, "doc_id", "text", shingle_k=3),
+            "doc_inccc_sigs_tbl",
+            os.path.join(stage, "base_signatures"),
+        )
+        base_pairs = minhash_pairs_from_signatures(tbl, threshold=0.5)
+        asg = connected_components_two_phase(
+            base_pairs, src="doc_a", dst="doc_b"
+        )
+        new_sig = build_signature_table(new, "doc_id", "text", shingle_k=3)
+        new_pairs = incremental_minhash_pairs(new_sig, tbl, threshold=0.5)
+        cc = connected_components_incremental(
+            asg, new_pairs, src="doc_a", dst="doc_b"
+        )
+        out = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_inccc_sigs_tbl")
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _dedup_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     clusters = _dup_clusters_oracle(shingle_k, threshold)
     # reuse the cluster CTE chain; survivors = corpus minus every

@@ -376,3 +376,42 @@ def test_covariance_matrix_matches_numpy(spark, vectors):
     for (i, j), v in got.items():
         w = want[i - 1, j - 1]
         assert abs(v - w) <= 1e-9 * max(1.0, abs(w)), ((i, j), v, w)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_incremental_cc_equals_from_scratch(spark, base_edges, new_edges):
+    """connected_components_incremental(CC(base), new) must equal the
+    from-scratch CC over base ∪ new — on random graphs where new edges
+    merge existing components, bridge to unseen nodes, or touch nothing
+    that exists yet."""
+    from smartpool_bigdata_spark.ops.graph import (
+        connected_components_incremental,
+        connected_components_two_phase,
+    )
+
+    base_df = spark.createDataFrame(base_edges, ["src", "dst"])
+    new_df = spark.createDataFrame(new_edges, ["src", "dst"])
+    asg = connected_components_two_phase(base_df)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_incremental(asg, new_df).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components_two_phase(
+            base_df.union(new_df)
+        ).collect()
+    }
+    assert got == want
