@@ -629,7 +629,11 @@ def corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n").cast("bigint").alias("tokens_selected"),
     )
     return (
-        budgets.join(picked, "lang", "left")
+        # picked is a per-language handful of rows, but it sits behind a
+        # big aggregate whose size estimate the planner distrusts — at
+        # sf0.01 the unhinted join planned a SortMergeJoin (caught by
+        # plan_audit); hint it explicitly
+        budgets.join(F.broadcast(picked), "lang", "left")
         .select(
             "lang",
             F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
