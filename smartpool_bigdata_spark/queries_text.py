@@ -1275,10 +1275,11 @@ _DSIR_B = 4096
     "dominates the selected quarter. Scale: the two LMs are "
     "O(buckets)-row aggregates broadcast back over the feature stream — "
     "one scan + one doc_id-keyed margin agg, no shuffle proportional to "
-    "vocab. The top-K rank here is a DOC-level global window (fine at "
-    "gate scale); the 100 TB swap is an approx_percentile threshold on "
-    "logw_norm + filter, the same exact->sketch family as SCALE.md's "
-    "percentile entry. ln() agreed bit-identical across engines and "
+    "vocab. The global top-quarter rank runs through the two-phase "
+    "distributed prefix sum (ops.relational.global_running_sum: rank = "
+    "running row count over the weight order) — NOT a single-task "
+    "row_number window, so the selection itself survives 100 TB. ln() "
+    "agreed bit-identical across engines and "
     "every sum is decimal-stable, so the rank order cannot flip between "
     "Spark and the oracle.",
 )
@@ -1329,12 +1330,22 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logw_norm")
         )
     )
-    w = Window.orderBy(F.col("logw_norm").desc(), F.col("doc_id"))
-    ranked = scored.select(
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    # global rank WITHOUT a single-task window: rank = running count of
+    # rows over the (weight desc, doc_id) total order, computed by the
+    # two-phase distributed prefix sum (negated key since the op orders
+    # ascending). Semantically identical to row_number() — same oracle —
+    # but the corpus never funnels through one reducer.
+    keyed = scored.select(
         "*",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        (-F.col("logw_norm")).alias("__negw"),
+        F.lit(1).alias("__one"),
     )
+    n_row = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_running_sum(
+        keyed, order_by=["__negw", "doc_id"], value_col="__one", out_col="rk"
+    ).crossJoin(F.broadcast(n_row))
     return ranked.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("rk") <= F.expr("n div 4"), 1).otherwise(0))
