@@ -210,6 +210,7 @@ def connected_components_incremental(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    changes_only: bool = False,
 ) -> DataFrame:
     """Merge NEW edges into an EXISTING (node, component) assignment
     without re-clustering the base graph — the daily-ingest companion of
@@ -264,12 +265,23 @@ def connected_components_incremental(
     root_map = remap.select(
         F.col("node").alias("component"), F.col("component").alias("__new_root")
     )
-    rebased = asg.join(F.broadcast(root_map), "component", "left").select(
-        "node", F.coalesce("__new_root", F.col("component")).alias("component")
-    )
     # unseen nodes (appear only in the new edges) enter with their merged root
     unseen = e_nodes.join(asg.select("node"), "node", "left_anti")
     unseen_rows = unseen.join(F.broadcast(remap), "node").select(
         "node", "component"
+    )
+    if changes_only:
+        # the MERGE-delta form for a maintained assignment table: only
+        # base rows whose root actually moved, plus the new nodes —
+        # O(touched components), so a keyed MERGE touches O(batch) rows
+        # instead of rewriting the corpus-sized map
+        changed = (
+            asg.join(F.broadcast(root_map), "component")
+            .filter(F.col("__new_root") != F.col("component"))
+            .select("node", F.col("__new_root").alias("component"))
+        )
+        return changed.union(unseen_rows)
+    rebased = asg.join(F.broadcast(root_map), "component", "left").select(
+        "node", F.coalesce("__new_root", F.col("component")).alias("component")
     )
     return rebased.union(unseen_rows)

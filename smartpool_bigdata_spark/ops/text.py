@@ -921,6 +921,7 @@ def incremental_dedup_batch(
     n_perm: int = N_PERM,
     bands: int = BANDS,
     threshold: float = 0.5,
+    assignment_path: str | None = None,
 ) -> None:
     """One ingest batch through the incremental dedup loop, IDEMPOTENTLY:
 
@@ -946,6 +947,14 @@ def incremental_dedup_batch(
     MERGE with file pruning so each ingest touches O(batch) files. The
     pairing itself is already the 100 TB shape (signatures stored, corpus
     never re-shingled, batch side broadcast).
+
+    With ``assignment_path`` set, the loop ALSO maintains the near-dup
+    COMPONENT map: the batch's pairs merge into the stored (node,
+    component) table via ``ops.graph.connected_components_incremental``
+    — existing components contract to roots, CC runs on the
+    O(batch-edges) contracted graph only, and the remap broadcasts back.
+    Replay-idempotent for free: re-merging edges whose components are
+    already merged contracts to self-loops and changes nothing.
     """
     from smartpool_bigdata_spark.io.sinks import _exists, merge_upsert
 
@@ -967,6 +976,10 @@ def incremental_dedup_batch(
         pairs = incremental_minhash_pairs(
             new_sig, base, n_perm=n_perm, bands=bands, threshold=threshold
         )
+        if assignment_path is not None:
+            # localCheckpoint: pairs feed BOTH the merge below and the
+            # cluster update; without the barrier the LSH plan re-runs
+            pairs = pairs.localCheckpoint(eager=True)
         merge_upsert(spark, pairs_path, pairs, keys=["doc_a", "doc_b"])
         merge_upsert(
             spark,
@@ -974,6 +987,22 @@ def incremental_dedup_batch(
             new_sig.select("doc_id", "sh_set", "sig", "simhash", "fingerprint"),
             keys=["doc_id"],
         )
+        if assignment_path is not None and not pairs.isEmpty():
+            from smartpool_bigdata_spark.ops.graph import (
+                connected_components_incremental,
+                connected_components_two_phase,
+            )
+
+            if _exists(spark, assignment_path):
+                asg = spark.read.parquet(assignment_path)
+                delta = connected_components_incremental(
+                    asg, pairs, src="doc_a", dst="doc_b", changes_only=True
+                )
+            else:
+                delta = connected_components_two_phase(
+                    pairs, src="doc_a", dst="doc_b"
+                )
+            merge_upsert(spark, assignment_path, delta, keys=["node"])
     finally:
         # incremental_minhash_pairs persists its own handle on the (here
         # already-checkpointed) new_sig — drain the registry per batch or

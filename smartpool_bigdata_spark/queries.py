@@ -2287,7 +2287,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   additions that had no driver row yet (curation pipeline v2,
 #   incremental near-dup, two-phase CC, decontamination / repetition /
 #   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 15 round-5 additions (mapInPandas partial
+#   sensor stream), the 16 round-5 additions (mapInPandas partial
 #   covariance, whitened-PCA value-lock, streaming incremental dedup,
 #   token-budget selection over the distributed prefix sum, PII scrub,
 #   the custom Python data-sink two-phase-commit round-trip, the
@@ -2295,8 +2295,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   chunk dedup, hashed-linear quality-classifier inference, DSIR
 #   importance resampling, SemDeDup semantic dedup, E-S weighted
 #   sampling, bigram-LM scoring, streaming DQ quarantine, incremental
-#   cluster maintenance),
-#   and 21 re-confirmation slots drawn from the oldest (r3) window —
+#   cluster maintenance batch + streaming),
+#   and 20 re-confirmation slots drawn from the oldest (r3) window —
 #   so EVERY registry query has a hard driver CORRECTNESS row within
 #   r3-r5. test_gate_window_pinned asserts exactly that coverage.
 #
@@ -2338,6 +2338,7 @@ GATE_PRIORITY: list[str] = [
     "doc_bigram_logprob",
     "stream_dq_quarantine",
     "doc_incremental_dup_clusters",
+    "stream_incremental_dup_clusters",
     # --- 33 re-confirmation slots: oldest (r3-window) greens ---
     "pricing_summary",
     "daily_event_stats",
@@ -2359,7 +2360,6 @@ GATE_PRIORITY: list[str] = [
     "multimodal_byte_features",
     "knn_ivf_multiprobe",
     "embedding_near_dup",
-    "embedding_dup_clusters",
 ]
 
 

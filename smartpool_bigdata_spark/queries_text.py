@@ -1909,6 +1909,79 @@ def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "stream_incremental_dup_clusters",
+    oracle=_dup_clusters_oracle(),
+    description="The FULL incremental dedup loop as a stream — pairs AND "
+    "clusters: the base corpus seeds a signature table and a component "
+    "map (two-phase CC over its own pairs); the new documents then "
+    "arrive in rate-limited micro-batches through foreachBatch + "
+    "incremental_dedup_batch with assignment_path set, so each batch "
+    "signs once, pairs against the current corpus, and folds its edges "
+    "into the stored component map via the contracted-graph incremental "
+    "CC — merging only the O(batch) changed rows (changes_only delta). "
+    "Oracle: the from-scratch recursive-CTE cluster oracle over "
+    "corpus ∪ mutants — stream delivery, batch boundaries, and "
+    "incremental maintenance must all be invisible in the final "
+    "component map.",
+    skip_bench=True,  # staging writes + stream startup dominate
+)
+def stream_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.graph import connected_components_two_phase
+    from smartpool_bigdata_spark.ops.text import (
+        build_signature_table,
+        minhash_pairs_from_signatures,
+        write_signature_table,
+    )
+    from smartpool_bigdata_spark.streaming import file_stream
+    from smartpool_bigdata_spark.streaming.runner import start_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    new = corpus.filter(F.col("doc_id") >= 1_000_000)
+    stage = tempfile.mkdtemp(prefix="spark_incccstream_")
+    sig_path = os.path.join(stage, "sig_table")
+    pairs_path = os.path.join(stage, "pairs")
+    asg_path = os.path.join(stage, "components")
+    src = os.path.join(stage, "new_docs")
+    ckpt = os.path.join(stage, "ckpt")
+    try:
+        base_sig = build_signature_table(base, "doc_id", "text", shingle_k=3)
+        base_sig.write.parquet(sig_path)
+        base_pairs = minhash_pairs_from_signatures(
+            spark.read.parquet(sig_path), threshold=0.5
+        )
+        connected_components_two_phase(
+            base_pairs, src="doc_a", dst="doc_b"
+        ).write.parquet(asg_path)
+        new.repartition(4).write.parquet(src)
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_incremental_dedup(
+            stream,
+            sig_path,
+            pairs_path,
+            ckpt,
+            assignment_path=asg_path,
+            trigger={"availableNow": True},
+            query_name="incremental_dedup_clusters",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        out = (
+            spark.read.parquet(asg_path)
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _dedup_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     clusters = _dup_clusters_oracle(shingle_k, threshold)
     # reuse the cluster CTE chain; survivors = corpus minus every

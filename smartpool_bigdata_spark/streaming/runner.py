@@ -126,6 +126,7 @@ def start_incremental_dedup(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    assignment_path: str | None = None,
     trigger: dict | None = None,
     query_name: str | None = None,
 ) -> StreamingQuery:
@@ -139,7 +140,9 @@ def start_incremental_dedup(
     actually runs: signatures computed once per document ever, each
     ingest's work proportional to the batch, checkpoint-restartable
     (keyed MERGEs + the batch-id anti-join make replays idempotent —
-    see incremental_dedup_batch)."""
+    see incremental_dedup_batch). With ``assignment_path`` set, the
+    near-dup COMPONENT map is maintained per batch too, via the
+    contracted-graph incremental CC's O(batch) change delta."""
     from smartpool_bigdata_spark.ops.text import incremental_dedup_batch
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
@@ -153,6 +156,7 @@ def start_incremental_dedup(
             text_col=text_col,
             shingle_k=shingle_k,
             threshold=threshold,
+            assignment_path=assignment_path,
         )
 
     writer = docs_stream.writeStream.foreachBatch(handle).option(

@@ -415,3 +415,15 @@ def test_incremental_cc_equals_from_scratch(spark, base_edges, new_edges):
         ).collect()
     }
     assert got == want
+    # the MERGE-delta form: base assignment overlaid with the changes
+    # must give the same map, and every delta row must actually differ
+    base_map = {r["node"]: r["component"] for r in asg.collect()}
+    delta = {
+        r["node"]: r["component"]
+        for r in connected_components_incremental(
+            asg, new_df, changes_only=True
+        ).collect()
+    }
+    overlaid = {**base_map, **delta}
+    assert overlaid == want
+    assert all(base_map.get(n) != c for n, c in delta.items())

@@ -85,8 +85,8 @@ R4_WINDOW = frozenset({
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
     registry entries in iteration order. Pin the ROTATED r5 set: the 14
-    round-4 additions that had no driver row, the 15 round-5 additions,
-    and 21 re-confirmation slots from the oldest (r3) window — so with
+    round-4 additions that had no driver row, the 16 round-5 additions,
+    and 20 re-confirmation slots from the oldest (r3) window — so with
     the r3 + r4 rows (all green in CORRECTNESS_r03/r04.json) EVERY
     registry query has a hard driver row within rounds 3-5. A refactor
     that reorders registration (round 2 silently pushed
@@ -107,7 +107,7 @@ def test_gate_window_pinned():
     uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
     # the r4-verdict must-haves for THIS window: the 14 r4 additions
-    # without a driver row plus the 15 r5 additions
+    # without a driver row plus the 16 r5 additions
     must_haves = {
         "llm_corpus_pipeline_v2", "doc_incremental_near_dup",
         "doc_dup_clusters_twophase", "doc_decontamination",
@@ -122,6 +122,7 @@ def test_gate_window_pinned():
         "chunk_dedup_stats", "doc_quality_classifier", "doc_dsir_weights",
         "embedding_semdedup", "doc_weighted_sample", "doc_bigram_logprob",
         "stream_dq_quarantine", "doc_incremental_dup_clusters",
+        "stream_incremental_dup_clusters",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
