@@ -630,6 +630,26 @@ def test_incremental_dedup_stream_restart_and_replay(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(sig_path).select("doc_id").collect()
     ) == sig_ids_before
 
+    # the cluster-maintaining form is replay-idempotent too: seed the
+    # component map from the current pairs, then re-apply the batch with
+    # assignment_path set — merging edges whose components are already
+    # merged must be a no-op on the map
+    from smartpool_bigdata_spark.ops.graph import connected_components_two_phase
+
+    asg_path = str(tmp_path / "components")
+    connected_components_two_phase(
+        spark.read.parquet(pairs_path), src="doc_a", dst="doc_b"
+    ).write.parquet(asg_path)
+    asg_before = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(asg_path).collect()
+    }
+    incremental_dedup_batch(half_b, sig_path, pairs_path, assignment_path=asg_path)
+    assert {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(asg_path).collect()
+    } == asg_before
+
 
 @pytest.mark.skipif(
     __import__("importlib.util", fromlist=["util"]).find_spec("google") is None
