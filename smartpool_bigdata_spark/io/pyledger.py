@@ -12,14 +12,31 @@ sink needs:
   an invisible ``.staged-*.jsonl`` file — the analog of writing to a
   transactional buffer / idempotent producer session;
 * ``commit(messages)`` runs ONCE on the driver after every task
-  succeeded, atomically publishing the staged files (rename + manifest
-  append) — readers only ever see manifest-listed files, so a crash
+  succeeded, atomically publishing the staged files (rename + commit
+  manifest) — readers only ever see manifest-listed files, so a crash
   between stage and commit leaves garbage but never a torn read;
 * ``abort(messages)`` deletes staged files after task/job failure;
 * the STREAMING writer's ``commit(messages, batchId)`` is IDEMPOTENT:
-  a batch id already in the manifest is skipped wholesale, which is
+  a batch id already in the log is skipped wholesale, which is
   exactly-once for foreachBatch-style replays after checkpoint recovery
   (pinned by ``tests/test_pyledger.py``).
+
+Commit log layout (Delta-log-shaped, sharded so nothing driver-side
+grows with TOTAL file count — each commit's manifest lists only that
+commit's files):
+
+* ``<path>/_ledger_log/commit-<epoch>-<uuid>.json`` — one small JSON per
+  commit: ``{"epoch": E, "files": [...], "batch_id": B|null}``;
+* ``<path>/_ledger_log/_HEAD.json`` — ``{"epoch": E}``, replaced
+  atomically (``os.replace``). Readers only honor manifests whose epoch
+  matches HEAD.
+
+Overwrite is publish-first, clear-second: new files are renamed in, a
+manifest with epoch E+1 is written, and the atomic HEAD flip E→E+1 is
+THE commit point — readers see either the complete old table or the
+complete new one, never an empty or torn intermediate. Old-epoch data
+files and manifests are garbage-collected only AFTER the flip; a crash
+mid-GC leaks unreferenced files, never a bad read.
 
 Rows are stored as JSON lines (ints/strings/bools/floats — floats via
 ``repr`` shortest round-trip, so double values survive bit-exactly; the
@@ -52,23 +69,80 @@ class _Staged(WriterCommitMessage):
     rows: int
 
 
-def _manifest_path(d: str) -> str:
-    return os.path.join(d, "_LEDGER_MANIFEST.json")
+def _log_dir(d: str) -> str:
+    return os.path.join(d, "_ledger_log")
+
+
+def _head_path(d: str) -> str:
+    return os.path.join(_log_dir(d), "_HEAD.json")
+
+
+def _read_head(d: str) -> int:
+    try:
+        with open(_head_path(d)) as f:
+            return int(json.load(f)["epoch"])
+    except (OSError, ValueError, KeyError):
+        return 0
+
+
+def _write_head(d: str, epoch: int) -> None:
+    os.makedirs(_log_dir(d), exist_ok=True)
+    tmp = _head_path(d) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch}, f)
+    os.replace(tmp, _head_path(d))  # atomic on POSIX — THE commit point
+
+
+def _commit_manifests(d: str, epoch: int | None = None) -> list[dict]:
+    """All commit manifests, optionally filtered to one epoch. Each is a
+    small per-commit file — nothing here scales with total table size."""
+    log = _log_dir(d)
+    try:
+        names = sorted(
+            n for n in os.listdir(log)
+            if n.startswith("commit-") and n.endswith(".json")
+        )
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        try:
+            with open(os.path.join(log, n)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        m["_name"] = n
+        if epoch is None or m.get("epoch", 0) == epoch:
+            out.append(m)
+    return out
+
+
+def _write_commit_manifest(
+    d: str, epoch: int, files: list[str], batch_id: int | None
+) -> None:
+    """Publishing a commit = one atomic rename of its manifest into the
+    log. Until this lands, renamed data files are invisible."""
+    log = _log_dir(d)
+    os.makedirs(log, exist_ok=True)
+    name = f"commit-{epoch:010d}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(log, f".tmp-{name}")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "files": files, "batch_id": batch_id}, f)
+    os.replace(tmp, os.path.join(log, name))
 
 
 def _read_manifest(d: str) -> dict:
-    try:
-        with open(_manifest_path(d)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"files": [], "batches": []}
-
-
-def _write_manifest(d: str, manifest: dict) -> None:
-    tmp = _manifest_path(d) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(d))  # atomic on POSIX
+    """Aggregated view of the current epoch — files visible to readers
+    and the set of published streaming batch ids. O(#commits) tiny reads,
+    never O(total files) in any single file."""
+    epoch = _read_head(d)
+    files: list[str] = []
+    batches: list[int] = []
+    for m in _commit_manifests(d, epoch):
+        files.extend(m.get("files", []))
+        if m.get("batch_id") is not None:
+            batches.append(m["batch_id"])
+    return {"files": files, "batches": batches}
 
 
 def _stage_rows(path_dir: str, iterator) -> _Staged:
@@ -82,18 +156,10 @@ def _stage_rows(path_dir: str, iterator) -> _Staged:
     return _Staged(path=staged, rows=n)
 
 
-def _publish(d: str, messages, batch_id: int | None = None) -> None:
-    manifest = _read_manifest(d)
-    if batch_id is not None:
-        if batch_id in manifest["batches"]:
-            # replayed micro-batch after checkpoint recovery: the batch
-            # already published — drop the re-staged files, publish
-            # NOTHING twice (exactly-once)
-            for m in messages:
-                if m is not None and os.path.exists(m.path):
-                    os.remove(m.path)
-            return
-        manifest["batches"].append(batch_id)
+def _rename_in(d: str, messages, batch_id: int | None) -> list[str]:
+    """Move staged files to their final names (still invisible — only a
+    commit manifest makes them readable). Empty partitions are dropped."""
+    finals: list[str] = []
     for m in messages:
         if m is None or m.rows == 0:
             if m is not None and os.path.exists(m.path):
@@ -102,8 +168,21 @@ def _publish(d: str, messages, batch_id: int | None = None) -> None:
         prefix = f"batch-{batch_id}-" if batch_id is not None else "part-"
         final = os.path.join(d, f"{prefix}{uuid.uuid4().hex}.jsonl")
         os.rename(m.path, final)
-        manifest["files"].append(os.path.basename(final))
-    _write_manifest(d, manifest)
+        finals.append(os.path.basename(final))
+    return finals
+
+
+def _publish(d: str, messages, batch_id: int | None = None) -> None:
+    if batch_id is not None and batch_id in _read_manifest(d)["batches"]:
+        # replayed micro-batch after checkpoint recovery: the batch
+        # already published — drop the re-staged files, publish
+        # NOTHING twice (exactly-once)
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+        return
+    finals = _rename_in(d, messages, batch_id)
+    _write_commit_manifest(d, _read_head(d), finals, batch_id)
 
 
 def _abort(messages) -> None:
@@ -121,14 +200,32 @@ class LedgerWriter(DataSourceWriter):
         return _stage_rows(self.dir, iterator)
 
     def commit(self, messages) -> None:  # driver-side, once
-        if self.overwrite:
-            old = _read_manifest(self.dir)
-            for fn in old["files"]:
+        if not self.overwrite:
+            _publish(self.dir, messages)
+            return
+        # Overwrite: publish first, clear second. Readers flip from the
+        # complete old epoch to the complete new one at the HEAD replace;
+        # a crash anywhere in between leaves the OLD table fully intact.
+        # The new epoch is allocated ABOVE every manifest on disk — not
+        # just HEAD+1 — so orphans from a crashed prior overwrite are
+        # never adopted as visible data.
+        others = _commit_manifests(self.dir)
+        new_epoch = (
+            max([_read_head(self.dir)] + [m.get("epoch", 0) for m in others]) + 1
+        )
+        finals = _rename_in(self.dir, messages, None)
+        _write_commit_manifest(self.dir, new_epoch, finals, None)
+        _write_head(self.dir, new_epoch)  # ← commit point
+        # GC every superseded epoch, orphans included (crash here leaks
+        # unreferenced files, never a torn read)
+        for m in others:
+            for fn in m.get("files", []):
                 p = os.path.join(self.dir, fn)
                 if os.path.exists(p):
                     os.remove(p)
-            _write_manifest(self.dir, {"files": [], "batches": []})
-        _publish(self.dir, messages)
+            mp = os.path.join(_log_dir(self.dir), m["_name"])
+            if os.path.exists(mp):
+                os.remove(mp)
 
     def abort(self, messages) -> None:
         _abort(messages)
@@ -154,10 +251,10 @@ class _LedgerFile(InputPartition):
 
 
 class LedgerReader(DataSourceReader):
-    """Reads ONLY manifest-listed files — staged leftovers from crashed
-    jobs are invisible, which is the atomicity half of the contract.
-    One input partition per committed file (a connector's natural
-    splits)."""
+    """Reads ONLY manifest-listed files of the HEAD epoch — staged
+    leftovers from crashed jobs and superseded epochs are invisible,
+    which is the atomicity half of the contract. One input partition per
+    committed file (a connector's natural splits)."""
 
     def __init__(self, options: dict, schema: StructType):
         self.dir = options["path"]

@@ -177,6 +177,7 @@ def zorder_write(
     bits: int = 12,
     n_files: int = 0,
     mode: str = "overwrite",
+    drop_cols: Sequence[str] = (),
 ) -> None:
     """Write parquet Z-ORDER clustered on ``cols`` for MULTI-dimensional
     data skipping — the vanilla-parquet analog of Delta's
@@ -200,6 +201,10 @@ def zorder_write(
     size (k x bits shift-or terms, inside codegen); 12 bits x 2-3 keys
     is plenty for file-level skipping — resolution only needs to exceed
     the file count, not the row count.
+
+    ``drop_cols`` removes helper columns (e.g. an epoch cast of a
+    timestamp key built just for the curve) from the final projection so
+    they never reach the published parquet.
     """
     from pyspark.sql import functions as F
 
@@ -241,7 +246,7 @@ def zorder_write(
     )
     (
         part.sortWithinPartitions(zcol)
-        .drop(zcol)
+        .drop(zcol, *drop_cols)
         .write.mode(mode)
         .parquet(path)
     )

@@ -384,7 +384,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # later pattern). Regex subset chosen to parse identically under Java
 # regex (Spark) and RE2 (DuckDB): char classes, bounded quantifiers, \b.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    # (?i) — emails are case-insensitive by RFC; without it Jane.Doe@X.COM
+    # leaks while n_residual still reports 0. The inline flag is honored
+    # identically by Java regex and RE2, keeping the dual-dialect contract.
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("card", r"\b\d{16}\b", "<CARD>"),
     ("phone", r"\b555-\d{4}\b", "<PHONE>"),

@@ -236,23 +236,24 @@ def clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     stage = tempfile.mkdtemp(prefix="spark_clustered_")
-    out = os.path.join(stage, "events_by_ts")
-    write_clustered(ev, out, cluster_by=["ts"], n_files=8)
-    sliced = (
-        spark.read.parquet(out)
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+    try:
+        out = os.path.join(stage, "events_by_ts")
+        write_clustered(ev, out, cluster_by=["ts"], n_files=8)
+        sliced = (
+            spark.read.parquet(out)
+            .filter(
+                (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                stable_sum("value", 2).alias("total_value"),
+            )
         )
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            stable_sum("value", 2).alias("total_value"),
-        )
-    )
-    rows = sliced.localCheckpoint(eager=True)
-    shutil.rmtree(stage, ignore_errors=True)
-    return rows
+        return sliced.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(
@@ -290,25 +291,29 @@ def zorder_time_user_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__epoch", F.col("ts").cast("timestamp").cast("double"))
     )
     stage = tempfile.mkdtemp(prefix="spark_zorder_")
-    out = os.path.join(stage, "events_z")
-    zorder_write(ev, out, cols=["__epoch", "user_id"], n_files=16)
-    sliced = (
-        spark.read.parquet(out)
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
-            & F.col("user_id").between(3, 9)
+    try:
+        out = os.path.join(stage, "events_z")
+        zorder_write(
+            ev, out, cols=["__epoch", "user_id"], n_files=16,
+            drop_cols=["__epoch"],
         )
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            stable_sum("value", 2).alias("total_value"),
+        sliced = (
+            spark.read.parquet(out)
+            .filter(
+                (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+                & F.col("user_id").between(3, 9)
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                stable_sum("value", 2).alias("total_value"),
+            )
         )
-    )
-    rows = sliced.localCheckpoint(eager=True)
-    shutil.rmtree(stage, ignore_errors=True)
-    return rows
+        return sliced.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(

@@ -445,16 +445,16 @@ def corpus_language_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mutants): one email, one IPv4, one card and one phone per document, all
 # pure functions of doc_id so both engines regenerate identical text.
 _PII_INJECT_SPARK = (
-    "concat(text, ' contact user', cast(doc_id as string), '@mail',"
-    " cast(doc_id % 7 as string), '.com from 10.',"
+    "concat(text, ' contact User', cast(doc_id as string), '@Mail',"
+    " cast(doc_id % 7 as string), '.COM from 10.',"
     " cast(doc_id % 256 as string), '.', cast((doc_id * 3) % 256 as string),"
     " '.', cast(doc_id % 100 as string),"
     " ' card 4111111111111111 call 555-',"
     " lpad(cast(doc_id % 10000 as string), 4, '0'))"
 )
 _PII_INJECT_DUCK = (
-    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'"
-    " || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'"
+    "text || ' contact User' || CAST(doc_id AS VARCHAR) || '@Mail'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.COM from 10.'"
     " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
     " || '.' || CAST(doc_id % 100 AS VARCHAR)"
     " || ' card 4111111111111111 call 555-'"
@@ -502,7 +502,9 @@ def _pii_oracle() -> str:
     description="PII redaction for training-data curation "
     "(ops/text.py:scrub_pii): emails, IPv4s, 16-digit cards and phone "
     "numbers — planted deterministically per document since the corpus "
-    "is clean — are counted (regexp_extract_all) and replaced with "
+    "is clean; the planted email is MIXED-CASE so the (?i) email "
+    "pattern is value-locked, not just unit-tested — are counted "
+    "(regexp_extract_all) and replaced with "
     "inert tokens (chained regexp_replace, order-safe: replacement "
     "tokens contain no digits or '@'). n_residual re-scans the SCRUBBED "
     "text with every pattern and must aggregate to 0 — the completeness "

@@ -272,7 +272,11 @@ def test_zorder_read_pushes_both_keys(spark, tmp_path):
         .withColumn("__epoch", F.col("ts").cast("timestamp").cast("double"))
     )
     out = str(tmp_path / "events_z")
-    zorder_write(ev, out, cols=["__epoch", "user_id"], n_files=8)
+    zorder_write(
+        ev, out, cols=["__epoch", "user_id"], n_files=8, drop_cols=["__epoch"]
+    )
+    # the curve helper never reaches the published table
+    assert "__epoch" not in spark.read.parquet(out).columns
     df = spark.read.parquet(out).filter(
         (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
         & F.col("user_id").between(3, 9)

@@ -12,8 +12,12 @@ from pyspark.sql import functions as F
 
 from smartpool_bigdata_spark.io.pyledger import (
     LedgerStreamWriter,
+    _commit_manifests,
+    _log_dir,
+    _read_head,
     _read_manifest,
     _Staged,
+    _write_commit_manifest,
     register_ledger,
 )
 
@@ -69,6 +73,48 @@ def test_append_and_overwrite_modes(spark, tmp_path):
     # overwrite removed the superseded files from disk, not just the manifest
     data_files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
     assert len(data_files) == len(_read_manifest(str(d))["files"])
+
+
+def test_manifest_log_is_sharded_per_commit(spark, tmp_path):
+    """Scale property: each commit writes ONE small manifest listing only
+    its own files — no driver-side artifact grows with total table size
+    (the pre-r6 single-manifest design rewrote an O(total files) JSON on
+    every commit)."""
+    d = tmp_path / "ledger"
+    for _ in range(3):
+        _df(spark, 20).repartition(2).write.format("ledger").mode(
+            "append"
+        ).option("path", str(d)).save()
+    manifests = _commit_manifests(str(d))
+    assert len(manifests) == 3
+    assert all(len(m["files"]) == 2 for m in manifests)
+    assert len(_read_manifest(str(d))["files"]) == 6
+
+
+def test_overwrite_publishes_before_clearing(spark, tmp_path):
+    """Atomicity of overwrite: the HEAD epoch flip is the commit point.
+    A manifest written for a FUTURE epoch (the publish-first half) is
+    invisible until HEAD moves — so a crash mid-overwrite leaves readers
+    the complete OLD table, never an empty or torn one."""
+    d = tmp_path / "ledger"
+    _df(spark, 30).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    old_epoch = _read_head(str(d))
+    # simulate a crash after the new epoch's manifest landed but before
+    # the HEAD flip: readers must still see the full old table
+    _write_commit_manifest(str(d), old_epoch + 1, ["ghost.jsonl"], None)
+    assert _read(spark, d).count() == 30
+    # a real overwrite then supersedes everything (incl. the orphan)
+    _df(spark, 5).write.format("ledger").mode("overwrite").option(
+        "path", str(d)
+    ).save()
+    assert _read(spark, d).count() == 5
+    assert _read_head(str(d)) == old_epoch + 2
+    # GC removed every superseded epoch's manifests (the orphan included);
+    # only HEAD's remain
+    assert {m["epoch"] for m in _commit_manifests(str(d))} == {old_epoch + 2}
+    assert os.path.isdir(_log_dir(str(d)))
 
 
 def test_uncommitted_staged_files_are_invisible(spark, tmp_path):

@@ -453,6 +453,7 @@ def test_scrub_pii_redacts_and_counts(spark):
                 "4111111111111111 call 555-0142"),
             (2, "nothing sensitive here"),
             (3, "two emails a@b.io c.d@e-f.co and ip 192.168.0.1"),
+            (4, "upper-case mail Jane.Doe@Example.COM must not leak"),
         ],
         "doc_id int, text string",
     )
@@ -468,6 +469,10 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert sum(out[2][c] for c in ("n_email", "n_ip", "n_card", "n_phone")) == 0
     r3 = out[3]
     assert r3["n_email"] == 2 and r3["n_ip"] == 1 and r3["n_residual"] == 0
+    r4 = out[4]
+    assert r4["n_email"] == 1 and r4["n_residual"] == 0
+    assert "Jane" not in r4["clean_text"] and "Example" not in r4["clean_text"]
+    assert "<EMAIL>" in r4["clean_text"]
 
 
 def test_scrub_pii_is_idempotent(spark):
