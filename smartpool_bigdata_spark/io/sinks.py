@@ -91,15 +91,30 @@ def ensure_table(
     the ``limit(0)`` write (``notebooks/03_silver_smartpool.ipynb:244-250``).
     Returns True when the table was created, False when it already existed.
 
-    Parquet caveat vs Delta: a zero-row partitioned write emits no data
-    files at all (schema would be uninferrable), so the bootstrap writes
-    one empty UNpartitioned schema-bearing file; the partition layout
-    materializes with the first real append (Delta records it in the log
-    up-front instead).
+    Partitioned bootstrap on parquet: a zero-row PARTITIONED write emits
+    no data files at all (schema would be uninferrable), so the
+    zero-row schema-bearing file is written INSIDE a sentinel partition
+    directory (``col=<epoch/empty-marker>``) — the parquet analog of
+    Delta recording the partition layout in its log up-front. Partition
+    discovery then sees a consistent directory structure from the very
+    first real append (a bare root-level file would CONFLICT with later
+    ``partitionBy`` appends), the sentinel contributes zero rows forever,
+    and readers get the declared partition columns immediately.
     """
     if _exists(spark, path):
         return False
-    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    if not partition_by:
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        return True
+    empty = spark.createDataFrame([], schema)
+    # sentinel values chosen so partition-type inference agrees with the
+    # declared column type
+    sentinel = {"date": "1970-01-01", "timestamp": "1970-01-01 00:00:00"}
+    leaf = path
+    for c in partition_by:
+        t = empty.schema[c].dataType.typeName()
+        leaf = os.path.join(leaf, f"{c}={sentinel.get(t, '0' if t in ('integer', 'long', 'short') else '__bootstrap__')}")
+    empty.drop(*partition_by).write.mode("overwrite").parquet(leaf)
     return True
 
 

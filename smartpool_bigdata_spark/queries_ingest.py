@@ -603,3 +603,121 @@ def ledger_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before cleanup
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "schema_merge_landing_stats",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 3 = 0
+                THEN (CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END)
+           END AS channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM orders GROUP BY 1
+    """,
+    description="S12 end-to-end (io.sinks.append_with_schema_merge — the "
+    "mergeSchema=true Bronze append, "
+    "notebooks/05_ingest_electricity_csv.ipynb:241-245): a legacy batch "
+    "of orders lands WITHOUT the channel column, a drifted producer then "
+    "appends WITH it, and the merged read is aggregated per channel. "
+    "Legacy rows must surface channel=NULL (the union-schema contract) "
+    "and every row must survive both appends — the oracle rebuilds the "
+    "batch split arithmetically over the original table, so the value "
+    "hash locks losslessness of the schema-evolving append, not just "
+    "its row count.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def schema_merge_landing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.sinks import append_with_schema_merge
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_schema_merge_")
+    try:
+        path = os.path.join(stage, "bronze_orders")
+        legacy = orders.filter(F.col("o_orderkey") % 3 != 0)
+        legacy.write.mode("append").parquet(path)
+        drifted = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store"),
+        )
+        merged = append_with_schema_merge(spark, path, drifted)
+        out = merged.groupBy("channel").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            stable_sum("o_totalprice", 2).alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "bootstrap_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS bootstrap_created,
+           FALSE AS bootstrap_recreated,
+           'event_date' AS partition_col
+    FROM events GROUP BY event_type
+    """,
+    description="S14+S18 end-to-end (io.sinks.ensure_table + table_detail "
+    "+ expectations.PartitionedBy — ensure_delta and DESCRIBE DETAIL, "
+    "notebooks/07_kafka_smartpool_sensors.ipynb:242-250, "
+    "03_silver_smartpool.ipynb:698-713): an empty partitioned table is "
+    "bootstrapped (sentinel-partition schema file), re-bootstrap is a "
+    "no-op, events append partitioned by event_date, and the metadata "
+    "scan + physical-partitioning assertion fold into the output row as "
+    "oracle-locked literals — bootstrap_created/bootstrap_recreated come "
+    "from ensure_table's return values and partition_col from the "
+    "discovered layout (BROKEN on violation), so a silent layout "
+    "regression flips the value hash. The sentinel partition must "
+    "contribute zero rows (count oracle).",
+    skip_bench=True,  # staging write dominates the timing
+)
+def bootstrap_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.expectations import PartitionedBy
+    from smartpool_bigdata_spark.io.sinks import ensure_table, table_detail
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    stage = tempfile.mkdtemp(prefix="spark_bootstrap_")
+    try:
+        path = os.path.join(stage, "events_by_day")
+        schema = "ts timestamp_ntz, event_type string, event_date date"
+        created = ensure_table(spark, path, schema, partition_by=["event_date"])
+        recreated = ensure_table(spark, path, schema, partition_by=["event_date"])
+        ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
+            "append"
+        ).partitionBy("event_date").parquet(path)
+        detail = table_detail(spark, path)
+        violations = PartitionedBy(path, ["event_date"]).check(None)
+        part_ok = detail["partitionColumns"] == ["event_date"] and not violations
+        landed = spark.read.parquet(path)
+        out = (
+            landed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.countDistinct("event_date").cast("bigint").alias("n_days"),
+            )
+            .withColumns(
+                {
+                    "bootstrap_created": F.lit(bool(created)),
+                    "bootstrap_recreated": F.lit(bool(recreated)),
+                    "partition_col": F.lit(
+                        "event_date" if part_ok else "BROKEN"
+                    ),
+                }
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+__reorder()

@@ -181,6 +181,16 @@ def test_ensure_table(spark, tmp_path):
     assert boot.count() == 0
     assert [f.name for f in boot.schema.fields] == ["id", "d"]
     assert not ensure_table(spark, path, "id INT, d STRING")  # already exists
+    # the sentinel-partition bootstrap must coexist with real partitioned
+    # appends (a bare root-level file would make partition discovery
+    # conflict) and never contribute rows
+    spark.createDataFrame([(1, "a"), (2, "b")], "id INT, d STRING").write.mode(
+        "append"
+    ).partitionBy("d").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert {r["d"] for r in back.select("d").collect()} == {"a", "b"}
+    assert "d" in table_detail(spark, path)["partitionColumns"]
 
 
 def test_ts_bounds_push_down_to_raw_scan(spark, duck):
