@@ -1094,6 +1094,93 @@ def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_ivf_assignments",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored AS (
+        SELECT c.vec_id, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM assigned GROUP BY bucket
+    """,
+    description="IVF index maintenance CLOSED AS A STREAM (the "
+    "incremental-ingest loop applied to the ANN family, mirroring "
+    "stream_incremental_near_dup): half the corpus is assigned one-shot "
+    "to the frozen 16-centroid coarse quantizer, the other half arrives "
+    "as a file stream in rate-limited micro-batches (maxFilesPerTrigger="
+    "1) through foreachBatch + assign_ivf_buckets + a vec_id-keyed MERGE "
+    "into the assignment table — per-batch cost is O(batch · k·d), the "
+    "base corpus is never re-assigned, replays are idempotent "
+    "(checkpoint-restart pytest-locked in tests/test_streaming.py). "
+    "Oracle: the ONE-SHOT DuckDB assignment of the full corpus grouped "
+    "by bucket — batch boundaries and the base/stream split must not "
+    "change a single assignment. streaming/runner.py:"
+    "start_ivf_assignment.",
+    skip_bench=True,  # staging writes + stream startup dominate
+)
+def stream_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.streaming import file_stream
+    from smartpool_bigdata_spark.streaming.runner import start_ivf_assignment
+
+    corpus = _corpus(spark, sf_dir)
+    cents = (
+        sample_fixed_k(corpus, N_CENTROIDS, salt="c")
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)  # frozen quantizer, not per-batch work
+    )
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    stage = tempfile.mkdtemp(prefix="spark_ivfstream_")
+    try:
+        asg_path = os.path.join(stage, "assignments")
+        src = os.path.join(stage, "new_vecs")
+        ckpt = os.path.join(stage, "ckpt")
+        assign_ivf_buckets(base, cents).select("vec_id", "bucket").write.parquet(
+            asg_path
+        )
+        new.repartition(4).write.parquet(src)
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_ivf_assignment(
+            stream,
+            cents,
+            asg_path,
+            ckpt,
+            trigger={"availableNow": True},
+            query_name="ivf_maintenance",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        asg = spark.read.parquet(asg_path)
+        out = asg.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.max("vec_id").cast("bigint").alias("max_vec_id"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

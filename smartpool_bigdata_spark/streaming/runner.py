@@ -167,6 +167,50 @@ def start_incremental_dedup(
     return _with_trigger(writer, trigger).start()
 
 
+def start_ivf_assignment(
+    emb_stream: DataFrame,
+    centroids: DataFrame,
+    assignment_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """IVF index maintenance as a STREAM — the incremental-dedup loop
+    pattern (``start_incremental_dedup``) applied to the ANN family: each
+    micro-batch of new embeddings is assigned to its max-cosine coarse
+    centroid (broadcast O(k·d), scan-only over the batch) and the
+    ``(id, bucket)`` rows MERGE into the assignment table keyed by id —
+    so the inverted-list layout stays current under continuous ingest
+    without ever re-assigning the base corpus. Replayed batches re-derive
+    the SAME assignments and the keyed MERGE replaces rather than
+    duplicates, so checkpoint-recovery replays are idempotent
+    (restart-tested in tests/test_streaming.py). ``centroids`` is the
+    frozen coarse quantizer ``(centroid_id, cv)`` — pass a materialized
+    frame so it isn't recomputed per batch; periodic re-training swaps in
+    a new centroid set + full re-assign, exactly like batch IVF."""
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+    from smartpool_bigdata_spark.ops.vectors import assign_ivf_buckets
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_ivf_buckets(
+            batch_df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "bucket")
+        merge_upsert(
+            batch_df.sparkSession, assignment_path, assigned, [id_col]
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: str,

@@ -555,6 +555,67 @@ def test_outer_join_null_emission_boundary_is_strict(spark, tmp_path):
     assert got == {("p_match", "v_match"), ("p_below", None)}
 
 
+def test_ivf_assignment_stream_restart_and_replay(spark, tmp_path):
+    """The streaming IVF maintenance loop survives a checkpoint restart
+    (drain half the new vectors, stop, deliver the rest, restart from the
+    same checkpoint) — the final assignment table equals the one-shot
+    assignment of the full corpus, with exactly one row per vec_id (the
+    keyed MERGE must replace on replay, never duplicate)."""
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        assign_ivf_buckets,
+        sample_fixed_k,
+    )
+    from smartpool_bigdata_spark.streaming.runner import start_ivf_assignment
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    cents = (
+        sample_fixed_k(corpus, 16, salt="c")
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    asg_path = str(tmp_path / "assignments")
+    src = str(tmp_path / "new_vecs")
+    ckpt = str(tmp_path / "ckpt")
+    assign_ivf_buckets(base, cents).select("vec_id", "bucket").write.parquet(
+        asg_path
+    )
+
+    def drain():
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_ivf_assignment(
+            stream, cents, asg_path, ckpt, trigger={"availableNow": True}
+        )
+        assert q.awaitTermination(240)
+
+    os.makedirs(src, exist_ok=True)
+    new.filter(F.col("vec_id") % 4 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # first run: half the new vectors, then the query stops
+    new.filter(F.col("vec_id") % 4 == 3).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # restart from the same checkpoint picks up only the new files
+
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(asg_path).collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in assign_ivf_buckets(corpus, cents)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert got == want and got
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(asg_path).collect())
+    assert len(ids) == len(set(ids))  # exactly one assignment per vector
+
+
 def test_incremental_dedup_stream_restart_and_replay(spark, tmp_path):
     """The streaming incremental dedup loop survives a checkpoint restart
     (drain half the new docs, stop, deliver the rest, restart from the
