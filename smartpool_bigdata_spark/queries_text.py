@@ -2915,3 +2915,278 @@ def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
+
+
+_V3_SEQ = 512  # packed-sequence length for the final accounting stage
+
+
+@query(
+    "llm_corpus_pipeline_v3",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, w, u.h AS h FROM (
+            SELECT doc_id, lang, CAST(len(th) AS BIGINT) AS w, unnest(th) AS h
+            FROM th
+            UNION ALL
+            SELECT doc_id, lang, CAST(len(th) AS BIGINT) AS w,
+                   unnest(list_transform(range(1, len(th)),
+                          i -> (th[i] + th[i + 1]) % 1152921504606846976)) AS h
+            FROM th)
+        AS u(doc_id, lang, w, h)
+    ),
+    margins AS (
+        SELECT doc_id, lang, w,
+               CAST(sum(CAST(h % 997 / 996.0 - 0.5 AS DECIMAL(38,10)))
+                    AS DOUBLE) / count(*) AS margin
+        FROM feats GROUP BY doc_id, lang, w
+    ),
+    pass AS (
+        SELECT doc_id, lang, w FROM margins WHERE margin > 0
+    ),
+    pfeats AS (
+        SELECT f.doc_id, f.lang, f.w, f.h % {_DSIR_B} AS b
+        FROM feats f JOIN pass p ON p.doc_id = f.doc_id
+    ),
+    tc AS (
+        SELECT b, count(*) AS ct FROM pfeats WHERE lang = 'en' GROUP BY b
+    ),
+    rc AS (
+        SELECT b, count(*) AS cr FROM pfeats GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM pfeats WHERE lang = 'en') AS tt,
+               (SELECT count(*) FROM pfeats) AS rt
+    ),
+    scored AS (
+        SELECT f.doc_id, f.lang, f.w,
+               CAST(sum(CAST(
+                   ln((coalesce(tc.ct, 0) + 1) / CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+                 - ln((rc.cr + 1)            / CAST(tot.rt + {_DSIR_B} AS DOUBLE))
+               AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS logw_norm
+        FROM pfeats f
+        JOIN rc ON f.b = rc.b
+        LEFT JOIN tc ON f.b = tc.b
+        CROSS JOIN tot
+        GROUP BY f.doc_id, f.lang, f.w
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY logw_norm DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM scored
+    ),
+    dsel AS (
+        SELECT doc_id, lang, w FROM ranked WHERE rk <= n // 4
+    ),
+    p2 AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_dsir,
+               CAST(sum(w) AS BIGINT) AS m
+        FROM dsel GROUP BY lang
+    ),
+    tot2 AS (
+        SELECT CAST(sum(m) AS BIGINT) AS total,
+               CAST(sum(CAST(pow(m, 0.3) AS DECIMAL(38,10))) AS DOUBLE) AS z
+        FROM p2
+    ),
+    budgets AS (
+        SELECT lang, n_dsir,
+               CAST(floor((total * 3 // 10) * (pow(m, 0.3) / z)) AS BIGINT)
+                   AS budget_tokens
+        FROM p2 CROSS JOIN tot2
+    ),
+    ordered AS (
+        SELECT lang, w,
+               sum(w) OVER (PARTITION BY lang
+                            ORDER BY {T.duck_hash64("('v3|' || CAST(doc_id AS VARCHAR))")},
+                                     doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dsel
+    ),
+    sel AS (
+        SELECT o.lang, o.w
+        FROM ordered o JOIN budgets b USING (lang)
+        WHERE o.cum <= b.budget_tokens
+    ),
+    p3 AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+               CAST(sum(w) AS BIGINT) AS toks
+        FROM sel GROUP BY lang
+    ),
+    p1 AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_pass FROM pass GROUP BY lang
+    )
+    SELECT p1.lang, p1.n_pass,
+           CAST(coalesce(b.n_dsir, 0) AS BIGINT) AS n_dsir_selected,
+           CAST(coalesce(p3.n_sel, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(b.budget_tokens, 0) AS BIGINT) AS budget_tokens,
+           CAST(coalesce(p3.toks, 0) AS BIGINT) AS tokens_selected,
+           CAST((coalesce(p3.toks, 0) + {_V3_SEQ - 1}) // {_V3_SEQ} AS BIGINT)
+               AS n_seqs,
+           CAST((coalesce(p3.toks, 0) + {_V3_SEQ - 1}) // {_V3_SEQ} * {_V3_SEQ}
+                - coalesce(p3.toks, 0) AS BIGINT) AS pad_tokens
+    FROM p1
+    LEFT JOIN budgets b USING (lang)
+    LEFT JOIN p3 USING (lang)
+    """,
+    description="END-TO-END curation pipeline v3: the round-5 SELECTION "
+    "family composed in the realistic curation order, one plan, one "
+    "oracle (the v2 pattern applied to the r5 additions): hashed-linear "
+    "quality-classifier gate (margin > 0 over broadcast-free unigram+"
+    "bigram hash features) -> DSIR importance resampling among the "
+    "survivors (target-vs-raw LLR over 4096 hash buckets, LMs TRAINED ON "
+    "THE PASSING SET so upstream filtering feeds downstream statistics, "
+    "global top-quarter by the two-phase distributed prefix-sum rank — "
+    "never a single-task window) -> per-language token-budget selection "
+    "(alpha=0.3 temperature weights over the DSIR-selected token mass, "
+    "greedy hash-priority prefix via the per-lang distributed prefix "
+    "sum) -> packed-sequence accounting (concat-and-chunk at seq_len="
+    f"{_V3_SEQ}: full sequences + pad waste per language). The corpus "
+    "is tokenized ONCE (lazily checkpointed token-hash stage shared by "
+    "the classifier and DSIR feature streams); both LMs and all "
+    "per-language frames are O(buckets)/O(langs) broadcasts. Every "
+    "stage's population is the previous stage's output, so the oracle "
+    "locks the composition — not just each operator in isolation.",
+)
+def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    # one tokenize+hash pass, shared by the classifier and DSIR branches
+    th = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    ).localCheckpoint(eager=False)
+    feats = th.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(th) AS BIGINT)").alias("w"),
+        F.explode(
+            F.expr(
+                "concat(th, CASE WHEN size(th) >= 2 THEN "
+                "transform(sequence(1, size(th) - 1), "
+                "i -> pmod(element_at(th, i) + element_at(th, i + 1), "
+                "1152921504606846976L)) ELSE array() END)"
+            )
+        ).alias("h"),
+    )
+    # stage 1 — hashed-linear quality classifier (doc_quality_classifier)
+    margins = feats.groupBy("doc_id", "lang", "w").agg(
+        (
+            F.sum(
+                F.expr("CAST(pmod(h, 997) / 996.0 - 0.5 AS DECIMAL(38,10))")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("margin")
+    )
+    pass_docs = margins.filter(F.col("margin") > 0).select("doc_id", "lang", "w")
+    # stage 2 — DSIR over the survivors: both LMs trained on the passing
+    # set (doc_id-keyed join; auto-broadcasts at test SF, co-partitioned
+    # hash join at scale)
+    pfeats = feats.join(pass_docs.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "w", F.expr(f"pmod(h, {_DSIR_B})").alias("b")
+    )
+    tc = pfeats.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rc = pfeats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = pfeats.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    scored = (
+        pfeats.join(F.broadcast(rc), "b")
+        .join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang", "w")
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        f"CAST(ln((coalesce(ct, 0) + 1) / CAST(tt + {_DSIR_B} AS DOUBLE))"
+                        f" - ln((cr + 1) / CAST(rt + {_DSIR_B} AS DOUBLE))"
+                        " AS DECIMAL(38,10))"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("logw_norm")
+        )
+    )
+    keyed = scored.select(
+        "*", (-F.col("logw_norm")).alias("__negw"), F.lit(1).alias("__one")
+    )
+    n_row = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_running_sum(
+        keyed, order_by=["__negw", "doc_id"], value_col="__one", out_col="rk"
+    ).crossJoin(F.broadcast(n_row))
+    dsel = ranked.filter(F.col("rk") <= F.expr("n div 4")).select(
+        "doc_id", "lang", "w"
+    )
+    # stage 3 — per-language token budgets over the DSIR-selected mass
+    p2 = dsel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dsir"),
+        F.sum("w").cast("bigint").alias("m"),
+    )
+    tot2 = p2.agg(
+        F.sum("m").cast("bigint").alias("total"),
+        stable_sum(F.expr("pow(m, 0.3D)"), None).alias("z"),
+    )
+    budgets = p2.crossJoin(F.broadcast(tot2)).select(
+        "lang",
+        "n_dsir",
+        F.expr(
+            "CAST(floor((total * 3 DIV 10) * (pow(m, 0.3D) / z)) AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+    withkey = dsel.select(
+        "*",
+        F.expr(
+            T.spark_hash64("concat('v3|', cast(doc_id as string))")
+        ).alias("__hb"),
+    )
+    cum = global_running_sum(
+        withkey,
+        order_by=["__hb", "doc_id"],
+        value_col="w",
+        partition_cols=["lang"],
+        out_col="cum",
+    )
+    sel = cum.join(F.broadcast(budgets.select("lang", "budget_tokens")), "lang").filter(
+        F.col("cum") <= F.col("budget_tokens")
+    )
+    p3 = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sel"),
+        F.sum("w").cast("bigint").alias("toks"),
+    )
+    p1 = pass_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pass")
+    )
+    # stage 4 — packed-sequence accounting (concat-and-chunk)
+    toks = F.coalesce(F.col("toks"), F.lit(0).cast("bigint"))
+    seqs = F.expr(f"CAST((coalesce(toks, 0L) + {_V3_SEQ - 1}) div {_V3_SEQ} AS BIGINT)")
+    return (
+        p1.join(F.broadcast(budgets), "lang", "left")
+        .join(F.broadcast(p3), "lang", "left")
+        .select(
+            "lang",
+            "n_pass",
+            F.coalesce("n_dsir", F.lit(0).cast("bigint")).alias("n_dsir_selected"),
+            F.coalesce("n_sel", F.lit(0).cast("bigint")).alias("n_selected"),
+            F.coalesce("budget_tokens", F.lit(0).cast("bigint")).alias(
+                "budget_tokens"
+            ),
+            toks.alias("tokens_selected"),
+            seqs.alias("n_seqs"),
+            (seqs * _V3_SEQ - toks).cast("bigint").alias("pad_tokens"),
+        )
+    )
+
+
+__reorder()

@@ -212,6 +212,21 @@ def test_r4_curation_queries_never_sort_merge_join(plans):
         assert "CartesianProduct" not in final, name
 
 
+def test_r6_additions_plan_posture(plans):
+    """The r6 additions' scale posture, plan-locked: broadcast/hash joins
+    only — pipeline v3 chains classifier -> DSIR -> budget -> packing in
+    one plan, and a lost broadcast on any of its O(buckets)/O(langs)
+    frames would surface as a SortMergeJoin here, not at 100 TB."""
+    for name in (
+        "llm_corpus_pipeline_v3",
+        "schema_merge_landing_stats",
+    ):
+        plan = plans(name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "CartesianProduct" not in final, name
+
+
 def test_r5_additions_plan_posture(plans):
     """The r5 family's scale posture, plan-locked like the r4 one:
     broadcast/hash joins only (no SortMergeJoin, no cartesian), and for
