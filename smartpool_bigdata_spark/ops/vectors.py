@@ -293,6 +293,76 @@ def assign_ivf_buckets(
     return best.select(id_col, vec_col, "bucket")
 
 
+def semdedup_prune(
+    assigned: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bucket_col: str = "bucket",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup's within-cluster prune (Abbas et al. 2023): among every
+    same-cluster pair with cosine >= ``threshold``, the later-id member
+    is pruned. Returns the distinct pruned ids. The k-means clustering IS
+    the blocking — candidate pairs are bounded by cluster size, never a
+    global all-pairs.
+
+    Hot-cluster guard (``max_cluster_size``): cluster sizes follow the
+    data's density, and at 100 TB one semantically-dense region (near-
+    empty documents, boilerplate imagery) can concentrate millions of
+    members in one cluster, making its within-cluster pair join
+    quadratic — the skew twin of the salted-top-N problem. With the cap
+    set, members of clusters ABOVE the cap are sub-blocked by one
+    16-bit sign-LSH band (the same hyperplane arithmetic as the
+    embedding near-dup family — row-local Arrow matmul, no shuffle)
+    before pairing, so per-task pair counts are bounded by the
+    sub-block sizes (~size/2^16 expected). EXACT duplicates always
+    share a band (identical vectors -> identical signs), so dup recall
+    on the pairs that matter most survives the guard; borderline
+    near-dup pairs straddling a hyperplane inside a giant cluster may
+    be missed — the disclosed recall trade, mirrored from the banded
+    MinHash-LSH contract. Clusters at or under the cap pair exactly as
+    before (sub-key 0), so the guard is a strict no-op until skew
+    actually appears. Skew-tested with a planted giant cluster in
+    tests/test_vector_ops.py.
+    """
+    df = assigned
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        sigs = lsh_band_signatures(
+            assigned, id_col=id_col, vec_col=vec_col, bands=1, bits=16
+        ).select(id_col, F.expr("bands[0]").alias("__band0"))
+        df = (
+            assigned.join(F.broadcast(sizes), bucket_col)
+            .join(sigs, id_col)
+            .withColumn(
+                "__sub",
+                F.when(
+                    F.col("__csz") > max_cluster_size, F.col("__band0")
+                ).otherwise(F.lit(0)).cast("long"),
+            )
+        )
+    else:
+        df = assigned.withColumn("__sub", F.lit(0).cast("long"))
+    pa = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        bucket_col, "__sub",
+    )
+    pb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        bucket_col, "__sub",
+    )
+    return (
+        pa.join(pb, [bucket_col, "__sub"])
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(F.expr(f"round({spark_cosine('va', 'vb')}, 4) >= {threshold}"))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+
+
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -885,7 +885,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recipe used to dedup LAION/web-scale image-text corpora.",
 )
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from smartpool_bigdata_spark.ops.vectors import kmeans_refine
+    from smartpool_bigdata_spark.ops.vectors import kmeans_refine, semdedup_prune
 
     corpus = _corpus(spark, sf_dir)
     planted = corpus.filter(F.col("vec_id") % 10 == 1).select(
@@ -897,19 +897,12 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_refine(corpus, seeds, iters=1)
     assigned = assign_ivf_buckets(full, cents).localCheckpoint(eager=False)
-    pa = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    pb = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    pruned = (
-        pa.join(pb, "bucket")
-        .filter(F.col("id_a") > F.col("id_b"))
-        .filter(F.expr(f"round({spark_cosine('va', 'vb')}, 4) >= 0.99"))
-        .select(F.col("id_a").alias("vec_id"))
-        .distinct()
-        .withColumn("is_pruned", F.lit(1))
+    # no cap here: the gate's cluster sizes are bounded by construction
+    # and the oracle is exact; the hot-cluster guard (max_cluster_size=N
+    # sub-blocks giant clusters by a sign-LSH band) is the documented
+    # skew dial for real corpora — skew-tested in tests/test_vector_ops.py
+    pruned = semdedup_prune(assigned, threshold=0.99).withColumn(
+        "is_pruned", F.lit(1)
     )
     return (
         assigned.join(F.broadcast(pruned), "vec_id", "left")

@@ -458,3 +458,60 @@ def test_covariance_partial_matches_exact(spark):
         abs(exact[k] - part[k]) / max(1.0, abs(exact[k])) for k in exact
     )
     assert worst < 1e-9, worst
+
+
+def test_semdedup_hot_cluster_guard(spark):
+    """The SemDeDup within-cluster prune is bounded by cluster size; a
+    planted GIANT cluster (every vector forced into bucket 0) must (a)
+    still catch every planted exact duplicate under the sub-blocking
+    guard — identical vectors share their sign-LSH band by construction
+    — and (b) actually bound the pair join: the largest sub-block must
+    be far below the full cluster, so no task goes quadratic in the
+    cluster. The salted-top-N pattern's skew fix, applied to semantic
+    dedup."""
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        lsh_band_signatures,
+        semdedup_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    dups = corpus.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    # degenerate assignment: one giant cluster holding everything
+    giant = corpus.union(dups).withColumn("bucket", F.lit(0))
+    n = giant.count()
+    n_dups = dups.count()
+
+    pruned = semdedup_prune(giant, threshold=0.99, max_cluster_size=50)
+    got = {r["vec_id"] for r in pruned.collect()}
+    # every planted exact duplicate (the later id of each identical pair)
+    # is pruned even under sub-blocking
+    want_dups = {r["vec_id"] for r in dups.select("vec_id").collect()}
+    assert want_dups <= got
+    assert len(want_dups) == n_dups > 0
+
+    # the guard genuinely splits the cluster: the largest sign-LSH
+    # sub-block is a small fraction of the giant cluster
+    sizes = (
+        lsh_band_signatures(giant, bands=1, bits=16)
+        .groupBy(F.expr("bands[0]"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes < n * 0.2, f"largest sub-block {sizes} of {n}"
+
+    # strict no-op below the cap: a normal multi-cluster assignment gives
+    # identical prune sets with and without the guard
+    normal = corpus.union(dups).withColumn(
+        "bucket", (F.col("vec_id") % 7).cast("long")
+    )
+    with_guard = {
+        r["vec_id"]
+        for r in semdedup_prune(normal, max_cluster_size=10_000).collect()
+    }
+    without = {r["vec_id"] for r in semdedup_prune(normal).collect()}
+    assert with_guard == without
