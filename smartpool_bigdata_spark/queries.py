@@ -2283,22 +2283,20 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # * r4 window: the 50 queries the r3 window displaced (OLAP extensions,
 #   TF-IDF/winnowing/PQ/kmeans-IVF, the stream-stream join pair, ...) —
 #   all 50 green in CORRECTNESS_r04.json.
-# * r5 window (below), executing the r4 verdict's #1 ask: the 14 round-4
-#   additions that had no driver row yet (curation pipeline v2,
-#   incremental near-dup, two-phase CC, decontamination / repetition /
-#   unigram-LM, covariance, variant/JSON/ORC round-trips, native pivot,
-#   sensor stream), the 16 round-5 additions (mapInPandas partial
-#   covariance, whitened-PCA value-lock, streaming incremental dedup,
-#   token-budget selection over the distributed prefix sum, PII scrub,
-#   the custom Python data-sink two-phase-commit round-trip, the
-#   Z-order multi-dimensional clustering round-trip, passage-level
-#   chunk dedup, hashed-linear quality-classifier inference, DSIR
-#   importance resampling, SemDeDup semantic dedup, E-S weighted
-#   sampling, bigram-LM scoring, streaming DQ quarantine, incremental
-#   cluster maintenance batch + streaming),
-#   and 20 re-confirmation slots drawn from the oldest (r3) window —
-#   so EVERY registry query has a hard driver CORRECTNESS row within
-#   r3-r5. test_gate_window_pinned asserts exactly that coverage.
+# * r5 window: the 14 round-4 additions that had no driver row yet, the
+#   16 round-5 additions, and 20 re-confirmation slots from the oldest
+#   (r3) window — all 50 green in CORRECTNESS_r05.json; the r3–r5 union
+#   covered the whole registry.
+# * r6 window (below), executing the r5 verdict's #1/#2 asks: the 4
+#   round-6 additions (schema-merge append gate, bootstrap+metadata
+#   round-trip, streaming IVF maintenance, curation pipeline v3), then
+#   ALL 30 queries whose NEWEST driver row is still the r3 window (the
+#   oldest greens — OLAP/doc/knn families last hard-checked two rounds
+#   ago), then 16 re-confirmation slots from the r4 window (its most
+#   complex members: the streaming quartet, kmeans-IVF/PQ, pipeline v1,
+#   cohorts/funnel/reconciliation) — after this round every registry
+#   query's newest driver row is at most two rounds old (r4–r6).
+#   test_gate_window_pinned asserts exactly that coverage.
 #
 # Every query outside the current window keeps the SAME oracle via
 # tests/test_registry_oracle.py (the suite replays the driver's compare
@@ -2307,59 +2305,59 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    # --- the 14 r4 additions without a driver row (r4 verdict ask #1) ---
-    "llm_corpus_pipeline_v2",
-    "doc_incremental_near_dup",
-    "doc_dup_clusters_twophase",
-    "doc_decontamination",
-    "doc_repetition_signals",
-    "doc_unigram_logprob",
-    "corpus_language_mixing",
-    "embedding_covariance",
-    "doc_dedup_best_quality",
-    "event_props_variant",
-    "json_landing_stats",
-    "orc_roundtrip_stats",
-    "order_priority_pivot_native",
-    "sensor_feed_stream_stats",
-    # --- the 3 r5 additions (verdict asks #3/#4/#5) ---
-    "embedding_covariance_partial",
-    "embedding_pca_whitened",
-    "stream_incremental_near_dup",
-    "corpus_token_budget_selection",
-    "doc_pii_scrub",
-    "ledger_roundtrip_stats",
-    "zorder_time_user_slice",
-    "chunk_dedup_stats",
-    "doc_quality_classifier",
-    "doc_dsir_weights",
-    "embedding_semdedup",
-    "doc_weighted_sample",
-    "doc_bigram_logprob",
-    "stream_dq_quarantine",
-    "doc_incremental_dup_clusters",
-    "stream_incremental_dup_clusters",
-    # --- 33 re-confirmation slots: oldest (r3-window) greens ---
-    "pricing_summary",
-    "daily_event_stats",
-    "ingest_watermark",
-    "latest_order_per_customer",
-    "top_orders_per_priority",
-    "customer_order_summary",
-    "segment_fee_model",
-    "event_orphan_users",
-    "stream_event_hourly_window",
-    "stream_dedup_events",
-    "stream_static_segment_counts",
-    "csv_landing_daily_stats",
-    "incremental_keyset_roundtrip",
-    "medallion_gold_daily",
-    "doc_fingerprint_dedup",
-    "chunk_packing",
-    "doc_quality_filter",
-    "multimodal_byte_features",
-    "knn_ivf_multiprobe",
-    "embedding_near_dup",
+    # --- the 4 r6 additions (r5 verdict asks #2/#5/#6) ---
+    "schema_merge_landing_stats",
+    "bootstrap_partitioned_roundtrip",
+    "stream_ivf_assignments",
+    "llm_corpus_pipeline_v3",
+    # --- all 30 queries whose newest driver row is the r3 window ---
+    "order_priority_pivot",
+    "peak_event_hours",
+    "events_from_customers",
+    "hourly_value_deviation",
+    "event_cost_model",
+    "event_range_flags",
+    "active_ids_union",
+    "order_dup_check",
+    "event_null_profile",
+    "urgent_open_orders",
+    "allowed_event_types",
+    "top_value_orders",
+    "event_hourly_window",
+    "event_projection_normalize",
+    "stream_user_sessions",
+    "doc_text_quality",
+    "doc_exact_dedup",
+    "doc_train_split",
+    "doc_token_percentiles",
+    "doc_chunks",
+    "doc_near_dup_pairs",
+    "doc_dup_clusters",
+    "doc_dedup_survivors",
+    "doc_signatures",
+    "doc_signature_table_pairs",
+    "doc_simhash_near_dup",
+    "doc_language_guess",
+    "knn_brute_force",
+    "knn_ivf",
+    "embedding_dup_clusters",
+    # --- 16 re-confirmation slots: the r4 window's most complex rows ---
+    "llm_corpus_pipeline",
+    "knn_ivf_kmeans",
+    "knn_pq_adc",
+    "stream_session_windows",
+    "stream_view_purchase_join",
+    "stream_merge_upsert_roundtrip",
+    "stream_purchase_attribution_outer",
+    "user_retention_cohorts",
+    "user_sessions",
+    "conversion_funnel",
+    "daily_activity_reconciliation",
+    "doc_tfidf_top_terms",
+    "doc_winnow_fingerprint_overlap",
+    "event_type_hour_cube",
+    "user_distinct_hll",
+    "events_asof_reference_value",
 ]
 
 

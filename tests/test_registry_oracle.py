@@ -82,16 +82,39 @@ R4_WINDOW = frozenset({
 })
 
 
+# The 50 queries that held the driver window in round 5 (all green in
+# CORRECTNESS_r05.json).
+R5_WINDOW = frozenset({
+    "llm_corpus_pipeline_v2", "doc_incremental_near_dup", "doc_dup_clusters_twophase",
+    "doc_decontamination", "doc_repetition_signals", "doc_unigram_logprob",
+    "corpus_language_mixing", "embedding_covariance", "doc_dedup_best_quality",
+    "event_props_variant", "json_landing_stats", "orc_roundtrip_stats",
+    "order_priority_pivot_native", "sensor_feed_stream_stats", "embedding_covariance_partial",
+    "embedding_pca_whitened", "stream_incremental_near_dup", "corpus_token_budget_selection",
+    "doc_pii_scrub", "ledger_roundtrip_stats", "zorder_time_user_slice",
+    "chunk_dedup_stats", "doc_quality_classifier", "doc_dsir_weights",
+    "embedding_semdedup", "doc_weighted_sample", "doc_bigram_logprob",
+    "stream_dq_quarantine", "doc_incremental_dup_clusters", "stream_incremental_dup_clusters",
+    "pricing_summary", "daily_event_stats", "ingest_watermark",
+    "latest_order_per_customer", "top_orders_per_priority", "customer_order_summary",
+    "segment_fee_model", "event_orphan_users", "stream_event_hourly_window",
+    "stream_dedup_events", "stream_static_segment_counts", "csv_landing_daily_stats",
+    "incremental_keyset_roundtrip", "medallion_gold_daily", "doc_fingerprint_dedup",
+    "chunk_packing", "doc_quality_filter", "multimodal_byte_features",
+    "knn_ivf_multiprobe", "embedding_near_dup",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r5 set: the 14
-    round-4 additions that had no driver row, the 16 round-5 additions,
-    and 20 re-confirmation slots from the oldest (r3) window — so with
-    the r3 + r4 rows (all green in CORRECTNESS_r03/r04.json) EVERY
-    registry query has a hard driver row within rounds 3-5. A refactor
-    that reorders registration (round 2 silently pushed
-    embedding_near_dup and all of §2.7 out of the window) must fail
-    HERE, not at the gate."""
+    registry entries in iteration order. Pin the ROTATED r6 set: the 4
+    round-6 additions, ALL 30 queries whose newest driver row is still
+    the r3 window (last hard-checked two-plus rounds ago), and 16
+    re-confirmation slots from the r4 window — so after this window
+    runs, every registry query's newest driver row is at most two
+    rounds old (r4-r6). A refactor that reorders registration (round 2
+    silently pushed embedding_near_dup and all of §2.7 out of the
+    window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
 
     names = list(REGISTRY)
@@ -100,32 +123,22 @@ def test_gate_window_pinned():
 
     gated = set(GATE_PRIORITY)
     # prior-window greens stay registered and oracle-checked by this suite
-    missing = (R3_WINDOW | R4_WINDOW) - set(names)
+    missing = (R3_WINDOW | R4_WINDOW | R5_WINDOW) - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
-    # FULL coverage: every registry query has a driver row in r3, r4, or
-    # (once this window runs) r5 — nothing is pytest-only anymore
-    uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW
+    # FULL coverage: every registry query has a driver window somewhere
+    uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW - R5_WINDOW
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # the r4-verdict must-haves for THIS window: the 14 r4 additions
-    # without a driver row plus the 16 r5 additions
+    # the r5-verdict must-haves for THIS window: the 4 r6 additions
     must_haves = {
-        "llm_corpus_pipeline_v2", "doc_incremental_near_dup",
-        "doc_dup_clusters_twophase", "doc_decontamination",
-        "doc_repetition_signals", "doc_unigram_logprob",
-        "corpus_language_mixing", "embedding_covariance",
-        "doc_dedup_best_quality", "event_props_variant",
-        "json_landing_stats", "orc_roundtrip_stats",
-        "order_priority_pivot_native", "sensor_feed_stream_stats",
-        "embedding_covariance_partial", "embedding_pca_whitened",
-        "stream_incremental_near_dup", "corpus_token_budget_selection",
-        "doc_pii_scrub", "ledger_roundtrip_stats", "zorder_time_user_slice",
-        "chunk_dedup_stats", "doc_quality_classifier", "doc_dsir_weights",
-        "embedding_semdedup", "doc_weighted_sample", "doc_bigram_logprob",
-        "stream_dq_quarantine", "doc_incremental_dup_clusters",
-        "stream_incremental_dup_clusters",
+        "schema_merge_landing_stats", "bootstrap_partitioned_roundtrip",
+        "stream_ivf_assignments", "llm_corpus_pipeline_v3",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
-    # every remaining slot re-confirms an r3-window green (the oldest rows)
-    fillers = gated - must_haves
-    assert fillers <= R3_WINDOW, fillers - R3_WINDOW
+    # freshness: every query whose newest driver row is the r3 window
+    # (i.e. r3-green, not re-confirmed in r5) must be in THIS window
+    r3_stale = R3_WINDOW - R5_WINDOW
+    assert r3_stale <= gated, f"stale r3-window greens left out: {r3_stale - gated}"
+    # every remaining slot re-confirms an r4-window green
+    fillers = gated - must_haves - r3_stale
+    assert fillers <= R4_WINDOW, fillers - R4_WINDOW
