@@ -57,12 +57,38 @@ def main() -> int:
         release_signature_caches()
         spark.catalog.clearCache()
 
+    # Apples-to-apples continuity (mirrors bench.py's value_r2_subset):
+    # the total over exactly the 33 staged queries round 5 measured
+    # (BENCH_STAGED.json @ r5, 223.6 s), so the staged total growing with
+    # each round's NEW staged queries is never mistaken for a regression.
+    R5_STAGED_SET = {
+        "clustered_time_slice", "csv_landing_daily_stats",
+        "doc_char_jaccard_pairs", "doc_dedup_best_quality",
+        "doc_dedup_survivors", "doc_dup_clusters",
+        "doc_dup_clusters_twophase", "doc_incremental_dup_clusters",
+        "doc_incremental_near_dup", "doc_signature_table_pairs",
+        "doc_winnow_fingerprint_overlap", "embedding_dedup_survivors",
+        "embedding_dup_clusters", "incremental_keyset_roundtrip",
+        "json_landing_stats", "knn_ivf_kmeans",
+        "ledger_roundtrip_stats", "medallion_gold_daily",
+        "orc_roundtrip_stats", "sensor_feed_stats",
+        "sensor_feed_stream_stats", "stream_dedup_events",
+        "stream_dq_quarantine", "stream_event_hourly_window",
+        "stream_incremental_dup_clusters", "stream_incremental_near_dup",
+        "stream_merge_upsert_roundtrip", "stream_purchase_attribution_outer",
+        "stream_session_windows", "stream_static_segment_counts",
+        "stream_user_sessions", "stream_view_purchase_join",
+        "zorder_time_user_slice",
+    }
     full = {
         "metric": "staged_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "n_queries": len(timings),
+        "value_r5_subset": round(
+            sum(v for k, v in timings.items() if k in R5_STAGED_SET), 3
+        ),
         "sf": sf,
     }
     full_path = os.path.join(

@@ -2289,7 +2289,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   covered the whole registry.
 # * r6 window (below), executing the r5 verdict's #1/#2 asks: the 4
 #   round-6 additions (schema-merge append gate, bootstrap+metadata
-#   round-trip, streaming IVF maintenance, curation pipeline v3), then
+#   round-trip, streaming IVF maintenance, curation pipeline v3, plus
+#   the combined IVF-PQ index), then
 #   ALL 30 queries whose NEWEST driver row is still the r3 window (the
 #   oldest greens — OLAP/doc/knn families last hard-checked two rounds
 #   ago), then 16 re-confirmation slots from the r4 window (its most
@@ -2305,11 +2306,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    # --- the 4 r6 additions (r5 verdict asks #2/#5/#6) ---
+    # --- the r6 additions (r5 verdict asks #2/#5/#6 + IVF-PQ) ---
     "schema_merge_landing_stats",
     "bootstrap_partitioned_roundtrip",
     "stream_ivf_assignments",
     "llm_corpus_pipeline_v3",
+    "knn_ivfpq_adc",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2355,7 +2357,6 @@ GATE_PRIORITY: list[str] = [
     "daily_activity_reconciliation",
     "doc_tfidf_top_terms",
     "doc_winnow_fingerprint_overlap",
-    "event_type_hour_cube",
     "user_distinct_hll",
     "events_asof_reference_value",
 ]

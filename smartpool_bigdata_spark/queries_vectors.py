@@ -807,6 +807,218 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def _ivfpq_duck_cb() -> str:
+    """Residual codebook CTE: per subspace, 16 deterministically sampled
+    RESIDUAL vectors (v − assigned centroid) sliced to that subspace."""
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = PQ_SUBDIM * s + 1, PQ_SUBDIM * (s + 1)
+        blocks.append(
+            f"        SELECT {s} AS sub, vec_id AS code, rv[{lo}:{hi}] AS csub\n"
+            f"        FROM (SELECT vec_id, rv FROM withr "
+            f"ORDER BY md5('ivfpq{s}' || CAST(vec_id AS VARCHAR)) LIMIT {PQ_CODES})"
+        )
+    return "\n        UNION ALL\n".join(blocks)
+
+
+def _ivfpq_duck_subvecs(src: str, idc: str, out: str) -> str:
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = PQ_SUBDIM * s + 1, PQ_SUBDIM * (s + 1)
+        blocks.append(
+            f"        SELECT {idc}, bucket, {s} AS sub, rv[{lo}:{hi}] AS {out} "
+            f"FROM {src}"
+        )
+    return "\n        UNION ALL\n".join(blocks)
+
+
+@query(
+    "knn_ivfpq_adc",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored0 AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored0)
+        WHERE rn = 1
+    ),
+    withr AS (
+        SELECT a.vec_id, a.bucket,
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] - t.cv[i]) AS rv
+        FROM assigned a JOIN cents t ON a.bucket = t.centroid_id
+    ),
+    cb AS (
+{_ivfpq_duck_cb()}
+    ),
+    subvecs AS (
+{_ivfpq_duck_subvecs('withr', 'vec_id', 'sv')}
+    ),
+    escore AS (
+        SELECT vec_id, bucket, sub, code,
+               round(2 * {_dd('sv', 'csub')} - {_dd('csub', 'csub')}, 4) AS sc
+        FROM subvecs JOIN cb USING (sub)
+    ),
+    encoded AS (
+        SELECT vec_id, bucket, sub, code
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY sc DESC, code ASC) AS rn
+              FROM escore)
+        WHERE rn = 1
+    ),
+    qids AS (SELECT vec_id AS query_id FROM ({_duck_sample(N_QUERIES, 'q')})),
+    qres AS (
+        SELECT w.vec_id, w.bucket, w.rv FROM withr w
+        JOIN qids ON w.vec_id = qids.query_id
+    ),
+    qsubs AS (
+{_ivfpq_duck_subvecs('qres', 'vec_id', 'qsv')}
+    ),
+    qdist AS (
+        SELECT vec_id AS query_id, bucket AS qbucket, sub, code,
+               {_dd('qsv', 'qsv')} - 2 * {_dd('qsv', 'csub')} + {_dd('csub', 'csub')} AS contrib
+        FROM qsubs JOIN cb USING (sub)
+    ),
+    adc AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               round(CAST(sum(CAST(contrib AS DECIMAL(38,10))) AS DOUBLE), 4) AS adc_dist
+        FROM encoded e
+        JOIN qdist d ON e.sub = d.sub AND e.code = d.code AND e.bucket = d.qbucket
+        WHERE e.vec_id != d.query_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+          FROM adc)
+    WHERE rn <= 3
+    """,
+    description="The full FAISS-style IVF-PQ index as ONE query — the "
+    "composition of the coarse quantizer (knn_ivf) and the fine "
+    "quantizer (knn_pq_adc), exactly how billion-scale ANN indexes are "
+    "actually built: vectors assign to their max-cosine coarse cell, "
+    "RESIDUALS (v − centroid) encode against per-subspace codebooks "
+    "sampled from the pooled residual distribution (residual encoding "
+    "is what makes shared codebooks tight across cells), and each query "
+    "probes ONLY its own cell (nprobe=1), scoring candidates by "
+    "asymmetric distance — 4 table lookups per candidate on the query's "
+    "residual. Scale: candidates bounded by cell size, codebooks "
+    "O(subspaces·codes·subdim) broadcast, the corpus scanned once for "
+    "assign and once for encode; the encoded table (vec_id, bucket, 4 "
+    "codes ≈ 64× compression) is the entire serving-side state. "
+    "Recall < 1 twice over (cell pruning + quantized distance) — "
+    "knn_brute_force remains the recall oracle; here the value-hash "
+    "oracle locks encode + probe + ADC bit-for-bit in DuckDB.",
+)
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    cents = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = assign_ivf_buckets(corpus, cents)
+    withr = (
+        assigned.join(
+            F.broadcast(
+                cents.select(F.col("centroid_id").alias("bucket"), "cv")
+            ),
+            "bucket",
+        )
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("rv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def subspace(df: DataFrame, idc: str, out: str) -> DataFrame:
+        slices = ", ".join(
+            f"slice(rv, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})"
+            for s in range(PQ_SUBSPACES)
+        )
+        return df.select(
+            F.col(idc),
+            "bucket",
+            F.posexplode(F.expr(f"array({slices})")).alias("sub", out),
+        )
+
+    cb_parts = []
+    for s in range(PQ_SUBSPACES):
+        cb_parts.append(
+            sample_fixed_k(withr, PQ_CODES, salt=f"ivfpq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(rv, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias(
+                    "csub"
+                ),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+
+    subvecs = subspace(withr, "vec_id", "sv")
+    escore = subvecs.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "bucket",
+        "sub",
+        "code",
+        F.expr(
+            f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
+        ).alias("sc"),
+    )
+    encoded = escore.groupBy("vec_id", "bucket", "sub").agg(
+        F.expr("max_by(code, struct(sc, -code))").alias("code")
+    )
+
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
+        F.col("vec_id").alias("query_id")
+    )
+    qres = withr.join(
+        F.broadcast(qids), withr["vec_id"] == qids["query_id"]
+    ).select(F.col("query_id").alias("vec_id"), "bucket", "rv")
+    qsubs = subspace(qres, "vec_id", "qsv")
+    qdist = qsubs.join(F.broadcast(cb), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        "sub",
+        "code",
+        F.expr(
+            f"{spark_dot('qsv', 'qsv')} - 2 * {spark_dot('qsv', 'csub')}"
+            f" + {spark_dot('csub', 'csub')}"
+        ).alias("contrib"),
+    )
+    adc = (
+        encoded.join(
+            F.broadcast(qdist),
+            (encoded["sub"] == qdist["sub"])
+            & (encoded["code"] == qdist["code"])
+            & (encoded["bucket"] == qdist["qbucket"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("adc_dist")
+        )
+    )
+    return top_n_per_group(
+        adc,
+        keys=["query_id"],
+        order_by=[F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        n=3,
+        method="row_number",
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 @query(
     "embedding_semdedup",
     oracle=f"""

@@ -128,10 +128,11 @@ def test_gate_window_pinned():
     # FULL coverage: every registry query has a driver window somewhere
     uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW - R5_WINDOW
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # the r5-verdict must-haves for THIS window: the 4 r6 additions
+    # the r5-verdict must-haves for THIS window: the r6 additions
     must_haves = {
         "schema_merge_landing_stats", "bootstrap_partitioned_roundtrip",
         "stream_ivf_assignments", "llm_corpus_pipeline_v3",
+        "knn_ivfpq_adc",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
