@@ -2289,8 +2289,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   covered the whole registry.
 # * r6 window (below), executing the r5 verdict's #1/#2 asks: the 4
 #   round-6 additions (schema-merge append gate, bootstrap+metadata
-#   round-trip, streaming IVF maintenance, curation pipeline v3, plus
-#   the combined IVF-PQ index), then
+#   round-trip, streaming IVF maintenance, curation pipeline v3, the
+#   combined IVF-PQ index, the concurrent multi-hop topology), then
 #   ALL 30 queries whose NEWEST driver row is still the r3 window (the
 #   oldest greens — OLAP/doc/knn families last hard-checked two rounds
 #   ago), then 16 re-confirmation slots from the r4 window (its most
@@ -2312,6 +2312,7 @@ GATE_PRIORITY: list[str] = [
     "stream_ivf_assignments",
     "llm_corpus_pipeline_v3",
     "knn_ivfpq_adc",
+    "stream_multihop_topology",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2357,7 +2358,6 @@ GATE_PRIORITY: list[str] = [
     "daily_activity_reconciliation",
     "doc_tfidf_top_terms",
     "doc_winnow_fingerprint_overlap",
-    "user_distinct_hll",
     "events_asof_reference_value",
 ]
 

@@ -652,3 +652,135 @@ def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before cleanup
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "stream_multihop_topology",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value,
+           round(CAST(sum(CAST(value * 0.1 AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_fee,
+           'ok' AS ingest_check,
+           'ok' AS stop_check
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+    description="T5+T7+T8 end-to-end: THREE CONCURRENT streaming queries "
+    "chained off one lineage — raw file stream -> bronze parquet, "
+    "bronze-as-stream -> silver (error rows filtered), silver-as-stream "
+    "-> gold (fee enrichment) — each with its own checkpoint, exactly "
+    "the reference's multi-query topology "
+    "(spark-apps/07_kafka_smartpool_sensors.py:76-160) built the "
+    "S8/Delta-chaining way (downstream reads the upstream FILE SINK's "
+    "_spark_metadata log, so the hops are replayable). The driver query "
+    "polls gold until the topology converges, then gracefully stops all "
+    "three (T7, streaming/runner.py:stop_all) and folds two runtime "
+    "facts into oracle-locked literals: ingest_check = the bronze "
+    "query's summed lastProgress.numInputRows over distinct batchIds "
+    "equals the source row count (T8 observability, every row input "
+    "exactly once), stop_check = all three queries actually terminated. "
+    "A lost micro-batch, double-ingest, or hung stop flips a literal to "
+    "BROKEN and fails the value hash. Sequential-chain correctness is "
+    "separately gated by the stream_* family; this row gates the "
+    "CONCURRENT topology.",
+    skip_bench=True,  # stream startup x3 + convergence poll dominate
+)
+def stream_multihop_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.streaming.runner import stop_all
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_expected = ev.filter(F.col("event_type") != "error").count()
+    stage = tempfile.mkdtemp(prefix="spark_multihop_")
+    try:
+        src = os.path.join(stage, "src")
+        bronze = os.path.join(stage, "bronze")
+        silver = os.path.join(stage, "silver")
+        gold = os.path.join(stage, "gold")
+        ev.repartition(4).write.parquet(src)
+        schema = "event_id bigint, event_type string, value double"
+
+        q1 = (
+            file_stream(spark, src, schema, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", bronze)
+            .option("checkpointLocation", os.path.join(stage, "ck1"))
+            .trigger(processingTime="200 milliseconds")
+            .queryName("hop_bronze")
+            .start()
+        )
+        q2 = (
+            file_stream(spark, bronze, schema)
+            .filter(F.col("event_type") != "error")
+            .writeStream.format("parquet")
+            .option("path", silver)
+            .option("checkpointLocation", os.path.join(stage, "ck2"))
+            .trigger(processingTime="200 milliseconds")
+            .queryName("hop_silver")
+            .start()
+        )
+        q3 = (
+            file_stream(spark, silver, schema)
+            .withColumn("fee", F.col("value") * 0.1)
+            .writeStream.format("parquet")
+            .option("path", gold)
+            .option("checkpointLocation", os.path.join(stage, "ck3"))
+            .trigger(processingTime="200 milliseconds")
+            .queryName("hop_gold")
+            .start()
+        )
+        queries = [q1, q2, q3]
+
+        def gold_count() -> int:
+            try:
+                return spark.read.parquet(gold).count()
+            except Exception:
+                return -1
+
+        deadline = time.monotonic() + 120
+        while gold_count() != n_expected and time.monotonic() < deadline:
+            time.sleep(0.5)
+        converged = gold_count() == n_expected
+
+        # T8: every source row entered the bronze hop exactly once
+        seen: dict[int, int] = {}
+        for p in q1.recentProgress:
+            if p and p.get("batchId") is not None:
+                seen[p["batchId"]] = p.get("numInputRows", 0)
+        rows_in = sum(seen.values())
+        n_src = ev.count()
+
+        stop_all(queries)  # T7: graceful stop + bounded awaitTermination
+        stopped = all(not q.isActive for q in queries)
+
+        ingest_check = "ok" if (converged and rows_in == n_src) else "BROKEN"
+        stop_check = "ok" if stopped else "BROKEN"
+        out = (
+            spark.read.parquet(gold)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                stable_sum("value", 2).alias("total_value"),
+                stable_sum("fee", 2).alias("total_fee"),
+            )
+            .withColumns(
+                {
+                    "ingest_check": F.lit(ingest_check),
+                    "stop_check": F.lit(stop_check),
+                }
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+__reorder()
