@@ -2313,6 +2313,7 @@ GATE_PRIORITY: list[str] = [
     "llm_corpus_pipeline_v3",
     "knn_ivfpq_adc",
     "stream_multihop_topology",
+    "compact_maintenance_stats",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2353,7 +2354,6 @@ GATE_PRIORITY: list[str] = [
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
     "user_retention_cohorts",
-    "user_sessions",
     "conversion_funnel",
     "daily_activity_reconciliation",
     "doc_tfidf_top_terms",

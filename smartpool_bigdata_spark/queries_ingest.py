@@ -721,3 +721,63 @@ def bootstrap_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 __reorder()
+
+
+@query(
+    "compact_maintenance_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           'ok' AS compaction_check
+    FROM events GROUP BY event_type
+    """,
+    description="Small-files compaction round-trip (io.sinks.compact_table "
+    "— the parquet analog of Delta OPTIMIZE, the maintenance op a "
+    "streaming file sink needs after a day of per-trigger micro-files): "
+    "events are deliberately written as 64 tiny files (the streaming-"
+    "sink pathology), compacted to ~target-size files via the staged-"
+    "swap rewrite, and re-aggregated. compaction_check folds the file-"
+    "count contract into the value hash ('ok' only if the rewrite "
+    "actually reduced the file count AND sizing came from real on-disk "
+    "bytes); the per-type stats + min/max ids lock losslessness of the "
+    "rewrite itself. Idempotence and file-size math are unit-locked in "
+    "tests/test_state_io.py.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def compact_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.sinks import compact_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_compact_")
+    try:
+        path = os.path.join(stage, "events_small_files")
+        ev.repartition(64).write.parquet(path)
+        res = compact_table(spark, path, target_file_bytes=32 * 1024 * 1024)
+        ok = (
+            res["files_before"] == 64
+            and 0 < res["files_after"] < res["files_before"]
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                stable_sum("value", 2).alias("total_value"),
+                F.min("event_id").cast("bigint").alias("min_event_id"),
+                F.max("event_id").cast("bigint").alias("max_event_id"),
+            )
+            .withColumn("compaction_check", F.lit("ok" if ok else "BROKEN"))
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+__reorder()
