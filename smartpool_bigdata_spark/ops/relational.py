@@ -580,3 +580,38 @@ def tumbling_agg(
         *keys,
         *[F.col(name) for name in aggs],
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+    window_alias: str = "window",
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregate, batch or streaming —
+    the overlap upgrade of ``tumbling_agg``: each row lands in
+    duration/slide windows (e.g. 2h windows hopping hourly → 2), giving
+    smoothed rolling metrics at window granularity. The reference's
+    dashboards recompute 1-minute tumbles; the hopping form is the
+    standard "last 2 hours, refreshed hourly" view.
+
+    Scale: the groupBy expands each row to duration/slide (window, key)
+    rows BEFORE the shuffle, so cost scales with that small constant;
+    streaming state is one row per OPEN (window × key), and under append
+    mode each window still emits exactly once when the watermark passes
+    its end (same contract as the tumbling form).
+    """
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    grouped = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias(window_alias), *keys
+    )
+    out = grouped.agg(*agg_cols)
+    return out.select(
+        F.col(f"{window_alias}.start").alias("window_start"),
+        F.col(f"{window_alias}.end").alias("window_end"),
+        *keys,
+        *[F.col(name) for name in aggs],
+    )

@@ -2314,6 +2314,7 @@ GATE_PRIORITY: list[str] = [
     "knn_ivfpq_adc",
     "stream_multihop_topology",
     "compact_maintenance_stats",
+    "stream_event_sliding_window",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2358,7 +2359,6 @@ GATE_PRIORITY: list[str] = [
     "daily_activity_reconciliation",
     "doc_tfidf_top_terms",
     "doc_winnow_fingerprint_overlap",
-    "events_asof_reference_value",
 ]
 
 

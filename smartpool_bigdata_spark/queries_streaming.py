@@ -784,3 +784,60 @@ def stream_multihop_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "stream_event_sliding_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+    slots AS (
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR * o.o AS window_start,
+               event_type, value
+        FROM events, (SELECT 0 AS o UNION ALL SELECT 1) o
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
+    FROM slots GROUP BY 1, 2
+    HAVING window_start + INTERVAL 2 HOUR <= (SELECT cut FROM wm)
+    """,
+    description="REAL streaming run of a watermarked SLIDING (hopping) "
+    "window aggregate — 2-hour windows hopping hourly, the 'last 2h "
+    "refreshed hourly' dashboard view (ops.relational.sliding_agg; the "
+    "overlap upgrade of stream_event_hourly_window's tumble): file "
+    "source -> withWatermark('1 hour') -> window(ts, '2 hours', "
+    "'1 hour') agg -> append-mode memory sink drained with "
+    "Trigger.AvailableNow. Every event lands in exactly TWO windows and "
+    "the emitted set is exactly the windows closed by the final "
+    "watermark; the oracle replays the 2-slot expansion and the "
+    "watermark cut in plain SQL, so overlap arithmetic and append "
+    "semantics are both value-locked.",
+    skip_bench=True,  # staging write + stream startup dominates
+)
+def stream_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import sliding_agg
+
+    stream, stage = _stream_events(spark, sf_dir, ["ts", "event_type", "value"])
+    agg = sliding_agg(
+        stream.withWatermark("ts", "1 hour"),
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": stable_avg("value", 4),
+        },
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(agg.drop("window_end"), name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+__reorder()

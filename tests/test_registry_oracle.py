@@ -133,7 +133,7 @@ def test_gate_window_pinned():
         "schema_merge_landing_stats", "bootstrap_partitioned_roundtrip",
         "stream_ivf_assignments", "llm_corpus_pipeline_v3",
         "knn_ivfpq_adc", "stream_multihop_topology",
-        "compact_maintenance_stats",
+        "compact_maintenance_stats", "stream_event_sliding_window",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
