@@ -293,6 +293,49 @@ def assign_ivf_buckets(
     return best.select(id_col, vec_col, "bucket")
 
 
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    subspaces: int = 4,
+    subdim: int = 16,
+) -> DataFrame:
+    """Product-quantization encode: slice each vector into ``subspaces``
+    blocks and pick the max-similarity code per block via the
+    ``2a·b − b·b`` argmin-L2² form (``a·a`` constant per row), rounded to
+    4dp with code-asc tie-break so the assignment is ulp-noise-proof and
+    engine-portable. ``codebook`` is ``(sub, code, csub)``. Returns one
+    ``(id, sub, code)`` row per block — the 64×-compressed serving-side
+    state of a PQ/IVF-PQ index.
+
+    Scale: one posexplode scan (×subspaces rows), codebook broadcast
+    O(subspaces·codes·subdim), argmax via ``max_by`` hash agg with
+    map-side partial combine — no window sort, no shuffle beyond the
+    (id, sub) agg. Shared by the batch queries (knn_pq_adc shape) and
+    the streaming encode maintenance loop (start_pq_encode).
+    """
+    slices = ", ".join(
+        f"slice({vec_col}, {subdim * s + 1}, {subdim})"
+        for s in range(subspaces)
+    )
+    subvecs = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({slices})")).alias("sub", "sv"),
+    )
+    escore = subvecs.join(F.broadcast(codebook), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        F.expr(
+            f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
+        ).alias("sc"),
+    )
+    return escore.groupBy(id_col, "sub").agg(
+        F.expr("max_by(code, struct(sc, -code))").alias("code")
+    )
+
+
 def semdedup_prune(
     assigned: DataFrame,
     threshold: float = 0.99,

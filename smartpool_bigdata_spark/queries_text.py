@@ -3090,6 +3090,10 @@ def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2 — DSIR over the survivors: both LMs trained on the passing
     # set (doc_id-keyed join; auto-broadcasts at test SF, co-partitioned
     # hash join at scale)
+    # NOT checkpointed despite four consumers (target LM, raw LM, totals,
+    # the scored margin agg): materializing the ~tokens×2 feature stream
+    # costs what the recompute costs (measured at sf0.1), and the
+    # recompute stays an in-memory explode off the checkpointed th
     pfeats = feats.join(pass_docs.select("doc_id"), "doc_id").select(
         "doc_id", "lang", "w", F.expr(f"pmod(h, {_DSIR_B})").alias("b")
     )
@@ -3118,6 +3122,11 @@ def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("logw_norm")
         )
+        # lazy-checkpoint the per-doc scores: the two prefix sums each
+        # collect quantile bounds (extra actions), and n_row/p2/p1 all
+        # re-read this frame — without the cut they re-run the whole
+        # classifier+DSIR feature aggregation per consumer
+        .localCheckpoint(eager=False)
     )
     keyed = scored.select(
         "*", (-F.col("logw_norm")).alias("__negw"), F.lit(1).alias("__one")
@@ -3126,8 +3135,10 @@ def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_running_sum(
         keyed, order_by=["__negw", "doc_id"], value_col="__one", out_col="rk"
     ).crossJoin(F.broadcast(n_row))
-    dsel = ranked.filter(F.col("rk") <= F.expr("n div 4")).select(
-        "doc_id", "lang", "w"
+    dsel = (
+        ranked.filter(F.col("rk") <= F.expr("n div 4"))
+        .select("doc_id", "lang", "w")
+        .localCheckpoint(eager=False)  # read by p2, the budget cum, and sel
     )
     # stage 3 — per-language token budgets over the DSIR-selected mass
     p2 = dsel.groupBy("lang").agg(

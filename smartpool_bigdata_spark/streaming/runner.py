@@ -211,6 +211,50 @@ def start_ivf_assignment(
     return _with_trigger(writer, trigger).start()
 
 
+def start_pq_encode(
+    emb_stream: DataFrame,
+    codebook: DataFrame,
+    codes_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    subspaces: int = 4,
+    subdim: int = 16,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """PQ code maintenance as a STREAM — the fine-quantizer counterpart
+    of ``start_ivf_assignment``: each micro-batch of new embeddings is
+    PQ-encoded against the frozen codebook (broadcast, argmax hash agg)
+    and its ``(id, sub, code)`` rows MERGE into the codes table keyed by
+    (id, sub). Per-batch cost O(batch · subspaces · codes); the base
+    corpus is never re-encoded; replays re-derive identical codes so the
+    keyed MERGE is idempotent. With both the assignment stream and this
+    one, the complete IVF-PQ serving state stays current under
+    continuous ingest without a full rebuild; codebook retraining swaps
+    in a new codebook + full re-encode, exactly like batch PQ."""
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+    from smartpool_bigdata_spark.ops.vectors import pq_encode
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        codes = pq_encode(
+            batch_df, codebook, id_col=id_col, vec_col=vec_col,
+            subspaces=subspaces, subdim=subdim,
+        )
+        merge_upsert(
+            batch_df.sparkSession, codes_path, codes, [id_col, "sub"]
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
 def run_available_now(
     df: DataFrame,
     sink: str,
