@@ -755,21 +755,15 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in cb_parts[1:]:
         cb = cb.union(p)
 
-    subvecs = subspace(corpus, "vec_id", "sv")
-    escore = subvecs.join(F.broadcast(cb), "sub").select(
-        "vec_id",
-        "sub",
-        "code",
-        F.expr(
-            f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
-        ).alias("sc"),
-    )
     # argmax via max_by on the (sc, -code) tuple — same result as the
     # oracle's row_number (sc DESC, code ASC) because code is unique per
     # (vec, sub), but a hash agg with map-side partial combine instead of
-    # a full window sort
-    encoded = escore.groupBy("vec_id", "sub").agg(
-        F.expr("max_by(code, struct(sc, -code))").alias("code")
+    # a full window sort (ops.vectors.pq_encode, shared with the
+    # streaming encode maintenance loop)
+    from smartpool_bigdata_spark.ops.vectors import pq_encode
+
+    encoded = pq_encode(
+        corpus, cb, subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM
     )
 
     # slice only the 8 sampled query vectors — exploding the whole corpus
@@ -1297,6 +1291,109 @@ def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     return axis_stats.crossJoin(F.broadcast(cross)).crossJoin(
         F.broadcast(trace_row)
     )
+
+
+@query(
+    "stream_pq_codes",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cb AS (
+{_pq_duck_cb()}
+    ),
+    subvecs AS (
+{_pq_duck_subvecs('corpus', 'vec_id', 'sv')}
+    ),
+    escore AS (
+        SELECT vec_id, sub, code,
+               round(2 * {_dd('sv', 'csub')} - {_dd('csub', 'csub')}, 4) AS sc
+        FROM subvecs JOIN cb USING (sub)
+    ),
+    encoded AS (
+        SELECT vec_id, sub, code
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY sc DESC, code ASC) AS rn
+              FROM escore)
+        WHERE rn = 1
+    )
+    SELECT sub, code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM encoded GROUP BY sub, code
+    """,
+    description="PQ code maintenance CLOSED AS A STREAM — the fine-"
+    "quantizer twin of stream_ivf_assignments, completing incremental "
+    "upkeep of the full IVF-PQ serving state: half the corpus is PQ-"
+    "encoded one-shot against the frozen per-subspace codebooks, the "
+    "other half arrives as a rate-limited file stream through "
+    "foreachBatch + pq_encode + an (id, sub)-keyed MERGE into the codes "
+    "table. Per-batch cost O(batch · subspaces · codes), the base "
+    "corpus never re-encodes, replays are idempotent (same keyed-MERGE "
+    "contract restart-tested for the assignment stream). Oracle: the "
+    "ONE-SHOT DuckDB encode of the full corpus grouped by (sub, code) — "
+    "the stream/base split must not change a single code. "
+    "streaming/runner.py:start_pq_encode.",
+    skip_bench=True,  # staging writes + stream startup dominate
+)
+def stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.ops.vectors import pq_encode
+    from smartpool_bigdata_spark.streaming import file_stream
+    from smartpool_bigdata_spark.streaming.runner import start_pq_encode
+
+    corpus = _corpus(spark, sf_dir)
+    cb_parts = []
+    for s in range(PQ_SUBSPACES):
+        cb_parts.append(
+            sample_fixed_k(corpus, PQ_CODES, salt=f"pq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias(
+                    "csub"
+                ),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+    cb = cb.localCheckpoint(eager=True)  # frozen codebook, not per-batch work
+
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    stage = tempfile.mkdtemp(prefix="spark_pqstream_")
+    try:
+        codes_path = os.path.join(stage, "codes")
+        src = os.path.join(stage, "new_vecs")
+        ckpt = os.path.join(stage, "ckpt")
+        pq_encode(base, cb, subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM).write.parquet(
+            codes_path
+        )
+        new.repartition(4).write.parquet(src)
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_pq_encode(
+            stream,
+            cb,
+            codes_path,
+            ckpt,
+            subspaces=PQ_SUBSPACES,
+            subdim=PQ_SUBDIM,
+            trigger={"availableNow": True},
+            query_name="pq_maintenance",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        codes = spark.read.parquet(codes_path)
+        out = codes.groupBy("sub", "code").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(
