@@ -472,3 +472,21 @@ def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     assert got == 1000
+
+
+def test_merge_upsert_composite_keys(spark, tmp_path):
+    """MERGE keyed by a COMPOSITE key (the shape the streaming PQ encode
+    uses: one row per (vec_id, sub)): matched composite rows replace,
+    new ones insert, rows sharing only PART of the key are untouched."""
+    path = str(tmp_path / "codes")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (2, 0, 20)], ["vec_id", "sub", "code"]
+    )
+    base.write.parquet(path)
+    src = spark.createDataFrame(
+        [(1, 1, 99), (3, 0, 30)], ["vec_id", "sub", "code"]
+    )
+    merge_upsert(spark, path, src, keys=["vec_id", "sub"])
+    got = {(r["vec_id"], r["sub"]): r["code"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 0): 10, (1, 1): 99, (2, 0): 20, (3, 0): 30}

@@ -515,3 +515,40 @@ def test_semdedup_hot_cluster_guard(spark):
     }
     without = {r["vec_id"] for r in semdedup_prune(normal).collect()}
     assert with_guard == without
+
+
+def test_pq_encode_partitioning_invariant(spark):
+    """pq_encode's argmax (max_by over rounded scores with code
+    tie-break) must be deterministic under ANY physical partitioning —
+    the property that lets the streaming encode MERGE be idempotent on
+    replay."""
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        pq_encode,
+        sample_fixed_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    cb_parts = []
+    for s in range(4):
+        cb_parts.append(
+            sample_fixed_k(corpus, 16, salt=f"pq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(v, {16 * s + 1}, 16)").alias("csub"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+    cb = cb.localCheckpoint(eager=True)
+    a = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(corpus.repartition(1), cb).collect()
+    }
+    b = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(corpus.repartition(13), cb).collect()
+    }
+    assert a == b and len(a) == corpus.count() * 4
