@@ -2316,6 +2316,7 @@ GATE_PRIORITY: list[str] = [
     "compact_maintenance_stats",
     "stream_event_sliding_window",
     "stream_pq_codes",
+    "corpus_packing_manifest",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2358,7 +2359,6 @@ GATE_PRIORITY: list[str] = [
     "user_retention_cohorts",
     "conversion_funnel",
     "daily_activity_reconciliation",
-    "doc_tfidf_top_terms",
 ]
 
 

@@ -3201,3 +3201,89 @@ def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "corpus_packing_manifest",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len({T.duck_tokens('text')}) AS BIGINT) AS w,
+               {T.duck_hash64("('pack|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, w,
+               sum(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    ),
+    bins AS (
+        SELECT lang, w,
+               (cum - w) // {_V3_SEQ} AS first_bin,
+               (cum - 1) // {_V3_SEQ} AS last_bin
+        FROM cum WHERE w > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_tokens,
+           CAST(max(last_bin) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_split_docs,
+           CAST(max(last_bin - first_bin + 1) AS BIGINT) AS max_seqs_spanned,
+           CAST((max(last_bin) + 1) * {_V3_SEQ} - sum(w) AS BIGINT)
+               AS pad_tokens
+    FROM bins GROUP BY lang
+    """,
+    description="The ACTUAL packing manifest behind pipeline v3's "
+    "accounting: concat-and-chunk document packing (GPT-style) realized "
+    f"as per-document SEQUENCE-BIN ids at seq_len={_V3_SEQ} — each "
+    "document's [first_bin, last_bin] span falls out of the per-language "
+    "cumulative token sum in deterministic hash order, computed by the "
+    "two-phase distributed prefix sum (ops.relational.global_running_sum "
+    "— never a one-task-per-language window), so the training-shard "
+    "writer can route every document WITHOUT a global sort. Per-language "
+    "stats lock the whole manifest: bin count (== ceil(mass/seq)), "
+    "boundary documents split across sequences, worst-case span, tail "
+    "padding. The manifest itself is the (doc_id -> bins) intermediate; "
+    "a writer groups by bin id — one more uniform-key shuffle.",
+)
+def corpus_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({T.spark_tokens('text')}) AS BIGINT)").alias("w"),
+        F.expr(
+            T.spark_hash64("concat('pack|', cast(doc_id as string))")
+        ).alias("h"),
+    )
+    cum = global_running_sum(
+        toks, order_by=["h", "doc_id"], value_col="w",
+        partition_cols=["lang"], out_col="cum",
+    )
+    bins = cum.filter(F.col("w") > 0).select(
+        "lang",
+        "w",
+        F.expr(f"(cum - w) div {_V3_SEQ}").alias("first_bin"),
+        F.expr(f"(cum - 1) div {_V3_SEQ}").alias("last_bin"),
+    )
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_tokens"),
+        (F.max("last_bin") + 1).cast("bigint").alias("n_seqs"),
+        F.sum(F.when(F.col("last_bin") > F.col("first_bin"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_split_docs"),
+        (F.max(F.col("last_bin") - F.col("first_bin")) + 1)
+        .cast("bigint")
+        .alias("max_seqs_spanned"),
+        ((F.max("last_bin") + 1) * _V3_SEQ - F.sum("w"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+
+
+__reorder()

@@ -134,7 +134,7 @@ def test_gate_window_pinned():
         "stream_ivf_assignments", "llm_corpus_pipeline_v3",
         "knn_ivfpq_adc", "stream_multihop_topology",
         "compact_maintenance_stats", "stream_event_sliding_window",
-        "stream_pq_codes",
+        "stream_pq_codes", "corpus_packing_manifest",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
