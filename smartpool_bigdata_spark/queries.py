@@ -2317,6 +2317,7 @@ GATE_PRIORITY: list[str] = [
     "stream_event_sliding_window",
     "stream_pq_codes",
     "corpus_packing_manifest",
+    "event_audience_overlap_kmv",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2357,7 +2358,6 @@ GATE_PRIORITY: list[str] = [
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
     "user_retention_cohorts",
-    "conversion_funnel",
     "daily_activity_reconciliation",
 ]
 

@@ -2323,6 +2323,176 @@ def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_audience_overlap_kmv",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               {T.duck_hash64("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed)
+        WHERE rn <= {_KMV_K}
+    ),
+    tp AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ),
+    u AS (
+        SELECT tp.ta, tp.tb, s.h,
+               max(CASE WHEN s.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+        FROM tp JOIN sk s ON s.event_type IN (tp.ta, tp.tb)
+        GROUP BY tp.ta, tp.tb, s.h
+    ),
+    ur AS (
+        SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY ta, tb) AS nu
+        FROM u
+    ),
+    km AS (
+        SELECT ta, tb,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matches,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS tau,
+               CAST(max(nu) AS BIGINT) AS nu
+        FROM ur WHERE rn <= {_KMV_K} GROUP BY ta, tb
+    ),
+    ex AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM hashed GROUP BY 1)
+    SELECT km.ta AS type_a, km.tb AS type_b,
+           ex.inter AS exact_intersection,
+           round(ex.inter / CAST(ca.n + cb.n - ex.inter AS DOUBLE), 4)
+               AS exact_jaccard,
+           CASE WHEN km.nu < {_KMV_K} THEN km.matches
+                ELSE CAST(round(km.matches / CAST({_KMV_K} AS DOUBLE)
+                          * (({_KMV_K} - 1) * {_KMV_SPACE} / km.tau), 0)
+                     AS BIGINT) END AS kmv_intersection_est,
+           round(km.matches / CAST(CASE WHEN km.nu < {_KMV_K} THEN km.nu
+                                   ELSE {_KMV_K} END AS DOUBLE), 4)
+               AS kmv_jaccard_est
+    FROM km
+    JOIN ex ON ex.ta = km.ta AND ex.tb = km.tb
+    JOIN card ca ON ca.event_type = km.ta
+    JOIN card cb ON cb.event_type = km.tb
+    """,
+    description="KMV sketch SET OPERATIONS (Beyer et al. SIGMOD'07 — the "
+    "multi-set upgrade of user_distinct_kmv): audience overlap between "
+    "every pair of event types estimated purely from the per-type "
+    "k-minimum-values sketches — union sketch = k smallest of the two "
+    "sketches' union, Jaccard-hat = matching fraction inside it, "
+    "intersection-hat = Jaccard-hat x (k-1)H/tau — reported beside the "
+    "exact intersection/Jaccard so the estimator error is visible. The "
+    "whole estimator is deterministic md5 arithmetic, so DuckDB "
+    "replays the ESTIMATE bit-for-bit, not just the exact twin. Scale: "
+    "per-type sketches are O(k) mergeable aggregates (map-side "
+    "combinable); every pairwise set operation then runs on O(pairs x "
+    "k) rows — audience overlap across a 100 TB event log without "
+    "ever joining user sets. Sketches of sketches: union/intersection "
+    "close over the same representation, so the op composes.",
+)
+def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    ev = _ts(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr(T.spark_hash64("CAST(user_id AS STRING)")).alias("h"),
+    ).distinct()
+    sk = top_n_per_group(
+        hashed, ["event_type"], [F.col("h").asc()], _KMV_K,
+        method="row_number", rank_col="rn", low_cardinality=True,
+    ).select("event_type", "h")
+    types = hashed.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    u = (
+        tp.join(
+            F.broadcast(sk.withColumnRenamed("event_type", "t")),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    ur = top_n_per_group(
+        u, ["ta", "tb"], [F.col("h").asc()], _KMV_K,
+        method="row_number", rank_col="rn",
+    )
+    nu = u.groupBy("ta", "tb").agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    km = (
+        ur.groupBy("ta", "tb")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).cast("bigint").alias("matches"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("tau"),
+        )
+        .join(F.broadcast(nu), ["ta", "tb"])
+    )
+    ex = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    card = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter_est = F.when(F.col("nu") < _KMV_K, F.col("matches")).otherwise(
+        F.round(
+            F.col("matches") / F.lit(float(_KMV_K))
+            * ((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("tau")),
+            0,
+        ).cast("long")
+    )
+    jac_est = F.round(
+        F.col("matches")
+        / F.when(F.col("nu") < _KMV_K, F.col("nu")).otherwise(F.lit(_KMV_K)).cast("double"),
+        4,
+    )
+    return (
+        km.join(F.broadcast(ex), ["ta", "tb"])
+        .join(F.broadcast(card.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))), "ta")
+        .join(F.broadcast(card.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("inter").alias("exact_intersection"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+            inter_est.cast("long").alias("kmv_intersection_est"),
+            jac_est.alias("kmv_jaccard_est"),
+        )
+    )
+
+
+@query(
     "doc_quality_filter",
     oracle=f"""
     WITH stats AS (
