@@ -2318,6 +2318,7 @@ GATE_PRIORITY: list[str] = [
     "stream_pq_codes",
     "corpus_packing_manifest",
     "event_audience_overlap_kmv",
+    "event_heavy_hitters_cms",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2357,7 +2358,6 @@ GATE_PRIORITY: list[str] = [
     "stream_view_purchase_join",
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
-    "user_retention_cohorts",
     "daily_activity_reconciliation",
 ]
 

@@ -2492,6 +2492,104 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4     # hash rows
+_CMS_W = 256   # buckets per row
+
+
+@query(
+    "event_heavy_hitters_cms",
+    oracle=f"""
+    WITH cells AS (
+        SELECT r.r AS r,
+               {T.duck_hash64("(CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR))")}
+                   % {_CMS_W} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events, range(0, {_CMS_D}) AS r(r)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, exact_count FROM exact
+        ORDER BY exact_count DESC, user_id ASC LIMIT 20
+    ),
+    est AS (
+        SELECT t.user_id, t.exact_count,
+               CAST(min(c.c) AS BIGINT) AS cms_estimate
+        FROM top t, range(0, {_CMS_D}) AS r(r)
+        JOIN cells c
+          ON c.r = r.r
+         AND c.b = {T.duck_hash64("(CAST(r.r AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR))")}
+                   % {_CMS_W}
+        GROUP BY t.user_id, t.exact_count
+    )
+    SELECT user_id, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+    description="Count-min sketch heavy hitters (Cormode-Muthukrishnan "
+    f"'05): per-user event frequencies estimated from a {_CMS_D}x"
+    f"{_CMS_W} CMS — estimate = min over rows of the key's bucket "
+    "counter, a guaranteed OVERestimate — reported beside the exact "
+    "count for the top-20 users so the one-sided error is visible "
+    "(locked >= 0 by the value hash). Hash rows are deterministic md5 "
+    "arithmetic, so DuckDB rebuilds the SKETCH and the estimates "
+    "bit-for-bit. Scale: the sketch is a fixed d x w = "
+    f"{_CMS_D * _CMS_W}-cell aggregate — map-side combinable, "
+    "mergeable by cell-wise addition (shard sketches add), queryable "
+    "for ANY key without rescanning — frequency estimation over a "
+    "100 TB log in a few KB of state; the exact column here is the "
+    "small-SF audit, not the production path.",
+)
+def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ts(spark, sf_dir, "events")
+    rows_expr = F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r")
+    keyed = ev.select("user_id", rows_expr).select(
+        "r",
+        F.expr(
+            T.spark_hash64(
+                "concat(cast(r as string), '|', cast(user_id as string))"
+            )
+            + f" % {_CMS_W}"
+        ).alias("b"),
+    )
+    cells = keyed.groupBy("r", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("user_id").asc()
+    ).limit(20)
+    probes = top.select("user_id", "exact_count", rows_expr).select(
+        "user_id",
+        "exact_count",
+        "r",
+        F.expr(
+            T.spark_hash64(
+                "concat(cast(r as string), '|', cast(user_id as string))"
+            )
+            + f" % {_CMS_W}"
+        ).alias("b"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
 @query(
     "doc_quality_filter",
     oracle=f"""

@@ -135,7 +135,7 @@ def test_gate_window_pinned():
         "knn_ivfpq_adc", "stream_multihop_topology",
         "compact_maintenance_stats", "stream_event_sliding_window",
         "stream_pq_codes", "corpus_packing_manifest",
-        "event_audience_overlap_kmv",
+        "event_audience_overlap_kmv", "event_heavy_hitters_cms",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
