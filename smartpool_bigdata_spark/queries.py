@@ -2319,6 +2319,7 @@ GATE_PRIORITY: list[str] = [
     "corpus_packing_manifest",
     "event_audience_overlap_kmv",
     "event_heavy_hitters_cms",
+    "orders_bloom_prefilter",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2358,7 +2359,6 @@ GATE_PRIORITY: list[str] = [
     "stream_view_purchase_join",
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
-    "daily_activity_reconciliation",
 ]
 
 
@@ -2382,6 +2382,160 @@ def _apply_gate_priority() -> None:
 
 
 _apply_gate_priority()
+
+
+_BLOOM_M = 16384  # bits
+_BLOOM_K = 3      # hash functions
+
+
+def _bloom_oracle() -> str:
+    from smartpool_bigdata_spark.ops.text import duck_hash64
+
+    dim_pos = duck_hash64(
+        "(CAST(j.j AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR))"
+    )
+    probe_pos = duck_hash64(
+        "(CAST(j.j AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR))"
+    )
+    return f"""
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    bits AS (
+        SELECT DISTINCT
+               {dim_pos} % {_BLOOM_M} AS pos
+        FROM dim, range(0, {_BLOOM_K}) AS j(j)
+    ),
+    probes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, j.j AS j,
+               {probe_pos} % {_BLOOM_M} AS pos
+        FROM orders, range(0, {_BLOOM_K}) AS j(j)
+    ),
+    pass AS (
+        SELECT o_orderkey, max(o_custkey) AS o_custkey,
+               max(o_totalprice) AS o_totalprice
+        FROM probes JOIN bits USING (pos)
+        GROUP BY o_orderkey
+        HAVING count(DISTINCT j) = {_BLOOM_K}
+    ),
+    truth AS (
+        SELECT p.o_orderkey, p.o_totalprice,
+               CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_match
+        FROM pass p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+    )
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_dim_keys,
+           CAST(count(*) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(is_match) AS BIGINT) AS n_exact_match,
+           CAST(count(*) - sum(is_match) AS BIGINT) AS n_false_positives,
+           round((count(*) - sum(is_match))
+                 / CAST((SELECT count(*) FROM orders) AS DOUBLE), 4)
+               AS fp_rate,
+           round(CAST(sum(CASE WHEN is_match = 1
+                          THEN CAST(o_totalprice AS DECIMAL(38,10))
+                          ELSE 0 END) AS DOUBLE), 2) AS matched_price
+    FROM truth
+    """
+
+
+@query(
+    "orders_bloom_prefilter",
+    oracle=_bloom_oracle(),
+    description="Bloom-filter semi-join prefilter — the runtime-filter / "
+    "bloom-pushdown pattern made explicit and value-locked: a "
+    f"{_BLOOM_M}-bit, k={_BLOOM_K} Bloom filter is built over the "
+    "selective dim side (customers with c_acctbal > 9000) as a DISTINCT "
+    "set-bit frame (<= min(m, k·|dim|) rows — broadcastable at any fact "
+    "size), orders probe it map-side (all k positions present = pass), "
+    "and the exact semi-join then audits the pass set — so the FALSE-"
+    "POSITIVE count and rate are explicit output columns, locked by the "
+    "value hash (Bloom guarantees no false negatives; the oracle's "
+    "exact-match count equals the unfiltered semi-join's). Deterministic "
+    "md5 bit positions, so DuckDB rebuilds the filter bit-for-bit. At "
+    "100 TB this is the shape that turns a fact-dim join into a scan-"
+    "side prefilter (Spark's own runtime row-group filtering, made "
+    "inspectable); the bit frame is mergeable by union.",
+)
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    orders = _ts(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = _ts(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey")
+    js = F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j")
+    bits = (
+        dim.select("c_custkey", js)
+        .select(
+            F.expr(
+                spark_hash64(
+                    "concat(cast(j as string), '|', cast(c_custkey as string))"
+                )
+                + f" % {_BLOOM_M}"
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = orders.select("o_orderkey", "o_custkey", "o_totalprice", js).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "j",
+        F.expr(
+            spark_hash64(
+                "concat(cast(j as string), '|', cast(o_custkey as string))"
+            )
+            + f" % {_BLOOM_M}"
+        ).alias("pos"),
+    )
+    passed = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("o_custkey").alias("o_custkey"),
+            F.max("o_totalprice").alias("o_totalprice"),
+            F.countDistinct("j").alias("kj"),
+        )
+        .filter(F.col("kj") == _BLOOM_K)
+    )
+    truth = passed.join(
+        F.broadcast(dim), passed["o_custkey"] == dim["c_custkey"], "left"
+    ).select(
+        "o_totalprice",
+        F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0).alias("is_match"),
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    n_dim = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_dim_keys"))
+    agg = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_match").cast("bigint").alias("n_exact_match"),
+        stable_sum(
+            F.when(F.col("is_match") == 1, F.col("o_totalprice")).otherwise(0.0),
+            2,
+        ).alias("matched_price"),
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_dim))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_orders",
+            "n_dim_keys",
+            "n_bloom_pass",
+            "n_exact_match",
+            (F.col("n_bloom_pass") - F.col("n_exact_match"))
+            .cast("bigint")
+            .alias("n_false_positives"),
+            F.round(
+                (F.col("n_bloom_pass") - F.col("n_exact_match"))
+                / F.col("n_orders").cast("double"),
+                4,
+            ).alias("fp_rate"),
+            "matched_price",
+        )
+    )
 
 
 # Register the document-pipeline and similarity-search query families into
