@@ -2447,16 +2447,24 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nu), ["ta", "tb"])
     )
+    # exact-audit intersection WITHOUT a self-join (which would go
+    # SortMergeJoin at scale): group the hash stream once, explode the
+    # <=|types| member set into ordered pairs row-locally — one uniform
+    # shuffle on h, the same shape as exact_dedup
+    byh = hashed.groupBy("h").agg(
+        F.expr("array_sort(collect_set(event_type))").alias("ts")
+    )
     ex = (
-        hashed.alias("a")
-        .join(
-            hashed.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        byh.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "b -> struct(a AS ta, b AS tb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
-        )
+        .groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
     card = hashed.groupBy("event_type").agg(

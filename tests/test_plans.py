@@ -220,6 +220,11 @@ def test_r6_additions_plan_posture(plans):
     for name in (
         "llm_corpus_pipeline_v3",
         "schema_merge_landing_stats",
+        "knn_ivfpq_adc",
+        "corpus_packing_manifest",
+        "event_audience_overlap_kmv",
+        "event_heavy_hitters_cms",
+        "orders_bloom_prefilter",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
