@@ -427,3 +427,79 @@ def test_incremental_cc_equals_from_scratch(spark, base_edges, new_edges):
     overlaid = {**base_map, **delta}
     assert overlaid == want
     assert all(base_map.get(n) != c for n, c in delta.items())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 10_000), min_size=0, max_size=60, unique=True),
+)
+def test_bloom_prefilter_never_false_negative(spark, dim_keys, probe_keys):
+    """Bloom membership (the orders_bloom_prefilter construction) can
+    false-positive but NEVER false-negative: every probe key that is in
+    the dim set must pass all k position tests."""
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    M, K = 1024, 3
+    dim = spark.createDataFrame([(k,) for k in dim_keys], ["key"])
+    probes = spark.createDataFrame(
+        [(k,) for k in set(probe_keys) | set(dim_keys)], ["key"]
+    )
+    js = F.explode(F.expr(f"sequence(0, {K - 1})")).alias("j")
+    pos = F.expr(
+        spark_hash64("concat(cast(j as string), '|', cast(key as string))")
+        + f" % {M}"
+    ).alias("pos")
+    bits = dim.select("key", js).select(pos).distinct()
+    passed = {
+        r["key"]
+        for r in (
+            probes.select("key", js)
+            .select("key", "j", pos)
+            .join(F.broadcast(bits), "pos")
+            .groupBy("key")
+            .agg(F.countDistinct("j").alias("kj"))
+            .filter(F.col("kj") == K)
+            .collect()
+        )
+    }
+    assert set(dim_keys) <= passed  # no false negatives, ever
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+)
+def test_cms_estimate_is_one_sided(spark, keys):
+    """Count-min estimates are a guaranteed OVERestimate of every key's
+    true frequency (min over rows of hashed-bucket counters)."""
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    D, W = 4, 32
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    rows_expr = F.explode(F.expr(f"sequence(0, {D - 1})")).alias("r")
+    pos = F.expr(
+        spark_hash64("concat(cast(r as string), '|', cast(key as string))")
+        + f" % {W}"
+    ).alias("b")
+    cells = (
+        df.select("key", rows_expr).select("r", pos)
+        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = {
+        r["key"]: r["e"]
+        for r in (
+            df.distinct()
+            .select("key", rows_expr)
+            .select("key", "r", pos)
+            .join(F.broadcast(cells), ["r", "b"])
+            .groupBy("key")
+            .agg(F.min("c").alias("e"))
+            .collect()
+        )
+    }
+    import collections
+
+    exact = collections.Counter(keys)
+    for k, n in exact.items():
+        assert est[k] >= n  # one-sided error, never an undercount
