@@ -2320,6 +2320,7 @@ GATE_PRIORITY: list[str] = [
     "event_audience_overlap_kmv",
     "event_heavy_hitters_cms",
     "orders_bloom_prefilter",
+    "jdbc_live_roundtrip",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2356,7 +2357,6 @@ GATE_PRIORITY: list[str] = [
     "knn_ivf_kmeans",
     "knn_pq_adc",
     "stream_session_windows",
-    "stream_view_purchase_join",
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
 ]

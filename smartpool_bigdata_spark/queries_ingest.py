@@ -781,3 +781,100 @@ def compact_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@query(
+    "jdbc_live_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(ts) AS TIMESTAMP) AS max_ts,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value
+    FROM events GROUP BY event_type
+    """,
+    description="S1/S2/S3 against a LIVE JDBC DATABASE (embedded Apache "
+    "Derby — the JDBC engine that ships inside the Spark distribution, "
+    "so the sandbox's no-SQL-Server gap no longer blocks the live "
+    "half): events land in a real Derby table through Spark's JDBC "
+    "writer, the keyset-incremental protocol then ingests it in two "
+    "batches through jdbc_keyset_reader's PUSHDOWN SUBQUERY (dialect="
+    "'derby': quoted identifiers, microsecond-preserving VARCHAR "
+    "watermark export — round-trip pinned by the live pytest), with "
+    "the database GROWING between batches exactly like the reference's "
+    "daily delta. Bronze must hold every source row exactly once — "
+    "re-ingestion dups or equal-timestamp losses (the datetime2(7) bug "
+    "class, main.tex:150) break the count oracle. The WHERE clause is "
+    "evaluated BY THE DATABASE: incremental cost is proportional to "
+    "the delta that crosses the wire, not the table.",
+    skip_bench=True,  # JDBC staging write dominates the timing
+)
+def jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.jdbc import jdbc_keyset_reader
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_jdbc_live_")
+    try:
+        # route Derby's engine log into the stage dir (only effective
+        # before the engine's first boot in this JVM; harmless after)
+        spark._jvm.System.setProperty(
+            "derby.stream.error.file", os.path.join(stage, "derby.log")
+        )
+        url = f"jdbc:derby:{stage}/db;create=true"
+        bronze = os.path.join(stage, "bronze")
+        store = WatermarkStore(spark, stage)
+        cutoff = ev.select(
+            F.percentile_approx("ts", 0.5).alias("m")
+        ).collect()[0]["m"]
+
+        def to_db(df: DataFrame, mode: str) -> None:
+            (
+                df.coalesce(2)
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "events_src")
+                .option("driver", _DERBY_DRIVER)
+                .mode(mode)
+                .save()
+            )
+
+        def ingest_batch() -> None:
+            ks = store.read_keyset("events_src") or ("1900-01-01 00:00:00", -1)
+            inc = jdbc_keyset_reader(
+                spark, url, "events_src", "ts", "event_id",
+                ks[0], ks[1], driver=_DERBY_DRIVER, dialect="derby",
+            ).load()
+            if inc.isEmpty():
+                return
+            inc.select("event_id", "ts", "event_type", "value").write.mode(
+                "append"
+            ).parquet(bronze)
+            top = (
+                inc.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                .select("ts_str", "event_id")
+                .first()
+            )
+            store.write_keyset("events_src", top["ts_str"], top["event_id"])
+
+        to_db(ev.filter(F.col("ts") <= F.lit(cutoff)), "overwrite")
+        ingest_batch()  # batch 1: the initial table
+        to_db(ev.filter(F.col("ts") > F.lit(cutoff)), "append")
+        ingest_batch()  # batch 2: exactly the delta, filtered IN the DB
+        landed = spark.read.parquet(bronze)
+        out = landed.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("max_ts"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+__reorder()

@@ -127,6 +127,19 @@ def keyset_query_sql(
     if dialect == "sqlserver":
         ts_literal = f"CAST('{last_ts}' AS datetime2(7))"
         ts_export = f"CONVERT(varchar(33), {ts_col}, 126) AS {ts_col}_str"
+    elif dialect == "derby":
+        # Derby (embedded, ships with Spark — the live-tested dialect):
+        # Spark's JDBC writer creates case-sensitive quoted identifiers,
+        # so every column reference must be double-quoted or Derby
+        # uppercases it into a miss; CAST(ts AS VARCHAR) preserves
+        # microseconds (round-trip pinned by the live test).
+        ts_literal = f"CAST('{last_ts}' AS TIMESTAMP)"
+        return (
+            f'SELECT t.*, CAST("{ts_col}" AS VARCHAR(33)) AS "{ts_col}_str" '
+            f"FROM {table} t "
+            f'WHERE "{ts_col}" > {ts_literal} '
+            f'OR ("{ts_col}" = {ts_literal} AND "{pk_col}" > {last_pk})'
+        )
     else:  # ansi
         ts_literal = f"CAST('{last_ts}' AS TIMESTAMP)"
         ts_export = f"CAST({ts_col} AS varchar(33)) AS {ts_col}_str"

@@ -136,7 +136,7 @@ def test_gate_window_pinned():
         "compact_maintenance_stats", "stream_event_sliding_window",
         "stream_pq_codes", "corpus_packing_manifest",
         "event_audience_overlap_kmv", "event_heavy_hitters_cms",
-        "orders_bloom_prefilter",
+        "orders_bloom_prefilter", "jdbc_live_roundtrip",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"

@@ -105,6 +105,9 @@ def test_keyset_query_sql_dialects():
     assert "CONVERT(varchar(33), updated_at, 126)" in sql
     ansi = keyset_query_sql("events", "ts", "id", "2024-01-01 00:00:00", 1, dialect="ansi")
     assert "CAST('2024-01-01 00:00:00' AS TIMESTAMP)" in ansi
+    derby = keyset_query_sql("events", "ts", "id", "2024-01-01 00:00:00", 1, dialect="derby")
+    assert '"ts" > CAST(' in derby and 'AND "id" > 1' in derby
+    assert 'CAST("ts" AS VARCHAR(33)) AS "ts_str"' in derby
 
 
 def test_jdbc_reader_builder(spark):
@@ -490,3 +493,52 @@ def test_merge_upsert_composite_keys(spark, tmp_path):
     got = {(r["vec_id"], r["sub"]): r["code"]
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, 0): 10, (1, 1): 99, (2, 0): 20, (3, 0): 30}
+
+
+def test_jdbc_derby_live_keyset_roundtrip(spark, tmp_path):
+    """The keyset protocol against a LIVE JDBC database (embedded Derby,
+    shipped in the Spark distribution): after the first ingest, only the
+    delta crosses the wire — including the equal-timestamp/higher-pk tie
+    the reference's datetime2(7) bug class used to lose — and the
+    microsecond watermark survives the DB round-trip as a string."""
+    from smartpool_bigdata_spark.io.jdbc import jdbc_keyset_reader
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def to_db(rows, mode):
+        _mk(spark, rows).write.format("jdbc").option("url", url).option(
+            "dbtable", "src"
+        ).option("driver", drv).mode(mode).save()
+
+    v1 = [
+        (1, _ts("2024-03-01 10:00:00.123455"), "a"),
+        (2, _ts("2024-03-01 10:00:00.123456"), "b"),
+    ]
+    to_db(v1, "overwrite")
+    first = jdbc_keyset_reader(
+        spark, url, "src", "updated_at", "pk",
+        "1900-01-01 00:00:00", -1, driver=drv, dialect="derby",
+    ).load()
+    assert first.count() == 2
+    top = first.orderBy(
+        F.col("updated_at").desc(), F.col("pk").desc()
+    ).first()
+    # µs-preserving string watermark straight from the DB
+    assert top["updated_at_str"].startswith("2024-03-01 10:00:00.123456")
+    wm, pk = top["updated_at_str"], top["pk"]
+
+    # DB grows: an equal-ts higher-pk tie and a strictly-newer row
+    to_db(
+        [
+            (3, _ts("2024-03-01 10:00:00.123456"), "tie"),
+            (4, _ts("2024-03-01 10:00:00.123457"), "new"),
+        ],
+        "append",
+    )
+    delta = jdbc_keyset_reader(
+        spark, url, "src", "updated_at", "pk",
+        wm, pk, driver=drv, dialect="derby",
+    ).load()
+    got = {r["pk"] for r in delta.collect()}
+    assert got == {3, 4}  # the tie lands, nothing re-ingests
