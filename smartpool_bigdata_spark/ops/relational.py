@@ -496,6 +496,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of (backward) join: each left row gets the latest right row with
     ``right_ts <= left_ts`` for the same keys. Left rows before the first
@@ -516,9 +517,22 @@ def asof_join(
     Determinism: pre-aggregate the right side to ONE row per (keys, ts) —
     with duplicates the winner among equal timestamps is unspecified (in
     any engine's as-of join).
+
+    ``tolerance`` (e.g. ``"6 hours"``) bounds staleness — the
+    TimescaleDB/QuestDB ``ASOF ... TOLERANCE`` form: a match older than
+    ``left_ts − tolerance`` is treated as NO match (values null), which
+    is what telemetry joins want when a sensor went silent. Implemented
+    by carrying the matched right timestamp through the same window fill
+    — no extra shuffle.
     """
     side = _helper_col(left, "__side")
     ts = _helper_col(left, "__ts")
+    value_cols = list(value_cols)
+    rts_carry = None
+    if tolerance is not None:
+        rts_carry = _helper_col(left, "__asof_rts")
+        right = right.withColumn(rts_carry, F.col(right_ts))
+        value_cols = value_cols + [rts_carry]
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         *lcols,
@@ -550,6 +564,14 @@ def asof_join(
     out = filled.filter(F.col(side) == 1).drop(side)
     for v in value_cols:
         out = out.withColumn(v, F.col(f"__asof_{v}")).drop(f"__asof_{v}")
+    if rts_carry is not None:
+        within = F.col(rts_carry) >= (
+            F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        )
+        for v in value_cols:
+            if v != rts_carry:
+                out = out.withColumn(v, F.when(within, F.col(v)))
+        out = out.drop(rts_carry)
     return out
 
 

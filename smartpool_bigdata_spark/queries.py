@@ -817,6 +817,80 @@ def events_asof_reference_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_tolerance",
+    oracle="""
+    WITH updates AS (
+        SELECT event_type, ts,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(value), 4) AS ref_value
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY event_type, ts
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN u.ts >= e.ts - INTERVAL 6 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+           CAST(sum(CASE WHEN u.ts IS NOT NULL
+                          AND u.ts < e.ts - INTERVAL 6 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_dropped,
+           round(CAST(sum(CASE WHEN u.ts >= e.ts - INTERVAL 6 HOUR
+                          THEN CAST(u.ref_value AS DECIMAL(38,10))
+                          ELSE 0 END) AS DOUBLE), 2) AS total_ref_value
+    FROM events e
+    ASOF LEFT JOIN updates u
+      ON e.event_type = u.event_type AND u.ts <= e.ts
+    GROUP BY e.event_type
+    """,
+    description="As-of join WITH STALENESS TOLERANCE (the TimescaleDB/"
+    "QuestDB 'ASOF ... TOLERANCE' form): each event takes the latest "
+    "reference update at or before its timestamp ONLY if that update is "
+    "at most 6 hours old — older matches are treated as no-match, the "
+    "semantics telemetry joins want when a sensor goes silent. "
+    "Implemented by carrying the matched right timestamp through the "
+    "same union-tag + last_value window as the plain as-of join (ONE "
+    "shuffle on the key, O(L+R), no extra pass); the oracle is DuckDB's "
+    "native ASOF JOIN with the tolerance applied as a post-filter on "
+    "the matched timestamp, so fresh/stale accounting is value-locked.",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    updates = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", "ts")
+        .agg(stable_avg("value", 4).alias("ref_value"))
+    )
+    plain = asof_join(
+        ev, updates, keys=["event_type"], left_ts="ts", right_ts="ts",
+        value_cols=["ref_value"],
+    ).withColumnRenamed("ref_value", "any_ref")
+    tol = asof_join(
+        ev, updates, keys=["event_type"], left_ts="ts", right_ts="ts",
+        value_cols=["ref_value"], tolerance="6 hours",
+    )
+    joined = tol.join(
+        plain.select("event_id", "any_ref"), "event_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ref_value").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fresh"),
+        F.sum(
+            F.when(
+                F.col("ref_value").isNull() & F.col("any_ref").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stale_dropped"),
+        stable_sum(F.coalesce("ref_value", F.lit(0.0)), 2).alias(
+            "total_ref_value"
+        ),
+    )
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH flagged AS (
@@ -2321,6 +2395,7 @@ GATE_PRIORITY: list[str] = [
     "event_heavy_hitters_cms",
     "orders_bloom_prefilter",
     "jdbc_live_roundtrip",
+    "events_asof_tolerance",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2354,7 +2429,6 @@ GATE_PRIORITY: list[str] = [
     "embedding_dup_clusters",
     # --- 16 re-confirmation slots: the r4 window's most complex rows ---
     "llm_corpus_pipeline",
-    "knn_ivf_kmeans",
     "knn_pq_adc",
     "stream_session_windows",
     "stream_merge_upsert_roundtrip",
