@@ -185,6 +185,34 @@ def _publish(d: str, messages, batch_id: int | None = None) -> None:
     _write_commit_manifest(d, _read_head(d), finals, batch_id)
 
 
+def vacuum_staged(d: str, max_age_sec: float = 24 * 3600) -> int:
+    """GC orphaned ``.staged-*`` files older than ``max_age_sec`` — the
+    garbage a crash between stage and commit leaves behind (invisible to
+    readers by contract; this reclaims the bytes). Manifest-listed files
+    are never touched; a conservative age bound keeps in-flight writes
+    of a live job safe, same contract as Delta's VACUUM retention.
+    Returns the number of files removed."""
+    import time
+
+    now = time.time()
+    n = 0
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return 0
+    for fn in names:
+        if not fn.startswith(".staged-"):
+            continue
+        p = os.path.join(d, fn)
+        try:
+            if now - os.path.getmtime(p) > max_age_sec:
+                os.remove(p)
+                n += 1
+        except OSError:
+            pass
+    return n
+
+
 def _abort(messages) -> None:
     for m in messages:
         if m is not None and os.path.exists(m.path):

@@ -176,3 +176,27 @@ def test_stream_write_exactly_once_on_replay(spark, tmp_path):
     LedgerStreamWriter({"path": str(d)}).commit([_Staged(path=stg, rows=1)], 0)
     assert _read(spark, d).count() == 400  # nothing published twice
     assert not os.path.exists(stg)
+
+
+def test_vacuum_removes_only_old_orphans(spark, tmp_path):
+    """vacuum_staged reclaims crash-leaked staged files past the age
+    bound and never touches fresh staged files or committed data."""
+    import time as _time
+
+    from smartpool_bigdata_spark.io.pyledger import vacuum_staged
+
+    d = tmp_path / "ledger"
+    _df(spark, 30).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    old = d / ".staged-crashed-old.jsonl"
+    fresh = d / ".staged-inflight.jsonl"
+    for p in (old, fresh):
+        with open(p, "w") as f:
+            f.write('{"id": 1, "k": "x", "v": 0.1}\n')
+    past = _time.time() - 7200
+    os.utime(old, (past, past))
+    removed = vacuum_staged(str(d), max_age_sec=3600)
+    assert removed == 1
+    assert not old.exists() and fresh.exists()
+    assert _read(spark, d).count() == 30  # committed data untouched
