@@ -73,6 +73,89 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def synthesize_pcm(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "audio"
+) -> DataFrame:
+    """Deterministic PCM16-LE audio synthesizer (the driver testdata
+    ships no media files): per id, ``1536 + id % 1024`` samples with
+    ``sample_i = ((id·31 + i·7) mod 65536) − 32768``, packed little-
+    endian int16 via numpy ``tobytes`` per Arrow batch. Because the
+    waveform is a pure arithmetic function of (id, i), a SQL oracle can
+    recompute every downstream feature WITHOUT parsing bytes — the same
+    regenerate-don't-parse trick as the sensor_feed connector oracle."""
+    schema = f"{id_col} long, {out_col} binary, n_samples int"
+
+    def gen(it: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads, ns = [], []
+            for d in ids:
+                n = 1536 + int(d) % 1024
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(d) * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                payloads.append(s.tobytes())
+                ns.append(n)
+            yield pd.DataFrame(
+                {id_col: ids, out_col: payloads, "n_samples": ns}
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def pcm_chunk_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    chunk_samples: int = 1024,
+) -> DataFrame:
+    """REAL audio feature extraction over opaque binary columns — unlike
+    the image/video decodes, raw PCM needs no codec, so this path runs
+    end-to-end in any environment: each payload parses as little-endian
+    int16 (``np.frombuffer`` per Arrow batch — zero-copy), windows into
+    fixed ``chunk_samples`` chunks (tail chunk short), and emits exact
+    integer features per chunk: sample count, peak amplitude, and energy
+    (sum of squares — fits int64 up to ~2^23 samples/chunk). RMS/dBFS
+    derive downstream as plain SQL so every float stays in the engine.
+
+    Scale: row-local map work, no shuffle; rows expand by ~samples/chunk
+    — the audio twin of sample_frames' fan-out, with the decode REAL."""
+    schema = (
+        f"{id_col} long, chunk_idx int, n_samples int, peak int, sum_sq long"
+    )
+
+    def gen(it: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, chunks, ns, peaks, sqs = [], [], [], [], []
+            for d, b in zip(pdf[id_col], pdf[audio_col]):
+                if b is None:
+                    continue
+                s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                for c0 in range(0, len(s), chunk_samples):
+                    ch = s[c0 : c0 + chunk_samples]
+                    ids.append(d)
+                    chunks.append(c0 // chunk_samples)
+                    ns.append(len(ch))
+                    peaks.append(int(np.abs(ch).max()) if len(ch) else 0)
+                    sqs.append(int((ch * ch).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": chunks,
+                    "n_samples": ns,
+                    "peak": peaks,
+                    "sum_sq": sqs,
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(gen, schema=schema)
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -95,3 +95,32 @@ def test_resize_fake_emits_target_sized_payloads(media):
     assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == {
         r["doc_id"]: bytes(r["payload"]) for r in again
     }
+
+
+def test_pcm_roundtrip_and_chunk_features(spark):
+    """synthesize -> parse -> window: the PCM bytes round-trip exactly
+    (frombuffer inverts tobytes), tail chunks are short, and the integer
+    features match a pure-Python recomputation from the generator."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        pcm_chunk_features,
+        synthesize_pcm,
+    )
+
+    ids = spark.createDataFrame([(3,), (1025,)], ["doc_id"])
+    audio = synthesize_pcm(ids)
+    feats = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_samples"], r["peak"], r["sum_sq"])
+        for r in pcm_chunk_features(audio).collect()
+    }
+    for d in (3, 1025):
+        n = 1536 + d % 1024
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 7) % 65536 - 32768
+        for c0 in range(0, n, 1024):
+            ch = s[c0 : c0 + 1024]
+            want = (len(ch), int(np.abs(ch).max()), int((ch * ch).sum()))
+            assert feats[(d, c0 // 1024)] == want
+    # tail chunk of doc 3 is short: 1536+3 = 1539 -> chunks of 1024, 515
+    assert feats[(3, 1)][0] == 515
