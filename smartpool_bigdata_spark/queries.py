@@ -2396,6 +2396,7 @@ GATE_PRIORITY: list[str] = [
     "orders_bloom_prefilter",
     "jdbc_live_roundtrip",
     "events_asof_tolerance",
+    "audio_pcm_chunk_stats",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2428,7 +2429,6 @@ GATE_PRIORITY: list[str] = [
     "knn_ivf",
     "embedding_dup_clusters",
     # --- 16 re-confirmation slots: the r4 window's most complex rows ---
-    "llm_corpus_pipeline",
     "knn_pq_adc",
     "stream_session_windows",
     "stream_merge_upsert_roundtrip",

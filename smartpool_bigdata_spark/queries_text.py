@@ -3563,3 +3563,61 @@ def corpus_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "audio_pcm_chunk_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    samples AS (
+        SELECT doc_id, i.i AS i,
+               (doc_id * 31 + i.i * 7) % 65536 - 32768 AS s
+        FROM ids, unnest(range(0, 1536 + doc_id % 1024)) AS i(i)
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i // 1024 AS INTEGER) AS chunk_idx,
+               CAST(count(*) AS INTEGER) AS n_samples,
+               CAST(max(abs(s)) AS INTEGER) AS peak,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq
+        FROM samples GROUP BY 1, 2
+    )
+    SELECT doc_id, chunk_idx, n_samples, peak, sum_sq,
+           round(sqrt(sum_sq / CAST(n_samples AS DOUBLE)), 4) AS rms
+    FROM chunks
+    """,
+    description="REAL audio feature extraction over opaque binary "
+    "columns (ops/multimodal.py:synthesize_pcm + pcm_chunk_features): "
+    "a deterministic PCM16-LE waveform packs per document, parses back "
+    "zero-copy as little-endian int16 per Arrow batch, windows into "
+    "1024-sample chunks (tail short), and emits exact integer features "
+    "— count, peak, energy — with RMS derived engine-side. Raw PCM "
+    "needs no codec, so unlike the disclosed image/video stubs this "
+    "multimodal path is fully REAL in any environment; the oracle "
+    "regenerates every feature from the waveform's arithmetic "
+    "definition WITHOUT parsing bytes (the sensor_feed "
+    "regenerate-don't-parse trick), so the byte pack/parse round-trip "
+    "itself is value-locked. Scale: row-local mapInPandas fan-out "
+    "(~samples/chunk rows per payload), no shuffle before the output.",
+)
+def audio_pcm_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.multimodal import (
+        pcm_chunk_features,
+        synthesize_pcm,
+    )
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id")
+    audio = synthesize_pcm(docs)
+    feats = pcm_chunk_features(audio)
+    return feats.select(
+        "doc_id",
+        "chunk_idx",
+        "n_samples",
+        "peak",
+        "sum_sq",
+        F.round(
+            F.expr("sqrt(sum_sq / CAST(n_samples AS DOUBLE))"), 4
+        ).alias("rms"),
+    )
+
+
+__reorder()

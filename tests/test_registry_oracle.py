@@ -137,7 +137,7 @@ def test_gate_window_pinned():
         "stream_pq_codes", "corpus_packing_manifest",
         "event_audience_overlap_kmv", "event_heavy_hitters_cms",
         "orders_bloom_prefilter", "jdbc_live_roundtrip",
-        "events_asof_tolerance",
+        "events_asof_tolerance", "audio_pcm_chunk_stats",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
