@@ -1331,6 +1331,12 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("logw_norm")
         )
+        # lazy-checkpoint the small per-doc score frame: the prefix sum's
+        # quantile collection, the n_row agg, and the main flow all
+        # re-read it — without the cut each consumer re-runs the whole
+        # LM-scoring feature aggregation (measured ~25% of the query at
+        # sf0.1, same finding as pipeline v3)
+        .localCheckpoint(eager=False)
     )
     from smartpool_bigdata_spark.ops.relational import global_running_sum
 
