@@ -604,7 +604,10 @@ def corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(
             T.spark_hash64("concat('budget|', cast(doc_id as string))")
         ).alias("h"),
-    )
+        # lazy-checkpoint: the budget aggregate, the prefix sum's quantile
+        # collection, and the cum main flow each re-read this frame —
+        # without the cut every consumer re-runs the tokenize scan
+    ).localCheckpoint(eager=False)
     bylang = toks.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_tokens"))
     tot = bylang.agg(
         F.sum("n_tokens").cast("bigint").alias("total"),
