@@ -784,3 +784,65 @@ def test_rocksdb_state_store_context_restores_conf(spark):
     except Exception:
         after = None
     assert after == before
+
+
+def test_pq_encode_stream_restart_and_replay(spark, tmp_path):
+    """The streaming PQ encode loop survives a checkpoint restart (drain
+    half the new vectors, stop, deliver the rest, restart) — the final
+    codes table equals the one-shot encode of the full corpus with
+    exactly one row per (vec_id, sub)."""
+    from smartpool_bigdata_spark.ops.vectors import (
+        as_double_array,
+        pq_encode,
+        sample_fixed_k,
+    )
+    from smartpool_bigdata_spark.streaming.runner import start_pq_encode
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    corpus = as_double_array(emb, "embedding", "v").select("vec_id", "v")
+    cb_parts = []
+    for s in range(4):
+        cb_parts.append(
+            sample_fixed_k(corpus, 16, salt=f"pq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(v, {16 * s + 1}, 16)").alias("csub"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+    cb = cb.localCheckpoint(eager=True)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    codes_path = str(tmp_path / "codes")
+    src = str(tmp_path / "new_vecs")
+    ckpt = str(tmp_path / "ckpt")
+    pq_encode(base, cb).write.parquet(codes_path)
+
+    def drain():
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_pq_encode(
+            stream, cb, codes_path, ckpt, trigger={"availableNow": True}
+        )
+        assert q.awaitTermination(240)
+
+    os.makedirs(src, exist_ok=True)
+    new.filter(F.col("vec_id") % 4 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    new.filter(F.col("vec_id") % 4 == 3).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # restart from the same checkpoint
+
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in spark.read.parquet(codes_path).collect()
+    }
+    want = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(corpus, cb).collect()
+    }
+    assert got == want and len(got) == corpus.count() * 4
