@@ -1328,8 +1328,8 @@ def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     "other half arrives as a rate-limited file stream through "
     "foreachBatch + pq_encode + an (id, sub)-keyed MERGE into the codes "
     "table. Per-batch cost O(batch · subspaces · codes), the base "
-    "corpus never re-encodes, replays are idempotent (same keyed-MERGE "
-    "contract restart-tested for the assignment stream). Oracle: the "
+    "corpus never re-encodes, replays are idempotent (checkpoint-restart "
+    "pytest-locked in tests/test_streaming.py). Oracle: the "
     "ONE-SHOT DuckDB encode of the full corpus grouped by (sub, code) — "
     "the stream/base split must not change a single code. "
     "streaming/runner.py:start_pq_encode.",
