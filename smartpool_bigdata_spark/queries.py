@@ -891,6 +891,46 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_top_orders_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) o
+    """,
+    description="Correlated LATERAL subquery with ORDER BY + LIMIT — the "
+    "'top 2 orders PER customer' written the way analysts write it, and "
+    "the decorrelation stress-test for the optimizer: a naive engine "
+    "re-executes the subquery per outer row (O(|C|·|O|)); Catalyst "
+    "rewrites it into a map-side-PARTIAL WindowGroupLimit -> one "
+    "shuffle on o_custkey -> final group limit -> hash join (verified "
+    "via explain — each partition pre-prunes to 2 rows per key before "
+    "the exchange, so the shuffle carries ~2|C| rows, not |O|). DuckDB "
+    "runs the IDENTICAL lateral SQL as the oracle, so the decorrelated "
+    "plan is value-locked against the literal nested-loop semantics.",
+)
+def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _ts(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _ts(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust.createOrReplaceTempView("v_lateral_customer")
+    orders.createOrReplaceTempView("v_lateral_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM v_lateral_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM v_lateral_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) o
+        """
+    )
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH flagged AS (
@@ -2397,6 +2437,7 @@ GATE_PRIORITY: list[str] = [
     "jdbc_live_roundtrip",
     "events_asof_tolerance",
     "audio_pcm_chunk_stats",
+    "customer_top_orders_lateral",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2429,7 +2470,6 @@ GATE_PRIORITY: list[str] = [
     "knn_ivf",
     "embedding_dup_clusters",
     # --- 16 re-confirmation slots: the r4 window's most complex rows ---
-    "knn_pq_adc",
     "stream_session_windows",
     "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
