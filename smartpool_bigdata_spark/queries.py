@@ -891,6 +891,55 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regional_supplier_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    description="TPC-H Q5-shaped snowflake rollup — supplier revenue per "
+    "region/nation — and the registry's coverage of the last three "
+    "unused catalog tables (region, nation, supplier). Scale shape: the "
+    "THREE-level dimension chain (supplier -> nation -> region) is "
+    "collapsed into ONE broadcast dim before touching the fact table, "
+    "so the lineitem scan pays a single broadcast hash join instead of "
+    "three chained shuffles — the standard snowflake-collapse rewrite; "
+    "revenue is the discounted-price fold through a decimal-stable "
+    "sum.",
+)
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _ts(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _ts(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _ts(spark, sf_dir, "nation")
+    reg = _ts(spark, sf_dir, "region")
+    dim = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            stable_sum(
+                F.expr("l_extendedprice * (1 - l_discount)"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "customer_top_orders_lateral",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
@@ -2438,6 +2487,7 @@ GATE_PRIORITY: list[str] = [
     "events_asof_tolerance",
     "audio_pcm_chunk_stats",
     "customer_top_orders_lateral",
+    "regional_supplier_revenue",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2471,7 +2521,6 @@ GATE_PRIORITY: list[str] = [
     "embedding_dup_clusters",
     # --- 16 re-confirmation slots: the r4 window's most complex rows ---
     "stream_session_windows",
-    "stream_merge_upsert_roundtrip",
     "stream_purchase_attribution_outer",
 ]
 

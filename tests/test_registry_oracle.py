@@ -138,7 +138,7 @@ def test_gate_window_pinned():
         "event_audience_overlap_kmv", "event_heavy_hitters_cms",
         "orders_bloom_prefilter", "jdbc_live_roundtrip",
         "events_asof_tolerance", "audio_pcm_chunk_stats",
-        "customer_top_orders_lateral",
+        "customer_top_orders_lateral", "regional_supplier_revenue",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
