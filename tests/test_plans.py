@@ -225,6 +225,8 @@ def test_r6_additions_plan_posture(plans):
         "event_audience_overlap_kmv",
         "event_heavy_hitters_cms",
         "orders_bloom_prefilter",
+        "customer_top_orders_lateral",
+        "regional_supplier_revenue",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
