@@ -285,3 +285,79 @@ def connected_components_incremental(
         "node", F.coalesce("__new_root", F.col("component")).alias("component")
     )
     return rebased.union(unseen_rows)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED graph (edges are
+    symmetrized, so every node has out-degree >= 1 and there is no
+    dangling mass to redistribute — the classic sink complication
+    disappears by construction). Returns (node, rank) for every node
+    that appears in an edge; ranks sum to 1.
+
+    Fixed iteration count rather than convergence-test because (a) the
+    result is then a pure function of the input — SQL-oracle
+    expressible as a chain of per-iteration CTEs, giving the iterative
+    family a full value-hash gate where HashMin/two-phase CC settle for
+    structural checks — and (b) production PageRank at corpus scale is
+    run with a fixed budget anyway (power iteration gains a fixed
+    ~damping^k error factor per step regardless of graph size).
+
+    Cross-engine determinism: the per-node contribution sum is the only
+    order-dependent float reduction, so each addend is cast to
+    DECIMAL(38,18) before summation (exact, associative — the
+    ``functions.stable`` pattern at higher precision; rank magnitudes
+    are <= 1 so 20 integer digits of headroom are ample). Every other
+    float op is a per-row IEEE multiply/divide/add with identical
+    operand derivation in both engines, so 5 iterations stay
+    bit-identical end to end.
+
+    Scale: degree table and weighted edge list are built once
+    (localCheckpoint cuts the loop's lineage); each iteration is ONE
+    join of the rank vector onto the weighted edges + ONE groupBy-sum —
+    two key-shuffles, the same shape as a HashMin step. The rank vector
+    is O(nodes) and never collected; iteration count is a constant.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    wedges = (
+        sym.join(deg, "a")
+        .select(
+            "a",
+            "b",
+            (F.lit(1.0) / F.col("__deg").cast("double")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()  # driver scalar: one count, never row data
+    init = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(F.col("a").alias("node"), F.lit(init).alias("rank"))
+    for _ in range(iterations):
+        contrib = wedges.join(
+            ranks, wedges["a"] == ranks["node"]
+        ).select(F.col("b"), (F.col("rank") * F.col("w")).alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("b").alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2454,13 +2454,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   round-6 additions (schema-merge append gate, bootstrap+metadata
 #   round-trip, streaming IVF/PQ maintenance, curation pipeline v3,
 #   the combined IVF-PQ index, the sketch family, live JDBC, audio,
-#   LATERAL, snowflake rollup, prefix-filter similarity join), then
-#   ALL 30 queries whose NEWEST driver row is still the r3 window (the
-#   oldest greens — OLAP/doc/knn families last hard-checked two rounds
-#   ago), then 1 re-confirmation slot from the r4 window (the late r6
-#   additions displaced the rest; r4 rows stay within the two-round
-#   freshness policy) — after this round every registry query's newest
-#   driver row is at most two rounds old (r4–r6).
+#   LATERAL, snowflake rollup, prefix-filter similarity join,
+#   fixed-iteration PageRank), then ALL 30 queries whose NEWEST driver
+#   row is still the r3 window (the oldest greens — OLAP/doc/knn
+#   families last hard-checked two rounds ago). The late r6 additions
+#   displaced the r4 re-confirmation fillers, which is fine: r4 rows
+#   stay within the two-round freshness policy, so after this round
+#   every registry query's newest driver row is at most two rounds old
+#   (r4–r6).
 #   test_gate_window_pinned asserts exactly that coverage.
 #
 # Every query outside the current window keeps the SAME oracle via
@@ -2490,6 +2491,7 @@ GATE_PRIORITY: list[str] = [
     "customer_top_orders_lateral",
     "regional_supplier_revenue",
     "doc_prefix_filter_pairs",
+    "purchase_graph_pagerank",
     # --- all 30 queries whose newest driver row is the r3 window ---
     "order_priority_pivot",
     "peak_event_hours",
@@ -2521,10 +2523,6 @@ GATE_PRIORITY: list[str] = [
     "knn_brute_force",
     "knn_ivf",
     "embedding_dup_clusters",
-    # --- re-confirmation slot: an r4-window green (the late r6
-    # additions displaced the rest; r4 rows are still within the
-    # two-round freshness policy without re-confirmation) ---
-    "stream_session_windows",
 ]
 
 
@@ -2702,6 +2700,80 @@ def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_price",
         )
     )
+
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Chained-CTE twin of ops.graph.pagerank over the purchase graph:
+    one CTE per power iteration, decimal(38,18)-stable contribution
+    sums, identical IEEE derivation for every scalar — see the op
+    docstring for the determinism argument."""
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1 AS DOUBLE) - {d}) / nn.n"
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """sym AS (
+        SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+    )""",
+        """deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a)""",
+        """w AS (
+        SELECT s.a, s.b, CAST(1 AS DOUBLE) / CAST(d.deg AS DOUBLE) AS w
+        FROM sym s JOIN deg d ON d.a = s.a
+    )""",
+        """nn AS (SELECT count(*) AS n FROM deg)""",
+        """r0 AS (
+        SELECT a AS node, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg, nn
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+        SELECT w.b AS node,
+               {base} + {d} * CAST(sum(
+                   CAST(r{i-1}.rank * w.w AS DECIMAL(38,18))
+               ) AS DOUBLE) AS rank
+        FROM w JOIN r{i-1} ON w.a = r{i-1}.node, nn
+        GROUP BY w.b, nn.n
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, round(rank, 9) AS rank FROM r{iterations}
+    """
+
+
+@query(
+    "purchase_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    description="Fixed-budget (5-iteration) PageRank over the symmetrized "
+    "customer-supplier purchase graph (distinct lineitem-orders pairs, "
+    "supplier ids offset into their own range) - the canonical iterative "
+    "graph workload beside the CC family, and the first one with a FULL "
+    "value-hash oracle: a fixed iteration count makes the result a pure "
+    "function of the input, replayed in DuckDB as one CTE per power "
+    "iteration. Cross-engine float determinism via decimal(38,18)-stable "
+    "contribution sums; symmetrization removes dangling-sink mass by "
+    "construction. Plan: weighted edges built once (localCheckpoint cuts "
+    "loop lineage), each iteration = one join + one groupBy-sum - two "
+    "key-shuffles, rank vector O(nodes), never collected.",
+)
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
 # Register the document-pipeline and similarity-search query families into

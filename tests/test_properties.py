@@ -503,3 +503,45 @@ def test_cms_estimate_is_one_sided(spark, keys):
     exact = collections.Counter(keys)
     for k, n in exact.items():
         assert est[k] >= n  # one-sided error, never an undercount
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_model_and_sums_to_one(spark, edge_list):
+    """ops.graph.pagerank must match a pure-Python power iteration with
+    the same symmetrize/degree/damping algebra on random graphs, and the
+    rank vector must sum to 1 (no dangling mass on a symmetrized
+    graph)."""
+    from smartpool_bigdata_spark.ops.graph import pagerank
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()
+    }
+
+    sym = {(a, b) for a, b in edge_list if a != b}
+    sym |= {(b, a) for a, b in sym}
+    nodes = sorted({a for a, _ in sym})
+    deg = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    n = len(nodes)
+    d = 0.85
+    base = (1.0 - d) / n
+    ranks = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        nxt = {u: 0.0 for u in nodes}
+        for a, b in sym:
+            nxt[b] += ranks[a] / deg[a]
+        ranks = {u: base + d * nxt[u] for u in nodes}
+
+    assert set(got) == set(nodes)
+    for u in nodes:
+        # the Spark path quantizes contribution addends to decimal(38,18)
+        # before summing; allow only that quantization as slack
+        assert abs(got[u] - ranks[u]) < 1e-9, (u, got[u], ranks[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -107,12 +107,12 @@ R5_WINDOW = frozenset({
 
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r6 set: the 19
-    round-6 additions, ALL 30 queries whose newest driver row is still
-    the r3 window (last hard-checked two-plus rounds ago), and 1
-    re-confirmation slot from the r4 window — so after this window
-    runs, every registry query's newest driver row is at most two
-    rounds old (r4-r6). A refactor that reorders registration (round 2
+    registry entries in iteration order. Pin the ROTATED r6 set: the 20
+    round-6 additions plus ALL 30 queries whose newest driver row is
+    still the r3 window (last hard-checked two-plus rounds ago) — the
+    late additions displaced the r4 re-confirmation fillers, which is
+    fine: after this window runs, every registry query's newest driver
+    row is at most two rounds old (r4-r6). A refactor that reorders registration (round 2
     silently pushed embedding_near_dup and all of §2.7 out of the
     window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
@@ -139,7 +139,7 @@ def test_gate_window_pinned():
         "orders_bloom_prefilter", "jdbc_live_roundtrip",
         "events_asof_tolerance", "audio_pcm_chunk_stats",
         "customer_top_orders_lateral", "regional_supplier_revenue",
-        "doc_prefix_filter_pairs",
+        "doc_prefix_filter_pairs", "purchase_graph_pagerank",
     }
     missing_must = must_haves - gated
     assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
