@@ -1209,8 +1209,11 @@ def prefix_filter_pairs(
             F.expr("transform(__s, s -> s.tok)").alias("toks"),
             F.expr("size(__s)").alias("n"),
         )
-        .persist()
     )
+    # tracked like the LSH signature stages: the ordered sets feed the
+    # prefix explode and both verify sides (3 plan references);
+    # release_signature_caches() frees it once pairs are materialized
+    ordered = _track_signature_cache(ordered)
     # prefix length n - ceil(t*n) + 1; ceil(a*n/b) == (a*n + b - 1) div b
     # keeps the whole computation in integer arithmetic (float t*n can
     # straddle an integer boundary and silently lengthen the prefix).
