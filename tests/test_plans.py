@@ -227,6 +227,13 @@ def test_r6_additions_plan_posture(plans):
         "orders_bloom_prefilter",
         "customer_top_orders_lateral",
         "regional_supplier_revenue",
+        # prefix-filter join: the candidate and verify joins must stay
+        # hash joins on shingle/doc keys, never a cartesian
+        "doc_prefix_filter_pairs",
+        # pagerank: the returned frame is post-localCheckpoint (the loop
+        # plans are cut), but the lock still catches a cartesian or SMJ
+        # in the final projection should the checkpoint be removed
+        "purchase_graph_pagerank",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
