@@ -331,7 +331,14 @@ def pagerank(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    # materialized once: referenced by the node count, the rank-vector
+    # init AND the weighted-edge build — without the cut each action
+    # would re-shuffle the symmetrized edge list
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
     wedges = (
         sym.join(deg, "a")
         .select(
