@@ -884,6 +884,66 @@ def repetition_signals_from_stage(
     return out
 
 
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+) -> DataFrame:
+    """CROSS-CORPUS duplicate-span mass (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr signal
+    at token granularity): every length-``span_k`` token window is
+    hashed, and a window VALUE occurring >= 2 times anywhere in the
+    corpus (within one document or across documents) is duplicated text.
+    Each document is then scored by the fraction of its windows that are
+    duplicated — the per-doc decision statistic for span-level dedup.
+
+    Distinct from ``repetition_signals`` (within-doc n-gram repeats
+    only) and from the pairwise-overlap family (winnowing / signature
+    joins score doc PAIRS): this computes global duplicate MASS, the
+    "how much of my corpus is copied text" curation measure, without
+    ever forming pairs.
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_span_fraction), one row
+    per input document; documents shorter than ``span_k`` tokens have 0
+    spans and fraction 0.0.
+
+    Scale: explode -> groupBy (doc_id, span) -> corpus total per span
+    via a hash-partitioned window keyed on the span hash -> per-doc
+    re-agg: two uniform hash shuffles plus the final doc_id agg, no
+    join-back of the corpus against a counts table and no self-join.
+    Span hashes are the arithmetic shingle hashes (one md5 per TOKEN,
+    no span strings); P=2^31 collisions are negligible and
+    engine-identical, so the DuckDB oracle matches exactly. The window
+    key is the span hash itself — near-uniform by construction, so no
+    skew treatment is needed even on boilerplate-heavy corpora (equal
+    spans land on one key, but their count is the quantity being
+    computed, and the per-key payload is (doc_id, cnt) pairs already
+    pre-reduced by the first groupBy).
+    """
+    staged = token_hash_stage(df, id_col, text_col).localCheckpoint(eager=False)
+    spans = staged.select(
+        "doc_id", F.explode(F.expr(spark_shingle_hashes("__th", span_k))).alias("sp")
+    )
+    per_pair = spans.groupBy("doc_id", "sp").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("sp")
+    tot = per_pair.withColumn("corpus_cnt", F.sum("cnt").over(w))
+    per_doc = tot.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_spans"),
+        F.sum(F.when(F.col("corpus_cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+    )
+    return staged.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce(
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4), F.lit(0.0)
+        ).alias("dup_span_fraction"),
+    )
+
+
 def decontamination_overlap(
     train: DataFrame,
     benchmark: DataFrame,

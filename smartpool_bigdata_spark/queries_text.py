@@ -3694,4 +3694,86 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "n_shared", "n_union", "jaccard")
 
 
+@query(
+    "doc_dup_span_mass",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang, source,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, sp, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 8)}) AS sp FROM th)
+        GROUP BY doc_id, sp
+    ),
+    tot AS (
+        SELECT doc_id, cnt,
+               sum(cnt) OVER (PARTITION BY sp) AS corpus_cnt
+        FROM sp
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN corpus_cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+        FROM tot GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT th.lang, th.source,
+               coalesce(n_spans, 0) AS n_spans,
+               coalesce(n_dup_spans, 0) AS n_dup_spans,
+               coalesce(round(n_dup_spans / CAST(n_spans AS DOUBLE), 4), 0.0)
+                   AS dup_span_fraction
+        FROM th LEFT JOIN per_doc ON th.doc_id = per_doc.doc_id
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_dup,
+           CAST(sum(CASE WHEN dup_span_fraction > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           CAST(sum(n_dup_spans) AS BIGINT) AS total_dup_spans,
+           round(CAST(sum(CAST(dup_span_fraction AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(dup_span_fraction), 4) AS avg_dup_frac
+    FROM scored GROUP BY lang, source
+    """,
+    description="Cross-corpus duplicate-span MASS (Lee et al. 2021 "
+    "ExactSubstr at token granularity): every 8-token window hashed; a "
+    "window value occurring >= 2 times anywhere in the corpus is "
+    "duplicated text; per-document duplicated fraction rolled up to "
+    "(lang, source) with a >0.3 flag count — the 'how much of my corpus "
+    "is copied text' curation measure, complementary to the pairwise "
+    "near-dup tiers (scores duplicate mass without ever forming doc "
+    "pairs). Plan: explode -> (doc, span) pre-reduce -> corpus total per "
+    "span via a hash-partitioned window on the span hash -> per-doc "
+    "re-agg -> tiny dim join + rollup; two uniform hash shuffles over "
+    "pre-reduced rows, no self-join, no candidate blowup — the span-key "
+    "window is the scale-stable alternative to joining the corpus back "
+    "against a counts table.",
+)
+def doc_dup_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import dup_span_stats
+
+    docs = _ts(spark, sf_dir, "documents")
+    per_doc = dup_span_stats(docs, span_k=8)
+    dims = docs.select("doc_id", "lang", "source")
+    return (
+        dims.join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_dup_spans") > 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_with_dup"),
+            F.sum(
+                F.when(F.col("dup_span_fraction") > 0.3, 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_dup_spans").alias("total_dup_spans"),
+            stable_avg("dup_span_fraction", 4).alias("avg_dup_frac"),
+        )
+    )
+
+
 __reorder()

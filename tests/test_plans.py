@@ -234,6 +234,10 @@ def test_r6_additions_plan_posture(plans):
         # plans are cut), but the lock still catches a cartesian or SMJ
         # in the final projection should the checkpoint be removed
         "purchase_graph_pagerank",
+        # duplicate-span mass: the span-count window plus doc_id joins
+        # must stay hash/broadcast — a corpus-vs-counts join-back
+        # refactor that loses the pre-reduce would surface here
+        "doc_dup_span_mass",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

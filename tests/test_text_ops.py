@@ -345,6 +345,33 @@ def test_repetition_signals_flags_repeats(spark):
     assert out[4]["token_count"] == 2 and out[4]["dup_ngram_fraction"] == 0.0
 
 
+def test_dup_span_stats_cross_corpus_mass(spark):
+    from smartpool_bigdata_spark.ops.text import dup_span_stats
+
+    shared = "one two three four"  # the planted duplicated 4-token span
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha"),          # 2 spans, 1 duplicated (the shared one)
+            (2, shared + " beta"),           # 2 spans, 1 duplicated
+            (3, "p q r s t u v w"),          # 5 spans, all unique corpus-wide
+            (4, "a b a b a b"),              # within-doc repeat: 3 spans, "a b a b" x2
+            (5, "too short"),                # < span_k tokens -> 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(df, span_k=4).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_span_fraction"] == 0.5
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_spans"] == 5 and out[3]["n_dup_spans"] == 0
+    # doc 4: spans at offsets 0..2 are (abab, baba, abab) -> abab occurs
+    # twice WITHIN the doc, so 2 of 3 spans are duplicated mass
+    assert out[4]["n_spans"] == 3 and out[4]["n_dup_spans"] == 2
+    assert out[4]["dup_span_fraction"] == round(2 / 3, 4)
+    # zero-span docs survive with coalesced zeros
+    assert out[5]["n_spans"] == 0 and out[5]["dup_span_fraction"] == 0.0
+
+
 def test_decontamination_overlap_counts_distinct_grams(spark):
     from smartpool_bigdata_spark.ops.text import decontamination_overlap
 
