@@ -3695,6 +3695,100 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_token_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {T.duck_tokens('text')} AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(flatten(list_transform(range(1, 3), d ->
+            CASE WHEN len(toks) > d
+                 THEN list_transform(range(1, len(toks) - d + 1),
+                                     i -> toks[i] || ' ' || toks[i + d])
+                 ELSE [] END))) AS pair
+        FROM toks
+    ),
+    pc AS (SELECT pair, count(*) AS n_pair FROM pairs GROUP BY pair),
+    split_pc AS (
+        SELECT string_split(pair, ' ')[1] AS token_a,
+               string_split(pair, ' ')[2] AS token_b,
+               n_pair
+        FROM pc
+    ),
+    m AS (
+        SELECT token_a, token_b, n_pair,
+               sum(n_pair) OVER (PARTITION BY token_a) AS n_left,
+               sum(n_pair) OVER (PARTITION BY token_b) AS n_right,
+               sum(n_pair) OVER () AS n_total
+        FROM split_pc
+    )
+    SELECT token_a, token_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round(log2((CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE))
+                      / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))),
+                 4) AS pmi
+    FROM m WHERE n_pair >= 5
+    """,
+    description="Collocation extraction via windowed pointwise mutual "
+    "information: directional token pairs within a +-2 position window "
+    "are generated ROW-LOCALLY (a flatten/transform over the token "
+    "array — O(n*w) per doc, never a positional self-join), counted, "
+    "and scored pmi = log2(P(a,b) / (P_left(a) * P_right(b))) with the "
+    "marginals derived from the pair table itself — the corpus-analysis "
+    "primitive behind phrase mining and count-based embeddings "
+    "(PMI-matrix factorization). Plan: one explode + one uniform "
+    "(pair)-key shuffle; marginals are windows over the ALREADY "
+    "AGGREGATED pair table keyed on each token (bounded by vocab "
+    "pairings, no stop-word row blowup), and the corpus total is a "
+    "broadcast scalar, not a single-task unpartitioned window.",
+)
+def doc_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    toks = T.spark_tokens("text")
+    pair_expr = (
+        f"flatten(transform(sequence(1, 2), d -> "
+        f"CASE WHEN size({toks}) > d "
+        f"THEN transform(sequence(1, size({toks}) - d), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + d))) "
+        f"ELSE array() END))"
+    )
+    pc = (
+        docs.select(F.explode(F.expr(pair_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .select(
+            F.split("pair", " ").getItem(0).alias("token_a"),
+            F.split("pair", " ").getItem(1).alias("token_b"),
+            "n_pair",
+        )
+    )
+    total = pc.agg(F.sum("n_pair").alias("n_total"))
+    wl = Window.partitionBy("token_a")
+    wr = Window.partitionBy("token_b")
+    m = (
+        pc.withColumn("n_left", F.sum("n_pair").over(wl))
+        .withColumn("n_right", F.sum("n_pair").over(wr))
+        .crossJoin(F.broadcast(total))
+    )
+    return m.filter(F.col("n_pair") >= 5).select(
+        "token_a",
+        "token_b",
+        "n_pair",
+        "n_left",
+        "n_right",
+        F.round(
+            F.log2(
+                (F.col("n_pair").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n_left").cast("double") * F.col("n_right").cast("double"))
+            ),
+            4,
+        ).alias("pmi"),
+    )
+
+
+@query(
     "doc_dup_span_mass",
     oracle=f"""
     WITH th AS (

@@ -238,6 +238,10 @@ def test_r6_additions_plan_posture(plans):
         # must stay hash/broadcast — a corpus-vs-counts join-back
         # refactor that loses the pre-reduce would surface here
         "doc_dup_span_mass",
+        # PMI collocations: marginals must stay windows over the
+        # aggregated pair table + a broadcast scalar total — losing the
+        # broadcast (or joining marginals back) would surface here
+        "doc_token_pmi",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
