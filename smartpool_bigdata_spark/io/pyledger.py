@@ -38,6 +38,13 @@ complete new one, never an empty or torn intermediate. Old-epoch data
 files and manifests are garbage-collected only AFTER the flip; a crash
 mid-GC leaks unreferenced files, never a bad read.
 
+Time travel (the Delta ``versionAsOf`` / ``DESCRIBE HISTORY`` analog at
+epoch granularity): an overwrite with ``.option("retain", "true")``
+skips the eager GC, keeping superseded epochs on disk; a read with
+``.option("epoch", E)`` pins the manifest resolution to that epoch;
+``history(path)`` lists every retained epoch with commit/file/batch
+counts; ``vacuum_epochs(path)`` is the deferred GC back to HEAD-only.
+
 Rows are stored as JSON lines (ints/strings/bools/floats — floats via
 ``repr`` shortest round-trip, so double values survive bit-exactly; the
 reader re-parses against the declared schema). A real deployment swaps
@@ -131,11 +138,12 @@ def _write_commit_manifest(
     os.replace(tmp, os.path.join(log, name))
 
 
-def _read_manifest(d: str) -> dict:
-    """Aggregated view of the current epoch — files visible to readers
-    and the set of published streaming batch ids. O(#commits) tiny reads,
-    never O(total files) in any single file."""
-    epoch = _read_head(d)
+def _read_manifest(d: str, epoch: int | None = None) -> dict:
+    """Aggregated view of one epoch (default: HEAD) — files visible to
+    readers and the set of published streaming batch ids. O(#commits)
+    tiny reads, never O(total files) in any single file."""
+    if epoch is None:
+        epoch = _read_head(d)
     files: list[str] = []
     batches: list[int] = []
     for m in _commit_manifests(d, epoch):
@@ -143,6 +151,53 @@ def _read_manifest(d: str) -> dict:
         if m.get("batch_id") is not None:
             batches.append(m["batch_id"])
     return {"files": files, "batches": batches}
+
+
+def history(d: str) -> list[dict]:
+    """Table history, one row per epoch still present in the commit log
+    (the ``DESCRIBE HISTORY`` analog; reference usage
+    ``notebooks/03_silver_smartpool.ipynb:711-713``): epoch, commit and
+    file counts, streaming-batch count, and whether it is the HEAD
+    readers resolve by default. With the default (GC-ing) overwrite only
+    HEAD remains; ``retain``-ed overwrites keep superseded epochs
+    readable via the reader's ``epoch`` option until ``vacuum_epochs``.
+    Driver-side O(#commits) tiny reads — never scans data files."""
+    head = _read_head(d)
+    by_epoch: dict[int, dict] = {}
+    for m in _commit_manifests(d):
+        e = m.get("epoch", 0)
+        row = by_epoch.setdefault(
+            e,
+            {"epoch": e, "n_commits": 0, "n_files": 0, "n_batches": 0,
+             "is_head": e == head},
+        )
+        row["n_commits"] += 1
+        row["n_files"] += len(m.get("files", []))
+        if m.get("batch_id") is not None:
+            row["n_batches"] += 1
+    return [by_epoch[e] for e in sorted(by_epoch)]
+
+
+def vacuum_epochs(d: str) -> int:
+    """Deferred GC for ``retain``-ed overwrites: remove every non-HEAD
+    epoch's data files and manifests (Delta's ``VACUUM`` to the current
+    version). Returns the number of data files removed. Same crash
+    contract as the eager GC path: a crash mid-vacuum leaks unreferenced
+    files, never a torn read — visibility is decided only by HEAD."""
+    head = _read_head(d)
+    n = 0
+    for m in _commit_manifests(d):
+        if m.get("epoch", 0) == head:
+            continue
+        for fn in m.get("files", []):
+            p = os.path.join(d, fn)
+            if os.path.exists(p):
+                os.remove(p)
+                n += 1
+        mp = os.path.join(_log_dir(d), m["_name"])
+        if os.path.exists(mp):
+            os.remove(mp)
+    return n
 
 
 def _stage_rows(path_dir: str, iterator) -> _Staged:
@@ -223,6 +278,9 @@ class LedgerWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.dir = options["path"]
         self.overwrite = overwrite
+        # retain=true keeps superseded epochs on disk (time travel via
+        # the reader's epoch option) instead of eager GC after the flip
+        self.retain = str(options.get("retain", "")).lower() == "true"
 
     def write(self, iterator) -> _Staged:  # executor-side, per partition
         return _stage_rows(self.dir, iterator)
@@ -244,6 +302,10 @@ class LedgerWriter(DataSourceWriter):
         finals = _rename_in(self.dir, messages, None)
         _write_commit_manifest(self.dir, new_epoch, finals, None)
         _write_head(self.dir, new_epoch)  # ← commit point
+        if self.retain:
+            # superseded epochs stay readable (.option("epoch", E)) and
+            # listed by history(); vacuum_epochs() is the deferred GC
+            return
         # GC every superseded epoch, orphans included (crash here leaks
         # unreferenced files, never a torn read)
         for m in others:
@@ -287,9 +349,12 @@ class LedgerReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.dir = options["path"]
         self.schema = schema
+        # time travel: pin reads to a retained epoch (versionAsOf analog,
+        # epoch granularity). Default: resolve HEAD at planning time.
+        self.epoch = int(options["epoch"]) if "epoch" in options else None
 
     def partitions(self):
-        manifest = _read_manifest(self.dir)
+        manifest = _read_manifest(self.dir, self.epoch)
         return [
             _LedgerFile(os.path.join(self.dir, fn)) for fn in manifest["files"]
         ] or [_LedgerFile("")]

@@ -606,6 +606,89 @@ def ledger_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ledger_time_travel_stats",
+    oracle="""
+    WITH v AS (
+        SELECT 'v0' AS version, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'v1', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(1 AS BIGINT) AS n_commits,
+           version = 'v1' AS is_head
+    FROM v GROUP BY version
+    """,
+    description="Time travel + table history on the custom ledger sink "
+    "(the Delta versionAsOf / DESCRIBE HISTORY analog the reference QA "
+    "uses, notebooks/03_silver_smartpool.ipynb:711-713): even orders "
+    "land as epoch 0, a retain-ed OVERWRITE publishes odd orders as "
+    "epoch 1 (atomic HEAD flip, superseded epoch kept on disk), then "
+    "BOTH versions are read back — HEAD by default, epoch 0 via the "
+    "reader's epoch pin — and aggregated side by side with the commit "
+    "counts and head flags from history(). The oracle rebuilds both "
+    "versions arithmetically from the original parquet, so the value "
+    "hash locks the whole retain/flip/pin/history protocol: a torn "
+    "overwrite, a misresolved epoch, or history drift all break it. "
+    "io/pyledger.py.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def ledger_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.pyledger import history, register_ledger
+
+    register_ledger(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_ledger_tt_")
+    path = os.path.join(stage, "ledger")
+    try:
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4).write.format(
+            "ledger"
+        ).mode("append").option("path", path).save()
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4).write.format(
+            "ledger"
+        ).mode("overwrite").option("path", path).option("retain", "true").save()
+
+        hist = {h["epoch"]: h for h in history(path)}
+
+        def _version(epoch: int, label: str) -> DataFrame:
+            reader = (
+                spark.read.format("ledger")
+                .schema("o_orderkey bigint, o_totalprice double")
+                .option("path", path)
+            )
+            if not hist[epoch]["is_head"]:
+                reader = reader.option("epoch", str(epoch))
+            return reader.load().select(
+                F.lit(label).alias("version"),
+                "o_orderkey",
+                "o_totalprice",
+                F.lit(hist[epoch]["n_commits"]).cast("bigint").alias("n_commits"),
+                F.lit(hist[epoch]["is_head"]).alias("is_head"),
+            )
+
+        both = _version(0, "v0").unionByName(_version(1, "v1"))
+        out = both.groupBy("version", "n_commits", "is_head").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        ).select(
+            "version", "n_rows", "total_price", "min_orderkey",
+            "n_commits", "is_head",
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
     "schema_merge_landing_stats",
     oracle="""
     SELECT CASE WHEN o_orderkey % 3 = 0

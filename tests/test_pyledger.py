@@ -200,3 +200,56 @@ def test_vacuum_removes_only_old_orphans(spark, tmp_path):
     assert removed == 1
     assert not old.exists() and fresh.exists()
     assert _read(spark, d).count() == 30  # committed data untouched
+
+
+def test_time_travel_retained_overwrite(spark, tmp_path):
+    """Epoch time travel: a retain-ed overwrite keeps the superseded
+    epoch readable via .option('epoch', E); history() lists both;
+    vacuum_epochs() is the deferred GC back to HEAD-only."""
+    from smartpool_bigdata_spark.io.pyledger import history, vacuum_epochs
+
+    d = tmp_path / "ledger"
+    _df(spark, 40).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    _df(spark, 9).write.format("ledger").mode("overwrite").option(
+        "path", str(d)
+    ).option("retain", "true").save()
+
+    assert _read(spark, d).count() == 9  # HEAD resolves to the new epoch
+    pinned = (
+        spark.read.format("ledger").schema(SCHEMA)
+        .option("path", str(d)).option("epoch", "0").load()
+    )
+    assert pinned.count() == 40  # superseded epoch fully readable
+
+    hist = history(str(d))
+    assert [h["epoch"] for h in hist] == [0, 1]
+    assert [h["is_head"] for h in hist] == [False, True]
+    assert all(h["n_commits"] == 1 for h in hist)
+
+    removed = vacuum_epochs(str(d))
+    assert removed > 0
+    assert _read(spark, d).count() == 9  # HEAD untouched by the vacuum
+    assert [h["epoch"] for h in history(str(d))] == [1]
+    # the pinned epoch is gone from disk: a fresh epoch-0 read sees nothing
+    gone = (
+        spark.read.format("ledger").schema(SCHEMA)
+        .option("path", str(d)).option("epoch", "0").load()
+    )
+    assert gone.count() == 0
+
+
+def test_default_overwrite_still_gcs_eagerly(spark, tmp_path):
+    d = tmp_path / "ledger"
+    _df(spark, 25).write.format("ledger").mode("append").option(
+        "path", str(d)
+    ).save()
+    _df(spark, 5).write.format("ledger").mode("overwrite").option(
+        "path", str(d)
+    ).save()
+    from smartpool_bigdata_spark.io.pyledger import history
+
+    assert [h["epoch"] for h in history(str(d))] == [1]
+    data_files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(data_files) == len(_read_manifest(str(d))["files"])

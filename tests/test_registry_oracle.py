@@ -112,6 +112,7 @@ R5_WINDOW = frozenset({
 R7_PENDING = frozenset({
     "doc_dup_span_mass",
     "doc_token_pmi",
+    "ledger_time_travel_stats",
 })
 
 
