@@ -1483,6 +1483,87 @@ def stream_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "knn_recall_eval",
+    oracle=f"""{_DUCK_KNN_PRELUDE},
+    bsims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_duck_cos('qv', 'v')} AS sim
+        FROM corpus c JOIN q ON c.vec_id != q.query_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM bsims)
+        WHERE rn <= 5
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored AS (
+        SELECT c.vec_id, c.v, t.centroid_id AS bucket, {_duck_cos('c.v', 't.cv')} AS csim
+        FROM corpus c CROSS JOIN cents t
+    ),
+    assigned AS (
+        SELECT vec_id, v, bucket
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, bucket ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    iq AS (SELECT a.vec_id AS query_id, a.v AS qv, a.bucket
+           FROM assigned a JOIN (SELECT query_id AS vec_id FROM q) s
+           USING (vec_id)),
+    isims AS (
+        SELECT iq.query_id, a.vec_id AS neighbor_id, {_duck_cos('iq.qv', 'a.v')} AS sim
+        FROM assigned a JOIN iq ON a.bucket = iq.bucket AND a.vec_id != iq.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM isims)
+        WHERE rn <= 5
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 4) AS recall_at_5
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+    """,
+    description="ANN recall measurement IN the engine ('measure, don't "
+    "guess' as a first-class query): exact brute-force cosine top-5 is "
+    "the ground truth, the IVF nprobe=1 path is the candidate, and "
+    "recall@5 is computed per query by joining the two neighbor lists — "
+    "the evaluation loop an ANN deployment runs on every index/parameter "
+    "change (nprobe, centroid count, quantizer). Both paths are the "
+    "registered operators themselves, so the measured recall is the "
+    "production plan's, not a replica's. Plan: both sides broadcast the "
+    "fixed query/centroid samples; the final compare joins two tiny "
+    "top-k frames. Oracle replays truth AND candidate exactly, so the "
+    "recall numbers are value-locked, not approximated.",
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        truth.join(
+            F.broadcast(approx),
+            (truth.query_id == approx.query_id)
+            & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .select(truth.query_id, "hit_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit_id").cast("bigint").alias("n_hit"),
+            F.round(F.count("hit_id").cast("double") / 5, 4).alias("recall_at_5"),
+        )
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

@@ -113,6 +113,7 @@ R7_PENDING = frozenset({
     "doc_dup_span_mass",
     "doc_token_pmi",
     "ledger_time_travel_stats",
+    "knn_recall_eval",
 })
 
 
