@@ -3695,6 +3695,103 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bm25_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t AS term
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    q(term) AS (VALUES ('merge'), ('window'), ('scan')),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf JOIN q USING (term) GROUP BY term),
+    scored AS (
+        SELECT t.doc_id,
+               round(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5))
+                     * (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+                     4) AS s
+        FROM tf t JOIN q USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc_id), stats
+    ),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(CAST(sum(CAST(s AS DECIMAL(38,10))) AS DOUBLE), 4) AS bm25
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_terms, bm25 FROM agg
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    description="BM25 (Okapi, k1=1.2 b=0.75) top-20 retrieval for a fixed "
+    "3-term query: per-term saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/"
+    "avgdl)) with document-length normalization — the lexical-retrieval "
+    "scorer behind search and RAG candidate generation, complementing "
+    "the TF-IDF term profile. The idf is the RATIONAL Robertson form "
+    "(N-df+0.5)/(df+0.5) with the log deliberately omitted — monotone, "
+    "ranking identical, and cross-engine bit-exact where Math.log vs "
+    "libm differ in the last ulp (same rationale as doc_tfidf_top_terms). "
+    "Scale: tf/dl from one tokenize pass; df only over the 3 query "
+    "terms; corpus stats and the per-term df are broadcast scalars; the "
+    "final global top-20 is TakeOrderedAndProject (per-partition heaps), "
+    "never a total sort.",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    query_terms = ["merge", "window", "scan"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # one tokenize pass feeds tf, dl AND df — lazy barrier so the
+    # explode+agg doesn't rerun per consumer (three references)
+    tf = tf.localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtf = tf.filter(F.col("term").isin(query_terms))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.expr(
+                "round(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                " / (CAST(df AS DOUBLE) + 0.5))"
+                " * (CAST(tf AS DOUBLE) * 2.2)"
+                " / (CAST(tf AS DOUBLE)"
+                " + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 4)"
+            ),
+        )
+    )
+    from smartpool_bigdata_spark.functions import stable_sum
+
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        stable_sum("s", 4).alias("bm25"),
+    )
+    return agg.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query(
     "doc_token_pmi",
     oracle=f"""
     WITH toks AS (

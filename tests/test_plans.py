@@ -242,6 +242,9 @@ def test_r6_additions_plan_posture(plans):
         # aggregated pair table + a broadcast scalar total — losing the
         # broadcast (or joining marginals back) would surface here
         "doc_token_pmi",
+        # BM25: df/stats must stay broadcast and the global top-20 a
+        # TakeOrderedAndProject, never a total sort or SMJ
+        "doc_bm25_topk",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -114,6 +114,7 @@ R7_PENDING = frozenset({
     "doc_token_pmi",
     "ledger_time_travel_stats",
     "knn_recall_eval",
+    "doc_bm25_topk",
 })
 
 
