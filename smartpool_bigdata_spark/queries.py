@@ -2776,6 +2776,142 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _ams_oracle() -> str:
+    from smartpool_bigdata_spark.ops.text import duck_hash64
+
+    sgn_a = duck_hash64("(CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR))")
+    return f"""
+    WITH fa AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS f
+                FROM events GROUP BY user_id),
+    fb AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+           FROM orders GROUP BY o_custkey),
+    exact AS (SELECT CAST(sum(fa.f * fb.f) AS BIGINT) AS exact_pairs
+              FROM fa JOIN fb USING (k)),
+    sa AS (
+        SELECT j, CAST(sum(f * (1 - 2 * ({sgn_a} % 2))) AS BIGINT) AS s
+        FROM (SELECT k, f, unnest(range(0, 64)) AS j FROM fa)
+        GROUP BY j
+    ),
+    sb AS (
+        SELECT j, CAST(sum(f * (1 - 2 * ({sgn_a} % 2))) AS BIGINT) AS s
+        FROM (SELECT k, f, unnest(range(0, 64)) AS j FROM fb)
+        GROUP BY j
+    ),
+    means AS (
+        SELECT sa.j // 8 AS g,
+               CAST(sum(sa.s * sb.s) AS DOUBLE) / 8 AS m
+        FROM sa JOIN sb ON sa.j = sb.j
+        GROUP BY sa.j // 8
+    ),
+    med AS (
+        SELECT round(CAST(sum(CASE WHEN rn IN (4, 5) THEN
+                                   CAST(m AS DECIMAL(38,10)) ELSE 0 END)
+                     AS DOUBLE) / 2, 4) AS ams_estimate
+        FROM (SELECT m, row_number() OVER (ORDER BY m ASC) AS rn FROM means)
+    ),
+    ka AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a FROM fa),
+    kb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b FROM fb)
+    SELECT exact_pairs, ams_estimate,
+           round(abs(ams_estimate - exact_pairs)
+                 / CAST(exact_pairs AS DOUBLE), 4) AS rel_err,
+           n_keys_a, n_keys_b
+    FROM exact, med, ka, kb
+    """
+
+
+@query(
+    "join_size_ams_estimate",
+    oracle=_ams_oracle(),
+    description="AMS / Tug-of-War sketch join-size estimation (Alon-"
+    "Matias-Szegedy '96): |events JOIN orders ON user_id = o_custkey| "
+    "= sum_k fA(k)*fB(k) is estimated from two 64-coordinate +-1 sign "
+    "sketches — S[j] = sum_k f(k)*sign(j,k) — via the median of 8 "
+    "means of 8 coordinate products, next to the EXACT count and its "
+    "relative error; the cardinality-estimation primitive a planner "
+    "uses to size a join before paying for it, and the natural "
+    "completion of the sketch algebra (KMV=distinct, CMS=frequency, "
+    "Bloom=membership, AMS=join size / F2). Signs are md5-derived, so "
+    "the oracle rebuilds sketch AND estimate bit-for-bit. Scale: both "
+    "frequency tables come from one key-agg shuffle each; the 64x "
+    "coordinate explode runs over the PRE-AGGREGATED key tables with "
+    "map-side partial sums, and everything after is O(64) rows — the "
+    "exact side joins the two aggregated tables, never the raw facts.",
+)
+def join_size_ams_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    sgn = (
+        "(1 - 2 * ("
+        + spark_hash64("concat(cast(j as string), '|', cast(k as string))")
+        + " % 2))"
+    )
+    fa = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    fb = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    fa = fa.localCheckpoint(eager=False)  # feeds exact, sketch and key-count
+    fb = fb.localCheckpoint(eager=False)
+    exact = fa.join(fb, "k").agg(
+        F.sum(fa["f"] * fb["f"]).cast("bigint").alias("exact_pairs")
+    )
+
+    def _sketch(freq: DataFrame) -> DataFrame:
+        return (
+            freq.select("k", "f", F.explode(F.expr("sequence(0, 63)")).alias("j"))
+            .groupBy("j")
+            .agg(F.sum(F.expr(f"f * {sgn}")).cast("bigint").alias("s"))
+        )
+
+    sa = _sketch(fa).withColumnRenamed("s", "sa")
+    sb = _sketch(fb).withColumnRenamed("s", "sb")
+    means = (
+        sa.join(sb, "j")
+        .groupBy((F.col("j") / 8).cast("int").alias("g"))
+        .agg(
+            (F.sum(F.col("sa") * F.col("sb")).cast("double") / 8).alias("m")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    med = (
+        means.withColumn("rn", F.row_number().over(_W.orderBy(F.col("m").asc())))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("rn").isin(4, 5), F.col("m").cast("decimal(38,10)"))
+                    .otherwise(F.lit(0).cast("decimal(38,10)"))
+                ).cast("double")
+                / 2,
+                4,
+            ).alias("ams_estimate")
+        )
+    )
+    ka = fa.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_a"))
+    kb = fb.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_b"))
+    return (
+        exact.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .select(
+            "exact_pairs",
+            "ams_estimate",
+            F.round(
+                F.abs(F.col("ams_estimate") - F.col("exact_pairs"))
+                / F.col("exact_pairs").cast("double"),
+                4,
+            ).alias("rel_err"),
+            "n_keys_a",
+            "n_keys_b",
+        )
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

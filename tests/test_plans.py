@@ -245,6 +245,10 @@ def test_r6_additions_plan_posture(plans):
         # BM25: df/stats must stay broadcast and the global top-20 a
         # TakeOrderedAndProject, never a total sort or SMJ
         "doc_bm25_topk",
+        # AMS join-size: the exact side must join the two AGGREGATED
+        # key tables (hash join), never the raw facts; sketch frames
+        # and scalars broadcast
+        "join_size_ams_estimate",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -115,6 +115,7 @@ R7_PENDING = frozenset({
     "ledger_time_travel_stats",
     "knn_recall_eval",
     "doc_bm25_topk",
+    "join_size_ams_estimate",
 })
 
 
