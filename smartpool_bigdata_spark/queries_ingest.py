@@ -689,6 +689,75 @@ def ledger_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_change_feed_stats",
+    oracle="""
+    WITH feed AS (
+        SELECT 0 AS commit_version, 'insert' AS change_type,
+               o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0
+        UNION ALL
+        SELECT 1, 'insert', o_orderkey, o_totalprice + 1.5
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 1, 'update_preimage', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 != 0
+        UNION ALL
+        SELECT 1, 'update_postimage', o_orderkey, o_totalprice + 1.5
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 != 0
+    )
+    SELECT commit_version, change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM feed GROUP BY commit_version, change_type
+    """,
+    description="MERGE with CHANGE DATA FEED (the Delta CDF / "
+    "readChangeFeed analog): an initial load then a price-revising "
+    "upsert, each appending its row-level diff — insert / "
+    "update_preimage / update_postimage tagged with the commit version "
+    "— to an append-only feed partitioned by version (consumers resume "
+    "with a partition-pruned version-range scan, the CDF read "
+    "contract). The change rows fall out of the merge's own anti/semi "
+    "joins — no second diff pass over the target. The oracle rebuilds "
+    "the full feed arithmetically from the original table, so the "
+    "value hash locks every image: a wrong preimage, a double-tagged "
+    "insert, or a version mixup all break it. io/sinks.py:"
+    "merge_upsert_cdf, read_change_feed.",
+    skip_bench=True,  # staged table writes dominate the timing
+)
+def merge_change_feed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.sinks import merge_upsert_cdf, read_change_feed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_cdf_")
+    try:
+        tgt = os.path.join(stage, "t")
+        cdf = os.path.join(stage, "t__cdf")
+        base = orders.filter(F.col("o_orderkey") % 3 != 0)
+        merge_upsert_cdf(spark, tgt, base, ["o_orderkey"], cdf, commit_version=0)
+        revised = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.5
+        )
+        merge_upsert_cdf(spark, tgt, revised, ["o_orderkey"], cdf, commit_version=1)
+        feed = read_change_feed(spark, cdf, starting_version=0)
+        out = feed.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
     "schema_merge_landing_stats",
     oracle="""
     SELECT CASE WHEN o_orderkey % 3 = 0

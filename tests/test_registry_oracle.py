@@ -116,6 +116,7 @@ R7_PENDING = frozenset({
     "knn_recall_eval",
     "doc_bm25_topk",
     "join_size_ams_estimate",
+    "merge_change_feed_stats",
 })
 
 
