@@ -840,4 +840,86 @@ def stream_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_cdf_matview",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0 AND o_orderkey % 2 = 1
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 1.5
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS view_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS view_sum
+    FROM final GROUP BY o_orderpriority
+    """,
+    description="Incremental MATERIALIZED-VIEW maintenance from the "
+    "change data feed, AS A STREAM (the downstream half of "
+    "merge_upsert_cdf): two MERGE commits (initial load, then a "
+    "price-revising upsert) write their row-level diffs to the feed; a "
+    "file stream drains the feed in rate-limited micro-batches through "
+    "foreachBatch, reducing each batch to a per-priority ADDITIVE delta "
+    "(+insert +postimage -preimage) MERGEd into a (batch, group)-keyed "
+    "delta log — exactly-once under replay, O(changes) per batch, the "
+    "base table never re-read. The served view folds the delta log; "
+    "the oracle aggregates the FINAL table state directly, so green "
+    "proves the maintained view is bit-identical to a from-scratch "
+    "aggregate (decimal accumulation makes pre/post terms cancel "
+    "exactly). streaming/runner.py:start_cdf_view_maintenance.",
+    skip_bench=True,  # staged writes + stream startup dominate
+)
+def stream_cdf_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.io.sinks import merge_upsert_cdf
+    from smartpool_bigdata_spark.streaming.runner import (
+        read_cdf_view,
+        start_cdf_view_maintenance,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_cdf_mv_")
+    try:
+        tgt = os.path.join(stage, "t")
+        cdf = os.path.join(stage, "t__cdf")
+        log = os.path.join(stage, "view_delta_log")
+        ckpt = os.path.join(stage, "ckpt")
+        base = orders.filter(F.col("o_orderkey") % 3 != 0).repartition(4)
+        merge_upsert_cdf(spark, tgt, base, ["o_orderkey"], cdf, commit_version=0)
+        revised = (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+            .repartition(4)
+        )
+        merge_upsert_cdf(spark, tgt, revised, ["o_orderkey"], cdf, commit_version=1)
+
+        feed_schema = (
+            "o_orderkey bigint, o_orderpriority string, o_totalprice double, "
+            "_change_type string, _commit_version int"
+        )
+        feed = file_stream(spark, cdf, feed_schema, max_files_per_trigger=3)
+        q = start_cdf_view_maintenance(
+            feed,
+            log,
+            group_cols=["o_orderpriority"],
+            value_col="o_totalprice",
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+            query_name="cdf_matview",
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+        view = read_cdf_view(spark, log, ["o_orderpriority"]).select(
+            "o_orderpriority",
+            "view_rows",
+            F.round(F.col("view_sum").cast("double"), 2).alias("view_sum"),
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 __reorder()

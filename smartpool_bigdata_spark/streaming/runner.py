@@ -211,6 +211,80 @@ def start_ivf_assignment(
     return _with_trigger(writer, trigger).start()
 
 
+def start_cdf_view_maintenance(
+    feed_stream: DataFrame,
+    delta_log_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """INCREMENTAL MATERIALIZED-VIEW maintenance from a change data
+    feed (the downstream half of ``io.sinks.merge_upsert_cdf``): each
+    micro-batch of CDF rows reduces to a per-group ADDITIVE delta —
+    +insert, +update_postimage, -update_preimage — which is exact for
+    any commutative aggregate (sum/count here), so the view never
+    re-reads the base table; maintenance cost is O(changes), the whole
+    point of a change feed.
+
+    Exactly-once under checkpoint replay WITHOUT transactional state:
+    deltas are MERGEd into a delta-log table keyed by
+    (__batch_id, group) — a replayed batch recomputes the identical
+    delta rows and the keyed MERGE replaces instead of double-adding.
+    The served view is the per-group SUM over the delta log
+    (``read_cdf_view``), compactable at any time by folding rows into a
+    single base row per group. Delta sums accumulate in DECIMAL(38,10)
+    so insert/pre/post terms cancel exactly and the maintained view is
+    bit-identical to a from-scratch aggregate, not merely close.
+    """
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        val = F.col(value_col).cast("decimal(38,10)")
+        sgn = F.when(F.col("_change_type") == "update_preimage", -1).otherwise(1)
+        delta = batch_df.groupBy(*group_cols).agg(
+            F.sum(sgn * val).alias("delta_sum"),
+            F.sum(sgn).cast("bigint").alias("delta_rows"),
+        ).withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
+        merge_upsert(
+            batch_df.sparkSession,
+            delta_log_path,
+            delta,
+            ["__batch_id", *group_cols],
+        )
+
+    writer = feed_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
+def read_cdf_view(
+    spark: SparkSession, delta_log_path: str, group_cols: Sequence[str]
+) -> DataFrame:
+    """The served materialized view: per-group fold of the delta log.
+    Groups whose rows net to zero (all their rows deleted/moved) drop
+    out via the delta_rows > 0 filter."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(delta_log_path)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("delta_sum").alias("view_sum"),
+            F.sum("delta_rows").cast("bigint").alias("view_rows"),
+        )
+        .filter(F.col("view_rows") > 0)
+    )
+
+
 def start_pq_encode(
     emb_stream: DataFrame,
     codebook: DataFrame,

@@ -117,6 +117,7 @@ R7_PENDING = frozenset({
     "doc_bm25_topk",
     "join_size_ams_estimate",
     "merge_change_feed_stats",
+    "stream_cdf_matview",
 })
 
 

@@ -846,3 +846,69 @@ def test_pq_encode_stream_restart_and_replay(spark, tmp_path):
         for r in pq_encode(corpus, cb).collect()
     }
     assert got == want and len(got) == corpus.count() * 4
+
+
+def test_cdf_matview_stream_restart_and_replay(spark, tmp_path):
+    """The CDF-driven materialized-view loop survives a checkpoint
+    restart (drain the v0 feed, stop, publish the v1 changes, restart
+    from the same checkpoint) — the folded view equals a from-scratch
+    aggregate of the final table state BIT-EXACTLY (decimal delta
+    accumulation), and the (batch, group)-keyed MERGE must replace on
+    replay, never double-add."""
+    from smartpool_bigdata_spark.io.sinks import merge_upsert_cdf
+    from smartpool_bigdata_spark.streaming.runner import (
+        read_cdf_view,
+        start_cdf_view_maintenance,
+    )
+
+    orders = (
+        spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    tgt = str(tmp_path / "t")
+    cdf = str(tmp_path / "t__cdf")
+    log = str(tmp_path / "delta_log")
+    ckpt = str(tmp_path / "ckpt")
+    feed_schema = (
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double, "
+        "_change_type string, _commit_version int"
+    )
+
+    def drain():
+        feed = file_stream(spark, cdf, feed_schema, max_files_per_trigger=2)
+        q = start_cdf_view_maintenance(
+            feed,
+            log,
+            group_cols=["o_orderpriority"],
+            value_col="o_totalprice",
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(240)
+
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).repartition(2)
+    merge_upsert_cdf(spark, tgt, base, ["o_orderkey"], cdf, commit_version=0)
+    drain()  # v0 inserts maintained, query stops
+    revised = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+        .repartition(2)
+    )
+    merge_upsert_cdf(spark, tgt, revised, ["o_orderkey"], cdf, commit_version=1)
+    drain()  # restart picks up only the v1 change files
+
+    got = {
+        r["o_orderpriority"]: (r["view_rows"], float(r["view_sum"]))
+        for r in read_cdf_view(spark, log, ["o_orderpriority"]).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(tgt)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and got
