@@ -2776,6 +2776,120 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+@query(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT b1.p AS a, b2.p AS b
+          FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+            GROUP BY n),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / CAST(n_wedges AS DOUBLE)
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM agg, ne, tri
+    """,
+    description="Triangle counting + global clustering coefficient over "
+    "the co-purchase item graph (parts sharing an order), via the "
+    "DEGREE-ORDERED compact-forward algorithm: every edge is oriented "
+    "from its lower-(degree, id) endpoint to the higher, wedges are "
+    "joined on the shared low endpoint, and each candidate closes "
+    "against the oriented edge list — so each triangle is counted "
+    "exactly once and per-node join fan-out is bounded by ORIENTED "
+    "degree (O(sqrt(m)) on any graph), the property that makes triangle "
+    "counting feasible on power-law graphs where the naive wedge join "
+    "explodes on hub nodes. Edge construction itself is bounded: the "
+    "order self-join fans out at most basket-size^2 per order. The "
+    "oracle counts a<b<c ordered triples directly — an independent "
+    "algorithm, so agreement checks the orientation logic, not just "
+    "replay. Clustering coeff = 3*triangles/wedges.",
+    skip_bench=True,  # 1.2M-edge graph at sf0.1 (~15 s) — profiling-scale
+    # work like doc_char_jaccard_pairs; timed by bench_staged.py instead
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    li2 = li.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        li.join(li2, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees, orientation and closure
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ranked = edges.join(da, "a").join(db, "b")
+    # orient low (degree, id) -> high; ties broken by node id
+    oriented = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                     F.col("da").alias("ds"), F.col("db").alias("dd")),
+        )
+        .otherwise(
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                     F.col("db").alias("ds"), F.col("da").alias("dd"))
+        )
+        .alias("e")
+    ).select("e.src", "e.dst", "e.ds", "e.dd").localCheckpoint(eager=False)
+    w1 = oriented.select("src", F.col("dst").alias("v"),
+                         F.col("dd").alias("dv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"),
+                         F.col("dd").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closure = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closure, ["v", "w"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 def _ams_oracle() -> str:
     from smartpool_bigdata_spark.ops.text import duck_hash64
 

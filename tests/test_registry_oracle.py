@@ -118,6 +118,7 @@ R7_PENDING = frozenset({
     "join_size_ams_estimate",
     "merge_change_feed_stats",
     "stream_cdf_matview",
+    "copurchase_triangle_stats",
 })
 
 
