@@ -1483,6 +1483,123 @@ def stream_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _lsh_hamming_oracle() -> str:
+    bands_list = ", ".join(
+        _duck_band_val("q", str(b)) for b in range(LSH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(s.bands[{b + 1}], qs.qb[{b + 1}]))"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    quant AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        FROM corpus
+    ),
+    sigs AS (SELECT vec_id, [{bands_list}] AS bands FROM quant),
+    qids AS (SELECT vec_id FROM ({_duck_sample(N_QUERIES, 'q')})),
+    qs AS (SELECT s.vec_id AS query_id, s.bands AS qb
+           FROM sigs s JOIN qids ON qids.vec_id = s.vec_id),
+    ham AS (
+        SELECT qs.query_id, s.vec_id AS neighbor_id,
+               CAST({ham} AS BIGINT) AS hamming
+        FROM sigs s CROSS JOIN qs
+        WHERE s.vec_id != qs.query_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, hamming
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rn
+              FROM ham)
+        WHERE rn <= 30
+    ),
+    verified AS (
+        SELECT c.query_id, c.neighbor_id, c.hamming,
+               {_duck_cos('a.v', 'b.v')} AS sim
+        FROM cand c
+        JOIN corpus a ON a.vec_id = c.query_id
+        JOIN corpus b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming, sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM verified)
+    WHERE rn <= 5
+    """
+
+
+@query(
+    "knn_lsh_hamming",
+    oracle=_lsh_hamming_oracle(),
+    description="Binary-hash ANN tier (SRP/SimHash for vectors, ranked by "
+    "HAMMING distance): each vector's 8x16-bit random-hyperplane sign "
+    "signature (the same int64-matmul signatures the near-dup LSH uses) "
+    "is scanned with bit_count(xor) against the broadcast query "
+    "signatures — a 128-bit XOR instead of a d-dim float dot, the "
+    "memory-bandwidth trick behind billion-scale binary-hash indexes — "
+    "then the top-30 Hamming candidates are re-ranked by exact cosine "
+    "into a top-5. Completes the similarity-search taxonomy: inverted "
+    "lists (IVF), compressed codes (PQ/ADC), binary hashes (this). "
+    "Signatures are exact integer arithmetic, so the oracle replays the "
+    "scan AND the re-rank bit-for-bit. Scale: signature scan is "
+    "row-local against broadcast query rows; at index scale the same "
+    "signatures shard into multi-index Hamming buckets (the banded "
+    "near-dup join IS that layout, already gated).",
+)
+def knn_lsh_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sigs = lsh_band_signatures(corpus, "vec_id", "v").localCheckpoint(
+        eager=False
+    )  # referenced for both the corpus scan and the query side
+    qids = sample_fixed_k(corpus, N_QUERIES, salt="q").select("vec_id")
+    qsigs = sigs.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("bands").alias("qb")
+    )
+    ham_terms = " + ".join(
+        f"bit_count(element_at(bands, {b + 1}) ^ element_at(qb, {b + 1}))"
+        for b in range(LSH_BANDS)
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(qsigs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"CAST({ham_terms} AS BIGINT)").alias("hamming"),
+        )
+    )
+    cand = top_n_per_group(
+        ham,
+        keys=["query_id"],
+        order_by=[F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        n=30,
+        method="row_number",
+        rank_col="__hrn",
+    ).drop("__hrn")
+    va = corpus.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    vb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    verified = (
+        cand.join(F.broadcast(va), "query_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.expr(f"round({spark_cosine('qv', 'nv')}, 4)").alias("sim"),
+        )
+    )
+    return top_n_per_group(
+        verified,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        n=5,
+        method="row_number",
+        rank_col="rank",
+    )
+
+
 @query(
     "knn_recall_eval",
     oracle=f"""{_DUCK_KNN_PRELUDE},

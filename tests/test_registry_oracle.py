@@ -119,6 +119,7 @@ R7_PENDING = frozenset({
     "merge_change_feed_stats",
     "stream_cdf_matview",
     "copurchase_triangle_stats",
+    "knn_lsh_hamming",
 })
 
 
