@@ -2332,6 +2332,126 @@ def user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_rolling_distinct_kmv",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+               {T.duck_hash64("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    hourly AS (
+        SELECT day, hr, h
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY day, hr ORDER BY h ASC) AS rn
+              FROM hashed)
+        WHERE rn <= {_KMV_K}
+    ),
+    merged_in AS (SELECT DISTINCT day, h FROM hourly),
+    merged AS (
+        SELECT day, h, rn, count(*) OVER (PARTITION BY day) AS nd
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY day ORDER BY h ASC) AS rn
+              FROM merged_in)
+        WHERE rn <= {_KMV_K}
+    ),
+    direct_in AS (SELECT DISTINCT day, h FROM hashed),
+    direct AS (
+        SELECT day, h, rn, count(*) OVER (PARTITION BY day) AS nd
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY day ORDER BY h ASC) AS rn
+              FROM direct_in)
+        WHERE rn <= {_KMV_K}
+    ),
+    est_m AS (
+        SELECT day,
+               CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+                    ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                              / max(CASE WHEN rn = {_KMV_K} THEN h END), 0) AS BIGINT)
+               END AS BIGINT) AS kmv_merged
+        FROM merged GROUP BY day
+    ),
+    est_d AS (
+        SELECT day,
+               CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+                    ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                              / max(CASE WHEN rn = {_KMV_K} THEN h END), 0) AS BIGINT)
+               END AS BIGINT) AS kmv_direct
+        FROM direct GROUP BY day
+    ),
+    hrs AS (SELECT day, CAST(count(DISTINCT hr) AS BIGINT) AS n_hours
+            FROM hourly GROUP BY day),
+    exact AS (SELECT day, CAST(count(*) AS BIGINT) AS exact_distinct
+              FROM direct_in GROUP BY day)
+    SELECT e.day, hrs.n_hours, e.exact_distinct, est_m.kmv_merged, est_d.kmv_direct
+    FROM exact e
+    JOIN hrs USING (day) JOIN est_m USING (day) JOIN est_d USING (day)
+    """,
+    description="KMV sketch MERGEABILITY in anger — the property that "
+    "makes sketches matter at 100 TB: per-(day, hour) k=64 KMV sketches "
+    "are the stored state; each day's distinct-user estimate is derived "
+    "ONLY by merging its 24 hourly sketches (distinct-union then min-k "
+    "— at most 24k hashes touched per day, never the raw facts), "
+    "reported beside the direct per-day sketch and the exact count. "
+    "kmv_merged == kmv_direct is a THEOREM for KMV (the k smallest of "
+    "the union lie within each part's k smallest), and the value hash "
+    "locks that identity across both engines — a sketch-merge "
+    "implementation bug (e.g. forgetting the distinct before min-k) "
+    "breaks the row. The same fold extends to week/month rollups from "
+    "the same hourly state. Scale: the sketch table is O(groups · k); "
+    "rollups never rescan facts — the pre-aggregation pattern for "
+    "distinct counts, which plain counts get from partial aggs but "
+    "distincts can't without a sketch.",
+)
+def user_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    ev = _ts(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.expr(T.spark_hash64("CAST(user_id AS STRING)")).alias("h"),
+    ).distinct().localCheckpoint(eager=False)  # sketch + exact consumers
+
+    hourly = top_n_per_group(
+        hashed, ["day", "hr"], [F.col("h").asc()], _KMV_K,
+        method="row_number", rank_col="rn",
+    ).drop("rn").localCheckpoint(eager=False)  # the stored sketch table
+
+    def _kmv_day(points: DataFrame, out_name: str) -> DataFrame:
+        dedup = points.select("day", "h").distinct()
+        ranked = top_n_per_group(
+            dedup, ["day"], [F.col("h").asc()], _KMV_K,
+            method="row_number", rank_col="rn",
+        )
+        agg = ranked.groupBy("day").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        )
+        est = F.when(F.col("nd") < _KMV_K, F.col("nd")).otherwise(
+            F.round((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth"), 0).cast("long")
+        )
+        return agg.select("day", est.cast("long").alias(out_name))
+
+    merged = _kmv_day(hourly, "kmv_merged")
+    direct = _kmv_day(hashed, "kmv_direct")
+    hrs = hourly.groupBy("day").agg(
+        F.countDistinct("hr").cast("bigint").alias("n_hours")
+    )
+    exact = (
+        hashed.select("day", "h").distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        exact.join(hrs, "day")
+        .join(merged, "day")
+        .join(direct, "day")
+        .select("day", "n_hours", "exact_distinct", "kmv_merged", "kmv_direct")
+    )
+
+
+@query(
     "event_audience_overlap_kmv",
     oracle=f"""
     WITH hashed AS (

@@ -120,6 +120,7 @@ R7_PENDING = frozenset({
     "stream_cdf_matview",
     "copurchase_triangle_stats",
     "knn_lsh_hamming",
+    "user_rolling_distinct_kmv",
 })
 
 
