@@ -2777,6 +2777,120 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_profile_summary",
+    oracle="""
+    SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num,
+           CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT ts) AS BIGINT),
+           epoch(min(ts)), epoch(max(ts)), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           round(min(value), 4), round(max(value), 4), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(props), max(props)
+    FROM events
+    """,
+    description="Single-pass table profiling (the ANALYZE TABLE COMPUTE "
+    "STATISTICS FOR ALL COLUMNS / df.summary() analog, with EXACT "
+    "distincts so it is value-lockable): one aggregate computes "
+    "rows/nulls/distincts/min/max for every column of events in ONE "
+    "scan — Spark plans the 6 count(DISTINCT)s as a single Expand (6x "
+    "row fan-out) feeding one partial+final aggregate pair, not 6 "
+    "scans — then a row-local stack unpivots the 1-row result to one "
+    "row per column. Numeric/timestamp columns profile numerically "
+    "(epoch seconds for ts), string columns textually. The oracle's 6 "
+    "UNION ALL scans are the semantic spec; the Spark side must match "
+    "it from the fused plan. At 100 TB swap the exact distincts for "
+    "approx_count_distinct/KMV (§SCALE) — same plan, sketch partials.",
+)
+def events_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id"]
+    agg_exprs = []
+    for c in ("event_id", "ts", "user_id", "value", "event_type", "props"):
+        agg_exprs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+        if c in num_cols:
+            agg_exprs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+        elif c == "ts":
+            # NTZ → epoch seconds: unix_micros over the UTC-session LTZ
+            # cast, /1e6 as double — the same µs/1e6 division DuckDB's
+            # epoch() performs, so the doubles are bit-identical
+            agg_exprs += [
+                (F.unix_micros(F.min(c).cast("timestamp_ltz")) / F.lit(1e6))
+                .alias(f"{c}__min"),
+                (F.unix_micros(F.max(c).cast("timestamp_ltz")) / F.lit(1e6))
+                .alias(f"{c}__max"),
+            ]
+        elif c == "value":
+            agg_exprs += [
+                F.round(F.min(c), 4).alias(f"{c}__min"),
+                F.round(F.max(c), 4).alias(f"{c}__max"),
+            ]
+        else:
+            agg_exprs += [
+                F.min(c).alias(f"{c}__mint"),
+                F.max(c).alias(f"{c}__maxt"),
+            ]
+    one = ev.agg(*agg_exprs)
+    rows = []
+    for c in ("event_id", "ts", "user_id", "value"):
+        rows.append(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__nd, "
+            f"{c}__min, {c}__max, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in ("event_type", "props"):
+        rows.append(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__nd, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__mint, {c}__maxt"
+        )
+    stacked = ", ".join(rows)
+    return one.select(
+        F.expr(
+            f"stack(6, {stacked}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, "
+            "min_num, max_num, min_text, max_text)"
+        )
+    )
+
+
+@query(
     "copurchase_triangle_stats",
     oracle="""
     WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -124,6 +124,17 @@ def test_cube_single_aggregate_pass(plans):
     assert final.count("Scan parquet") == 1
 
 
+def test_profile_summary_single_scan(plans):
+    """The ANALYZE-analog must profile every column in ONE pass: the 6
+    count(DISTINCT)s plan as a single Expand feeding one aggregate pair
+    over one parquet scan — not one scan per column like the oracle's
+    UNION ALL spec."""
+    plan = plans("events_profile_summary")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Expand" in final
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The SCALE.md posture 'mild skew -> AQE skew-join handles it',
     proven: a join whose shuffle has one hot key must re-plan at runtime

@@ -121,6 +121,7 @@ R7_PENDING = frozenset({
     "copurchase_triangle_stats",
     "knn_lsh_hamming",
     "user_rolling_distinct_kmv",
+    "events_profile_summary",
 })
 
 
