@@ -2777,6 +2777,103 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_stats",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 != 0
+    ),
+    rev AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    tagged AS (
+        SELECT o_orderkey, md5(CAST(o_totalprice AS VARCHAR)) AS h,
+               1 AS b, 0 AS r FROM base
+        UNION ALL
+        SELECT o_orderkey, md5(CAST(o_totalprice AS VARCHAR)), 0, 1 FROM rev
+    ),
+    per_key AS (
+        SELECT o_orderkey, sum(b) AS nb, sum(r) AS nr,
+               count(DISTINCT h) AS nh
+        FROM tagged GROUP BY o_orderkey
+    )
+    SELECT
+        CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        CAST(sum(CASE WHEN nr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(sum(CASE WHEN nb > 0 AND nr > 0 AND nh > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_changed,
+        CAST(sum(CASE WHEN nb > 0 AND nr > 0 AND nh = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unchanged
+    FROM per_key
+    """,
+    description="Snapshot diff / sync-validation WITHOUT a join: two "
+    "table versions (simulated: keys dropped by one filter, added by "
+    "another, a third of surviving prices revised) are tagged +base/+rev "
+    "and reconciled in ONE hash aggregate per key — side counts plus a "
+    "distinct row-hash count classify every key as added / removed / "
+    "changed / unchanged. The shape matters at 100 TB: a full-outer "
+    "join (the naive diff) is the one plan Spark can only SortMergeJoin; "
+    "the union+groupBy form is a single uniform key shuffle with "
+    "map-side partials and no join at all — the same trick the exact "
+    "dedup family uses. Complements the change feed: CDF diffs what a "
+    "MERGE did; this diffs two arbitrary snapshots after the fact "
+    "(backfill audits, cross-system sync checks).",
+)
+def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("b"),
+        F.lit(0).alias("r"),
+    )
+    rev = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.lit(0).alias("b"),
+            F.lit(1).alias("r"),
+        )
+    )
+    tagged = base.unionByName(rev).select(
+        "o_orderkey",
+        F.md5(F.col("o_totalprice").cast("string")).alias("h"),
+        "b",
+        "r",
+    )
+    per_key = tagged.groupBy("o_orderkey").agg(
+        F.sum("b").alias("nb"),
+        F.sum("r").alias("nr"),
+        F.countDistinct("h").alias("nh"),
+    )
+    return per_key.agg(
+        F.sum(F.when(F.col("nb") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("nr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when((F.col("nb") > 0) & (F.col("nr") > 0) & (F.col("nh") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when((F.col("nb") > 0) & (F.col("nr") > 0) & (F.col("nh") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@query(
     "events_profile_summary",
     oracle="""
     SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -260,6 +260,9 @@ def test_r6_additions_plan_posture(plans):
         # key tables (hash join), never the raw facts; sketch frames
         # and scalars broadcast
         "join_size_ams_estimate",
+        # snapshot diff: the whole point is NO join — a refactor back
+        # to the full-outer form would plan the one SMJ Spark forces
+        "snapshot_diff_stats",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

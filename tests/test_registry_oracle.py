@@ -122,6 +122,7 @@ R7_PENDING = frozenset({
     "knn_lsh_hamming",
     "user_rolling_distinct_kmv",
     "events_profile_summary",
+    "snapshot_diff_stats",
 })
 
 
