@@ -3815,6 +3815,81 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, lang, ch, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, lang,
+                     unnest({T.duck_char_ngrams('text', 1)}) AS ch
+              FROM documents)
+        GROUP BY doc_id, lang, ch
+    ),
+    tot AS (
+        SELECT doc_id, lang, cnt,
+               sum(cnt) OVER (PARTITION BY doc_id) AS total
+        FROM chars
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               round(-CAST(sum(CAST(
+                   (cnt / CAST(total AS DOUBLE))
+                   * log2(cnt / CAST(total AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE), 4) AS entropy
+        FROM tot GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(entropy AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(entropy), 4) AS avg_entropy,
+           CAST(sum(CASE WHEN entropy < 3.8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy,
+           round(min(entropy), 4) AS min_entropy,
+           round(max(entropy), 4) AS max_entropy
+    FROM per_doc GROUP BY lang
+    """,
+    description="Character-level Shannon entropy per document, rolled up "
+    "per language — the compression-ratio-style quality signal "
+    "(machine-generated, template, or binary-ish text scores low "
+    "entropy; natural prose sits near the language's character entropy) "
+    "without needing a codec: H = -sum p_c log2 p_c over the char "
+    "distribution. Cross-engine float determinism the PageRank way: "
+    "each p*log2(p) term is cast to DECIMAL(38,18) before the sum, so "
+    "the per-doc entropy is independent of partitioning and addition "
+    "order and hash-matches DuckDB despite the transcendental. Plan: "
+    "one char explode -> (doc, char) pre-reduce -> per-doc window "
+    "total + entropy agg -> tiny lang rollup; two uniform hash "
+    "shuffles, alphabet-bounded per-doc row counts.",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(T.spark_char_ngrams("text", 1))).alias("ch"),
+        )
+        .groupBy("doc_id", "lang", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("cnt") / F.sum("cnt").over(w).cast("double")
+    per_doc = (
+        chars.withColumn("term", (p * F.log2(p)).cast("decimal(38,18)"))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(-F.sum("term").cast("double"), 4).alias("entropy"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        stable_avg("entropy", 4).alias("avg_entropy"),
+        F.sum(F.when(F.col("entropy") < 3.8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+        F.round(F.max("entropy"), 4).alias("max_entropy"),
+    )
+
+
+@query(
     "doc_bm25_topk",
     oracle="""
     WITH toks AS (

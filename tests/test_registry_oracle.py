@@ -123,6 +123,7 @@ R7_PENDING = frozenset({
     "user_rolling_distinct_kmv",
     "events_profile_summary",
     "snapshot_diff_stats",
+    "doc_char_entropy",
 })
 
 
