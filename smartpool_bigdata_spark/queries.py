@@ -2777,6 +2777,109 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_enriched_event_stats",
+    oracle="""
+    WITH dimsrc AS (
+        SELECT o_custkey AS k, o_orderdate AS vf, o_orderpriority AS prio,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ),
+    dim AS (SELECT k, vf, prio FROM dimsrc WHERE rn = 1),
+    cur AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_current_customers
+        FROM (SELECT k, prio, row_number() OVER (
+                  PARTITION BY k ORDER BY vf DESC) AS rn FROM dim)
+        WHERE rn = 1 GROUP BY prio
+    ),
+    enriched AS (
+        SELECT e.value, d.prio
+        FROM events e ASOF JOIN dim d
+          ON e.user_id = d.k AND e.ts >= d.vf
+    ),
+    agg AS (
+        SELECT prio AS priority,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+                   AS total_value
+        FROM enriched GROUP BY prio
+    )
+    SELECT a.priority, a.n_events, a.total_value,
+           CAST(coalesce(c.n_current_customers, 0) AS BIGINT)
+               AS n_current_customers
+    FROM agg a LEFT JOIN cur c ON c.prio = a.priority
+    """,
+    description="SCD TYPE-2 dimension + point-in-time fact enrichment — "
+    "the slowly-changing-dimension upgrade of the reference's "
+    "latest-wins SCD1 dim (03_silver_smartpool.py:14-20): customer "
+    "attribute changes (order priority per order date, deduped "
+    "latest-per-day) become validity-interval versions, every event is "
+    "enriched with the attribute THAT WAS CURRENT AT EVENT TIME via the "
+    "as-of join (one keys-shuffle union-tag window — never an interval "
+    "theta join), and the rollup reports per-priority event mass beside "
+    "the count of customers whose CURRENT version carries that priority "
+    "(the is_current slice of the dim). Oracle uses DuckDB's native "
+    "ASOF JOIN — an independent implementation of the interval "
+    "semantics, so green proves the SCD2 lookup, not a replay. The "
+    "point-in-time correctness this gives (no attribute leakage from "
+    "the future) is the feature-store contract ML training joins need.",
+)
+def scd2_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("vf"),
+            F.col("o_orderpriority").alias("prio"),
+            F.row_number()
+            .over(
+                _W.partitionBy("o_custkey", "o_orderdate").orderBy(
+                    F.col("o_orderkey").desc()
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds the as-of join AND the current slice
+    )
+    cur = (
+        dim.withColumn(
+            "rn",
+            F.row_number().over(_W.partitionBy("k").orderBy(F.col("vf").desc())),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_current_customers"))
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "value"
+    )
+    enriched = asof_join(
+        ev, dim, keys=["k"], left_ts="ts", right_ts="vf", value_cols=["prio"]
+    ).filter(F.col("prio").isNotNull())
+    agg = enriched.groupBy(F.col("prio").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        stable_sum("value", 2).alias("total_value"),
+    )
+    return agg.join(
+        F.broadcast(cur), agg["priority"] == cur["prio"], "left"
+    ).select(
+        "priority",
+        "n_events",
+        "total_value",
+        F.coalesce("n_current_customers", F.lit(0))
+        .cast("bigint")
+        .alias("n_current_customers"),
+    )
+
+
+@query(
     "snapshot_diff_stats",
     oracle="""
     WITH base AS (

@@ -124,6 +124,7 @@ R7_PENDING = frozenset({
     "events_profile_summary",
     "snapshot_diff_stats",
     "doc_char_entropy",
+    "scd2_enriched_event_stats",
 })
 
 
