@@ -801,6 +801,111 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@query(
+    "pq_distortion_stats",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cb AS (
+{_pq_duck_cb()}
+    ),
+    subvecs AS (
+{_pq_duck_subvecs('corpus', 'vec_id', 'sv')}
+    ),
+    escore AS (
+        SELECT vec_id, sub, code,
+               round(2 * {_dd('sv', 'csub')} - {_dd('csub', 'csub')}, 4) AS sc,
+               {_dd('sv', 'sv')} - 2 * {_dd('sv', 'csub')} + {_dd('csub', 'csub')}
+                   AS err
+        FROM subvecs JOIN cb USING (sub)
+    ),
+    chosen AS (
+        SELECT vec_id, err
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY sc DESC, code ASC) AS rn
+              FROM escore)
+        WHERE rn = 1
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               round(CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE) / 64, 6)
+                   AS mse
+        FROM chosen GROUP BY vec_id
+    )
+    SELECT CAST(e.label AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(CAST(mse AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(mse), 6) AS avg_mse,
+           round(max(mse), 6) AS max_mse
+    FROM per_vec p JOIN embeddings e ON e.vec_id = p.vec_id
+    GROUP BY e.label
+    """,
+    description="PQ quantization-DISTORTION audit — the index-quality "
+    "measure beside recall (knn_recall_eval): per-vector reconstruction "
+    "MSE of the 4x16 product-quantizer codes (sum over subspaces of "
+    "||subvec - chosen codeword||^2, via the same 2a.b - b.b argmin the "
+    "encoder uses, so the audited code IS the served code), rolled up "
+    "per embedding label. Distortion is what degrades ADC ranking "
+    "quality; tracking it per segment is how an index deployment "
+    "decides when to retrain codebooks (kmeans_refine) or raise code "
+    "counts. Plan: one subspace explode joined to the broadcast "
+    "codebook, per-(vec, sub) argmin as a hash agg, decimal-stable MSE "
+    "sums; oracle replays encode AND error bit-for-bit.",
+)
+def pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_avg
+
+    corpus = _corpus(spark, sf_dir)
+    slices = ", ".join(
+        f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})"
+        for s in range(PQ_SUBSPACES)
+    )
+    subvecs = corpus.select(
+        "vec_id", F.posexplode(F.expr(f"array({slices})")).alias("sub", "sv")
+    )
+    cb_parts = []
+    for s in range(PQ_SUBSPACES):
+        cb_parts.append(
+            sample_fixed_k(corpus, PQ_CODES, salt=f"pq{s}").select(
+                F.lit(s).alias("sub"),
+                F.col("vec_id").alias("code"),
+                F.expr(f"slice(v, {PQ_SUBDIM * s + 1}, {PQ_SUBDIM})").alias("csub"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.union(p)
+    scored = subvecs.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.expr(
+            f"round(2 * {spark_dot('sv', 'csub')} - {spark_dot('csub', 'csub')}, 4)"
+        ).alias("sc"),
+        F.expr(
+            f"{spark_dot('sv', 'sv')} - 2 * {spark_dot('sv', 'csub')}"
+            f" + {spark_dot('csub', 'csub')}"
+        ).alias("err"),
+    )
+    # argmin via max_by on (sc, -code) — hash agg with map-side partials,
+    # same winner as the oracle's (sc DESC, code ASC) row_number
+    chosen = scored.groupBy("vec_id", "sub").agg(
+        F.expr("max_by(err, struct(sc, -code))").alias("err")
+    )
+    per_vec = chosen.groupBy("vec_id").agg(
+        F.round(
+            F.sum(F.col("err").cast("decimal(38,10)")).cast("double") / 64, 6
+        ).alias("mse")
+    )
+    labels = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    return per_vec.join(labels, "vec_id").groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        stable_avg("mse", 6).alias("avg_mse"),
+        F.round(F.max("mse"), 6).alias("max_mse"),
+    )
+
+
 def _ivfpq_duck_cb() -> str:
     """Residual codebook CTE: per subspace, 16 deterministically sampled
     RESIDUAL vectors (v − assigned centroid) sliced to that subspace."""

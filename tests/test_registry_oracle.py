@@ -125,6 +125,7 @@ R7_PENDING = frozenset({
     "snapshot_diff_stats",
     "doc_char_entropy",
     "scd2_enriched_event_stats",
+    "pq_distortion_stats",
 })
 
 
