@@ -3815,6 +3815,73 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_inbatch_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {T.duck_hash64("CAST(doc_id AS VARCHAR)")} % 16 AS batch_id,
+               {T.duck_simhash(
+                   "list_transform(" + T.duck_tokens('text')
+                   + ", t -> " + T.duck_hash64('t') + ")", 48)} AS sh
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.batch_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN a.sh = b.sh THEN 1 ELSE 0 END AS fn
+        FROM sigs a JOIN sigs b
+          ON a.batch_id = b.batch_id AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(fn) AS BIGINT) AS n_false_negatives_excluded,
+           CAST(count(*) - sum(fn) AS BIGINT) AS n_final_pairs
+    FROM cand
+    """,
+    description="In-batch negative-pair assembly for contrastive "
+    "training with FALSE-NEGATIVE exclusion (the DPR/SimCSE data-prep "
+    "step): documents are bucketed into deterministic hash batches "
+    "(batch = training in-batch negatives), all within-batch ordered "
+    "pairs become candidate negatives, and pairs whose 48-bit SimHash "
+    "fingerprints collide — near-identical texts that would be FALSE "
+    "negatives and poison the contrastive loss — are counted out. "
+    "Plan: one shuffle on the uniform hash batch key, within-batch "
+    "self-join bounded by batch size (n/16 here, a constant B in a "
+    "real assembly — pair work is O(n·B), never global n²), SimHash "
+    "row-local. The oracle replays bucketing, pairing and the "
+    "fingerprint exclusion bit-for-bit.",
+)
+def contrastive_inbatch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    toks = T.spark_tokens("text")
+    th = f"transform({toks}, t -> {T.spark_hash64('t')})"
+    sigs = docs.select(
+        "doc_id",
+        (F.expr(T.spark_hash64("CAST(doc_id AS STRING)")) % 16).alias("batch_id"),
+        F.expr(T.spark_simhash(th, 48)).alias("sh"),
+    ).localCheckpoint(eager=False)  # both sides of the within-batch join
+    a = sigs.select(
+        "batch_id", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
+    )
+    b = sigs.select(
+        "batch_id", F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")
+    )
+    cand = (
+        a.join(b, "batch_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "batch_id",
+            F.when(F.col("sha") == F.col("shb"), 1).otherwise(0).alias("fn"),
+        )
+    )
+    return cand.agg(
+        F.countDistinct("batch_id").cast("bigint").alias("n_batches"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum("fn").cast("bigint").alias("n_false_negatives_excluded"),
+        (F.count(F.lit(1)) - F.sum("fn")).cast("bigint").alias("n_final_pairs"),
+    )
+
+
+@query(
     "doc_char_entropy",
     oracle=f"""
     WITH chars AS (

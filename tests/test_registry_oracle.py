@@ -126,6 +126,7 @@ R7_PENDING = frozenset({
     "doc_char_entropy",
     "scd2_enriched_event_stats",
     "pq_distortion_stats",
+    "contrastive_inbatch_pairs",
 })
 
 
