@@ -922,6 +922,13 @@ def dup_span_stats(
     pre-reduced by the first groupBy).
     """
     staged = token_hash_stage(df, id_col, text_col).localCheckpoint(eager=False)
+    return dup_span_stats_from_stage(staged, span_k)
+
+
+def dup_span_stats_from_stage(staged: DataFrame, span_k: int = 8) -> DataFrame:
+    """``dup_span_stats`` off a pre-staged (doc_id, __th) token-hash
+    frame — the shared-stage form pipeline compositions use (same
+    pattern as ``repetition_signals_from_stage``)."""
     spans = staged.select(
         "doc_id", F.explode(F.expr(spark_shingle_hashes("__th", span_k))).alias("sp")
     )

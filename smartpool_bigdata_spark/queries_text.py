@@ -3815,6 +3815,137 @@ def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_pipeline_v4",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, lang,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, sp, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({T.duck_shingle_hashes('th', 8)}) AS sp FROM th)
+        GROUP BY doc_id, sp
+    ),
+    tot AS (
+        SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY sp) AS corpus_cnt
+        FROM sp
+    ),
+    span_doc AS (
+        SELECT doc_id,
+               coalesce(round(
+                   sum(CASE WHEN corpus_cnt >= 2 THEN cnt ELSE 0 END)
+                   / CAST(sum(cnt) AS DOUBLE), 4), 0.0) AS dup_frac
+        FROM tot GROUP BY doc_id
+    ),
+    chars AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest({T.duck_char_ngrams('text', 1)}) AS ch
+              FROM documents)
+        GROUP BY doc_id, ch
+    ),
+    ctot AS (
+        SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS total
+        FROM chars
+    ),
+    ent_doc AS (
+        SELECT doc_id,
+               round(-CAST(sum(CAST(
+                   (cnt / CAST(total AS DOUBLE))
+                   * log2(cnt / CAST(total AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE), 4) AS entropy
+        FROM ctot GROUP BY doc_id
+    ),
+    verdicts AS (
+        SELECT th.lang, len(th.th) AS token_count,
+               CASE WHEN ent_doc.entropy < 3.8 THEN 'low_entropy'
+                    WHEN coalesce(span_doc.dup_frac, 0.0) > 0.3 THEN 'dup_heavy'
+                    ELSE 'kept' END AS verdict
+        FROM th
+        JOIN ent_doc ON ent_doc.doc_id = th.doc_id
+        LEFT JOIN span_doc ON span_doc.doc_id = th.doc_id
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN verdict = 'low_entropy' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy,
+           CAST(sum(CASE WHEN verdict = 'dup_heavy' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_heavy,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN token_count ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM verdicts GROUP BY lang
+    """,
+    description="Curation pipeline v4 composing THIS round's signal "
+    "family in one plan, one oracle (the v2/v3 pattern): per-document "
+    "character entropy (< 3.8 drops — machine/template text) and "
+    "cross-corpus duplicate-span fraction (> 0.3 drops — Lee et al. "
+    "copied-text mass) gate the corpus with PRIORITIZED drop reasons, "
+    "and kept-token mass rolls up per language. The span branch and the "
+    "token counts share ONE lazily-checkpointed token-hash stage "
+    "(dup_span_stats_from_stage — tokenize once, not per signal); the "
+    "entropy branch is the char-distribution scan. Every stage is "
+    "replayed in a single DuckDB oracle, so the composition is "
+    "value-locked end to end, not just stage by stage.",
+)
+def llm_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import (
+        dup_span_stats_from_stage,
+        token_hash_stage,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    staged = token_hash_stage(docs).localCheckpoint(eager=False)
+    span_doc = dup_span_stats_from_stage(staged, span_k=8).select(
+        "doc_id", F.col("dup_span_fraction").alias("dup_frac")
+    )
+    toks = staged.select("doc_id", F.expr("size(__th)").alias("token_count"))
+
+    chars = (
+        docs.select(
+            "doc_id", F.explode(F.expr(T.spark_char_ngrams("text", 1))).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("cnt") / F.sum("cnt").over(w).cast("double")
+    ent_doc = (
+        chars.withColumn("term", (p * F.log2(p)).cast("decimal(38,18)"))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum("term").cast("double"), 4).alias("entropy"))
+    )
+    dims = docs.select("doc_id", "lang")
+    verdicts = (
+        dims.join(ent_doc, "doc_id")
+        .join(span_doc, "doc_id", "left")
+        .join(toks, "doc_id")
+        .select(
+            "lang",
+            "token_count",
+            F.when(F.col("entropy") < 3.8, "low_entropy")
+            .when(F.coalesce(F.col("dup_frac"), F.lit(0.0)) > 0.3, "dup_heavy")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    return verdicts.groupBy("lang").agg(
+        F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("verdict") == "low_entropy", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.sum(F.when(F.col("verdict") == "dup_heavy", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_heavy"),
+        F.sum(F.when(F.col("verdict") == "kept", F.col("token_count")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+@query(
     "contrastive_inbatch_pairs",
     oracle=f"""
     WITH sigs AS (

@@ -263,6 +263,9 @@ def test_r6_additions_plan_posture(plans):
         # snapshot diff: the whole point is NO join — a refactor back
         # to the full-outer form would plan the one SMJ Spark forces
         "snapshot_diff_stats",
+        # pipeline v4: the signal joins on doc_id must stay hash joins
+        # off the shared token-hash stage
+        "llm_corpus_pipeline_v4",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -127,6 +127,7 @@ R7_PENDING = frozenset({
     "scd2_enriched_event_stats",
     "pq_distortion_stats",
     "contrastive_inbatch_pairs",
+    "llm_corpus_pipeline_v4",
 })
 
 
