@@ -802,6 +802,107 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_prototype_eval",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(label AS INTEGER) AS label, {_DUCK_V} AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, d, val
+        FROM (SELECT label, unnest(v) AS val,
+                     generate_subscripts(v, 1) AS d
+              FROM corpus)
+    ),
+    cdim AS (
+        SELECT label, d,
+               round(CAST(sum(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(val), 6) AS cv
+        FROM dims GROUP BY label, d
+    ),
+    cents AS (
+        SELECT label AS proto, list(cv ORDER BY d) AS c FROM cdim GROUP BY label
+    ),
+    scored AS (
+        SELECT corpus.vec_id, corpus.label, cents.proto,
+               {_duck_cos('corpus.v', 'cents.c')} AS sim
+        FROM corpus CROSS JOIN cents
+    ),
+    pred AS (
+        SELECT vec_id, label, proto AS predicted
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, proto ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM pred GROUP BY label
+    """,
+    description="Nearest-class-prototype evaluation over the embedding "
+    "space (the linear-probe-lite embedding-quality check): per-label "
+    "centroids via decimal-stable per-dimension means (order-independent "
+    "under any partitioning), every vector classified to its max-cosine "
+    "prototype (broadcast O(labels*d) — constant at any corpus size), "
+    "per-label accuracy out. Label separability under this probe is the "
+    "standard quick read on whether an embedding table is healthy "
+    "before spending on ANN index builds. Plan: one dim explode + "
+    "(label, dim) agg for the prototypes, then a scan against the "
+    "broadcast prototype frame with an argmax hash agg — no shuffle of "
+    "the corpus after the centroid agg. Oracle replays centroid math "
+    "and classification bit-for-bit.",
+)
+def embedding_prototype_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_avg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = as_double_array(emb, "embedding", "v").select(
+        "vec_id", F.col("label").cast("int").alias("label"), "v"
+    )
+    dims = corpus.select(
+        "label", F.posexplode("v").alias("d", "val")
+    )
+    cdim = dims.groupBy("label", F.col("d")).agg(
+        stable_avg("val", 6).alias("cv")
+    )
+    cents = (
+        cdim.groupBy(F.col("label").alias("proto"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)"
+            ).alias("c")
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "proto",
+        F.expr(f"round({spark_cosine('v', 'c')}, 4)").alias("sim"),
+    )
+    # oracle ranks by the ROUNDED sim (rn over sim DESC) — round here too
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.expr("max_by(proto, struct(sim, -proto))").alias("predicted")
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("predicted") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+@query(
     "pq_distortion_stats",
     oracle=f"""
     WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),

@@ -128,6 +128,7 @@ R7_PENDING = frozenset({
     "pq_distortion_stats",
     "contrastive_inbatch_pairs",
     "llm_corpus_pipeline_v4",
+    "embedding_prototype_eval",
 })
 
 
