@@ -2777,6 +2777,70 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(38,10))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r,
+               ntile(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f,
+               ntile(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m
+        FROM rfm
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CASE WHEN r = 4 AND f = 4 AND m = 4 THEN 'champion'
+                WHEN r = 1 AND f >= 3 THEN 'at_risk'
+                WHEN r >= 3 AND f <= 2 THEN 'promising'
+                ELSE 'regular' END AS segment
+    FROM scored GROUP BY r, f, m
+    """,
+    description="RFM customer segmentation (recency / frequency / "
+    "monetary quartiles -> named segments) — the classic warehouse "
+    "cohorting op: one per-customer aggregate, three ntile(4) scores "
+    "with deterministic id tie-breaks, 4x4x4 cell counts with the "
+    "champion/at-risk/promising labeling rule. Monetary accumulates in "
+    "DECIMAL so quartile boundaries can't flip on float summation "
+    "order. Scale note: the three global ntiles are single-task windows "
+    "over the PER-CUSTOMER aggregate (O(customers), not O(orders)); at "
+    "100 TB swap them for approx_percentile quartile bounds (the "
+    "doc_token_percentiles_approx pattern) — same output, two-pass "
+    "distributed.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(_W.orderBy(F.col("last_order").asc(), F.col("o_custkey").asc())).alias("r"),
+        F.ntile(4).over(_W.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())).alias("f"),
+        F.ntile(4).over(_W.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())).alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") == 4) & (F.col("f") == 4) & (F.col("m") == 4), "champion")
+        .when((F.col("r") == 1) & (F.col("f") >= 3), "at_risk")
+        .when((F.col("r") >= 3) & (F.col("f") <= 2), "promising")
+        .otherwise("regular")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select("r", "f", "m", "n_customers", seg.alias("segment"))
+
+
+@query(
     "scd2_enriched_event_stats",
     oracle="""
     WITH dimsrc AS (

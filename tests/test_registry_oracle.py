@@ -129,6 +129,7 @@ R7_PENDING = frozenset({
     "contrastive_inbatch_pairs",
     "llm_corpus_pipeline_v4",
     "embedding_prototype_eval",
+    "customer_rfm_segments",
 })
 
 
