@@ -2777,6 +2777,89 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_ewma_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    contrib AS (
+        SELECT event_type, day + CAST(d || ' days' AS INTERVAL) AS target,
+               round(pow(0.7, d - 1), 12) AS w, cnt
+        FROM daily, unnest(range(1, 15)) AS u(d)
+    ),
+    ewma AS (
+        SELECT event_type, CAST(target AS DATE) AS day,
+               round(CAST(sum(CAST(w * cnt AS DECIMAL(38,14))) AS DOUBLE)
+                     / CAST(sum(CAST(w AS DECIMAL(38,14))) AS DOUBLE), 4)
+                   AS ewma
+        FROM contrib GROUP BY event_type, target
+    ),
+    scored AS (
+        SELECT d.event_type, d.day, d.cnt, e.ewma,
+               round(d.cnt / e.ewma, 4) AS ratio
+        FROM daily d JOIN ewma e
+          ON e.event_type = d.event_type AND e.day = d.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN ratio > 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           round(max(ratio), 4) AS max_ratio
+    FROM scored GROUP BY event_type
+    """,
+    description="EWMA anomaly detection over daily event volumes — the "
+    "streaming-friendly upgrade of the global-stddev anomaly gate "
+    "(daily_event_anomalies): each day's count is compared to the "
+    "exponentially-weighted mean of the PRIOR 14 days (alpha=0.3, "
+    "truncated-window weights normalized so startup days aren't "
+    "biased), flagging days above 1.5x their own recent baseline — "
+    "seasonality-robust where a global mean is not. The recursion is "
+    "unrolled into explicit per-lag weight contributions (explode 14 "
+    "lags -> one hash agg on the O(types x days) daily frame — no "
+    "recursive CTE, no per-row loop), weights rounded at 1e-12 so "
+    "libm pow ulp drift can't split the engines, sums decimal-stable. "
+    "Scale: all work after the daily pre-agg is O(types x days x 14).",
+)
+def event_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = daily.localCheckpoint(eager=False)  # feeds contribs AND scoring
+    contrib = daily.select(
+        "event_type",
+        F.explode(F.expr("sequence(1, 14)")).alias("d"),
+        "day",
+        "cnt",
+    ).select(
+        "event_type",
+        F.expr("date_add(day, d)").alias("target"),
+        F.expr("round(pow(0.7, d - 1), 12)").alias("w"),
+        "cnt",
+    )
+    ewma = contrib.groupBy("event_type", F.col("target").alias("day")).agg(
+        F.round(
+            F.sum((F.col("w") * F.col("cnt")).cast("decimal(38,14)")).cast("double")
+            / F.sum(F.col("w").cast("decimal(38,14)")).cast("double"),
+            4,
+        ).alias("ewma")
+    )
+    scored = daily.join(ewma, ["event_type", "day"]).select(
+        "event_type",
+        F.round(F.col("cnt") / F.col("ewma"), 4).alias("ratio"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("ratio") > 1.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+    )
+
+
+@query(
     "customer_rfm_segments",
     oracle="""
     WITH rfm AS (

@@ -130,6 +130,7 @@ R7_PENDING = frozenset({
     "llm_corpus_pipeline_v4",
     "embedding_prototype_eval",
     "customer_rfm_segments",
+    "event_ewma_anomalies",
 })
 
 
