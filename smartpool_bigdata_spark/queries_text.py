@@ -4360,4 +4360,81 @@ def doc_dup_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_split_of(c: str) -> str:
+    h = T.duck_hash64(f"CAST({c} AS VARCHAR)")
+    return (
+        f"CASE WHEN {h} % 100 < 80 THEN 'train' "
+        f"WHEN {h} % 100 < 90 THEN 'valid' ELSE 'test' END"
+    )
+
+
+def _spark_split_of(c: str) -> F.Column:
+    b = F.expr(T.spark_hash64(f"CAST({c} AS STRING)")) % 100
+    return F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+
+
+_SPLIT_RANK_SQL = "CASE {s} WHEN 'train' THEN 0 WHEN 'valid' THEN 1 ELSE 2 END"
+
+
+@query(
+    "doc_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({_near_dup_oracle()}),
+    lab AS (
+        SELECT jaccard,
+               {_duck_split_of('doc_a')} AS sa,
+               {_duck_split_of('doc_b')} AS sb
+        FROM pairs
+    ),
+    ord AS (
+        SELECT jaccard,
+               CASE WHEN {_SPLIT_RANK_SQL.format(s='sa')}
+                         <= {_SPLIT_RANK_SQL.format(s='sb')}
+                    THEN sa ELSE sb END AS split_a,
+               CASE WHEN {_SPLIT_RANK_SQL.format(s='sa')}
+                         <= {_SPLIT_RANK_SQL.format(s='sb')}
+                    THEN sb ELSE sa END AS split_b
+        FROM lab
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(jaccard AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(jaccard), 4) AS avg_jaccard
+    FROM ord GROUP BY split_a, split_b
+    """,
+    description="Eval-contamination audit across the train/valid/test "
+    "split: every verified near-duplicate pair (the doc_near_dup_pairs "
+    "MinHash-LSH output) is labeled with BOTH endpoints' deterministic "
+    "split assignment (the doc_train_split hash-bucket rule — a pure "
+    "function of doc_id, so no join back to an assignment table is "
+    "needed) and rolled up into a split×split duplication matrix. "
+    "Off-diagonal mass (train↔valid, train↔test) IS the leakage a "
+    "training pipeline must catch before the eval numbers go soft — the "
+    "decontamination gate for self-built splits, complementing "
+    "doc_decontamination's external-benchmark gate. Scale: pair volume "
+    "is LSH-bounded (never all-pairs), split labels are row-local "
+    "expressions over the pair stream, and the final matrix is at most "
+    "3×3 — one banded shuffle plus a tiny agg.",
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    sa, sb = _spark_split_of("doc_a"), _spark_split_of("doc_b")
+
+    def rk(s: F.Column) -> F.Column:
+        return F.when(s == "train", 0).when(s == "valid", 1).otherwise(2)
+
+    a_first = rk(sa) <= rk(sb)
+    labeled = pairs.select(
+        F.when(a_first, sa).otherwise(sb).alias("split_a"),
+        F.when(a_first, sb).otherwise(sa).alias("split_b"),
+        "jaccard",
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        stable_avg("jaccard", 4).alias("avg_jaccard"),
+    )
+
+
 __reorder()

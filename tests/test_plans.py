@@ -266,6 +266,10 @@ def test_r6_additions_plan_posture(plans):
         # pipeline v4: the signal joins on doc_id must stay hash joins
         # off the shared token-hash stage
         "llm_corpus_pipeline_v4",
+        # split leakage: the LSH candidate/verify joins must stay hash
+        # joins and the split labels row-local expressions — an
+        # assignment-table join-back refactor would surface here
+        "doc_split_leakage",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

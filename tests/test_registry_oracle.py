@@ -131,6 +131,7 @@ R7_PENDING = frozenset({
     "embedding_prototype_eval",
     "customer_rfm_segments",
     "event_ewma_anomalies",
+    "doc_split_leakage",
 })
 
 
