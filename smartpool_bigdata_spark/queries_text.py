@@ -4437,4 +4437,72 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSL_K = 40  # per-language draw size
+
+
+@query(
+    "doc_weighted_sample_per_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({T.duck_tokens('text')}) AS BIGINT) AS w,
+               {T.duck_hash64("('wsl|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, w,
+               ln(((h % 1000000) + 0.5) / 1000000.0) / w AS k
+        FROM t
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                     PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(w) AS BIGINT) AS tokens_selected,
+           CAST(min(w) AS BIGINT) AS min_w_selected,
+           CAST(max(w) AS BIGINT) AS max_w_selected
+    FROM ranked WHERE rn <= {_WSL_K} GROUP BY lang
+    """,
+    description="Per-stratum weighted sampling without replacement: the "
+    "Efraimidis-Spirakis exponential race (key = ln(u)/w, deterministic "
+    "hash uniform u) run independently INSIDE each language — "
+    f"{_WSL_K} docs per language drawn proportional to token count. "
+    "Completes the sampling family: uniform stratified "
+    "(doc_stratified_sample), weighted global (doc_weighted_sample), "
+    "weighted per-group (this). The per-group form is what a mixing- "
+    "weight-driven corpus builder actually runs — draw each language's "
+    "budget proportionally to per-doc quality/length inside that "
+    "language. Scale: key computation is row-local; the per-group top-K "
+    "is a window over lang partitions (each language's rows hash to one "
+    "shuffle partition group — no global sort); a single giant stratum "
+    "would take the two-phase salted top-K rewrite that "
+    "top_orders_per_priority demonstrates.",
+)
+def doc_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({T.spark_tokens('text')}) AS BIGINT)").alias("w"),
+        F.expr(
+            "ln((pmod("
+            + T.spark_hash64("concat('wsl|', cast(doc_id as string))")
+            + ", 1000000) + 0.5) / 1000000.0D)"
+        ).alias("lnu"),
+    ).select("doc_id", "lang", "w", F.expr("lnu / w").alias("k"))
+    win = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    top = keyed.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= _WSL_K
+    )
+    return top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("w").cast("bigint").alias("tokens_selected"),
+        F.min("w").cast("bigint").alias("min_w_selected"),
+        F.max("w").cast("bigint").alias("max_w_selected"),
+    )
+
+
 __reorder()

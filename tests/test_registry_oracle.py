@@ -132,6 +132,7 @@ R7_PENDING = frozenset({
     "customer_rfm_segments",
     "event_ewma_anomalies",
     "doc_split_leakage",
+    "doc_weighted_sample_per_lang",
 })
 
 
