@@ -4505,4 +4505,61 @@ def doc_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({T.duck_tokens('text')}) AS w FROM documents)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair,
+               w, cnt
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+    description="BPE merge-candidate mining — the counting pass of "
+    "byte-pair-encoding tokenizer training: the top-20 adjacent "
+    "character pairs by corpus frequency (the next merges a BPE "
+    "trainer would take), plus how many distinct word types each pair "
+    "spans. Scale: the classic BPE optimization is built in — word "
+    "frequencies are aggregated FIRST (one corpus-sized explode down "
+    "to a vocab-sized table), and the char-pair explode runs over the "
+    "vocab weighted by word count, so pair counting costs "
+    "O(vocab × word_len), not O(corpus); the global top-20 is a "
+    "TakeOrderedAndProject (per-partition top-k + driver merge), "
+    "never a total sort.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(T.spark_tokens("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "w",
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("w").cast("bigint").alias("n_word_types"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
 __reorder()

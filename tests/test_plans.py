@@ -270,6 +270,9 @@ def test_r6_additions_plan_posture(plans):
         # joins and the split labels row-local expressions — an
         # assignment-table join-back refactor would surface here
         "doc_split_leakage",
+        # BPE pair mining: join-free (vocab pre-reduce + pair agg) and
+        # the global top-20 must stay a TakeOrderedAndProject
+        "bpe_merge_candidates",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -133,6 +133,7 @@ R7_PENDING = frozenset({
     "event_ewma_anomalies",
     "doc_split_leakage",
     "doc_weighted_sample_per_lang",
+    "bpe_merge_candidates",
 })
 
 
