@@ -4562,4 +4562,104 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_SLOPE_SQL = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH freqs AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({T.duck_tokens('text')}) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, cnt,
+               row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+        FROM freqs
+    ),
+    pts AS (
+        SELECT w, cnt, rnk,
+               ln(CAST(rnk AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               max(CASE WHEN rnk = 1 THEN w END) AS top_token,
+               CAST(max(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT) AS top_freq
+        FROM pts
+    )
+    SELECT n_types, n_tokens,
+           round({_ZIPF_SLOPE_SQL}, 4) AS zipf_slope,
+           round((sy - {_ZIPF_SLOPE_SQL} * sx) / n, 4) AS zipf_intercept,
+           top_token, top_freq
+    FROM s
+    """,
+    description="Zipf's-law fit of the corpus token distribution: "
+    "least-squares slope/intercept of ln(freq) on ln(rank) — natural "
+    "prose sits near slope -1; template/machine-generated corpora "
+    "deviate, making the slope a corpus-level quality signal alongside "
+    "doc_char_entropy's doc-level one. Rank over the vocab is the "
+    "distributed prefix sum (running count ordered by freq desc via "
+    "ops.relational.global_running_sum), NOT a one-task row_number "
+    "window — a 100 TB corpus's vocab is itself hundreds of millions "
+    "of types. Float determinism the entropy way: per-row ln terms are "
+    "cast to DECIMAL(38,18) before summing, then the regression "
+    "arithmetic is a fixed double sequence over those order-independent "
+    "sums, written identically in both dialects.",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.expr(T.spark_tokens("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("negcnt", -F.col("cnt"))
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    ranked = global_running_sum(
+        freqs, order_by=["negcnt", "w"], value_col="one", out_col="rnk"
+    )
+    pts = ranked.select(
+        "w",
+        "cnt",
+        "rnk",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    dec = "decimal(38,18)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.max(F.when(F.col("rnk") == 1, F.col("w"))).alias("top_token"),
+        F.max(F.when(F.col("rnk") == 1, F.col("cnt")))
+        .cast("bigint")
+        .alias("top_freq"),
+    )
+    slope = f"round({_ZIPF_SLOPE_SQL}, 4)"
+    intercept = f"round((sy - {_ZIPF_SLOPE_SQL} * sx) / n, 4)"
+    return s.selectExpr(
+        "n_types",
+        "n_tokens",
+        f"{slope} AS zipf_slope",
+        f"{intercept} AS zipf_intercept",
+        "top_token",
+        "top_freq",
+    )
+
+
 __reorder()

@@ -273,6 +273,9 @@ def test_r6_additions_plan_posture(plans):
         # BPE pair mining: join-free (vocab pre-reduce + pair agg) and
         # the global top-20 must stay a TakeOrderedAndProject
         "bpe_merge_candidates",
+        # Zipf fit: the prefix-sum rank's joins are broadcast-only and
+        # the regression is one aggregate — no SMJ, no cartesian
+        "corpus_zipf_slope",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

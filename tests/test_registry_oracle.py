@@ -134,6 +134,7 @@ R7_PENDING = frozenset({
     "doc_split_leakage",
     "doc_weighted_sample_per_lang",
     "bpe_merge_candidates",
+    "corpus_zipf_slope",
 })
 
 
