@@ -3487,6 +3487,100 @@ def join_size_ams_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_CAP = 64  # stop-item prune: drop parts with more distinct buyers
+
+
+@query(
+    "customer_similarity_topk",
+    oracle=f"""
+    WITH vec AS (
+        SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ),
+    keep AS (
+        SELECT p FROM vec GROUP BY p HAVING count(*) <= {_SIM_CAP}
+    ),
+    pv AS (SELECT vec.* FROM vec JOIN keep USING (p)),
+    norms AS (
+        SELECT c, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+        FROM pv GROUP BY c
+    ),
+    dots AS (
+        SELECT a.c AS cust_a, b.c AS cust_b,
+               CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot,
+               CAST(count(*) AS BIGINT) AS n_shared_parts
+        FROM pv a JOIN pv b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+    )
+    SELECT cust_a, cust_b, n_shared_parts,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.c = cust_a
+    JOIN norms nb ON nb.c = cust_b
+    ORDER BY cosine DESC, cust_a, cust_b LIMIT 50
+    """,
+    description="Sparse similarity join via inverted index: top-50 most "
+    "similar customer pairs by cosine over their purchased-part count "
+    "vectors — the item-based-neighborhood collaborative-filtering "
+    "primitive, and the SPARSE companion of the dense-embedding ANN "
+    "family (knn_*): candidates come from an inverted-index equi-join "
+    "on part_id, so only pairs sharing at least one part are ever "
+    "scored — never all-pairs. Scale: per-part join fan-out is "
+    "(buyers per part)^2, so hub items are the hazard — the classic "
+    f"stop-item prune (parts with > {_SIM_CAP} distinct buyers are "
+    "dropped from the vector space, the sparse analog of stop-word "
+    "removal, applied identically in the oracle) bounds every part's "
+    "contribution; dot products are exact integer aggregates; the "
+    "global top-50 is a TakeOrderedAndProject. The norm joins are "
+    "per-customer hash joins on a uniform key.",
+)
+def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    vec = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    keep = vec.groupBy("p").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") <= _SIM_CAP
+    ).select("p")
+    # Every frame below scales with the data (vectors, norms), so none is
+    # broadcastable at 100 TB and none needs a sort: hint shuffled-hash
+    # explicitly rather than letting size estimates pick SortMergeJoin
+    # (same post-aggregate-estimate trap corpus_token_budget_selection hit).
+    pv = vec.join(keep.hint("shuffle_hash"), "p")
+    norms = pv.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
+    )
+    a = pv.select(F.col("p"), F.col("c").alias("cust_a"), F.col("cnt").alias("ca"))
+    b = pv.select(F.col("p"), F.col("c").alias("cust_b"), F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b.hint("shuffle_hash"), ["p"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_parts"),
+        )
+    )
+    na = norms.select(F.col("c").alias("cust_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("c").alias("cust_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na.hint("shuffle_hash"), "cust_a")
+        .join(nb.hint("shuffle_hash"), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_shared_parts",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "cust_a", "cust_b")
+        .limit(50)
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -276,6 +276,10 @@ def test_r6_additions_plan_posture(plans):
         # Zipf fit: the prefix-sum rank's joins are broadcast-only and
         # the regression is one aggregate — no SMJ, no cartesian
         "corpus_zipf_slope",
+        # sparse similarity join: inverted-index + norm joins are
+        # hinted shuffled-hash (nothing broadcastable at scale, no
+        # sort needed) — losing a hint reverts to SMJ and fails here
+        "customer_similarity_topk",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

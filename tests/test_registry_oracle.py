@@ -135,6 +135,7 @@ R7_PENDING = frozenset({
     "doc_weighted_sample_per_lang",
     "bpe_merge_candidates",
     "corpus_zipf_slope",
+    "customer_similarity_topk",
 })
 
 
