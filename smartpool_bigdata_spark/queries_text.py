@@ -4662,4 +4662,79 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_dup_matrix",
+    oracle="""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror_' || source AS source, text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    gs AS (
+        SELECT md5(text) AS dg, source, CAST(count(*) AS BIGINT) AS n
+        FROM corpus GROUP BY md5(text), source
+    ),
+    p AS (
+        SELECT a.dg, a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                    ELSE a.n * b.n END AS np
+        FROM gs a JOIN gs b ON a.dg = b.dg AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sum(np) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT dg) AS BIGINT) AS n_groups
+    FROM p WHERE np > 0 GROUP BY source_a, source_b
+    """,
+    description="Cross-source duplication flow matrix: for every exact-"
+    "duplicate content group (md5 digest), how many duplicate PAIRS "
+    "fall within each (source, source) cell — the 'who mirrors whom' "
+    "diagnostic that decides which sources to drop or down-weight "
+    "before spending near-dup compute (the raw table has no exact dups, "
+    "so a mirror-site subset is planted deterministically in both "
+    "dialects — every 7th doc re-hosted under 'mirror_<source>'). Pair "
+    "counts are COMBINATORIAL, "
+    "not materialized: the corpus reduces to (digest, source, n) — one "
+    "uniform digest shuffle — and within-digest source pairs come from "
+    "a self-join whose fan-out is bounded by distinct-sources-per-"
+    "digest (≤|sources|, single digits), with n_a×n_b / C(n,2) "
+    "arithmetic replacing doc-level pair explosion. Integer-exact "
+    "throughout; the self-join is hinted shuffled-hash (digest-keyed "
+    "frames scale with data, no sort needed).",
+)
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Planted mirror site: every 7th doc re-hosted under 'mirror_<source>'
+    # (the raw table has no exact dups by construction), so the matrix
+    # demonstrably captures cross-source mirror flows at any sf.
+    corpus = docs.select("source", "text").union(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("mirror_"), F.col("source")).alias("source"), "text"
+        )
+    )
+    gs = (
+        corpus.select(F.md5("text").alias("dg"), "source")
+        .groupBy("dg", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = gs.select("dg", F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = gs.select("dg", F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "dg")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .withColumn(
+            "np",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("CAST(na * (na - 1) DIV 2 AS BIGINT)"),
+            ).otherwise(F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("np") > 0)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("np").cast("bigint").alias("n_pairs"),
+        F.countDistinct("dg").cast("bigint").alias("n_groups"),
+    )
+
+
 __reorder()

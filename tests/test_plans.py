@@ -280,6 +280,9 @@ def test_r6_additions_plan_posture(plans):
         # hinted shuffled-hash (nothing broadcastable at scale, no
         # sort needed) — losing a hint reverts to SMJ and fails here
         "customer_similarity_topk",
+        # dup matrix: the within-digest self-join is hinted
+        # shuffled-hash; pair math is combinatorial, never exploded
+        "source_dup_matrix",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -136,6 +136,7 @@ R7_PENDING = frozenset({
     "bpe_merge_candidates",
     "corpus_zipf_slope",
     "customer_similarity_topk",
+    "source_dup_matrix",
 })
 
 
