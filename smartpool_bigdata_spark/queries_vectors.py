@@ -1887,6 +1887,101 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_dim_profile",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, {_DUCK_V} AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT d, val
+        FROM (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS d
+              FROM corpus)
+    ),
+    stats AS (
+        SELECT d,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY val) AS q1,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY val) AS med,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY val) AS q3,
+               round(CAST(sum(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(val), 6) AS mean_val
+        FROM dims GROUP BY d
+    ),
+    flagged AS (
+        SELECT dims.d, val, n_vals, med, q3 - q1 AS iqr, mean_val,
+               CASE WHEN val < med - 3 * (q3 - q1)
+                      OR val > med + 3 * (q3 - q1) THEN 1 ELSE 0 END AS o
+        FROM dims JOIN stats ON dims.d = stats.d
+    )
+    SELECT d AS dim, n_vals,
+           round(med, 6) AS median_val,
+           round(iqr, 6) AS iqr,
+           mean_val,
+           CAST(sum(o) AS BIGINT) AS n_outliers
+    FROM flagged GROUP BY d, n_vals, med, iqr, mean_val
+    """,
+    description="Per-dimension robust profile of the embedding space: "
+    "exact quartiles (median, IQR), decimal-stable mean, and the count "
+    "of values outside median ± 3·IQR for each of the d dimensions — "
+    "the feature-space QA pass (dead dims, clipped dims, heavy-tailed "
+    "dims) a pipeline runs before trusting distances for dedup or ANN. "
+    "Plan: one dim explode -> per-dim exact percentile agg (d rows), "
+    "then the O(d) bounds frame BROADCAST back over the value stream "
+    "for the outlier count — two passes, no corpus shuffle beyond the "
+    "uniform dim key, broadcast side constant-size at any corpus. Both "
+    "engines evaluate the identical interpolated-percentile formula on "
+    "identical doubles, so bounds comparisons agree bit-for-bit; means "
+    "sum in DECIMAL(38,10) (order-independent).",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_avg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = as_double_array(emb, "embedding", "v")
+    dims = corpus.select(F.posexplode("v").alias("d0", "val")).select(
+        (F.col("d0") + 1).alias("d"), "val"
+    )
+    stats = dims.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+        F.expr("percentile(val, 0.25D)").alias("q1"),
+        F.expr("percentile(val, 0.5D)").alias("med"),
+        F.expr("percentile(val, 0.75D)").alias("q3"),
+        stable_avg("val", 6).alias("mean_val"),
+    )
+    bounds = stats.select(
+        "d",
+        "n_vals",
+        "med",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        "mean_val",
+    )
+    flagged = dims.join(F.broadcast(bounds), "d").select(
+        "d",
+        "n_vals",
+        "med",
+        "iqr",
+        "mean_val",
+        F.when(
+            (F.col("val") < F.col("med") - 3 * F.col("iqr"))
+            | (F.col("val") > F.col("med") + 3 * F.col("iqr")),
+            1,
+        )
+        .otherwise(0)
+        .alias("o"),
+    )
+    return flagged.groupBy("d", "n_vals", "med", "iqr", "mean_val").agg(
+        F.sum("o").cast("bigint").alias("n_outliers")
+    ).select(
+        F.col("d").cast("bigint").alias("dim"),
+        "n_vals",
+        F.round("med", 6).alias("median_val"),
+        F.round("iqr", 6).alias("iqr"),
+        "mean_val",
+        "n_outliers",
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

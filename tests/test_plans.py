@@ -283,6 +283,9 @@ def test_r6_additions_plan_posture(plans):
         # dup matrix: the within-digest self-join is hinted
         # shuffled-hash; pair math is combinatorial, never exploded
         "source_dup_matrix",
+        # dim profile: the O(d) bounds frame must stay broadcast over
+        # the value stream — d is a constant, the corpus is not
+        "embedding_dim_profile",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

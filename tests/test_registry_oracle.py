@@ -137,6 +137,7 @@ R7_PENDING = frozenset({
     "corpus_zipf_slope",
     "customer_similarity_topk",
     "source_dup_matrix",
+    "embedding_dim_profile",
 })
 
 
