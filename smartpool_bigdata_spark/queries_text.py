@@ -4737,4 +4737,85 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_corpus_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source, unnest({T.duck_tokens('text')}) AS w
+              FROM documents)
+    ),
+    tf AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, w
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(max(cnt) AS BIGINT) AS max_type_freq
+        FROM tf GROUP BY source
+    ),
+    docs AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source
+    )
+    SELECT per_source.source, n_docs, n_tokens, n_types, n_hapax,
+           max_type_freq,
+           round(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+           round(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_ratio,
+           round(ln(CAST(n_tokens AS DOUBLE)), 6) AS heaps_x,
+           round(ln(CAST(n_types AS DOUBLE)), 6) AS heaps_y
+    FROM per_source JOIN docs ON per_source.source = docs.source
+    """,
+    description="Per-source corpus profile: exact vocabulary size, hapax-"
+    "legomenon count, type-token and hapax ratios, and the (ln tokens, "
+    "ln types) Heaps'-law point — the per-source lexical-diversity "
+    "fingerprint that flags template/boilerplate sources (low TTR, low "
+    "hapax ratio) and spam sources (distorted Heaps exponent) before "
+    "corpus mixing; the per-source companion of the global "
+    "corpus_zipf_slope. Scale: the corpus-sized explode pre-reduces to "
+    "(source, type, count) — one uniform shuffle on a two-part key — "
+    "and everything after is per-source arithmetic over vocab-sized "
+    "rows; the docs-count join is a per-source hash join on a "
+    "handful of rows.",
+)
+def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.expr(T.spark_tokens("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    per_source = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.max("cnt").cast("bigint").alias("max_type_freq"),
+    )
+    ndocs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return per_source.join(ndocs, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "max_type_freq",
+        F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("heaps_x"),
+        F.round(F.log(F.col("n_types").cast("double")), 6).alias("heaps_y"),
+    )
+
+
 __reorder()

@@ -286,6 +286,9 @@ def test_r6_additions_plan_posture(plans):
         # dim profile: the O(d) bounds frame must stay broadcast over
         # the value stream — d is a constant, the corpus is not
         "embedding_dim_profile",
+        # per-source lexical profile: one (source, type) pre-reduce,
+        # then per-source joins — hash/broadcast only
+        "source_corpus_profile",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -138,6 +138,7 @@ R7_PENDING = frozenset({
     "customer_similarity_topk",
     "source_dup_matrix",
     "embedding_dim_profile",
+    "source_corpus_profile",
 })
 
 
