@@ -69,7 +69,15 @@ def session_builder(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = builder.master(master)
-    for k, v in {**BUILDER_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}.items():
+    confs = {**BUILDER_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}
+    if master.startswith("local") and "spark.driver.memory" not in confs:
+        # local[N] puts driver + all N executor threads in ONE JVM; the 1 GB
+        # spark-submit default gives 32 concurrent tasks ~13 MB of execution
+        # memory each, which OOMs any join fan-out that must spill-merge.
+        # A real cluster sizes executors via spark-submit; this conf only
+        # takes effect at JVM launch, so it is a no-op on an existing gateway.
+        confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    for k, v in confs.items():
         builder = builder.config(k, v)
     return builder
 
