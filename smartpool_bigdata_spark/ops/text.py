@@ -125,6 +125,47 @@ def duck_word_shingles(toks: str, k: int) -> str:
     )
 
 
+def spark_del2_variants(c: str) -> str:
+    """Deletion neighborhood of ``c`` up to 2 deletes (SymSpell signature).
+
+    ``ed(s, t) <= 2  =>  deletes<=2(s) ∩ deletes<=2(t) != ∅`` — so an
+    equi-join on these variants is a sound-and-COMPLETE candidate
+    generator for edit-distance <= 2, turning a vocab² similarity join
+    into one shuffle on short string keys. Candidates still need an exact
+    levenshtein verify (shared variants can come from distinct edits).
+    Neighborhood size is O(len²) per word — bounded for vocabulary terms.
+    """
+    d1 = (
+        f"transform(sequence(1, length({c})), "
+        f"i -> concat(substr({c}, 1, i-1), substr({c}, i+1)))"
+    )
+    d2 = (
+        f"CASE WHEN length({c}) >= 2 THEN "
+        f"flatten(transform(sequence(1, length({c})-1), "
+        f"i -> transform(sequence(i+1, length({c})), "
+        f"j -> concat(substr({c}, 1, i-1), substr({c}, i+1, j-i-1), "
+        f"substr({c}, j+1))))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return f"array_distinct(concat(array({c}), {d1}, {d2}))"
+
+
+def duck_del2_variants(c: str) -> str:
+    d1 = (
+        f"list_transform(generate_series(1, length({c})), "
+        f"i -> concat(substr({c}, 1, i-1), substr({c}, i+1)))"
+    )
+    d2 = (
+        f"CASE WHEN length({c}) >= 2 THEN "
+        f"flatten(list_transform(generate_series(1, length({c})-1), "
+        f"i -> list_transform(generate_series(i+1, length({c})), "
+        f"j -> concat(substr({c}, 1, i-1), substr({c}, i+1, j-i-1), "
+        f"substr({c}, j+1))))) "
+        f"ELSE []::VARCHAR[] END"
+    )
+    return f"list_distinct([{c}] || {d1} || {d2})"
+
+
 def spark_char_ngrams(c: str, n: int) -> str:
     return (
         f"CASE WHEN length({c}) >= {n} "

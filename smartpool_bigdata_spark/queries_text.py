@@ -4818,4 +4818,83 @@ def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_editdist_pairs",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({T.duck_tokens('text')}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    variants AS (
+        SELECT w, unnest({T.duck_del2_variants('w')}) AS v FROM vocab
+    ),
+    cands AS (
+        SELECT DISTINCT a.w AS w1, b.w AS w2
+        FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+    ),
+    verified AS (
+        SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+        FROM cands WHERE levenshtein(w1, w2) <= 2
+    )
+    SELECT p.w1, p.w2, p.dist,
+           v1.cnt AS n1, v2.cnt AS n2,
+           CASE WHEN v1.cnt >= v2.cnt THEN p.w1 ELSE p.w2 END AS canonical
+    FROM verified p
+    JOIN vocab v1 ON p.w1 = v1.w
+    JOIN vocab v2 ON p.w2 = v2.w
+    """,
+    description="Edit-distance similarity join over the corpus vocabulary "
+    "(SymSpell deletion-neighborhood signature): candidate pairs come "
+    "from an EQUI-join on delete-<=2 variants — sound AND complete for "
+    "levenshtein <= 2 by the SymSpell pigeonhole — then exact "
+    "levenshtein verifies (shared variants can arise from distinct "
+    "edits). The typo-correction / spelling-variant primitive of corpus "
+    "cleaning, and a third similarity-join family alongside the Jaccard "
+    "prefix-filter (doc_prefix_filter_pairs) and MinHash-LSH tiers. "
+    "Scale: operates on the DISTINCT vocabulary (Heaps-law sublinear in "
+    "corpus size) never on rows; the variant join is one shuffle on "
+    "short string keys with O(len²) fan-out per word; never vocab². "
+    "The count join-back is an equi-join on word — broadcastable while "
+    "the candidate side is small, hash otherwise.",
+)
+def vocab_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(T.spark_tokens("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    variants = vocab.select(
+        "w", F.explode(F.expr(T.spark_del2_variants("w"))).alias("v")
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    verified = cands.select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("bigint").alias("dist")
+    ).filter(F.col("dist") <= 2)
+    v1 = vocab.select(F.col("w").alias("w1"), F.col("cnt").alias("n1"))
+    v2 = vocab.select(F.col("w").alias("w2"), F.col("cnt").alias("n2"))
+    return (
+        verified.join(v1, "w1")
+        .join(v2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "dist",
+            "n1",
+            "n2",
+            F.when(F.col("n1") >= F.col("n2"), F.col("w1"))
+            .otherwise(F.col("w2"))
+            .alias("canonical"),
+        )
+    )
+
+
 __reorder()
