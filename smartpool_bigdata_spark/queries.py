@@ -3351,6 +3351,110 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_name AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    supp AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+             FROM b GROUP BY item),
+    pairs AS (
+        SELECT b1.item AS item_a, b2.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.item < b2.item
+        GROUP BY b1.item, b2.item
+    )
+    SELECT item_a, item_b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+           round(CAST(n_ab AS DOUBLE) / n_orders, 4) AS support,
+           round(CAST(n_ab AS DOUBLE) / sa.n_item, 4) AS conf_a_b,
+           round(CAST(n_ab AS DOUBLE) / sb.n_item, 4) AS conf_b_a,
+           round(CAST(n_ab AS DOUBLE) * n_orders
+                 / (CAST(sa.n_item AS DOUBLE) * sb.n_item), 4) AS lift
+    FROM pairs
+    JOIN supp sa ON pairs.item_a = sa.item
+    JOIN supp sb ON pairs.item_b = sb.item
+    CROSS JOIN n
+    WHERE n_ab >= 3
+    ORDER BY CAST(n_ab AS DOUBLE) * n_orders
+             / (CAST(sa.n_item AS DOUBLE) * sb.n_item) DESC,
+             item_a, item_b
+    LIMIT 20
+    """,
+    description="Market-basket association rules over order baskets at "
+    "item (p_name) granularity: pair support, directional confidence "
+    "and lift, top-20 by lift — the classic affinity-analysis operator "
+    "(Apriori's 2-itemset stage) behind recommendations and bundle "
+    "pricing. Scale: pair generation is a self-join on the order key "
+    "whose fan-out is bounded by basket_size² per order (never item² "
+    "globally); pair counts are one shuffle on (item_a, item_b); the "
+    "support join-back touches only surviving pairs; top-20 is "
+    "TakeOrderedAndProject (no global sort). The min-support filter "
+    "(n_ab >= 3) is what keeps the rule table sparse at scale — the "
+    "long tail of singleton pairs dies before the join-back. "
+    "Deterministic across engines: lift is one integer-ratio double "
+    "computed identically, ties broken by the unique (item_a, item_b).",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_name").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds N, supports and pairs
+    )
+    n_orders_row = b.agg(
+        F.countDistinct("o").cast("bigint").alias("n_orders")
+    )
+    supp = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    b2 = b.select(F.col("o"), F.col("item").alias("item_b"))
+    pairs = (
+        # shuffle-hash: both sides are the basket relation (big at scale);
+        # SMJ would sort both for no benefit — pairs are re-aggregated anyway.
+        b.join(b2.hint("shuffle_hash"), "o")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders_row))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 4).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_b"), 4).alias(
+                "conf_b_a"
+            ),
+            F.round(lift, 4).alias("lift"),
+            lift.alias("__lift_raw"),
+        )
+        .orderBy(F.col("__lift_raw").desc(), "item_a", "item_b")
+        .limit(20)
+        .drop("__lift_raw")
+    )
+
+
 def _ams_oracle() -> str:
     from smartpool_bigdata_spark.ops.text import duck_hash64
 
