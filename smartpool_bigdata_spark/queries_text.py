@@ -4819,6 +4819,123 @@ def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_discriminative_terms",
+    oracle=f"""
+    WITH dt AS (
+        SELECT source, doc_id,
+               unnest(list_distinct({T.duck_tokens('text')})) AS w
+        FROM documents
+    ),
+    st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a
+           FROM dt GROUP BY source, w),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY source),
+    dft AS (SELECT w, CAST(sum(a) AS BIGINT) AS df_t FROM st GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT st.source, st.w AS term, st.a, dft.df_t, ns.n_s,
+               CAST(n AS DOUBLE)
+               * (CAST(a AS DOUBLE) * (n - n_s - df_t + a)
+                  - CAST(n_s - a AS DOUBLE) * (df_t - a))
+               * (CAST(a AS DOUBLE) * (n - n_s - df_t + a)
+                  - CAST(n_s - a AS DOUBLE) * (df_t - a))
+               / (CAST(n_s AS DOUBLE) * (n - n_s)
+                  * CAST(df_t AS DOUBLE) * (n - df_t)) AS chi2
+        FROM st JOIN ns ON st.source = ns.source
+        JOIN dft ON st.w = dft.w CROSS JOIN tot
+        WHERE dft.df_t < n
+    )
+    SELECT source, term, a AS df_in_source, df_t, n_s,
+           round(chi2, 4) AS chi2
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY chi2 DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    description="Chi-square discriminative terms per source: for every "
+    "(source, term), the 2x2 contingency chi-square of document "
+    "frequency in-source vs rest-of-corpus, top-5 per source — the "
+    "classic feature-selection / corpus-drift diagnostic ('which "
+    "vocabulary makes this source different'), complementing "
+    "source_corpus_profile's size-shape stats with content contrast. "
+    "Ubiquitous terms (df = N) are excluded — they cannot discriminate "
+    "and would zero the denominator. Scale: doc-frequency aggregation "
+    "is one shuffle on (source, term); the term-total join is vocab-"
+    "sized (Heaps-law sublinear); N and per-source doc counts are "
+    "broadcast scalars; per-source top-5 uses the SALTED two-phase "
+    "top-N (ops.relational.top_n_per_group low_cardinality=True) "
+    "because sources are few — a plain window would sort each source's "
+    "whole vocabulary in one task. All chi-square arithmetic is a "
+    "fixed double sequence over exact integers, identical in both "
+    "dialects.",
+)
+def source_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import top_n_per_group
+
+    docs = _ts(spark, sf_dir, "documents")
+    dt = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(T.spark_tokens("text")))).alias("w"),
+    )
+    st = dt.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    ns = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    dft = st.groupBy("w").agg(F.sum("a").cast("bigint").alias("df_t"))
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    joined = (
+        st.join(F.broadcast(ns), "source")
+        .join(dft, "w")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("df_t") < F.col("n"))
+    )
+    # fixed double sequence: numerator = N * (a*d - b*c)^2 with
+    # b = n_s - a, c = df_t - a, d = n - n_s - df_t + a; margins as product
+    det = F.col("a").cast("double") * (
+        F.col("n") - F.col("n_s") - F.col("df_t") + F.col("a")
+    ) - (F.col("n_s") - F.col("a")).cast("double") * (
+        F.col("df_t") - F.col("a")
+    )
+    chi2 = (
+        F.col("n").cast("double")
+        * det
+        * det
+        / (
+            F.col("n_s").cast("double")
+            * (F.col("n") - F.col("n_s"))
+            * F.col("df_t").cast("double")
+            * (F.col("n") - F.col("df_t"))
+        )
+    )
+    scored = joined.select(
+        "source",
+        F.col("w").alias("term"),
+        F.col("a").alias("df_in_source"),
+        "df_t",
+        "n_s",
+        chi2.alias("__chi2_raw"),
+    )
+    top = top_n_per_group(
+        scored,
+        keys=["source"],
+        order_by=[F.col("__chi2_raw").desc(), F.col("term")],
+        n=5,
+        low_cardinality=True,
+    )
+    return top.select(
+        "source",
+        "term",
+        "df_in_source",
+        "df_t",
+        "n_s",
+        F.round(F.col("__chi2_raw"), 4).alias("chi2"),
+    )
+
+
+@query(
     "vocab_editdist_pairs",
     oracle=f"""
     WITH vocab AS (
