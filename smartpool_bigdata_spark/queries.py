@@ -2860,6 +2860,121 @@ def event_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               sqrt(greatest(
+                   CAST(sum(CAST(cnt * cnt AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*)
+                   - (CAST(sum(CAST(cnt AS DECIMAL(38,10))) AS DOUBLE)
+                          / count(*))
+                     * (CAST(sum(CAST(cnt AS DECIMAL(38,10))) AS DOUBLE)
+                          / count(*)),
+                   0.0)) AS sigma
+        FROM daily GROUP BY event_type
+    ),
+    pref AS (
+        SELECT d.event_type, d.day, s.n_days, s.sigma,
+               sum(d.cnt * s.n_days - s.total) OVER
+                   (PARTITION BY d.event_type ORDER BY d.day
+                    ROWS UNBOUNDED PRECEDING) AS p
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ),
+    cusum AS (
+        SELECT event_type, day, n_days, sigma,
+               p - min(p) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS s_pos,
+               max(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) - p AS s_neg
+        FROM pref
+    )
+    SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+           round(max(CAST(s_pos AS DOUBLE) / (n_days * sigma)), 4)
+               AS max_drift_up,
+           round(max(CAST(s_neg AS DOUBLE) / (n_days * sigma)), 4)
+               AS max_drift_down,
+           CAST(sum(CASE WHEN CAST(s_pos AS DOUBLE) / (n_days * sigma) > 4
+                           OR CAST(s_neg AS DOUBLE) / (n_days * sigma) > 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_days
+    FROM cusum GROUP BY event_type
+    """,
+    description="CUSUM change-point detection over per-type daily event "
+    "volumes: the cumulative-deviation detector that catches sustained "
+    "small LEVEL SHIFTS pointwise detectors miss (complements "
+    "daily_event_anomalies' global z-gate and event_ewma_anomalies' "
+    "recent-baseline ratio). The max(0, S+x) CUSUM recursion is "
+    "rewritten as prefix-sum algebra — S+_t = P_t - min(P_j, j<=t), "
+    "S-_t = max(P_j) - P_t over the running prefix P of deviations — "
+    "so it needs no recursion and no per-row loop, just two cumulative "
+    "window passes. Cross-engine float safety: deviations are SCALED "
+    "TO EXACT INTEGERS (n*cnt - total), so every running sum is exact "
+    "BIGINT arithmetic immune to window-aggregation association order; "
+    "doubles appear only in the final fixed-sequence sigma "
+    "normalization. Scale: everything after the daily pre-agg is "
+    "O(types x days) — the windows partition by type over day-counted "
+    "series, never over raw events.",
+)
+def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds stats AND the window pass
+    )
+    dec = "decimal(38,10)"
+    mean = F.sum(F.col("cnt").cast(dec)).cast("double") / F.count(F.lit(1))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sqrt(
+            F.greatest(
+                F.sum((F.col("cnt") * F.col("cnt")).cast(dec)).cast("double")
+                / F.count(F.lit(1))
+                - mean * mean,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "p",
+        F.sum(F.col("cnt") * F.col("n_days") - F.col("total")).over(cum),
+    )
+    cusum = pref.select(
+        "event_type",
+        "day",
+        "n_days",
+        "sigma",
+        (F.col("p") - F.min("p").over(cum)).alias("s_pos"),
+        (F.max("p").over(cum) - F.col("p")).alias("s_neg"),
+    )
+    up = F.col("s_pos").cast("double") / (F.col("n_days") * F.col("sigma"))
+    down = F.col("s_neg").cast("double") / (F.col("n_days") * F.col("sigma"))
+    return cusum.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.round(F.max(up), 4).alias("max_drift_up"),
+        F.round(F.max(down), 4).alias("max_drift_down"),
+        F.sum(F.when((up > 4) | (down > 4), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged_days"),
+    )
+
+
+@query(
     "customer_rfm_segments",
     oracle="""
     WITH rfm AS (
