@@ -4819,6 +4819,112 @@ def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct({T.duck_word_shingles(T.duck_tokens('text'), 3)})
+                   AS s
+        FROM documents
+    ),
+    k AS (SELECT doc_id, s,
+                 array_to_string(list_sort(s)[1:2], '|') AS key
+          FROM t),
+    r AS (SELECT doc_id, s, key,
+                 row_number() OVER (ORDER BY key, doc_id) AS rnk
+          FROM k),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS j
+        FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+    )
+    SELECT doc_a, doc_b, rank_gap, round(j, 4) AS jaccard
+    FROM pairs WHERE j >= 0.5
+    """,
+    description="Sorted-neighborhood near-duplicate blocking (the "
+    "Hernandez-Stolfo merge/purge method) — the FOURTH blocking family "
+    "alongside MinHash-LSH, SimHash bands and the Jaccard prefix "
+    "filter: docs are globally ordered by a content-derived sort key "
+    "(their two lexicographically-smallest word-3-shingles), and only "
+    "docs within a rank window of 3 are compared, with an exact "
+    "shingle-Jaccard verify at 0.5. Near-identical docs share their "
+    "smallest shingles, so they sort adjacently; the method's recall/"
+    "cost dial is the window width, not a hash-band count. Scale: the "
+    "global rank is the DISTRIBUTED PREFIX SUM (ops.relational."
+    "global_running_sum), not a one-task row_number window; windowed "
+    "pairing is an EQUI-join on rank-window buckets (each row probes "
+    "its own and the next bucket — every gap<=w pair matched exactly "
+    "once, no range join, no self cross-join); the verify is in-row "
+    "array algebra on candidates only.",
+)
+def doc_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    w = 3
+    docs = _ts(spark, sf_dir, "documents")
+    shingles = T.spark_word_shingles(T.spark_tokens("text"), 3)
+    t = docs.select(
+        "doc_id", F.array_distinct(F.expr(shingles)).alias("s")
+    ).withColumn(
+        "key", F.array_join(F.slice(F.array_sort("s"), 1, 2), "|")
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    # global_running_sum range-partitions on its FIRST order column, which
+    # must be numeric (approxQuantile). Encode the key's first 7 ASCII
+    # bytes base-128: numeric order == lexicographic order on that prefix
+    # (missing chars pad 0 < any byte, matching shorter-string-first), so
+    # (key_num, key, doc_id) is the SAME total order as the oracle's
+    # (key, doc_id); prefix collisions just share a range bucket.
+    key_num = sum(
+        (
+            F.ascii(F.substring(F.col("key"), i + 1, 1)).cast("bigint")
+            * F.lit(128 ** (6 - i)).cast("bigint")
+        )
+        for i in range(7)
+    )
+    r = global_running_sum(
+        t.withColumn("key_num", key_num),
+        order_by=["key_num", "key", "doc_id"],
+        value_col="one",
+        out_col="rnk",
+    ).withColumn("bucket", F.floor((F.col("rnk") - 1) / w))
+    left = r.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.col("rnk").alias("ra"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bk"),
+    )
+    right = r.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("rnk").alias("rb"),
+        F.col("bucket").alias("bk"),
+    )
+    cands = (
+        left.join(right.hint("shuffle_hash"), "bk")
+        .filter(
+            (F.col("rb") - F.col("ra") >= 1) & (F.col("rb") - F.col("ra") <= w)
+        )
+        .withColumn(
+            "inter", F.expr("cast(size(array_intersect(sa, sb)) as bigint)")
+        )
+        .withColumn(
+            "j",
+            F.col("inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
+    )
+    return cands.filter(F.col("j") >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        (F.col("rb") - F.col("ra")).cast("bigint").alias("rank_gap"),
+        F.round(F.col("j"), 4).alias("jaccard"),
+    )
+
+
+@query(
     "source_discriminative_terms",
     oracle=f"""
     WITH dt AS (
