@@ -289,6 +289,21 @@ def test_r6_additions_plan_posture(plans):
         # per-source lexical profile: one (source, type) pre-reduce,
         # then per-source joins — hash/broadcast only
         "source_corpus_profile",
+        # SymSpell edit-distance join: the deletion-variant self-join
+        # and count join-backs must stay hash/broadcast, never vocab²
+        "vocab_editdist_pairs",
+        # association rules: the basket self-join is hinted
+        # shuffled-hash; supports broadcast; top-20 is TakeOrdered
+        "basket_association_rules",
+        # chi-square terms: doc-frequency joins hash/broadcast; the
+        # per-source top-5 is the salted two-phase window
+        "source_discriminative_terms",
+        # CUSUM: everything after the daily pre-agg is O(types x days);
+        # stats broadcast back over the window pass
+        "event_cusum_changepoints",
+        # sorted-neighborhood: the rank-bucket pairing is a hinted
+        # shuffled-hash equi-join, never a range or cross join
+        "doc_sorted_neighborhood_pairs",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
