@@ -139,6 +139,11 @@ R7_PENDING = frozenset({
     "source_dup_matrix",
     "embedding_dim_profile",
     "source_corpus_profile",
+    "vocab_editdist_pairs",
+    "basket_association_rules",
+    "source_discriminative_terms",
+    "event_cusum_changepoints",
+    "doc_sorted_neighborhood_pairs",
 })
 
 
