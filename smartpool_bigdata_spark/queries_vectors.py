@@ -1982,6 +1982,88 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = (8, 16, 32)
+
+
+def _duck_trunc_topk(dims: int) -> str:
+    """Top-5 by cosine over the first ``dims`` dimensions (oracle side)."""
+    return f"""
+        SELECT query_id, neighbor_id, {dims} AS dims
+        FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     {_duck_cos(f'q.qv[1:{dims}]', f'c.v[1:{dims}]')} AS sim,
+                     row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_duck_cos(f'q.qv[1:{dims}]', f'c.v[1:{dims}]')}
+                             DESC, c.vec_id ASC) AS rn
+              FROM corpus c JOIN q ON c.vec_id != q.query_id)
+        WHERE rn <= 5"""
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=f"""{_DUCK_KNN_PRELUDE},
+    truth AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_duck_cos('q.qv', 'c.v')} DESC,
+                                  c.vec_id ASC) AS rn
+              FROM corpus c JOIN q ON c.vec_id != q.query_id)
+        WHERE rn <= 5
+    ),
+    trunc AS ({' UNION ALL '.join(_duck_trunc_topk(d) for d in _MRL_DIMS)})
+    SELECT tr.query_id, CAST(tr.dims AS INTEGER) AS dims,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(t.neighbor_id) / 5.0, 4) AS recall
+    FROM trunc tr LEFT JOIN truth t
+      ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+    GROUP BY tr.query_id, tr.dims
+    """,
+    description="Matryoshka-truncation retrieval evaluation: recall@5 of "
+    "cosine top-5 using only the first 8/16/32 embedding dimensions "
+    "against the full-dimension exact top-5 — the measurement behind "
+    "MRL-style adaptive retrieval (serve a cheap prefix scan, rerank "
+    "with full vectors), answering 'how many dims can this corpus "
+    "afford to drop'. Same ulp-proof ranking discipline as "
+    "knn_brute_force (sims rounded to 4dp before ranking, id "
+    "tie-break). Scale: each evaluation is the brute-force pattern — "
+    "broadcast fixed-size query sample x corpus scan, per-partition "
+    "window top-k — and the truncated passes touch proportionally "
+    "fewer floats (that is the point being measured); the recall join "
+    "compares O(queries x k) frames.",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    qs = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
+        F.col("vec_id").alias("query_id"), F.col("v")
+    )
+    truth = (
+        brute_force_knn(corpus, qs, k=5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    parts = []
+    for dims in _MRL_DIMS:
+        c_t = corpus.select("vec_id", F.slice("v", 1, dims).alias("v"))
+        q_t = qs.select("query_id", F.slice("v", 1, dims).alias("v"))
+        parts.append(
+            brute_force_knn(c_t, q_t, k=5).select(
+                "query_id",
+                "neighbor_id",
+                F.lit(dims).cast("int").alias("dims"),
+            )
+        )
+    trunc = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        trunc.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "dims")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(5.0), 4).alias("recall"),
+        )
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).
