@@ -2064,6 +2064,140 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""{_DUCK_KNN_PRELUDE},
+    dt AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS s
+        FROM documents
+    ),
+    qt AS (SELECT q.query_id, dt.s AS qs
+           FROM q JOIN dt ON dt.doc_id = q.query_id),
+    lex AS (
+        SELECT query_id, doc_id, rn AS r FROM (
+            SELECT qt.query_id, dt.doc_id,
+                   row_number() OVER (PARTITION BY qt.query_id ORDER BY
+                       round(CAST(len(list_intersect(dt.s, qt.qs)) AS DOUBLE)
+                             / (len(dt.s) + len(qt.qs)
+                                - len(list_intersect(dt.s, qt.qs))), 4) DESC,
+                       dt.doc_id ASC) AS rn
+            FROM dt JOIN qt ON dt.doc_id != qt.query_id)
+        WHERE rn <= 20
+    ),
+    dense AS (
+        SELECT query_id, neighbor_id AS doc_id, rn AS r FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_duck_cos('q.qv', 'c.v')} DESC, c.vec_id ASC) AS rn
+            FROM corpus c JOIN q ON c.vec_id != q.query_id)
+        WHERE rn <= 20
+    ),
+    contrib AS (
+        SELECT query_id, doc_id, 'lex' AS tag, r FROM lex
+        UNION ALL
+        SELECT query_id, doc_id, 'dense' AS tag, r FROM dense
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               sum(1.0 / (60 + r)) AS rrf,
+               CAST(max(CASE WHEN tag = 'lex' THEN r END) AS BIGINT) AS r_lex,
+               CAST(max(CASE WHEN tag = 'dense' THEN r END) AS BIGINT)
+                   AS r_dense
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, r_lex, r_dense,
+           round(rrf, 6) AS rrf_score, CAST(rn AS INTEGER) AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id ASC) AS rn
+          FROM fused)
+    WHERE rn <= 10
+    """,
+    description="Hybrid retrieval with reciprocal-rank fusion: for each "
+    "query document, a LEXICAL ranking (token-set Jaccard against the "
+    "query doc, rounded 4dp + id tie-break) and a DENSE ranking "
+    "(embedding cosine, the knn_brute_force discipline) each produce a "
+    "top-20; RRF fuses them as sum(1/(60+rank)) over list memberships "
+    "and keeps the top-10 — the standard BM25+ANN fusion serving "
+    "pattern (k=60 per Cormack et al.). The fuse is a tagged UNION + "
+    "one hash aggregate on (query, doc) — deliberately NOT a full-outer "
+    "join, which Spark would have to sort-merge. Scale: both rankings "
+    "are broadcast-fixed-query x corpus scans with salted two-phase "
+    "top-k; fusion touches only O(queries x 40) rows; RRF arithmetic "
+    "is the same rational double sequence in both engines.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(T.spark_tokens("text"))).alias("s"),
+    )
+    corpus = _corpus(spark, sf_dir)
+    qs = sample_fixed_k(corpus, N_QUERIES, salt="q").select(
+        F.col("vec_id").alias("query_id"), F.col("v")
+    )
+    qt = dt.join(
+        F.broadcast(qs.select("query_id")),
+        dt.doc_id == F.col("query_id"),
+    ).select("query_id", F.col("s").alias("qs"))
+    inter = F.expr("cast(size(array_intersect(s, qs)) as bigint)")
+    lex_scored = (
+        dt.join(F.broadcast(qt), dt.doc_id != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                inter.cast("double")
+                / (F.size("s") + F.size("qs") - inter),
+                4,
+            ).alias("sim"),
+        )
+    )
+    lex = top_n_per_group(
+        lex_scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("doc_id")],
+        n=20,
+        rank_col="r",
+        low_cardinality=True,
+    ).select("query_id", "doc_id", F.col("r").cast("bigint").alias("r"))
+    dense = brute_force_knn(corpus, qs, k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("r"),
+    )
+    contrib = lex.withColumn("tag", F.lit("lex")).unionByName(
+        dense.withColumn("tag", F.lit("dense"))
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(60) + F.col("r"))).alias("rrf"),
+        F.max(F.when(F.col("tag") == "lex", F.col("r")))
+        .cast("bigint")
+        .alias("r_lex"),
+        F.max(F.when(F.col("tag") == "dense", F.col("r")))
+        .cast("bigint")
+        .alias("r_dense"),
+    )
+    top = top_n_per_group(
+        fused,
+        keys=["query_id"],
+        order_by=[F.col("rrf").desc(), F.col("doc_id")],
+        n=10,
+        rank_col="fused_rank",
+        low_cardinality=True,
+    )
+    return top.select(
+        "query_id",
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        F.round("rrf", 6).alias("rrf_score"),
+        F.col("fused_rank").cast("int").alias("fused_rank"),
+    )
+
+
 # Re-apply the gate-priority order now this family is fully registered —
 # covers direct imports of this module, which enter queries.py circularly
 # before these decorators have run (see queries._apply_gate_priority).

@@ -304,6 +304,12 @@ def test_r6_additions_plan_posture(plans):
         # sorted-neighborhood: the rank-bucket pairing is a hinted
         # shuffled-hash equi-join, never a range or cross join
         "doc_sorted_neighborhood_pairs",
+        # matryoshka eval: every pass is broadcast-queries x corpus scan;
+        # the recall join-back is a broadcast left join on tiny frames
+        "embedding_matryoshka_recall",
+        # RRF fusion: a tagged UNION + hash agg, deliberately NOT a
+        # full-outer join (Spark would sort-merge it)
+        "hybrid_rrf_retrieval",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

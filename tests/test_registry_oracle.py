@@ -144,6 +144,8 @@ R7_PENDING = frozenset({
     "source_discriminative_terms",
     "event_cusum_changepoints",
     "doc_sorted_neighborhood_pairs",
+    "embedding_matryoshka_recall",
+    "hybrid_rrf_retrieval",
 })
 
 
