@@ -2975,6 +2975,110 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_conversion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT e.user_id,
+               max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events e GROUP BY e.user_id
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(u.converted) AS BIGINT) AS x1
+        FROM u JOIN customer c ON c.c_custkey = u.user_id
+        GROUP BY c.c_mktsegment
+    ),
+    tot AS (SELECT CAST(sum(n1) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS x
+            FROM seg)
+    SELECT segment, n1 AS n_users, x1 AS n_converted,
+           round(CAST(x1 AS DOUBLE) / n1, 4) AS conv_rate,
+           round(CASE WHEN n > n1 THEN CAST(x - x1 AS DOUBLE) / (n - n1)
+                      ELSE 0.0 END, 4) AS rest_rate,
+           round(CASE WHEN x > 0 AND x < n AND n > n1 THEN
+                 (CAST(x1 AS DOUBLE) / n1 - CAST(x - x1 AS DOUBLE) / (n - n1))
+                 / sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+                        * (1.0 / n1 + 1.0 / (n - n1)))
+                 ELSE 0.0 END, 4) AS z_score,
+           CASE WHEN x > 0 AND x < n AND n > n1 AND
+                abs((CAST(x1 AS DOUBLE) / n1
+                     - CAST(x - x1 AS DOUBLE) / (n - n1))
+                 / sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+                        * (1.0 / n1 + 1.0 / (n - n1)))) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM seg CROSS JOIN tot
+    """,
+    description="Two-proportion z-test of purchase conversion per market "
+    "segment vs the rest of the user base (pooled-variance form, "
+    "alpha=0.05 two-sided) — the experimentation/cohort-comparison "
+    "primitive: 'does this segment convert differently, or is it "
+    "noise'. Conversion is a per-user flag (any purchase event) "
+    "aggregated once; segment counts come from one broadcast join to "
+    "the customer dim. All inputs to the z arithmetic are exact "
+    "BIGINT counts; the z itself is one fixed double sequence "
+    "(identical in both dialects, sqrt included), so the value-hash "
+    "compare is exact. Scale: per-user flag agg is one shuffle on "
+    "user_id; everything after is O(segments) with the pooled totals "
+    "broadcast.",
+)
+def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    seg = (
+        u.join(F.broadcast(cust), u.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum("converted").cast("bigint").alias("x1"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("x"),
+    )
+    # degenerate designs (all/none converted, or a cohort that IS the
+    # population) have zero pooled variance — define z = 0 there instead
+    # of dividing by zero (ANSI Spark throws; DuckDB would emit inf)
+    ok = (
+        (F.col("x") > 0)
+        & (F.col("x") < F.col("n"))
+        & (F.col("n") > F.col("n1"))
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.when(
+        F.col("n") > F.col("n1"),
+        (F.col("x") - F.col("x1")).cast("double")
+        / (F.col("n") - F.col("n1")),
+    ).otherwise(F.lit(0.0))
+    pp = F.col("x").cast("double") / F.col("n")
+    z = F.when(
+        ok,
+        (p1 - p2)
+        / F.sqrt(
+            pp
+            * (1 - pp)
+            * (1.0 / F.col("n1") + 1.0 / (F.col("n") - F.col("n1")))
+        ),
+    ).otherwise(F.lit(0.0))
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        F.col("n1").alias("n_users"),
+        F.col("x1").alias("n_converted"),
+        F.round(p1, 4).alias("conv_rate"),
+        F.round(p2, 4).alias("rest_rate"),
+        F.round(z, 4).alias("z_score"),
+        F.when(ok & (F.abs(z) > 1.96), 1).otherwise(0).alias("significant"),
+    )
+
+
+@query(
     "customer_rfm_segments",
     oracle="""
     WITH rfm AS (

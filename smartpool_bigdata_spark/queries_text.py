@@ -4819,6 +4819,90 @@ def source_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_weighted_quality_quantiles",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({T.duck_tokens('text')}) AS BIGINT) AS w,
+               round(len(list_distinct({T.duck_tokens('text')}))
+                     / CAST(len({T.duck_tokens('text')}) AS DOUBLE), 4) AS s
+        FROM documents
+    ),
+    c AS (
+        SELECT s, w,
+               sum(w) OVER (ORDER BY s, doc_id ROWS UNBOUNDED PRECEDING)
+                   AS cumw
+        FROM t
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM t)
+    SELECT n_docs, total AS total_weight,
+           min(CASE WHEN cumw * 4 >= total THEN s END) AS wq25,
+           min(CASE WHEN cumw * 2 >= total THEN s END) AS wmedian,
+           min(CASE WHEN cumw * 4 >= total * 3 THEN s END) AS wq75
+    FROM c CROSS JOIN tot GROUP BY n_docs, total
+    """,
+    description="Token-weighted quality quantiles: the 25/50/75th "
+    "percentiles of the per-doc unique-token-ratio score where each doc "
+    "counts by its TOKEN MASS, not once — the statistic that answers "
+    "'what quality is the median training token' (a few giant low-"
+    "quality docs move it; doc-count quantiles hide them). This is the "
+    "weighted-quantile primitive behind byte-balanced range splits and "
+    "token-budget curation cuts. The cumulative weight is exact BIGINT "
+    "(immune to window association order); quantile selection is "
+    "integer-rational (cumw*4 >= q*total — no doubles until the scores "
+    "themselves). Scale: on Spark the running weight is the "
+    "DISTRIBUTED PREFIX SUM over (score, doc_id) order, not a one-task "
+    "window; the threshold picks are one aggregate over the cumulative "
+    "frame with the total broadcast.",
+)
+def doc_weighted_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    toks = T.spark_tokens("text")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("w"),
+        F.round(
+            F.expr(f"size(array_distinct({toks}))")
+            / F.expr(f"cast(size({toks}) as double)"),
+            4,
+        ).alias("s"),
+    )
+    c = global_running_sum(
+        t, order_by=["s", "doc_id"], value_col="w", out_col="cumw"
+    )
+    tot = t.agg(
+        F.sum("w").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_docs", "total")
+        .agg(
+            F.min(F.when(F.col("cumw") * 4 >= F.col("total"), F.col("s"))).alias(
+                "wq25"
+            ),
+            F.min(F.when(F.col("cumw") * 2 >= F.col("total"), F.col("s"))).alias(
+                "wmedian"
+            ),
+            F.min(
+                F.when(F.col("cumw") * 4 >= F.col("total") * 3, F.col("s"))
+            ).alias("wq75"),
+        )
+        .select(
+            "n_docs",
+            F.col("total").alias("total_weight"),
+            "wq25",
+            "wmedian",
+            "wq75",
+        )
+    )
+
+
+@query(
     "doc_sorted_neighborhood_pairs",
     oracle=f"""
     WITH t AS (
