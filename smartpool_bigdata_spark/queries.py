@@ -2974,6 +2974,77 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CASE = (
+    # CAST: bare decimal literals promote differently (Spark decimal(6,6)
+    # vs DuckDB decimal(7,6)) — the dual-dialect decimal-literal gotcha
+    "CAST(CASE d "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _BENFORD.items())
+    + " END AS DOUBLE)"
+)
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT d AS digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n, 4) AS obs_share,
+           {_BENFORD_CASE} AS benford_p,
+           round(CAST(n_obs AS DOUBLE) / n - {_BENFORD_CASE}, 4) AS deviation,
+           round((CAST(n_obs AS DOUBLE) - n * {_BENFORD_CASE})
+                 * (CAST(n_obs AS DOUBLE) - n * {_BENFORD_CASE})
+                 / (n * {_BENFORD_CASE}), 4) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+    description="Benford's-law first-digit audit of order totals: observed "
+    "leading-digit shares vs the log10(1+1/d) expectation, with "
+    "per-digit deviation and chi-square terms — the forensic "
+    "data-quality screen for fabricated or clipped monetary columns "
+    "(synthetic uniform-range prices fail it loudly, which is the "
+    "point of an audit). The leading digit is taken from the BIGINT "
+    "decimal string — no log10 on data, so no transcendental parity "
+    "risk; the nine Benford expectations are shared rounded literals "
+    "in both dialects. Scale: one scan -> 9-group hash agg; "
+    "everything after is O(9) with the total broadcast.",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    bp = F.expr(_BENFORD_CASE)
+    share = F.col("n_obs").cast("double") / F.col("n")
+    dev = F.col("n_obs").cast("double") - F.col("n") * bp
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n_obs",
+        F.round(share, 4).alias("obs_share"),
+        bp.alias("benford_p"),
+        F.round(share - bp, 4).alias("deviation"),
+        F.round(dev * dev / (F.col("n") * bp), 4).alias("chi2_term"),
+    )
+
+
 @query(
     "segment_conversion_ztest",
     oracle="""
