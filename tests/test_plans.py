@@ -310,6 +310,13 @@ def test_r6_additions_plan_posture(plans):
         # RRF fusion: a tagged UNION + hash agg, deliberately NOT a
         # full-outer join (Spark would sort-merge it)
         "hybrid_rrf_retrieval",
+        # weighted quantiles: the prefix-sum rank's joins are broadcast;
+        # quantile picks are one aggregate with the total broadcast
+        "doc_weighted_quality_quantiles",
+        # z-test: per-user agg -> broadcast dim join -> O(segments)
+        "segment_conversion_ztest",
+        # Benford: scan -> 9-group agg -> O(9) with broadcast total
+        "benford_price_audit",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -146,6 +146,9 @@ R7_PENDING = frozenset({
     "doc_sorted_neighborhood_pairs",
     "embedding_matryoshka_recall",
     "hybrid_rrf_retrieval",
+    "doc_weighted_quality_quantiles",
+    "segment_conversion_ztest",
+    "benford_price_audit",
 })
 
 
