@@ -317,6 +317,9 @@ def test_r6_additions_plan_posture(plans):
         "segment_conversion_ztest",
         # Benford: scan -> 9-group agg -> O(9) with broadcast total
         "benford_price_audit",
+        # trend slopes: daily pre-agg -> O(types) integer power sums,
+        # min-day anchor broadcast
+        "event_type_trend_slopes",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -149,6 +149,7 @@ R7_PENDING = frozenset({
     "doc_weighted_quality_quantiles",
     "segment_conversion_ztest",
     "benford_price_audit",
+    "event_type_trend_slopes",
 })
 
 
