@@ -15,7 +15,7 @@ equivalent to HashMin on random graphs; pick by expected diameter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -368,3 +368,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (community
+    detection) over an undirected graph. Returns (node, label) after
+    ``iterations`` sweeps; initial label = node id.
+
+    Determinism: classic LPA breaks vote ties randomly and is therefore
+    unreproducible; this variant is a pure function of the input — the
+    per-node vote is argmax(neighbor-label count) with ties broken by
+    SMALLEST label, and the sweep is synchronous (all nodes update from
+    the same previous labeling). Every operation is INTEGER arithmetic
+    (counts and ids), so there is no float parity question at all and
+    the fixed-sweep result is SQL-oracle expressible as one CTE pair
+    (vote, argmax) per iteration — the same design trade as
+    ``pagerank`` above: fixed budget => full value-hash gate.
+
+    Scale: each sweep is one join of the label vector onto the edge
+    list + one (node, label) count + one per-node argmax window — the
+    window partitions on node, whose fan-in is bounded by the node's
+    DISTINCT NEIGHBOR LABELS (<= degree), so there is no giant-partition
+    hazard; hub degree is the inherent cost of LPA on any engine.
+    localCheckpoint cuts the loop lineage like the other iterative ops.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced every sweep
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        # shuffle-hash: label vector x edge list is big-big at scale and
+        # re-aggregated immediately — sorting both sides buys nothing
+        votes = (
+            sym.join(labels.hint("shuffle_hash"), sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels

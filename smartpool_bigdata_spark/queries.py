@@ -2974,6 +2974,152 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Chained-CTE twin of ops.graph.label_propagation over the purchase
+    graph: one (vote, argmax) CTE pair per synchronous sweep — all
+    integer arithmetic, so no float-parity staging is needed at all."""
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """sym AS (
+        SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+    )""",
+        """l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""v{i} AS (
+        SELECT s.b AS node, l.lbl, count(*) AS c
+        FROM sym s JOIN l{i-1} l ON s.a = l.node GROUP BY s.b, l.lbl
+    )""")
+        ctes.append(f"""l{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+            FROM v{i})
+        WHERE rn = 1
+    )""")
+    lf = f"l{iterations}"
+    ctes += [
+        """mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM raw)""",
+        f"""mem AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+                    FROM {lf} GROUP BY lbl)""",
+        f"""ie AS (
+        SELECT la.lbl, CAST(count(*) AS BIGINT) AS internal
+        FROM raw u
+        JOIN {lf} la ON u.a = la.node
+        JOIN {lf} lb ON u.b = lb.node AND la.lbl = lb.lbl
+        GROUP BY la.lbl
+    )""",
+        """deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+                   FROM sym GROUP BY a)""",
+        f"""ds AS (SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS dsum
+                   FROM deg d JOIN {lf} l ON d.node = l.node GROUP BY l.lbl)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT mem.lbl AS community, n_members,
+           CAST(coalesce(ie.internal, 0) AS BIGINT) AS internal_edges,
+           ds.dsum AS degree_sum,
+           round(CAST(coalesce(ie.internal, 0) AS DOUBLE) / m
+                 - (CAST(ds.dsum AS DOUBLE) / (2 * m))
+                   * (CAST(ds.dsum AS DOUBLE) / (2 * m)), 6)
+               AS modularity_term
+    FROM mem
+    JOIN ds ON mem.lbl = ds.lbl
+    LEFT JOIN ie ON mem.lbl = ie.lbl
+    CROSS JOIN mt
+    ORDER BY n_members DESC, community ASC LIMIT 20
+    """
+
+
+@query(
+    "purchase_graph_communities",
+    oracle=_lpa_oracle(),
+    description="Community detection on the symmetrized customer-supplier "
+    "purchase graph via fixed-budget (3-sweep) SYNCHRONOUS label "
+    "propagation — top-20 communities with member counts, internal "
+    "edges, degree mass and per-community modularity terms. Classic "
+    "LPA breaks vote ties randomly; this variant is a pure function "
+    "of the input (argmax neighbor-label count, ties to the SMALLEST "
+    "label, synchronous sweeps), which is what makes a full value-hash "
+    "oracle possible — one (vote, argmax) CTE pair per sweep, ALL "
+    "integer arithmetic (the only doubles are the final modularity "
+    "division). Completes the graph-analytics family: components "
+    "(HashMin/two-phase/incremental), centrality (PageRank), "
+    "structure (triangles), and now communities. Scale: each sweep is "
+    "one label-vector join + one (node, label) count + a per-node "
+    "argmax window whose fan-in is bounded by distinct neighbor "
+    "labels; community stats are two hash joins of O(nodes) frames.",
+    skip_bench=True,  # 3 sweeps x (join+window) on the sf0.1 purchase
+    # graph ~ triangle-scale work; timed by bench_staged.py instead
+)
+def purchase_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("a"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds LPA, m, internal edges, degrees
+    )
+    labels = label_propagation(raw, "a", "b", iterations=3)
+    sym = raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mt = raw.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    mem = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    # label-vector joins are O(nodes) x O(edges) — shuffle-hash at scale;
+    # the per-community frames (mem/ds/ie) are O(communities) — broadcast
+    ie = (
+        raw.join(la.hint("shuffle_hash"), "a")
+        .join(lb.hint("shuffle_hash"), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ds = (
+        deg.join(labels.hint("shuffle_hash"), "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("bigint").alias("dsum"))
+    )
+    out = (
+        mem.join(F.broadcast(ds), "lbl")
+        .join(F.broadcast(ie), "lbl", "left")
+        .crossJoin(F.broadcast(mt))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_members",
+            F.coalesce(F.col("internal"), F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            F.col("dsum").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("internal"), F.lit(0)).cast("double")
+                / F.col("m")
+                - (F.col("dsum").cast("double") / (2 * F.col("m")))
+                * (F.col("dsum").cast("double") / (2 * F.col("m"))),
+                6,
+            ).alias("modularity_term"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_members").desc(), F.col("community").asc()
+    ).limit(20)
+
+
 _TREND_SLOPE = (
     "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
     " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"

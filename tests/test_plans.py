@@ -320,6 +320,10 @@ def test_r6_additions_plan_posture(plans):
         # trend slopes: daily pre-agg -> O(types) integer power sums,
         # min-day anchor broadcast
         "event_type_trend_slopes",
+        # LPA communities: label-vector joins hinted shuffle-hash,
+        # per-community frames broadcast; the sweeps' plans are cut by
+        # localCheckpoint but the stats tail is locked here
+        "purchase_graph_communities",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -545,3 +545,19 @@ def test_pagerank_matches_model_and_sums_to_one(spark, edge_list):
         # before summing; allow only that quantization as slack
         assert abs(got[u] - ranks[u]) < 1e-9, (u, got[u], ranks[u])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_disjoint_cliques(spark):
+    """Two disjoint 4-cliques: synchronous min-tie-break LPA converges
+    each clique to its smallest member id within 3 sweeps, giving
+    exactly two uniform communities — the determinism contract that
+    makes the purchase_graph_communities oracle possible."""
+    from itertools import combinations
+
+    from smartpool_bigdata_spark.ops.graph import label_propagation
+
+    edges = [(a, b) for a, b in combinations(range(4), 2)]
+    edges += [(a + 10, b + 10) for a, b in combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["lbl"] for r in label_propagation(df).collect()}
+    assert got == {**{n: 0 for n in range(4)}, **{n + 10: 10 for n in range(4)}}

@@ -150,6 +150,7 @@ R7_PENDING = frozenset({
     "segment_conversion_ztest",
     "benford_price_audit",
     "event_type_trend_slopes",
+    "purchase_graph_communities",
 })
 
 
