@@ -2974,6 +2974,120 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@query(
+    "user_window_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    lv AS (
+        SELECT u.user_id,
+               CASE WHEN EXISTS (
+                        SELECT 1 FROM base v
+                        JOIN base c ON c.user_id = v.user_id
+                           AND c.event_type = 'click' AND c.t >= v.t
+                        JOIN base p ON p.user_id = v.user_id
+                           AND p.event_type = 'purchase' AND p.t >= c.t
+                        WHERE v.user_id = u.user_id AND v.event_type = 'view'
+                          AND p.t - v.t <= {_FUNNEL_WINDOW_US})
+                    THEN 3
+                    WHEN EXISTS (
+                        SELECT 1 FROM base v
+                        JOIN base c ON c.user_id = v.user_id
+                           AND c.event_type = 'click' AND c.t >= v.t
+                        WHERE v.user_id = u.user_id AND v.event_type = 'view'
+                          AND c.t - v.t <= {_FUNNEL_WINDOW_US})
+                    THEN 2
+                    WHEN EXISTS (
+                        SELECT 1 FROM base v
+                        WHERE v.user_id = u.user_id AND v.event_type = 'view')
+                    THEN 1 ELSE 0 END AS level
+        FROM u
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+    SELECT level, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE) / n, 4) AS share
+    FROM lv CROSS JOIN tot GROUP BY level, n
+    """,
+    description="Windowed conversion funnel (ClickHouse windowFunnel "
+    "semantics, non-strict hops): per user, the deepest "
+    "view->click->purchase chain whose TOTAL span fits a 6-hour window "
+    "— level histogram over the user base. The engine side is a "
+    "per-user ARRAY FOLD, zero UDFs: events collect into a sorted "
+    "struct array ((ts, step, id) — step rank breaks ts ties in "
+    "chain-friendly order) and one higher-order `aggregate` propagates "
+    "the latest feasible chain-start per level (greedy latest-start is "
+    "exact for non-strict hops). The ORACLE is an independent "
+    "algorithm — quantified EXISTS over event triples — so agreement "
+    "checks the fold's semantics, not its replay. Scale: one shuffle "
+    "to group per user; fold state is 3 BIGINTs regardless of history "
+    "length; per-user array size is the inherent cost (cap the "
+    "collect with a time slice for hot users — same posture as "
+    "sessionization); the EXISTS self-joins are the shape this fold "
+    "exists to avoid at scale.",
+)
+def user_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.struct(
+            # NTZ -> TIMESTAMP is value-preserving under the pinned UTC
+            # session zone; unix_micros rejects NTZ directly
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.when(F.col("event_type") == "view", 0)
+            .when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("step"),
+            F.col("event_id").alias("eid"),
+        ).alias("e"),
+    )
+    folded = steps.groupBy("user_id").agg(
+        F.expr(
+            f"""
+            aggregate(
+                array_sort(collect_list(e)),
+                named_struct('s1', -1L, 's2', -1L, 's3', -1L),
+                (acc, x) -> named_struct(
+                    's1', CASE WHEN x.step = 0
+                               THEN greatest(acc.s1, x.t) ELSE acc.s1 END,
+                    's2', CASE WHEN x.step = 1 AND acc.s1 >= 0
+                                    AND x.t - acc.s1 <= {_FUNNEL_WINDOW_US}
+                               THEN greatest(acc.s2, acc.s1) ELSE acc.s2 END,
+                    's3', CASE WHEN x.step = 2 AND acc.s2 >= 0
+                                    AND x.t - acc.s2 <= {_FUNNEL_WINDOW_US}
+                               THEN greatest(acc.s3, acc.s2) ELSE acc.s3 END))
+            """
+        ).alias("st")
+    )
+    lv = ev.select("user_id").distinct().join(folded, "user_id", "left").select(
+        F.when(F.col("st.s3") >= 0, 3)
+        .when(F.col("st.s2") >= 0, 2)
+        .when(F.col("st.s1") >= 0, 1)
+        .otherwise(0)
+        .alias("level")
+    )
+    tot = lv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        lv.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("n"), 4).alias(
+                "share"
+            ),
+        )
+    )
+
+
 def _lpa_oracle(iterations: int = 3) -> str:
     """Chained-CTE twin of ops.graph.label_propagation over the purchase
     graph: one (vote, argmax) CTE pair per synchronous sweep — all

@@ -324,6 +324,9 @@ def test_r6_additions_plan_posture(plans):
         # per-community frames broadcast; the sweeps' plans are cut by
         # localCheckpoint but the stats tail is locked here
         "purchase_graph_communities",
+        # window funnel: ONE per-user fold, never the EXISTS triple
+        # self-join the oracle uses — a join refactor would surface here
+        "user_window_funnel",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -151,6 +151,7 @@ R7_PENDING = frozenset({
     "benford_price_audit",
     "event_type_trend_slopes",
     "purchase_graph_communities",
+    "user_window_funnel",
 })
 
 
