@@ -2974,6 +2974,82 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    absdev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, max(med) AS med, median(ad) AS mad
+        FROM absdev GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(m.mad, 4) AS mad,
+           round(m.med, 4) AS median_value,
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND a.ad > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM absdev a JOIN mad m ON a.event_type = m.event_type
+    GROUP BY a.event_type, m.mad, m.med
+    """,
+    description="Robust outlier detection via median absolute deviation: "
+    "per event type, MAD-based flags at the 3-sigma-equivalent "
+    "threshold (1.4826*MAD = sigma-consistent for normal data) — the "
+    "estimator that survives the very outliers it hunts (a global "
+    "stddev gate like daily_event_anomalies is itself inflated by "
+    "heavy tails; MAD has a 50% breakdown point). Two-pass exact "
+    "medians per type — Spark's interpolating percentile() matches "
+    "DuckDB's median() (parity established by embedding_dim_profile); "
+    "the deviation scan re-joins the O(types) medians broadcast. "
+    "Scale: two scans + two O(types) aggregates; the exact median "
+    "buffers per-group values — the documented swap is "
+    "approx_percentile, same as the token-percentile family.",
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    absdev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = absdev.groupBy("event_type").agg(
+        F.max("med").alias("med"), F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    return (
+        absdev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad", "med")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.col("ad") > 3 * 1.4826 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.round("mad", 4).alias("mad"),
+            F.round("med", 4).alias("median_value"),
+            "n_outliers",
+        )
+    )
+
+
 _FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
 
 

@@ -327,6 +327,8 @@ def test_r6_additions_plan_posture(plans):
         # window funnel: ONE per-user fold, never the EXISTS triple
         # self-join the oracle uses — a join refactor would surface here
         "user_window_funnel",
+        # MAD outliers: two scans + two O(types) broadcast join-backs
+        "event_value_mad_outliers",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -152,6 +152,7 @@ R7_PENDING = frozenset({
     "event_type_trend_slopes",
     "purchase_graph_communities",
     "user_window_funnel",
+    "event_value_mad_outliers",
 })
 
 
