@@ -2975,6 +2975,116 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_seasonal_residuals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) + 1 AS dow,  -- Spark 1=Sun..7
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    season AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cnt) AS BIGINT) AS dow_total
+        FROM daily GROUP BY dow
+    ),
+    resid AS (
+        SELECT d.day, d.dow, d.cnt,
+               CAST(d.cnt AS DOUBLE)
+               - CAST(s.dow_total AS DOUBLE) / s.n_days AS r
+        FROM daily d JOIN season s ON d.dow = s.dow
+    ),
+    spread AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sqrt(greatest(
+                   CAST(sum(CAST(r * r AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*)
+                   - (CAST(sum(CAST(r AS DECIMAL(38,10))) AS DOUBLE)
+                          / count(*))
+                     * (CAST(sum(CAST(r AS DECIMAL(38,10))) AS DOUBLE)
+                          / count(*)),
+                   0.0)) AS sd
+        FROM resid
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(CAST(r AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS mean_residual,
+           round(max(abs(r) / sd), 4) AS max_abs_residual_sigma,
+           CAST(sum(CASE WHEN abs(r) > 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies
+    FROM resid CROSS JOIN spread
+    WHERE sd > 0
+    GROUP BY dow
+    """,
+    description="Day-of-week seasonal decomposition with residual "
+    "anomalies: each day's event volume minus its weekday's mean "
+    "(seasonal-naive detrend), flagged beyond 2 residual-sigma — "
+    "catches 'low for a Saturday' that every unconditioned detector "
+    "misses, completing the time-series family: global z "
+    "(daily_event_anomalies), recent baseline (EWMA), level shift "
+    "(CUSUM), robust tails (MAD), trend (OLS slopes), and now "
+    "seasonality. The weekday means are kept as exact integer "
+    "(total, n) pairs — the residual is one fixed double expression — "
+    "and residual variance uses the decimal-stable power-sum form. "
+    "Scale: everything after the daily pre-agg is O(days) with the "
+    "7-row seasonal frame and the variance scalar broadcast.",
+)
+def daily_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select("day", F.dayofweek("day").alias("dow"), "cnt")
+        .localCheckpoint(eager=False)  # feeds season AND residual pass
+    )
+    season = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("dow_total"),
+    )
+    resid = daily.join(F.broadcast(season), "dow").select(
+        "day",
+        "dow",
+        (
+            F.col("cnt").cast("double")
+            - F.col("dow_total").cast("double") / F.col("n_days")
+        ).alias("r"),
+    )
+    dec = "decimal(38,10)"
+    mean_r = F.sum(F.col("r").cast(dec)).cast("double") / F.count(F.lit(1))
+    spread = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sqrt(
+            F.greatest(
+                F.sum((F.col("r") * F.col("r")).cast(dec)).cast("double")
+                / F.count(F.lit(1))
+                - mean_r * mean_r,
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    return (
+        resid.crossJoin(F.broadcast(spread))
+        .filter(F.col("sd") > 0)
+        .groupBy(F.col("dow").cast("bigint").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(F.col("r").cast(dec)).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("mean_residual"),
+            F.round(F.max(F.abs(F.col("r")) / F.col("sd")), 4).alias(
+                "max_abs_residual_sigma"
+            ),
+            F.sum(F.when(F.abs(F.col("r")) > 2 * F.col("sd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+@query(
     "event_value_mad_outliers",
     oracle="""
     WITH med AS (

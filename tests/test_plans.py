@@ -329,6 +329,9 @@ def test_r6_additions_plan_posture(plans):
         "user_window_funnel",
         # MAD outliers: two scans + two O(types) broadcast join-backs
         "event_value_mad_outliers",
+        # seasonal residuals: O(days) after the daily pre-agg; the 7-row
+        # seasonal frame and variance scalar broadcast
+        "daily_seasonal_residuals",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

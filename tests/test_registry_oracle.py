@@ -153,6 +153,7 @@ R7_PENDING = frozenset({
     "purchase_graph_communities",
     "user_window_funnel",
     "event_value_mad_outliers",
+    "daily_seasonal_residuals",
 })
 
 
