@@ -579,3 +579,41 @@ def test_prefix_filter_pairs_shingled_discriminates_order(spark):
     }
     assert (1, 2) in pairs  # shares all bigrams but ('the','quick')
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_del2_variants_symspell_guarantee(spark):
+    """The deletion neighborhood must contain every delete-0/1/2 string
+    (SymSpell completeness for lev<=2 rests on it), identically in both
+    dialects."""
+    from itertools import combinations
+
+    import duckdb
+
+    from smartpool_bigdata_spark.ops.text import (
+        duck_del2_variants,
+        spark_del2_variants,
+    )
+
+    def model(w):
+        outs = {w}
+        for i in range(len(w)):
+            outs.add(w[:i] + w[i + 1:])
+        for i, j in combinations(range(len(w)), 2):
+            outs.add(w[:i] + w[i + 1:j] + w[j + 1:])
+        return outs
+
+    words = ["a", "ab", "abc", "spark", "xx"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: set(r["v"])
+        for r in df.select(
+            "w", F.expr(spark_del2_variants("w")).alias("v")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    for w in words:
+        assert got[w] == model(w), w
+        (dv,) = duck.execute(
+            f"SELECT {duck_del2_variants('w')} FROM (SELECT ? AS w)", [w]
+        ).fetchone()
+        assert set(dv) == model(w), w
