@@ -2975,6 +2975,186 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_conversion_life_table",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(min(ts) AS DATE) AS d0,
+               CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS DATE) AS dconv
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+    durations AS (
+        SELECT CASE WHEN dconv IS NOT NULL
+                    THEN CAST(dconv - d0 AS BIGINT)
+                    ELSE CAST(dmax - d0 AS BIGINT) END AS d,
+               CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM per_user CROSS JOIN horizon
+    ),
+    days AS (
+        SELECT d,
+               CAST(sum(converted) AS BIGINT) AS n_conv,
+               CAST(sum(1 - converted) AS BIGINT) AS n_cens
+        FROM durations GROUP BY d
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM durations),
+    risk AS (
+        SELECT d, n_conv, n_cens,
+               n_users - coalesce(sum(n_conv + n_cens) OVER
+                   (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS n_at_risk
+        FROM days CROSS JOIN tot
+    )
+    SELECT d AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_conv AS n_conversions, n_cens AS n_censored,
+           round(CAST(n_conv AS DOUBLE) / n_at_risk, 6) AS hazard,
+           round(CAST(sum(CAST(CAST(n_conv AS DOUBLE) / n_at_risk
+                               AS DECIMAL(38,18))) OVER
+                  (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+               AS cum_hazard
+    FROM risk
+    """,
+    description="Discrete-time conversion life table (Kaplan-Meier-style "
+    "survival accounting with Nelson-Aalen cumulative hazard): per "
+    "days-since-first-event, users still at risk, conversions, "
+    "right-censored users (no purchase by the observation horizon), "
+    "per-day hazard d/n and the running cumulative hazard — the "
+    "time-to-event primitive behind activation funnels and churn "
+    "models, done with CENSORING handled correctly (naive conversion "
+    "rates over-count users who simply haven't had time yet). "
+    "Nelson-Aalen is chosen over the K-M product exactly because it is "
+    "ADDITIVE — a prefix sum, not a running product — so the decimal-"
+    "stable window-sum machinery applies (per-day hazard staged to "
+    "DECIMAL(38,18) before the ordered sum, association-order "
+    "immune). n_at_risk is total-minus-exclusive-prefix on exact "
+    "integers. Scale: one shuffle to per-user firsts, one to the "
+    "O(days) day table; the windows order O(days) rows; the horizon "
+    "is a broadcast scalar.",
+)
+def user_conversion_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .cast("date")
+        .alias("dconv"),
+    )
+    horizon = ev.agg(F.max(F.col("ts")).cast("date").alias("dmax"))
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("dconv").isNotNull(), F.datediff("dconv", "d0")
+        )
+        .otherwise(F.datediff("dmax", "d0"))
+        .cast("bigint")
+        .alias("d"),
+        F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    days = durations.groupBy("d").agg(
+        F.sum("converted").cast("bigint").alias("n_conv"),
+        F.sum(1 - F.col("converted")).cast("bigint").alias("n_cens"),
+    )
+    tot = durations.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    excl = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incl = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n_users")
+        - F.coalesce(
+            F.sum(F.col("n_conv") + F.col("n_cens")).over(excl), F.lit(0)
+        ),
+    )
+    hazard = F.col("n_conv").cast("double") / F.col("n_at_risk")
+    return risk.select(
+        F.col("d").alias("day"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_conv").alias("n_conversions"),
+        F.col("n_cens").alias("n_censored"),
+        F.round(hazard, 6).alias("hazard"),
+        F.round(
+            F.sum(hazard.cast("decimal(38,18)")).over(incl).cast("double"), 6
+        ).alias("cum_hazard"),
+    )
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(38,10))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS DOUBLE) AS total,
+               CAST(sum(i * r) AS DOUBLE) AS weighted
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(total, 2) AS total_revenue,
+           round(2 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini,
+           round(total / n, 4) AS mean_revenue
+    FROM s
+    """,
+    description="Gini coefficient of customer revenue concentration "
+    "(Lorenz-curve summary: 0 = perfectly even, ->1 = one whale) via "
+    "the rank-weighted identity G = 2*sum(i*x_(i))/(n*sum x) - (n+1)/n "
+    "— the whale-risk / inequality diagnostic behind account "
+    "concentration dashboards, and the same statistic curation teams "
+    "use on per-source token mass. Revenue sums are DECIMAL-exact; "
+    "ranks are exact integers; the identity is one fixed double "
+    "expression — no Lorenz-curve materialization, no pair joins. "
+    "Scale: one shuffle to per-customer revenue; on Spark the rank is "
+    "the DISTRIBUTED PREFIX SUM over (revenue, custkey) order (the "
+    "oracle's one-task row_number window is the shape this avoids); "
+    "the i*x products fold in the same aggregate.",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("r")
+    )
+    ranked = global_running_sum(
+        rev.withColumn("one", F.lit(1).cast("bigint"))
+        .withColumn("rkey", F.col("r").cast("double")),
+        # rkey (double) feeds the numeric range-bucket probe; the exact
+        # DECIMAL r breaks any double-collision tie so the total order
+        # matches the oracle's (r, o_custkey) exactly
+        order_by=["rkey", "r", "o_custkey"],
+        value_col="one",
+        out_col="i",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("r")).cast("double").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round("total", 2).alias("total_revenue"),
+        F.round(
+            2 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("total") / F.col("n"), 4).alias("mean_revenue"),
+    )
+
+
+@query(
     "daily_seasonal_residuals",
     oracle="""
     WITH daily AS (

@@ -332,6 +332,10 @@ def test_r6_additions_plan_posture(plans):
         # seasonal residuals: O(days) after the daily pre-agg; the 7-row
         # seasonal frame and variance scalar broadcast
         "daily_seasonal_residuals",
+        # Gini: prefix-sum rank joins broadcast; identity is one agg
+        "customer_revenue_gini",
+        # life table: per-user firsts -> O(days) window; horizon broadcast
+        "user_conversion_life_table",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -154,6 +154,8 @@ R7_PENDING = frozenset({
     "user_window_funnel",
     "event_value_mad_outliers",
     "daily_seasonal_residuals",
+    "customer_revenue_gini",
+    "user_conversion_life_table",
 })
 
 
