@@ -2975,6 +2975,85 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_violation_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'p_name->p_brand' AS fd, p_name AS lhs, p_brand AS rhs
+        FROM part
+        UNION ALL
+        SELECT 'p_name->p_type', p_name, p_type FROM part
+        UNION ALL
+        SELECT 'c_nationkey->c_mktsegment', CAST(c_nationkey AS VARCHAR),
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (
+        SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS n_rhs
+        FROM checks GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(max(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           round(CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS violation_rate
+    FROM g GROUP BY fd
+    """,
+    description="Functional-dependency violation audit: for candidate FDs "
+    "(p_name->p_brand, p_name->p_type, c_nationkey->c_mktsegment), how "
+    "many left-hand values map to MORE than one right-hand value — the "
+    "schema-inference / denormalization-safety check ('can I collapse "
+    "this column into that dimension?') that extends the DQ family "
+    "beyond per-column checks (nulls/domains/uniqueness) to "
+    "CROSS-column structure. All three candidate FDs are audited in "
+    "one stacked pass. Scale: one (fd, lhs) shuffle with distinct-rhs "
+    "counting, then an O(distinct-lhs) rollup — the same shape as a "
+    "grouped count-distinct; sketchable (KMV per lhs) when the lhs "
+    "domain itself is huge.",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    checks = (
+        part.select(
+            F.lit("p_name->p_brand").alias("fd"),
+            F.col("p_name").alias("lhs"),
+            F.col("p_brand").alias("rhs"),
+        )
+        .unionByName(
+            part.select(
+                F.lit("p_name->p_type").alias("fd"),
+                F.col("p_name").alias("lhs"),
+                F.col("p_type").alias("rhs"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.lit("c_nationkey->c_mktsegment").alias("fd"),
+                F.col("c_nationkey").cast("string").alias("lhs"),
+                F.col("c_mktsegment").alias("rhs"),
+            )
+        )
+    )
+    g = checks.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").cast("bigint").alias("n_rhs")
+    )
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("n_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+        F.round(
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("violation_rate"),
+    )
+
+
+@query(
     "user_conversion_life_table",
     oracle="""
     WITH per_user AS (

@@ -2065,6 +2065,100 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_cluster_quality",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_DUCK_V} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv
+              FROM ({_duck_sample(N_CENTROIDS, 'c')})),
+    scored AS (
+        SELECT c.vec_id, t.centroid_id, {_duck_cos('c.v', 't.cv')} AS csim,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_duck_cos('c.v', 't.cv')} DESC,
+                            t.centroid_id ASC) AS rn
+        FROM corpus c CROSS JOIN cents t
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN centroid_id END) AS cluster,
+               max(CASE WHEN rn = 1 THEN csim END) AS own,
+               max(CASE WHEN rn = 2 THEN csim END) AS other
+        FROM scored WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(own AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS cohesion,
+           round(CAST(sum(CAST(other AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS nearest_other,
+           round(CAST(sum(CAST(own - other AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS margin
+    FROM per_vec GROUP BY cluster
+    """,
+    description="Clustering-quality metrics for the IVF coarse quantizer "
+    "(centroid-silhouette form): per cluster, mean cosine to the OWN "
+    "centroid (cohesion), mean cosine to the NEAREST OTHER centroid, "
+    "and their margin — the 'should I retrain / re-seed' health check "
+    "beside knn_recall_eval (serving recall) and pq_distortion_stats "
+    "(code fidelity); a cluster whose margin approaches 0 is leaking "
+    "neighbors into other cells, which is exactly what degrades "
+    "nprobe=1 recall. TRUE silhouette is all-pairs; the centroid form "
+    "is its O(n·k) surrogate — one broadcast-centroid scan, both best "
+    "and second-best from the SAME window pass (rn<=2), per-cluster "
+    "decimal-stable means. Scale: identical plan shape to IVF "
+    "assignment itself.",
+)
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    cents = sample_fixed_k(corpus, N_CENTROIDS, salt="c").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    sim = F.round(
+        F.expr(spark_dot("v", "cv"))
+        / (
+            F.sqrt(F.expr(spark_dot("v", "v")))
+            * F.sqrt(F.expr(spark_dot("cv", "cv")))
+        ),
+        4,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", sim.alias("csim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    per_vec = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias(
+                "cluster"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("csim"))).alias("own"),
+            F.max(F.when(F.col("rn") == 2, F.col("csim"))).alias("other"),
+        )
+    )
+    dec = "decimal(38,10)"
+    return per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("own").cast(dec)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("cohesion"),
+        F.round(
+            F.sum(F.col("other").cast(dec)).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("nearest_other"),
+        F.round(
+            F.sum((F.col("own") - F.col("other")).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("margin"),
+    )
+
+
+@query(
     "hybrid_rrf_retrieval",
     oracle=f"""{_DUCK_KNN_PRELUDE},
     dt AS (

@@ -336,6 +336,10 @@ def test_r6_additions_plan_posture(plans):
         "customer_revenue_gini",
         # life table: per-user firsts -> O(days) window; horizon broadcast
         "user_conversion_life_table",
+        # cluster quality: broadcast-centroid scan, rn<=2 from one window
+        "embedding_cluster_quality",
+        # FD audit: stacked (fd, lhs) grouped count-distinct
+        "fd_violation_audit",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -156,6 +156,8 @@ R7_PENDING = frozenset({
     "daily_seasonal_residuals",
     "customer_revenue_gini",
     "user_conversion_life_table",
+    "embedding_cluster_quality",
+    "fd_violation_audit",
 })
 
 
