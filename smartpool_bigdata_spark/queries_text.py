@@ -2632,10 +2632,10 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D = 4     # hash rows
 _CMS_W = 256   # buckets per row
 
-
-@query(
-    "event_heavy_hitters_cms",
-    oracle=f"""
+# Shared by the batch gate and its streaming-maintenance twin
+# (stream_cms_heavy_hitters): CMS grids merge by cell-wise ADDITION, so
+# the stream-folded grid must equal this one-shot rebuild exactly.
+_CMS_ORACLE = f"""
     WITH cells AS (
         SELECT r.r AS r,
                {T.duck_hash64("(CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR))")}
@@ -2665,7 +2665,63 @@ _CMS_W = 256   # buckets per row
     SELECT user_id, exact_count, cms_estimate,
            CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
     FROM est
-    """,
+    """
+
+
+def _cms_bucket_expr() -> str:
+    return (
+        T.spark_hash64(
+            "concat(cast(r as string), '|', cast(user_id as string))"
+        )
+        + f" % {_CMS_W}"
+    )
+
+
+def _cms_cells(ev: DataFrame) -> DataFrame:
+    rows_expr = F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r")
+    keyed = ev.select("user_id", rows_expr).select(
+        "r", F.expr(_cms_bucket_expr()).alias("b")
+    )
+    return keyed.groupBy("r", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def _cms_report(ev: DataFrame, cells: DataFrame) -> DataFrame:
+    """Top-20 exact vs CMS-estimated frequencies probed from ``cells``
+    — shared by the batch gate and the streaming-maintenance twin."""
+    rows_expr = F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("user_id").asc()
+    ).limit(20)
+    probes = top.select("user_id", "exact_count", rows_expr).select(
+        "user_id",
+        "exact_count",
+        "r",
+        F.expr(_cms_bucket_expr()).alias("b"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+
+@query(
+    "event_heavy_hitters_cms",
+    oracle=_CMS_ORACLE,
     description="Count-min sketch heavy hitters (Cormode-Muthukrishnan "
     f"'05): per-user event frequencies estimated from a {_CMS_D}x"
     f"{_CMS_W} CMS — estimate = min over rows of the key's bucket "
@@ -2682,49 +2738,69 @@ _CMS_W = 256   # buckets per row
 )
 def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ts(spark, sf_dir, "events")
-    rows_expr = F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r")
-    keyed = ev.select("user_id", rows_expr).select(
-        "r",
-        F.expr(
-            T.spark_hash64(
-                "concat(cast(r as string), '|', cast(user_id as string))"
-            )
-            + f" % {_CMS_W}"
-        ).alias("b"),
+    return _cms_report(ev, _cms_cells(ev))
+
+
+@query(
+    "stream_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    description="Count-min sketch maintenance CLOSED AS A STREAM — the "
+    "incremental-twin pattern (stream_ivf_assignments / "
+    "stream_cdf_matview) applied to the sketch family: half the events "
+    "seed the grid one-shot, the other half arrives as a rate-limited "
+    "file stream whose micro-batches each reduce to their OWN d×w cell "
+    "grid, MERGEd into a delta log keyed by (__batch_id, r, b) — "
+    "addition is not idempotent, so exactly-once under checkpoint "
+    "replay comes from the batch-keyed log (a replayed batch recomputes "
+    "identical rows and replaces), not from a running counter. The "
+    "served sketch is the per-cell SUM over the log; because CMS grids "
+    "merge by cell-wise addition, the stream-folded grid must equal "
+    "the one-shot rebuild EXACTLY — the oracle is the batch query's, "
+    "byte for byte. Per-batch cost O(batch·d) + a ≤ d·w-row MERGE; "
+    "checkpoint-restart locked in tests/test_streaming.py. "
+    "streaming/runner.py:start_cms_cells.",
+    skip_bench=True,  # staging writes + stream startup dominate
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from smartpool_bigdata_spark.streaming import file_stream
+    from smartpool_bigdata_spark.streaming.runner import (
+        read_cms_cells,
+        start_cms_cells,
     )
-    cells = keyed.groupBy("r", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    exact = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
-    )
-    top = exact.orderBy(
-        F.col("exact_count").desc(), F.col("user_id").asc()
-    ).limit(20)
-    probes = top.select("user_id", "exact_count", rows_expr).select(
-        "user_id",
-        "exact_count",
-        "r",
-        F.expr(
-            T.spark_hash64(
-                "concat(cast(r as string), '|', cast(user_id as string))"
-            )
-            + f" % {_CMS_W}"
-        ).alias("b"),
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["r", "b"])
-        .groupBy("user_id", "exact_count")
-        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
-    )
-    return est.select(
-        "user_id",
-        "exact_count",
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("exact_count"))
-        .cast("bigint")
-        .alias("overestimate"),
-    )
+
+    ev = _ts(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    stage = tempfile.mkdtemp(prefix="spark_cmsstream_")
+    try:
+        log_path = os.path.join(stage, "cms_log")
+        src = os.path.join(stage, "new_events")
+        ckpt = os.path.join(stage, "ckpt")
+        _cms_cells(base).withColumn(
+            "__batch_id", F.lit(-1).cast("bigint")
+        ).write.parquet(log_path)
+        new.repartition(4).write.parquet(src)
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_cms_cells(
+            stream,
+            log_path,
+            ckpt,
+            _CMS_D,
+            _CMS_W,
+            "user_id",
+            trigger={"availableNow": True},
+            query_name="cms_maintenance",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        out = _cms_report(ev, read_cms_cells(spark, log_path))
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(

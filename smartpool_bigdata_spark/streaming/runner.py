@@ -211,6 +211,72 @@ def start_ivf_assignment(
     return _with_trigger(writer, trigger).start()
 
 
+def start_cms_cells(
+    stream: DataFrame,
+    delta_log_path: str,
+    checkpoint: str,
+    d: int,
+    w: int,
+    key_col: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming COUNT-MIN SKETCH maintenance: each micro-batch reduces
+    to its own d×w cell-count grid, MERGEd into a delta log keyed by
+    (__batch_id, r, b) — the ``start_cdf_view_maintenance`` exactly-once
+    recipe: a replayed batch recomputes IDENTICAL delta rows and the
+    keyed MERGE replaces instead of double-adding (addition itself is
+    not idempotent, which is why the log is batch-keyed rather than a
+    single running grid). The served sketch is the per-cell SUM over
+    the log (fold with ``read_cms_cells``) — correct because CMS grids
+    merge by cell-wise addition; per-batch cost is O(batch·d) + a
+    ≤ d·w-row MERGE regardless of history size."""
+    from pyspark.sql import functions as F
+
+    from smartpool_bigdata_spark.io.sinks import merge_upsert
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    bexpr = (
+        spark_hash64(
+            f"concat(cast(r as string), '|', cast({key_col} as string))"
+        )
+        + f" % {w}"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = (
+            batch_df.select(
+                F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r"),
+                F.col(key_col),
+            )
+            .select("r", F.expr(bexpr).alias("b"))
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        merge_upsert(
+            batch_df.sparkSession, delta_log_path, cells,
+            ["__batch_id", "r", "b"],
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return _with_trigger(writer, trigger).start()
+
+
+def read_cms_cells(spark: SparkSession, delta_log_path: str) -> DataFrame:
+    """The served CMS grid: per-cell fold of the batch-keyed delta log."""
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(delta_log_path)
+    return log.groupBy("r", "b").agg(F.sum("c").cast("bigint").alias("c"))
+
+
 def start_cdf_view_maintenance(
     feed_stream: DataFrame,
     delta_log_path: str,

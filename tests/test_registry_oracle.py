@@ -158,6 +158,7 @@ R7_PENDING = frozenset({
     "user_conversion_life_table",
     "embedding_cluster_quality",
     "fd_violation_audit",
+    "stream_cms_heavy_hitters",
 })
 
 

@@ -912,3 +912,53 @@ def test_cdf_matview_stream_restart_and_replay(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_cms_cells_stream_restart_and_replay(spark, tmp_path):
+    """The streaming CMS maintenance loop survives a checkpoint restart:
+    drain half the new events, stop, deliver the rest, restart from the
+    same checkpoint — the folded grid equals the one-shot CMS of the
+    full table EXACTLY (cell-wise-additive merge), and the batch-keyed
+    delta log must replace on replay, never double-add."""
+    from smartpool_bigdata_spark.queries_text import _cms_cells, _CMS_D, _CMS_W
+    from smartpool_bigdata_spark.streaming.runner import (
+        read_cms_cells,
+        start_cms_cells,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    log_path = str(tmp_path / "cms_log")
+    src = str(tmp_path / "new_events")
+    ckpt = str(tmp_path / "ckpt")
+    _cms_cells(base).withColumn(
+        "__batch_id", F.lit(-1).cast("bigint")
+    ).write.parquet(log_path)
+
+    def drain():
+        stream = file_stream(spark, src, new.schema, max_files_per_trigger=1)
+        q = start_cms_cells(
+            stream, log_path, ckpt, _CMS_D, _CMS_W, "user_id",
+            trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(240)
+
+    os.makedirs(src, exist_ok=True)
+    new.filter(F.col("event_id") % 4 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    new.filter(F.col("event_id") % 4 == 3).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # restart from the same checkpoint picks up only the new files
+
+    got = {
+        (r["r"], r["b"], r["c"])
+        for r in read_cms_cells(spark, log_path).collect()
+    }
+    want = {
+        (r["r"], r["b"], r["c"]) for r in _cms_cells(ev).collect()
+    }
+    assert got == want
