@@ -2974,6 +2974,210 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_CUTS = ", ".join(str(i / 10) for i in range(1, 10))
+# bracket indexing differs by dialect: DuckDB lists are 1-based, Spark
+# arrays 0-based (element_at is Spark's 1-based accessor)
+_PSI_BIN_DUCK = " + ".join(
+    f"(CASE WHEN value > cs[{i}] THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+_PSI_BIN_SPARK = " + ".join(
+    f"(CASE WHEN value > element_at(cs, {i}) THEN 1 ELSE 0 END)"
+    for i in range(1, 10)
+)
+
+
+@query(
+    "event_value_psi_drift",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(ts AS DATE) AS day, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT min(day) + CAST(CAST((max(day) - min(day)) / 2 AS BIGINT)
+                               || ' days' AS INTERVAL) AS cutover
+        FROM vals
+    ),
+    tagged AS (
+        SELECT CASE WHEN day < cutover THEN 'ref' ELSE 'cur' END AS period,
+               value
+        FROM vals CROSS JOIN bounds
+    ),
+    cuts AS (
+        SELECT quantile_cont(value, [{_PSI_CUTS}]) AS cs
+        FROM tagged WHERE period = 'ref'
+    ),
+    binned AS (
+        SELECT period, 1 + {_PSI_BIN_DUCK} AS bin
+        FROM tagged CROSS JOIN cuts
+    ),
+    g AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS t_cur
+            FROM g)
+    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+           round(greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001), 4) AS p,
+           round(greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001), 4) AS q,
+           round(CAST(CAST(
+               (greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001)
+                - greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001))
+               * ln(greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001)
+                    / greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001))
+               AS DECIMAL(38,18)) AS DOUBLE), 6) AS psi_term
+    FROM g CROSS JOIN tot
+    """,
+    description="Population stability index between the first and second "
+    "half of the observation window, over event values: the standard "
+    "model-monitoring drift metric — reference-decile bins (cut points "
+    "from the REFERENCE period's exact quantiles, so 'no drift' means "
+    "~10% per bin), per-bin (p-q)*ln(p/q) contributions with the "
+    "conventional 1e-4 share floor for empty cells. PSI > 0.2 on any "
+    "feature is the usual retrain trigger. Cross-engine determinism "
+    "the entropy way: each transcendental term is staged to "
+    "DECIMAL(38,18); shares are fixed double sequences over exact "
+    "counts; bin assignment is an integer cut-count, identical in "
+    "both dialects. Scale: one scan to tag periods, the 9 cut points "
+    "are one exact-percentile aggregate over the reference slice "
+    "(approx_percentile is the documented fact-scale swap), binning "
+    "is row-local against the broadcast cuts, and everything after "
+    "is O(10).",
+)
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select(F.col("ts").cast("date").alias("day"), "value")
+    bounds = vals.agg(
+        F.expr(
+            "date_add(min(day), cast(datediff(max(day), min(day)) / 2 as int))"
+        ).alias("cutover")
+    )
+    tagged = vals.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("day") < F.col("cutover"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        "value",
+    )
+    cuts = tagged.filter(F.col("period") == "ref").agg(
+        F.expr(f"percentile(value, array({_PSI_CUTS}))").alias("cs")
+    )
+    binned = tagged.crossJoin(F.broadcast(cuts)).select(
+        "period", F.expr(f"1 + {_PSI_BIN_SPARK}").alias("bin")
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    p = F.greatest(F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(0.0001))
+    q = F.greatest(F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(0.0001))
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.round(p, 4).alias("p"),
+        F.round(q, 4).alias("q"),
+        F.round(
+            ((p - q) * F.log(p / q)).cast("decimal(38,18)").cast("double"), 6
+        ).alias("psi_term"),
+    )
+
+
+@query(
+    "table_content_digest",
+    oracle=f"""
+    WITH o AS (
+        SELECT 'orders' AS tbl,
+               {{h}} AS h
+        FROM (SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
+                     CAST(o_custkey AS VARCHAR) || '|' ||
+                     o_orderstatus || '|' ||
+                     CAST(round(o_totalprice, 2) AS VARCHAR) AS rowstr
+              FROM orders)
+    ),
+    l AS (
+        SELECT 'lineitem' AS tbl,
+               {{h}} AS h
+        FROM (SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+                     CAST(l_linenumber AS VARCHAR) || '|' ||
+                     CAST(l_partkey AS VARCHAR) || '|' ||
+                     CAST(round(l_extendedprice, 2) AS VARCHAR) AS rowstr
+              FROM lineitem)
+    ),
+    all_rows AS (SELECT * FROM o UNION ALL SELECT * FROM l)
+    SELECT tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 2305843009213693951 AS BIGINT) AS content_digest,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_rows
+    FROM all_rows GROUP BY tbl
+    """.format(h="('0x'||substr(md5(rowstr),1,15))::BIGINT"),
+    description="Order-independent table content digest: each row "
+    "canonicalizes to a delimited string, hashes to a 60-bit integer, "
+    "and the table digest is the SUM of row hashes mod a Mersenne "
+    "prime — identical no matter how the table is partitioned, "
+    "ordered, or which engine computes it, which is the property that "
+    "makes it the replication / migration / backup-restore "
+    "verification primitive (compare two 100 TB replicas by exchanging "
+    "16 bytes). Distinct-row count rides along to expose "
+    "duplicate-row divergence the sum alone could mask. Scale: pure "
+    "map-side fold — one scan, no shuffle beyond the 2-row aggregate; "
+    "additive merge means per-partition digests combine exactly like "
+    "the sketch family.",
+)
+def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("tbl"),
+        F.expr(
+            spark_hash64(
+                "concat(cast(o_orderkey as string), '|', "
+                "cast(o_custkey as string), '|', o_orderstatus, '|', "
+                "cast(round(o_totalprice, 2) as string))"
+            )
+        ).alias("h"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("tbl"),
+        F.expr(
+            spark_hash64(
+                "concat(cast(l_orderkey as string), '|', "
+                "cast(l_linenumber as string), '|', "
+                "cast(l_partkey as string), '|', "
+                "cast(round(l_extendedprice, 2) as string))"
+            )
+        ).alias("h"),
+    )
+    return (
+        orders.unionByName(li)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # DECIMAL(38,0) accumulator: 60-bit hashes x big tables
+            # overflow BIGINT under ANSI; DuckDB auto-widens to HUGEINT
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(2305843009213693951).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("content_digest"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct_rows"),
+        )
+    )
+
+
 @query(
     "fd_violation_audit",
     oracle="""

@@ -340,6 +340,10 @@ def test_r6_additions_plan_posture(plans):
         "embedding_cluster_quality",
         # FD audit: stacked (fd, lhs) grouped count-distinct
         "fd_violation_audit",
+        # content digest: pure map-side fold, 2-row aggregate
+        "table_content_digest",
+        # PSI drift: row-local binning vs broadcast cuts, O(10) tail
+        "event_value_psi_drift",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -159,6 +159,8 @@ R7_PENDING = frozenset({
     "embedding_cluster_quality",
     "fd_violation_audit",
     "stream_cms_heavy_hitters",
+    "table_content_digest",
+    "event_value_psi_drift",
 })
 
 
