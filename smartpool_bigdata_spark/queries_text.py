@@ -1753,7 +1753,7 @@ def stream_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+def _dup_clusters_cte_prefix(shingle_k: int = 3, threshold: float = 0.5) -> str:
     toks = T.duck_tokens("text")
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band_idx, "
@@ -1807,10 +1807,128 @@ def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     ),
     comp AS (
         SELECT node, min(r) AS component FROM reach GROUP BY node
-    )
+    )"""
+
+
+def _dup_clusters_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    return f"""{_dup_clusters_cte_prefix(shingle_k, threshold)}
     SELECT component, count(*) AS cluster_size
     FROM comp GROUP BY component
     """
+
+
+def _groupwise_split_oracle() -> str:
+    grp_hash = T.duck_hash64("('gs|' || CAST(grp AS VARCHAR))")
+    return f"""{_dup_clusters_cte_prefix()},
+    corpus_ids AS (
+        SELECT doc_id, len({T.duck_tokens('text')}) AS token_count
+        FROM corpus
+    ),
+    grouped AS (
+        SELECT c.doc_id, c.token_count,
+               coalesce(comp.component, c.doc_id) AS grp
+        FROM corpus_ids c LEFT JOIN comp ON comp.node = c.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, token_count, grp,
+               CASE WHEN {grp_hash} % 100 < 80 THEN 'train'
+                    WHEN {grp_hash} % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM grouped
+    ),
+    leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_leaked
+        FROM pairs p
+        JOIN assigned a ON a.doc_id = p.doc_a
+        JOIN assigned b ON b.doc_id = p.doc_b
+        WHERE a.split != b.split
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(sum(token_count) AS BIGINT) AS total_tokens,
+           n_leaked AS n_leaked_pairs
+    FROM assigned CROSS JOIN leak GROUP BY split, n_leaked
+    """
+
+
+@query(
+    "doc_groupwise_split",
+    oracle=_groupwise_split_oracle(),
+    description="GROUP-AWARE train/valid/test split: near-duplicate "
+    "CLUSTERS (LSH pairs -> connected components) are assigned to a "
+    "split as a unit — the split is a pure hash function of the "
+    "cluster root, singletons of their own doc_id — so near-duplicate "
+    "leakage across splits is impossible BY CONSTRUCTION, not merely "
+    "audited after the fact (doc_split_leakage measures the leakage a "
+    "doc-level split admits; this is the prevention counterpart, "
+    "sklearn GroupShuffleSplit at corpus scale). The cross-split "
+    "leaked-pair count is folded into the output and value-locked at "
+    "0 — the oracle recomputes it from its own independent recursive-"
+    "CTE clustering, so a broken group assignment cannot pass. Scale: "
+    "the clustering is the already-established banded LSH + CC stack; "
+    "group assignment is a broadcast-sized left join of the component "
+    "map; everything after is row-local hashing + one tiny agg.",
+    skip_bench=True,  # the pair stage is benched as doc_near_dup_pairs
+)
+def doc_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.5
+    ).localCheckpoint(eager=False)  # feeds CC AND the leakage invariant
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    toks = T.spark_tokens("text")
+    ids = corpus.select(
+        "doc_id", F.expr(f"cast(size({toks}) as bigint)").alias("token_count")
+    )
+    grouped = ids.join(
+        cc.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "token_count",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("grp"),
+    )
+    bucket = (
+        F.expr(T.spark_hash64("concat('gs|', cast(grp as string))")) % 100
+    )
+    assigned = grouped.select(
+        "doc_id",
+        "token_count",
+        "grp",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    ).localCheckpoint(eager=False)  # feeds the rollup AND both leak sides
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leak = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+            F.sum("token_count").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            "total_tokens",
+            F.col("n_leaked").alias("n_leaked_pairs"),
+        )
+    )
 
 
 @query(

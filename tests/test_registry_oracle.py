@@ -161,6 +161,7 @@ R7_PENDING = frozenset({
     "stream_cms_heavy_hitters",
     "table_content_digest",
     "event_value_psi_drift",
+    "doc_groupwise_split",
 })
 
 
