@@ -2974,6 +2974,117 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_TRIALS = 10  # oversample 2x the kept k=5 to survive positive collisions
+
+
+def _neg_samples_oracle() -> str:
+    from smartpool_bigdata_spark.ops.text import duck_hash64
+
+    h = duck_hash64(
+        "('neg|' || CAST(user_id AS VARCHAR) || '|' || CAST(t AS VARCHAR))"
+    )
+    return f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nmax AS (SELECT CAST(max(p_partkey) AS BIGINT) AS n_items FROM part),
+    trials AS (
+        SELECT u.user_id, t.t,
+               1 + {h} % n_items AS item
+        FROM (SELECT DISTINCT user_id FROM pos) u
+        CROSS JOIN nmax
+        CROSS JOIN (SELECT unnest(range(0, {_NEG_TRIALS})) AS t) t
+    ),
+    dedup AS (
+        SELECT user_id, item, CAST(min(t) AS BIGINT) AS t
+        FROM trials GROUP BY user_id, item
+    ),
+    neg AS (
+        SELECT d.* FROM dedup d
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.user_id = d.user_id AND p.item = d.item)
+    )
+    SELECT user_id, CAST(item AS BIGINT) AS item, t,
+           CAST(rn AS INTEGER) AS neg_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY t, item) AS rn
+          FROM neg)
+    WHERE rn <= 5
+    """
+
+
+@query(
+    "user_item_negative_samples",
+    oracle=_neg_samples_oracle(),
+    description="Deterministic negative sampling for recommender / "
+    "contrastive training over the purchase matrix: per user, 5 items "
+    "they did NOT buy, drawn by hashing (user, trial) into the item-id "
+    "space, 2x-oversampled, deduped, then positives removed by an "
+    "ANTI-join — the standard distributed recipe, because the naive "
+    "'rank all unpurchased items per user' is a users x items cross "
+    "join. Reproducible across runs/partitionings (md5 trials, not "
+    "rand()), and every emitted row is auditable: trial index and "
+    "within-user rank ride along. Scale: trials are O(users x 10) "
+    "row-local hashing against a broadcast item-count scalar; the "
+    "anti-join shuffles on (user, item) like any fact join; the "
+    "per-user rank window sees <= 10 rows per user. Collision math: "
+    "10 trials vs k=5 keeps P(user under-filled) negligible while the "
+    "positive set per user is << item catalog.",
+)
+def user_item_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.text import spark_hash64
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds users, the anti-join
+    )
+    nmax = _t(spark, sf_dir, "part").agg(
+        F.max("p_partkey").cast("bigint").alias("n_items")
+    )
+    users = pos.select("user_id").distinct()
+    h = spark_hash64(
+        "concat('neg|', cast(user_id as string), '|', cast(t as string))"
+    )
+    trials = (
+        users.crossJoin(F.broadcast(nmax))
+        .select(
+            "user_id",
+            "n_items",
+            F.explode(F.expr(f"sequence(0, {_NEG_TRIALS - 1})")).alias("t"),
+        )
+        .select(
+            "user_id",
+            "t",
+            (1 + F.expr(h) % F.col("n_items")).alias("item"),
+        )
+    )
+    dedup = trials.groupBy("user_id", "item").agg(
+        F.min("t").cast("bigint").alias("t")
+    )
+    neg = dedup.join(pos, ["user_id", "item"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "item")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            "user_id",
+            F.col("item").cast("bigint").alias("item"),
+            "t",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )
+
+
 _PSI_CUTS = ", ".join(str(i / 10) for i in range(1, 10))
 # bracket indexing differs by dialect: DuckDB lists are 1-based, Spark
 # arrays 0-based (element_at is Spark's 1-based accessor)

@@ -344,6 +344,8 @@ def test_r6_additions_plan_posture(plans):
         "table_content_digest",
         # PSI drift: row-local binning vs broadcast cuts, O(10) tail
         "event_value_psi_drift",
+        # negative sampling: row-local trials + anti-join, never users x items
+        "user_item_negative_samples",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -162,6 +162,7 @@ R7_PENDING = frozenset({
     "table_content_digest",
     "event_value_psi_drift",
     "doc_groupwise_split",
+    "user_item_negative_samples",
 })
 
 
