@@ -3069,7 +3069,10 @@ def user_item_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = trials.groupBy("user_id", "item").agg(
         F.min("t").cast("bigint").alias("t")
     )
-    neg = dedup.join(pos, ["user_id", "item"], "left_anti")
+    # shuffle-hash anti-join: the positive set is fact-sized at scale
+    # (nothing to broadcast) and already re-partitioned by the group —
+    # sorting both sides for SMJ buys nothing
+    neg = dedup.join(pos.hint("shuffle_hash"), ["user_id", "item"], "left_anti")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("t", "item")
