@@ -561,3 +561,66 @@ def test_label_propagation_disjoint_cliques(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["lbl"] for r in label_propagation(df).collect()}
     assert got == {**{n: 0 for n in range(4)}, **{n + 10: 10 for n in range(4)}}
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 100), min_size=2, max_size=30))
+def test_cusum_prefix_identity_matches_recursion(counts):
+    """The event_cusum_changepoints rewrite rests on the identity
+    S+_t = P_t - min(P_j, j<=t) for the CUSUM recursion
+    S+_t = max(0, S+_{t-1} + dev_t) (and mirrored for S-). Check it
+    against the literal recursion on random integer series."""
+    n = len(counts)
+    total = sum(counts)
+    devs = [c * n - total for c in counts]  # the query's exact-int scaling
+    # literal recursions
+    s_pos, s_neg, rp, rn = [], [], 0, 0
+    for d in devs:
+        rp = max(0, rp + d)
+        rn = max(0, rn - d)
+        s_pos.append(rp)
+        s_neg.append(rn)
+    # prefix-sum algebra
+    p, run_min, run_max = 0, 0, 0
+    for i, d in enumerate(devs):
+        p += d
+        run_min = min(run_min, p)
+        run_max = max(run_max, p)
+        assert p - run_min == s_pos[i]
+        assert run_max - p == s_neg[i]
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 6),
+                       st.sampled_from("ab")), max_size=2),
+)
+def test_symspell_delete_neighborhood_complete_for_lev2(word, edits):
+    """The vocab_editdist_pairs equi-join is COMPLETE for lev<=2 by the
+    SymSpell pigeonhole: any t within <=2 edits of s shares a
+    delete-<=2 variant with s. Apply <=2 random del/ins/sub edits and
+    assert the neighborhoods intersect."""
+    from itertools import combinations
+
+    def deletes2(w):
+        outs = {w}
+        for i in range(len(w)):
+            outs.add(w[:i] + w[i + 1:])
+        for i, j in combinations(range(len(w)), 2):
+            outs.add(w[:i] + w[i + 1:j] + w[j + 1:])
+        return outs
+
+    t = word
+    for kind, pos, ch in edits:
+        pos = min(pos, len(t))
+        if kind == 0 and t:  # delete
+            p = min(pos, len(t) - 1)
+            t = t[:p] + t[p + 1:]
+        elif kind == 1:  # insert
+            t = t[:pos] + ch + t[pos:]
+        elif t:  # substitute
+            p = min(pos, len(t) - 1)
+            t = t[:p] + ch + t[p + 1:]
+    if t:  # empty strings have no tokens in the query
+        assert deletes2(word) & deletes2(t), (word, t)
