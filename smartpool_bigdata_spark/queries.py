@@ -1023,6 +1023,74 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_bounce_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(ts) AS DATE) AS day
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS bounce_rate,
+           round(CAST(sum(CAST(n_events AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_session_depth
+    FROM per_session GROUP BY day
+    """,
+    description="Daily bounce rate and session depth: share of 30-min-gap "
+    "sessions containing exactly ONE event, attributed to the session's "
+    "start day — the engagement-health product metric sessionization "
+    "exists to feed (a bounce-rate step is a landing-page or bot "
+    "regression; depth is its denominator-side twin). Reuses the "
+    "established sessionize machinery (lag + running-sum windows, one "
+    "shuffle/sort on user_id) and rolls up to O(days) rows with a "
+    "decimal-stable depth mean. Scale: identical posture to "
+    "user_sessions — the per-session rollup reuses the window's "
+    "partitioning; the daily agg is tiny.",
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").cast("date").alias("day"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count(F.lit(1)), 4).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.sum(F.col("n_events").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_session_depth"),
+    )
+
+
+@query(
     "event_projection_normalize",
     oracle="""
     SELECT event_id AS id,
@@ -2971,6 +3039,63 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((up > 4) | (down > 4), 1).otherwise(0))
         .cast("bigint")
         .alias("n_flagged_days"),
+    )
+
+
+@query(
+    "order_leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(lead_days, 0.5), 4) AS p50_days,
+           round(quantile_cont(lead_days, 0.9), 4) AS p90_days,
+           round(quantile_cont(lead_days, 0.99), 4) AS p99_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days,
+           CAST(sum(CASE WHEN lead_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sla_breaches
+    FROM lt GROUP BY priority
+    """,
+    description="Order-fulfillment lead-time SLA report: p50/p90/p99 days "
+    "from order placement to line shipment per order priority, with a "
+    "60-day breach count — the latency-percentile reporting shape "
+    "(never averages: the p99 IS the SLA) applied to fulfillment ops; "
+    "a priority class whose p99 matches the others' is a routing bug "
+    "made visible. Interpolating exact percentiles parity-matched "
+    "between engines (the dim-profile precedent); the one join is the "
+    "fact-to-fact orders key with the date filter pushed to the scan. "
+    "Scale: one key shuffle + per-priority exact percentiles (the "
+    "documented approx_percentile swap applies at fact scale).",
+)
+def order_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate")
+            .cast("bigint")
+            .alias("lead_days"),
+        )
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.expr("percentile(lead_days, 0.5D)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.9D)"), 4).alias("p90_days"),
+        F.round(F.expr("percentile(lead_days, 0.99D)"), 4).alias("p99_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("lead_days") > 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sla_breaches"),
     )
 
 

@@ -346,6 +346,10 @@ def test_r6_additions_plan_posture(plans):
         "event_value_psi_drift",
         # negative sampling: row-local trials + anti-join, never users x items
         "user_item_negative_samples",
+        # lead-time SLA: one fact-key join + per-priority percentiles
+        "order_leadtime_percentiles",
+        # bounce rate: the sessionize window shuffle + O(days) rollup
+        "session_bounce_stats",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -163,6 +163,8 @@ R7_PENDING = frozenset({
     "event_value_psi_drift",
     "doc_groupwise_split",
     "user_item_negative_samples",
+    "order_leadtime_percentiles",
+    "session_bounce_stats",
 })
 
 
