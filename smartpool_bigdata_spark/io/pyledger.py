@@ -227,11 +227,30 @@ def _rename_in(d: str, messages, batch_id: int | None) -> list[str]:
     return finals
 
 
+def _published_batches(d: str) -> set[int]:
+    """Streaming batch ids published in ANY epoch, not just HEAD.
+
+    The replay-dedup check must survive an epoch bump: a batch-mode
+    overwrite that lands while a stream's checkpoint is mid-recovery
+    moves HEAD, and a HEAD-only check would forget the replayed batch
+    and double-publish it into the new epoch. Scanning every manifest
+    keeps the memory as long as the manifests exist; the remaining
+    (documented) hole is the NON-retained overwrite, which GCs
+    superseded manifests and with them the replay memory — overwrite
+    must not interleave with a live/recovering stream on the same path
+    unless ``retain=true``."""
+    return {
+        m["batch_id"]
+        for m in _commit_manifests(d)
+        if m.get("batch_id") is not None
+    }
+
+
 def _publish(d: str, messages, batch_id: int | None = None) -> None:
-    if batch_id is not None and batch_id in _read_manifest(d)["batches"]:
+    if batch_id is not None and batch_id in _published_batches(d):
         # replayed micro-batch after checkpoint recovery: the batch
-        # already published — drop the re-staged files, publish
-        # NOTHING twice (exactly-once)
+        # already published (in ANY epoch) — drop the re-staged files,
+        # publish NOTHING twice (exactly-once)
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)

@@ -93,7 +93,18 @@ def merge_upsert_cdf(
     Delta CDF read contract.
 
     Scale: identical to ``merge_upsert`` plus one semi-join (same key
-    shuffle, co-planned) and an O(changes) append — never O(table).
+    shuffle, co-planned) and an O(changes) write — never O(table).
+
+    Crash/retry contract: the feed partition for ``commit_version`` is
+    written with DYNAMIC partition overwrite (only the
+    ``_commit_version=<N>`` directory is replaced), so a retried call
+    with the same version REPLACES its own change rows instead of
+    duplicating them, and a crash between the feed write and the merge
+    is healed by the retry. What this parquet analog cannot give is
+    Delta's feed+table atomicity: a crash after the feed write with NO
+    retry leaves a feed version whose merge never landed — consumers
+    that must exclude in-flight versions should read only up to the
+    target's last applied version.
     """
     src_keys = source.select(*keys).distinct()
     if _exists(spark, target_path):
@@ -115,7 +126,12 @@ def merge_upsert_cdf(
             tag(post, "update_postimage")
         )
     cdf = cdf.withColumn("_commit_version", F.lit(commit_version))
-    cdf.write.mode("append").partitionBy("_commit_version").parquet(cdf_path)
+    (
+        cdf.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_version")
+        .parquet(cdf_path)
+    )
     merge_upsert(spark, target_path, source, keys, partition_by)
 
 
@@ -177,13 +193,35 @@ def ensure_table(
         spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
         return True
     empty = spark.createDataFrame([], schema)
-    # sentinel values chosen so partition-type inference agrees with the
-    # declared column type
-    sentinel = {"date": "1970-01-01", "timestamp": "1970-01-01 00:00:00"}
+    # Sentinel values chosen so partition-type inference agrees with the
+    # declared column type. Types OUTSIDE this map (float, double,
+    # boolean, decimal, binary, ...) cannot round-trip through parquet
+    # partition-directory inference at all — Spark only infers
+    # integer/long/date/timestamp/string from directory names, so a real
+    # appended value would degrade the column to string regardless of
+    # the bootstrap. Fail loudly instead of planting a '__bootstrap__'
+    # string sentinel that silently changes the discovered type later.
+    sentinel = {
+        "date": "1970-01-01",
+        "timestamp": "1970-01-01 00:00:00",
+        "integer": "0",
+        "long": "0",
+        "short": "0",
+        "byte": "0",
+        "string": "__bootstrap__",
+    }
     leaf = path
     for c in partition_by:
         t = empty.schema[c].dataType.typeName()
-        leaf = os.path.join(leaf, f"{c}={sentinel.get(t, '0' if t in ('integer', 'long', 'short') else '__bootstrap__')}")
+        if t not in sentinel:
+            raise ValueError(
+                f"ensure_table: partition column {c!r} has type {t!r}, which "
+                "parquet partition-directory inference cannot represent; use "
+                "an integer/long/short/byte/date/timestamp/string partition "
+                "column (Delta records partition types in its log; vanilla "
+                "parquet re-infers them from directory names)"
+            )
+        leaf = os.path.join(leaf, f"{c}={sentinel[t]}")
     empty.drop(*partition_by).write.mode("overwrite").parquet(leaf)
     return True
 

@@ -57,6 +57,19 @@ BUILDER_CONFS: dict[str, str] = {
 }
 
 
+def _default_local_driver_mem(cap_mb: int = 8192, floor_mb: int = 1024) -> str:
+    """Driver-heap default for local[N] masters: half of physical RAM,
+    clamped to [1g, 8g]. An unconditional 8g fails JVM launch (or trips
+    the OOM killer) on small CI hosts; ``SPARK_GRAFT_DRIVER_MEM`` stays
+    the explicit override for both directions."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return f"{cap_mb}m"
+    half_mb = int(total // (2 * 1024 * 1024))
+    return f"{max(floor_mb, min(cap_mb, half_mb))}m"
+
+
 def session_builder(
     app_name: str = "smartpool-bigdata-spark",
     master: str | None = None,
@@ -76,7 +89,9 @@ def session_builder(
         # memory each, which OOMs any join fan-out that must spill-merge.
         # A real cluster sizes executors via spark-submit; this conf only
         # takes effect at JVM launch, so it is a no-op on an existing gateway.
-        confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        confs["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", _default_local_driver_mem()
+        )
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder

@@ -253,3 +253,26 @@ def test_default_overwrite_still_gcs_eagerly(spark, tmp_path):
     assert [h["epoch"] for h in history(str(d))] == [1]
     data_files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
     assert len(data_files) == len(_read_manifest(str(d))["files"])
+
+
+def test_batch_replay_dedup_survives_epoch_bump(tmp_path):
+    """Streaming exactly-once memory must span epochs: a retained
+    batch-mode overwrite bumps HEAD while a stream checkpoint is mid-
+    recovery; a HEAD-only batches check would forget the replayed batch
+    and double-publish it into the new epoch (ADVICE r6)."""
+    from smartpool_bigdata_spark.io.pyledger import (
+        _publish,
+        _published_batches,
+        _write_head,
+    )
+
+    d = str(tmp_path / "ledger")
+    os.makedirs(d)
+    _write_commit_manifest(d, 0, [], batch_id=5)  # batch 5 published in epoch 0
+    _write_head(d, 1)  # overwrite (retain=true) bumps HEAD, manifests survive
+    assert 5 not in _read_manifest(d)["batches"]  # HEAD-only view forgets...
+    assert 5 in _published_batches(d)  # ...the cross-epoch scan does not
+    _publish(d, [_Staged(path=str(tmp_path / "nope.jsonl"), rows=3)], batch_id=5)
+    # the replay published NOTHING into epoch 1
+    assert _read_manifest(d, epoch=1)["files"] == []
+    assert len(_commit_manifests(d)) == 1

@@ -196,6 +196,66 @@ def test_ensure_table(spark, tmp_path):
     assert "d" in table_detail(spark, path)["partitionColumns"]
 
 
+def test_ensure_table_typed_sentinels(spark, tmp_path):
+    """Non-string partition columns bootstrap with type-consistent
+    sentinels (date/timestamp/int family), and types parquet directory
+    inference cannot represent (double, boolean, ...) raise instead of
+    silently degrading the discovered partition type to string."""
+    import pytest
+
+    p1 = str(tmp_path / "by_date")
+    assert ensure_table(spark, p1, "id INT, dt DATE", partition_by=["dt"])
+    spark.createDataFrame([("2024-03-05", 1)], "dt STRING, id INT").selectExpr(
+        "id", "CAST(dt AS DATE) dt"
+    ).write.mode("append").partitionBy("dt").parquet(p1)
+    back = spark.read.parquet(p1)
+    assert back.schema["dt"].dataType.typeName() == "date"
+    assert back.count() == 1
+
+    p2 = str(tmp_path / "by_byte")
+    assert ensure_table(spark, p2, "id INT, b TINYINT", partition_by=["b"])
+    assert spark.read.parquet(p2).count() == 0
+
+    with pytest.raises(ValueError, match="partition column 'f' has type 'double'"):
+        ensure_table(spark, str(tmp_path / "bad"), "id INT, f DOUBLE", partition_by=["f"])
+
+
+def test_merge_upsert_cdf_retry_idempotent(spark, tmp_path):
+    """A retried merge_upsert_cdf with the same commit_version must
+    REPLACE its own feed partition (dynamic partition overwrite), not
+    append duplicate change rows — the crash-between-feed-and-merge /
+    at-least-once-caller contract."""
+    from smartpool_bigdata_spark.io.sinks import merge_upsert_cdf, read_change_feed
+
+    tgt = str(tmp_path / "t")
+    cdf = str(tmp_path / "t__cdf")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    merge_upsert_cdf(spark, tgt, base, ["k"], cdf, commit_version=0)
+    rev = spark.createDataFrame([(2, "B"), (3, "c")], "k INT, v STRING")
+    merge_upsert_cdf(spark, tgt, rev, ["k"], cdf, commit_version=1)
+    merge_upsert_cdf(spark, tgt, rev, ["k"], cdf, commit_version=1)  # retry
+    feed = read_change_feed(spark, cdf)
+    v1 = feed.filter("_commit_version = 1")
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"]) for r in v1.collect()
+    )
+    # exactly one preimage+postimage for k=2, one insert for k=3 — no dups.
+    # On the retry the target already holds the merged state, so k=3 flips
+    # from insert to update; either single set is valid, duplicates never.
+    assert got in (
+        [("insert", 3, "c"), ("update_postimage", 2, "B"), ("update_preimage", 2, "B")],
+        [
+            ("update_postimage", 2, "B"), ("update_postimage", 3, "c"),
+            ("update_preimage", 2, "B"), ("update_preimage", 3, "c"),
+        ],
+    )
+    # v0 partition untouched by the v1 overwrite
+    assert feed.filter("_commit_version = 0").count() == 2
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(tgt).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+
+
 def test_ts_bounds_push_down_to_raw_scan(spark, duck):
     """Time bounds on an ns-long parquet column must reach the scan as
     PushedFilters on the RAW column (min/max row-group pruning), and the
