@@ -120,6 +120,47 @@ class RowCountBetween:
         return []
 
 
+def grouped_cardinality(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    expect: RowCountBetween,
+    count_alias: str = "n_rows",
+    verdict_alias: str = "cardinality_check",
+    extra_aggs: Sequence = (),
+) -> DataFrame:
+    """Per-group expected-cardinality profile (DQ6: the reference asserts
+    24 hourly rows per day per region,
+    ``notebooks/05_ingest_electricity_csv.ipynb:409``).
+
+    ``RowCountBetween`` alone folds into a GLOBAL single-pass aggregate;
+    the reference's check is per-group, so this compiles the same bounds
+    into one hash aggregate over ``group_cols`` and emits one row per
+    group carrying the observed count and an ``ok`` /
+    ``VIOLATION:<count>`` verdict column — fully distributed (the
+    verdict is a column expression, never a driver-side loop), so it
+    scales to any group count. Feed the result to a sink for a QA table,
+    or filter on the verdict to gate the batch. ``extra_aggs`` ride the
+    SAME hash aggregate (aliased Columns), so profiling extra per-group
+    measures costs no second shuffle.
+    """
+    tag = ""
+    agged = df.groupBy(*group_cols).agg(*expect.aggs(tag), *extra_aggs)
+    cnt = F.col(f"__rc{tag}")
+    bad = cnt < expect.lo
+    if expect.hi is not None:
+        bad = bad | (cnt > expect.hi)
+    skip = set(group_cols) | {f"__rc{tag}"}
+    extra_names = [c for c in agged.columns if c not in skip]
+    return agged.select(
+        *group_cols,
+        cnt.alias(count_alias),
+        *extra_names,
+        F.when(
+            bad, F.concat(F.lit("VIOLATION:"), cnt.cast("string"))
+        ).otherwise(F.lit("ok")).alias(verdict_alias),
+    )
+
+
 # --- own-job checks ---------------------------------------------------------
 
 

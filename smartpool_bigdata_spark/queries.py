@@ -2539,58 +2539,67 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    # --- the r6 additions (r5 verdict asks #2/#5/#6 + IVF-PQ) ---
-    "schema_merge_landing_stats",
-    "bootstrap_partitioned_roundtrip",
-    "stream_ivf_assignments",
-    "llm_corpus_pipeline_v3",
-    "knn_ivfpq_adc",
-    "stream_multihop_topology",
-    "compact_maintenance_stats",
-    "stream_event_sliding_window",
-    "stream_pq_codes",
-    "corpus_packing_manifest",
-    "event_audience_overlap_kmv",
-    "event_heavy_hitters_cms",
-    "orders_bloom_prefilter",
-    "jdbc_live_roundtrip",
-    "events_asof_tolerance",
-    "audio_pcm_chunk_stats",
-    "customer_top_orders_lateral",
-    "regional_supplier_revenue",
-    "doc_prefix_filter_pairs",
-    "purchase_graph_pagerank",
-    # --- all 30 queries whose newest driver row is the r3 window ---
-    "order_priority_pivot",
-    "peak_event_hours",
-    "events_from_customers",
-    "hourly_value_deviation",
-    "event_cost_model",
-    "event_range_flags",
-    "active_ids_union",
-    "order_dup_check",
-    "event_null_profile",
-    "urgent_open_orders",
-    "allowed_event_types",
-    "top_value_orders",
-    "event_hourly_window",
-    "event_projection_normalize",
-    "stream_user_sessions",
-    "doc_text_quality",
-    "doc_exact_dedup",
-    "doc_train_split",
-    "doc_token_percentiles",
-    "doc_chunks",
-    "doc_near_dup_pairs",
-    "doc_dup_clusters",
-    "doc_dedup_survivors",
-    "doc_signatures",
-    "doc_signature_table_pairs",
-    "doc_simhash_near_dup",
-    "doc_language_guess",
-    "knn_brute_force",
-    "knn_ivf",
-    "embedding_dup_clusters",
+    # --- r7 window: the r6-verdict #1/#2 asks. 49 of the 55 late-r6
+    # additions that had NO driver row yet (R7_PENDING in
+    # tests/test_registry_oracle.py — the only builder-verified-only
+    # slice), plus the new DQ6 expected-cardinality gate. The 6
+    # cheapest/simplest pending aggregates defer to R8_PENDING (the
+    # window holds exactly 50).
+    "landing_cardinality_check",  # DQ6 gate, new in r7
+    # -- ledger / table-maintenance / streaming state --
+    "ledger_time_travel_stats",
+    "merge_change_feed_stats",
+    "stream_cdf_matview",
+    "snapshot_diff_stats",
+    "scd2_enriched_event_stats",
+    "stream_cms_heavy_hitters",
+    "table_content_digest",
+    # -- retrieval / ANN / embeddings --
+    "knn_recall_eval",
+    "knn_lsh_hamming",
+    "doc_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "pq_distortion_stats",
+    "contrastive_inbatch_pairs",
+    "embedding_prototype_eval",
+    "embedding_matryoshka_recall",
+    "embedding_dim_profile",
+    "embedding_cluster_quality",
+    "customer_similarity_topk",
+    # -- text / corpus curation --
+    "doc_dup_span_mass",
+    "doc_token_pmi",
+    "doc_char_entropy",
+    "doc_split_leakage",
+    "doc_groupwise_split",
+    "doc_weighted_sample_per_lang",
+    "doc_weighted_quality_quantiles",
+    "doc_sorted_neighborhood_pairs",
+    "vocab_editdist_pairs",
+    "bpe_merge_candidates",
+    "source_dup_matrix",
+    "source_corpus_profile",
+    "source_discriminative_terms",
+    "llm_corpus_pipeline_v4",
+    # -- sketches / statistics / time series --
+    "join_size_ams_estimate",
+    "user_rolling_distinct_kmv",
+    "events_profile_summary",
+    "event_ewma_anomalies",
+    "event_cusum_changepoints",
+    "event_value_mad_outliers",
+    "event_value_psi_drift",
+    "daily_seasonal_residuals",
+    "event_type_trend_slopes",
+    "segment_conversion_ztest",
+    # -- graph / behavioral analytics --
+    "copurchase_triangle_stats",
+    "purchase_graph_communities",
+    "basket_association_rules",
+    "customer_rfm_segments",
+    "user_window_funnel",
+    "user_conversion_life_table",
+    "user_item_negative_samples",
 ]
 
 

@@ -91,6 +91,56 @@ def csv_landing_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "landing_cardinality_check",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+             extract(hour FROM ts) AS h, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT event_date, event_type,
+           count(*) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CASE WHEN count(*) >= 24 AND count(*) <= 24 THEN 'ok'
+                ELSE 'VIOLATION:' || CAST(count(*) AS VARCHAR)
+           END AS cardinality_check
+    FROM hourly GROUP BY 1, 2
+    """,
+    description="DQ6 expected-cardinality gate (reference: the landing QA "
+    "cell asserting 24 hourly rows per day per region, "
+    "notebooks/05_ingest_electricity_csv.ipynb:409): events are rolled up "
+    "to hourly presence per (day, event_type), then "
+    "expectations.grouped_cardinality applies RowCountBetween(24, 24) per "
+    "group and emits the per-group verdict column — 'ok' for complete "
+    "days, 'VIOLATION:<n_hours>' for gappy ones (both verdicts occur in "
+    "the testdata, so green proves the check fires, not just passes). "
+    "Two hash aggregates, no shuffle beyond them; the verdict is a column "
+    "expression, never a driver loop.",
+)
+def landing_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.expectations import (
+        RowCountBetween,
+        grouped_cardinality,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("event_date"),
+        "event_type",
+        F.hour("ts").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grouped_cardinality(
+        hourly,
+        ["event_date", "event_type"],
+        RowCountBetween(lo=24, hi=24),
+        count_alias="n_hours",
+        extra_aggs=[F.sum("n").alias("n_events")],
+    ).select(
+        "event_date", "event_type", "n_hours", "n_events", "cardinality_check"
+    )
+
+
+@query(
     "incremental_keyset_roundtrip",
     oracle="""
     SELECT event_type, count(*) AS n_events, CAST(max(ts) AS TIMESTAMP) AS max_ts

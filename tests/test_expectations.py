@@ -198,3 +198,32 @@ def test_quarantine_split_requires_rules(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError, match="at least one rule"):
         quarantine_split(df, [])
+
+
+def test_grouped_cardinality_per_group_verdicts(spark):
+    """DQ6 per-group cardinality (reference: 24 rows/day/region): the
+    verdict is computed per group as a column expression, extra aggs
+    ride the same hash aggregate, and both verdict values appear."""
+    from smartpool_bigdata_spark.expectations import grouped_cardinality
+
+    df = spark.createDataFrame(
+        [("d1", "r1", 1.0), ("d1", "r1", 2.0), ("d1", "r2", 3.0),
+         ("d2", "r1", 4.0), ("d2", "r1", 5.0), ("d2", "r1", 6.0)],
+        ["day", "region", "v"],
+    )
+    out = grouped_cardinality(
+        df,
+        ["day", "region"],
+        RowCountBetween(lo=2, hi=2),
+        extra_aggs=[F.sum("v").alias("total_v")],
+    )
+    assert out.columns == ["day", "region", "n_rows", "total_v", "cardinality_check"]
+    got = {
+        (r["day"], r["region"]): (r["n_rows"], r["total_v"], r["cardinality_check"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("d1", "r1"): (2, 3.0, "ok"),
+        ("d1", "r2"): (1, 3.0, "VIOLATION:1"),
+        ("d2", "r1"): (3, 15.0, "VIOLATION:3"),
+    }

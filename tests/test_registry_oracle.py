@@ -104,11 +104,36 @@ R5_WINDOW = frozenset({
     "knn_ivf_multiprobe", "embedding_near_dup",
 })
 
-# Queries added AFTER the r6 gate window filled (the 50-slot window is
-# committed to the 20 r6 additions + all 30 r3-stale re-confirmations —
-# displacing a stale re-confirmation would break the two-round freshness
-# invariant). These are oracle-checked by this suite and by
-# CORRECTNESS_FULL at three SFs now, and take driver-window slots in r7.
+# The 50 queries that held the driver window in round 6 (all green in
+# CORRECTNESS_r06.json): the 20 r6 additions + the 30 r3-stale
+# re-confirmations.
+R6_WINDOW = frozenset({
+    "schema_merge_landing_stats", "bootstrap_partitioned_roundtrip",
+    "stream_ivf_assignments", "llm_corpus_pipeline_v3", "knn_ivfpq_adc",
+    "stream_multihop_topology", "compact_maintenance_stats",
+    "stream_event_sliding_window", "stream_pq_codes",
+    "corpus_packing_manifest", "event_audience_overlap_kmv",
+    "event_heavy_hitters_cms", "orders_bloom_prefilter",
+    "jdbc_live_roundtrip", "events_asof_tolerance", "audio_pcm_chunk_stats",
+    "customer_top_orders_lateral", "regional_supplier_revenue",
+    "doc_prefix_filter_pairs", "purchase_graph_pagerank",
+    "order_priority_pivot", "peak_event_hours", "events_from_customers",
+    "hourly_value_deviation", "event_cost_model", "event_range_flags",
+    "active_ids_union", "order_dup_check", "event_null_profile",
+    "urgent_open_orders", "allowed_event_types", "top_value_orders",
+    "event_hourly_window", "event_projection_normalize",
+    "stream_user_sessions", "doc_text_quality", "doc_exact_dedup",
+    "doc_train_split", "doc_token_percentiles", "doc_chunks",
+    "doc_near_dup_pairs", "doc_dup_clusters", "doc_dedup_survivors",
+    "doc_signatures", "doc_signature_table_pairs", "doc_simhash_near_dup",
+    "doc_language_guess", "knn_brute_force", "knn_ivf",
+    "embedding_dup_clusters",
+})
+
+# The 55 late-r6 registry additions that entered round 7 with no driver
+# CORRECTNESS row (builder-verified only: this suite + CORRECTNESS_FULL
+# at three SFs). 49 of them take the r7 driver window (the r6 verdict's
+# #1 ask); the 6 in R8_PENDING defer one round.
 R7_PENDING = frozenset({
     "doc_dup_span_mass",
     "doc_token_pmi",
@@ -168,16 +193,28 @@ R7_PENDING = frozenset({
 })
 
 
+# The 6 R7_PENDING queries the 50-slot r7 window could not hold (49
+# pending + the new DQ6 gate fill it), plus any genuinely-new r7
+# registry additions. First in line for the r8 window.
+R8_PENDING = frozenset({
+    "corpus_zipf_slope",
+    "benford_price_audit",
+    "customer_revenue_gini",
+    "fd_violation_audit",
+    "order_leadtime_percentiles",
+    "session_bounce_stats",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r6 set: the 20
-    round-6 additions plus ALL 30 queries whose newest driver row is
-    still the r3 window (last hard-checked two-plus rounds ago) — the
-    late additions displaced the r4 re-confirmation fillers, which is
-    fine: after this window runs, every registry query's newest driver
-    row is at most two rounds old (r4-r6). A refactor that reorders registration (round 2
-    silently pushed embedding_near_dup and all of §2.7 out of the
-    window) must fail HERE, not at the gate."""
+    registry entries in iteration order. Pin the ROTATED r7 set: 49 of
+    the 55 R7_PENDING late-r6 additions (the only slice that entered r7
+    builder-verified-only) plus the new DQ6 expected-cardinality gate —
+    closing the r6 verdict's #1/#2 asks. The 6 deferred pending queries
+    are pinned in R8_PENDING. A refactor that reorders registration
+    (round 2 silently pushed embedding_near_dup and all of §2.7 out of
+    the window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
 
     names = list(REGISTRY)
@@ -186,33 +223,28 @@ def test_gate_window_pinned():
 
     gated = set(GATE_PRIORITY)
     # prior-window greens stay registered and oracle-checked by this suite
-    missing = (R3_WINDOW | R4_WINDOW | R5_WINDOW) - set(names)
+    missing = (R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW) - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
     # FULL coverage: every registry query has a driver window somewhere
-    # (or is a declared post-window addition queued for the r7 window)
-    uncovered = set(names) - gated - R3_WINDOW - R4_WINDOW - R5_WINDOW - R7_PENDING
+    # (or is a declared post-window addition queued for the r8 window)
+    covered = gated | R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R8_PENDING
+    uncovered = set(names) - covered
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # R7_PENDING must not rot: only for queries genuinely outside every window
-    assert not (R7_PENDING & (gated | R3_WINDOW | R4_WINDOW | R5_WINDOW))
-    # the r5-verdict must-haves for THIS window: the r6 additions
-    must_haves = {
-        "schema_merge_landing_stats", "bootstrap_partitioned_roundtrip",
-        "stream_ivf_assignments", "llm_corpus_pipeline_v3",
-        "knn_ivfpq_adc", "stream_multihop_topology",
-        "compact_maintenance_stats", "stream_event_sliding_window",
-        "stream_pq_codes", "corpus_packing_manifest",
-        "event_audience_overlap_kmv", "event_heavy_hitters_cms",
-        "orders_bloom_prefilter", "jdbc_live_roundtrip",
-        "events_asof_tolerance", "audio_pcm_chunk_stats",
-        "customer_top_orders_lateral", "regional_supplier_revenue",
-        "doc_prefix_filter_pairs", "purchase_graph_pagerank",
-    }
-    missing_must = must_haves - gated
-    assert not missing_must, f"fell outside the 50-row gate window: {missing_must}"
-    # freshness: every query whose newest driver row is the r3 window
-    # (i.e. r3-green, not re-confirmed in r5) must be in THIS window
-    r3_stale = R3_WINDOW - R5_WINDOW
-    assert r3_stale <= gated, f"stale r3-window greens left out: {r3_stale - gated}"
-    # every remaining slot re-confirms an r4-window green
-    fillers = gated - must_haves - r3_stale
-    assert fillers <= R4_WINDOW, fillers - R4_WINDOW
+    # this window is EXACTLY the pending backlog + the new DQ6 gate:
+    # every slot either clears a builder-verified-only query or gates a
+    # new operator — re-confirmation resumes in r8
+    assert gated - R7_PENDING == {"landing_cardinality_check"}
+    assert R7_PENDING - gated == R8_PENDING - _r7_new()
+    # R8_PENDING must not rot: only for queries genuinely without a
+    # driver row (deferred pending or new-in-r7)
+    stale_pending = R8_PENDING & (
+        gated | R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW
+    )
+    assert not stale_pending, f"R8_PENDING entries already gated: {stale_pending}"
+
+
+def _r7_new() -> frozenset:
+    """Names first registered in round 7 (no prior window or pending
+    slot). Kept separate so the window equation above reads exactly:
+    r7 window = 49 × R7_PENDING + the DQ6 gate."""
+    return frozenset({"landing_cardinality_check"})
