@@ -602,3 +602,76 @@ def test_jdbc_derby_live_keyset_roundtrip(spark, tmp_path):
     ).load()
     got = {r["pk"] for r in delta.collect()}
     assert got == {3, 4}  # the tie lands, nothing re-ingests
+
+
+def test_dst_boundary_drift_parse_and_watermark_roundtrip(spark, tmp_path):
+    """SURVEY §7.4 hard-part #1: a Europe/Madrid DST transition must not
+    lose, duplicate, or collapse rows through drift_tolerant_timestamp +
+    the keyset watermark round-trip.
+
+    Producers emit ISO-8601 local times WITH offsets around both 2024
+    transitions: the spring-forward gap (01:59:59+01 → 03:00:00+02, 1 s
+    apart in absolute time) and the fall-back overlap (02:30:00 occurs
+    TWICE, at +02 then +01, 1 h apart in absolute time). Under the
+    engine's pinned-UTC session the parse is offset-exact and the
+    string-µs watermark round-trip is bijective; under a Madrid-local
+    naive rendering (the reference's pinned zone,
+    spark-apps/smartpool_config.py:63) the overlap pair COLLIDES on one
+    wall-clock string — the loss class the UTC pin exists to prevent."""
+    from smartpool_bigdata_spark.io.csv_landing import drift_tolerant_timestamp
+    from smartpool_bigdata_spark.state import (
+        WatermarkStore,
+        incremental_ingest,
+        ts_string,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (1, "2024-03-31T01:59:59.000000+0100"),  # last CET second
+            (2, "2024-03-31T03:00:00.000000+0200"),  # first CEST second (gap skipped)
+            (3, "2024-10-27T02:30:00.000000+0200"),  # overlap, first pass
+            (4, "2024-10-27T02:30:00.000000+0100"),  # overlap, second pass
+        ],
+        ["event_id", "ts_utc"],
+    )
+    typed = drift_tolerant_timestamp(raw.drop("ts"), ts_col="__absent__")
+    got = {r["event_id"]: r["ts"] for r in typed.collect()}
+    # offset-exact UTC instants: gap neighbors 1 s apart, overlap pair
+    # DISTINCT and exactly 1 h apart
+    assert (got[2] - got[1]).total_seconds() == 1.0
+    assert (got[4] - got[3]).total_seconds() == 3600.0
+    assert len(set(got.values())) == 4
+
+    # the string-µs watermark round-trip is bijective under UTC
+    rendered = typed.select(
+        "event_id", ts_string("ts").alias("s")
+    ).withColumn("back", F.to_timestamp("s"))
+    assert rendered.filter(F.col("back") != F.col("ts")).count() == 0
+
+    # ...but a Madrid-local naive rendering collapses the overlap pair
+    madrid = {
+        r["event_id"]: r["local_s"]
+        for r in typed.select(
+            "event_id",
+            F.date_format(
+                F.from_utc_timestamp("ts", "Europe/Madrid"),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("local_s"),
+        ).collect()
+    }
+    assert madrid[3] == madrid[4] == "2024-10-27 02:30:00.000000"
+
+    # keyset ingest across the fall-back overlap: batch 1 ends ON the
+    # first overlap instant; batch 2 must pick up the second pass (same
+    # Madrid wall clock, LATER absolute time) exactly once
+    stage = str(tmp_path / "dst")
+    bronze = os.path.join(stage, "bronze")
+    store = WatermarkStore(spark, stage)
+    sink = lambda df: df.write.mode("append").parquet(bronze)  # noqa: E731
+    batch1 = typed.filter(F.col("event_id") <= 3)
+    assert incremental_ingest(batch1, store, "ev", "ts", sink, pk_col="event_id")
+    assert store.read_keyset("ev")[0] == "2024-10-27 00:30:00.000000"  # UTC
+    assert incremental_ingest(typed, store, "ev", "ts", sink, pk_col="event_id")
+    landed = spark.read.parquet(bronze)
+    assert landed.count() == 4  # no dup of rows 1-3, row 4 exactly once
+    assert landed.select("event_id").distinct().count() == 4
