@@ -136,6 +136,59 @@ def main() -> int:
     value_r2_subset = round(
         sum(v for k, v in timings.items() if k in R2_BENCH_SET), 3
     )
+    # Second fixed trend line, pinned in round 7: the 97 queries the
+    # round-5 bench measured (BENCH_FULL.json at commit 092cd1b —
+    # steady-state total 48.1 s). The r2 subset saturated in the
+    # 0.73-0.80x band by r6; this wider subset makes regressions on the
+    # modern families (LLM curation, ANN, sketches, embedding analysis)
+    # as visible as the r2 subset made the originals.
+    R5_BENCH_SET = {
+        "active_ids_union", "active_without_purchase_last_day",
+        "allowed_event_types", "brand_small_qty_revenue",
+        "chunk_dedup_stats", "chunk_packing", "conversion_funnel",
+        "corpus_language_mixing", "corpus_token_budget_selection",
+        "customer_order_summary", "daily_activity_reconciliation",
+        "daily_event_anomalies", "daily_event_stats",
+        "daily_purchase_spine", "doc_bigram_logprob", "doc_chunks",
+        "doc_decontamination", "doc_dsir_weights", "doc_embedding_profile",
+        "doc_exact_dedup", "doc_fingerprint_dedup", "doc_language_guess",
+        "doc_near_dup_pairs", "doc_pii_scrub", "doc_quality_classifier",
+        "doc_quality_filter", "doc_repetition_signals", "doc_signatures",
+        "doc_simhash_near_dup", "doc_stratified_sample", "doc_text_quality",
+        "doc_tfidf_top_terms", "doc_token_classes", "doc_token_percentiles",
+        "doc_token_percentiles_approx", "doc_train_split",
+        "doc_unigram_logprob", "doc_weighted_sample",
+        "embedding_covariance", "embedding_covariance_partial",
+        "embedding_near_dup", "embedding_pca_whitened",
+        "embedding_semdedup", "event_cost_model", "event_grouping_sets",
+        "event_hourly_window", "event_null_profile", "event_orphan_users",
+        "event_projection_normalize", "event_props_parsed",
+        "event_props_variant", "event_range_flags",
+        "event_transition_matrix", "event_type_hour_cube",
+        "event_type_rollup", "event_type_stats_salted",
+        "event_user_skew_profile", "event_value_dispersion",
+        "event_value_histogram", "event_value_winsorized",
+        "events_asof_reference_value", "events_from_customers",
+        "hourly_value_deviation", "ingest_watermark", "knn_brute_force",
+        "knn_ivf", "knn_ivf_multiprobe", "knn_pq_adc",
+        "latest_order_per_customer", "lineitem_measures_unpivot",
+        "llm_corpus_pipeline", "llm_corpus_pipeline_v2",
+        "multimodal_byte_features", "multimodal_frame_index",
+        "order_dup_check", "order_priority_pivot",
+        "order_priority_pivot_native", "order_value_window_stats",
+        "orders_with_late_shipments", "peak_event_hours",
+        "pricing_summary", "priority_revenue_salted_join",
+        "purchase_running_total", "repeat_purchasers_first_last_day",
+        "segment_fee_model", "top_orders_per_priority", "top_value_orders",
+        "urgent_open_orders", "user_daily_value_interpolated",
+        "user_distinct_hll", "user_distinct_kmv",
+        "user_event_type_profile", "user_first_last_events",
+        "user_retention_cohorts", "user_session_windows", "user_sessions",
+        "views_before_purchase",
+    }
+    value_r5_headline_subset = round(
+        sum(v for k, v in timings.items() if k in R5_BENCH_SET), 3
+    )
     # Headline "value"/"queries" stay min-of-2 steady-state (the r2
     # methodology — PERF.md); "queries_first_run" keeps the cold numbers
     # alongside so cross-round trajectories stay apples-to-apples however
@@ -148,6 +201,7 @@ def main() -> int:
         "queries_first_run": first_run,
         "value_first_run": round(sum(first_run.values()), 3),
         "value_r2_subset": value_r2_subset,
+        "value_r5_headline_subset": value_r5_headline_subset,
         "n_queries": len(timings),
         "sf": sf,
     }

@@ -1261,6 +1261,7 @@ def prefix_filter_pairs(
     threshold_num: int = 3,
     threshold_den: int = 5,
     shingle_k: int = 1,
+    candidate_observation=None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
@@ -1294,6 +1295,13 @@ def prefix_filter_pairs(
     degenerate to near-all-pairs (the winnowing tier documents the same
     failure mode; measured on the gate corpus at t=0.6: unigrams pass
     280k of 500k possible pairs, 3-shingles pass 600).
+
+    ``candidate_observation``: an optional ``pyspark.sql.Observation``
+    attached to the DISTINCT candidate-pair stage (metric
+    ``n_candidates``) — the cost driver of the exactness tier. It rides
+    the pair job for free (no extra pass); ``scripts/
+    probe_prefix_filter.py`` uses it for the measured candidate-growth
+    curve vs the LSH tier recorded in SCALE.md §3.
     """
     t_num, t_den = threshold_num, threshold_den
     toks_expr = spark_tokens(text_col)
@@ -1331,8 +1339,25 @@ def prefix_filter_pairs(
         F.expr(
             f"slice(toks, 1, n - (({t_num}*n + {t_den} - 1) div {t_den}) + 1)"
         ).alias("__prefix"),
-    ).select("doc_id", "n", F.explode("__prefix").alias("tok"))
+    ).select("doc_id", "n", F.posexplode("__prefix").alias("pos", "tok"))
     l, r = prefix.alias("l"), prefix.alias("r")
+    # Positional filter (PPJoin, Xiao et al. WWW'08): for a candidate
+    # generated by a token at 0-based set positions (pa, pb), every
+    # common token of the pair sits at position >= p1a in a and >= p1b
+    # in b where (p1a <= pa, p1b <= pb) is the pair's FIRST common token
+    # — so overlap <= min(na-p1a, nb-p1b) at that event. J >= num/den
+    # needs overlap*(num+den) >= num*(na+nb); prune generation events
+    # whose bound can't reach that. A qualifying pair's first-common-
+    # token event always survives (its bound >= the true overlap), so
+    # recall stays exact while the dominant waste class — common
+    # shingles matching late in two long prefixes — dies before the
+    # distinct+verify. Measured (scripts/probe_prefix_filter.py,
+    # sf0.1): candidates 760k -> 273k (2.8x), 10x-docs candidate growth
+    # 826x -> 455x, sf0.01 verify selectivity 0.65 -> 1.0. The AllPairs
+    # asymmetric probing prefix was measured too and REMOVED: this
+    # filter subsumes it (an event past the 2t/(1+t) mid-prefix cannot
+    # satisfy the position bound), so it cut zero candidates and paid
+    # +45% wall for the extra explode + non-equi join.
     cand = (
         l.join(
             r,
@@ -1342,11 +1367,19 @@ def prefix_filter_pairs(
         .filter(
             f"{t_den} * least(l.n, r.n) >= {t_num} * greatest(l.n, r.n)"
         )
+        .filter(
+            f"({t_num} + {t_den}) * least(l.n - l.pos, r.n - r.pos)"
+            f" >= {t_num} * (l.n + r.n)"
+        )
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
     )
+    if candidate_observation is not None:
+        cand = cand.observe(
+            candidate_observation, F.count(F.lit(1)).alias("n_candidates")
+        )
     return (
         cand.join(
             ordered.select(

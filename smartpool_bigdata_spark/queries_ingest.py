@@ -1078,5 +1078,111 @@ def jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
+# scale_conf_advisor's fixed advisory constants, shared verbatim by the
+# Spark plan and the oracle SQL: the reference parallelism the local
+# per-partition row budget is derived from, the max/mean ratio above
+# which salting beats trusting AQE, and the broadcast row cap.
+_ADVISOR_PARTS = 32
+_ADVISOR_SKEW_CAP = 8
+_ADVISOR_BCAST_ROWS = 2_000_000
+_ADVISOR_TABLES = (
+    ("events", "user_id"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+)
+
+
+def _advisor_oracle() -> str:
+    per = "\n      UNION ALL\n      ".join(
+        f"SELECT '{t}' AS table_name, CAST(sum(cnt) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS "
+        f"max_key_rows FROM (SELECT {k} AS k, count(*) AS cnt FROM {t} "
+        f"GROUP BY 1)"
+        for t, k in _ADVISOR_TABLES
+    )
+    return f"""
+    WITH profile AS (
+      {per}
+    ),
+    sized AS (
+      SELECT *, greatest(n_rows // {_ADVISOR_PARTS}, 1) AS rpp FROM profile
+    )
+    SELECT table_name, n_rows, n_keys, max_key_rows,
+           round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 4)
+               AS skew_ratio,
+           CASE WHEN max_key_rows > rpp
+                     AND max_key_rows * n_keys > {_ADVISOR_SKEW_CAP} * n_rows
+                THEN 'salt' ELSE 'aqe' END AS skew_strategy,
+           CAST(least(greatest((max_key_rows + rpp - 1) // rpp, 1), 64)
+                AS BIGINT) AS salt_buckets,
+           CASE WHEN n_rows <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast'
+                ELSE 'shuffle' END AS join_side
+    FROM sized
+    """
+
+
+@query(
+    "scale_conf_advisor",
+    oracle=_advisor_oracle(),
+    description="Cost-based tuning advisor: profiles each fact/dim table "
+    "on its prospective shuffle key (rows, distinct keys, hottest-key "
+    "mass - one hash agg per table, the event_user_skew_profile shape) "
+    "and derives the scale decisions deterministically in-plan: "
+    "skew_strategy='salt' only when the hottest key alone overflows a "
+    "reference shuffle partition's row budget AND max/mean skew exceeds "
+    f"{_ADVISOR_SKEW_CAP}x (otherwise AQE's runtime split suffices), "
+    "salt_buckets sized so the hot key spreads to partition-budget "
+    "chunks (capped at 64), join_side='broadcast' under "
+    f"{_ADVISOR_BCAST_ROWS:,} rows. All verdict arithmetic is integer-"
+    "exact so both dialects agree bit-for-bit. The collected rows feed "
+    "session.autotune_scale_conf, which turns the same profile into "
+    "concrete session confs for a target cluster (consistency pinned in "
+    "tests/test_session.py). At 100 TB the profile costs one pass per "
+    "table and replaces guesswork salting with measured thresholds.",
+)
+def scale_conf_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for t, k in _ADVISOR_TABLES:
+        per_key = (
+            load_table(spark, sf_dir, t)
+            .groupBy(k)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        frames.append(
+            per_key.agg(
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("max_key_rows"),
+            ).select(F.lit(t).alias("table_name"), "*")
+        )
+    profile = frames[0]
+    for f in frames[1:]:
+        profile = profile.unionByName(f)
+    sized = profile.withColumn(
+        "rpp", F.expr(f"greatest(n_rows div {_ADVISOR_PARTS}, 1L)")
+    )
+    return sized.select(
+        "table_name",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr(
+            "round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 4)"
+        ).alias("skew_ratio"),
+        F.expr(
+            f"CASE WHEN max_key_rows > rpp AND max_key_rows * n_keys > "
+            f"{_ADVISOR_SKEW_CAP} * n_rows THEN 'salt' ELSE 'aqe' END"
+        ).alias("skew_strategy"),
+        F.expr(
+            "CAST(least(greatest((max_key_rows + rpp - 1) div rpp, 1L), 64L) "
+            "AS BIGINT)"
+        ).alias("salt_buckets"),
+        F.expr(
+            f"CASE WHEN n_rows <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast' "
+            f"ELSE 'shuffle' END"
+        ).alias("join_side"),
+    )
+
 
 __reorder()

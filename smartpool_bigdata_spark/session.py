@@ -154,6 +154,63 @@ def scale_conf(
     }
 
 
+def autotune_scale_conf(
+    table_stats,
+    total_cores: int,
+    bytes_per_row: int = 256,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    broadcast_row_cap: int = 2_000_000,
+    skew_ratio_cap: float = 8.0,
+) -> dict:
+    """Cost-based extension of ``scale_conf``: turn MEASURED table
+    profiles into concrete session confs plus per-table join/skew
+    advice, instead of guessing from cluster shape alone.
+
+    ``table_stats`` rows are what the ``scale_conf_advisor`` gate query
+    (and the ``event_user_skew_profile`` family) already produce:
+    ``{"table_name", "n_rows", "n_keys", "max_key_rows"}`` for each
+    fact table keyed by its prospective shuffle key. The tuner:
+
+    * sizes ``shuffle.partitions`` from ESTIMATED input bytes
+      (rows x ``bytes_per_row``) via ``scale_conf`` — erring high is
+      cheap because AQE coalesces;
+    * flags a table ``skew_strategy='salt'`` only when BOTH hold: its
+      hottest key alone overflows one target shuffle partition's row
+      budget AND the max/mean ratio exceeds ``skew_ratio_cap`` —
+      otherwise AQE's runtime skew split is enough and salting would
+      pay replication for nothing;
+    * sizes ``salt_buckets`` so the hottest key spreads to roughly
+      partition-budget chunks (capped at 64 — past that the salted
+      aggregate's combine fan-in dominates);
+    * marks tables under ``broadcast_row_cap`` rows as broadcast-side
+      candidates.
+
+    Pure driver-side arithmetic over a handful of profile rows — call
+    it with the collected advisor output, apply ``confs`` at session
+    build, and feed ``advice`` to the salted-op helpers.
+    """
+    input_bytes = sum(int(t["n_rows"]) * bytes_per_row for t in table_stats)
+    confs = scale_conf(total_cores, input_bytes, target_partition_bytes)
+    shuffle_parts = int(confs["spark.sql.shuffle.partitions"])
+    advice: dict[str, dict] = {}
+    for t in table_stats:
+        n_rows = int(t["n_rows"])
+        n_keys = max(int(t["n_keys"]), 1)
+        mx = int(t["max_key_rows"])
+        ratio = mx * n_keys / max(n_rows, 1)
+        rows_per_partition = max(1, n_rows // max(shuffle_parts, 1))
+        hot_key_overflows = mx > rows_per_partition
+        advice[t["table_name"]] = {
+            "broadcast": n_rows <= broadcast_row_cap,
+            "skew_strategy": (
+                "salt" if hot_key_overflows and ratio > skew_ratio_cap else "aqe"
+            ),
+            "salt_buckets": max(1, min(64, -(-mx // rows_per_partition))),
+            "skew_ratio": round(ratio, 2),
+        }
+    return {"confs": confs, "advice": advice}
+
+
 def get_spark(
     app_name: str = "smartpool-bigdata-spark",
     master: str | None = None,

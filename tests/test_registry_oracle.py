@@ -203,6 +203,9 @@ R8_PENDING = frozenset({
     "fd_violation_audit",
     "order_leadtime_percentiles",
     "session_bounce_stats",
+    # new in r7 (registered after the r7 window committed to the
+    # pending backlog)
+    "scale_conf_advisor",
 })
 
 
@@ -247,4 +250,4 @@ def _r7_new() -> frozenset:
     """Names first registered in round 7 (no prior window or pending
     slot). Kept separate so the window equation above reads exactly:
     r7 window = 49 × R7_PENDING + the DQ6 gate."""
-    return frozenset({"landing_cardinality_check"})
+    return frozenset({"landing_cardinality_check", "scale_conf_advisor"})
