@@ -5212,6 +5212,250 @@ def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "segment_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,10))) AS rev_exact
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT o_orderkey, o_orderdate,
+           round(CAST(rev_exact AS DOUBLE), 2) AS revenue
+    FROM rev ORDER BY rev_exact DESC, o_orderkey LIMIT 10
+    """,
+    description="TPC-H Q3 shape (shipping priority): top-10 unshipped "
+    "orders by outstanding revenue for one market segment. Scale shape: "
+    "both date predicates and the segment filter push to the scans "
+    "BEFORE the joins (the orders and lineitem sides each shrink ~40% "
+    "and ~8x at the source); customer is a broadcast dim; the one real "
+    "shuffle is the orders-lineitem hash join on l_orderkey; top-10 is "
+    "TakeOrdered on the EXACT decimal revenue (ties broken by key), so "
+    "ranking can't flip on float summation order across engines.",
+)
+def segment_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    agg = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li.hint("shuffle_hash"), orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
+                )
+            ).alias("rev_exact")
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_exact").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "returned_item_losses",
+    oracle="""
+    WITH losses AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,10))) AS lost_exact,
+             CAST(count(*) AS BIGINT) AS n_returned
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, nation, n_returned,
+           round(CAST(lost_exact AS DOUBLE), 2) AS lost_revenue
+    FROM losses ORDER BY lost_exact DESC, c_custkey LIMIT 20
+    """,
+    description="TPC-H Q10 shape (returned-item reporting): the 20 "
+    "customers who returned the most revenue, with their nation. Scale "
+    "shape: the returnflag filter prunes lineitem to ~1/3 at the scan; "
+    "lineitem-orders is the one fact-fact hash shuffle; customer and "
+    "nation collapse into broadcast dims; top-20 is TakeOrdered on the "
+    "exact decimal loss (key tie-break) so ranking is engine-stable.",
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "c_name", F.col("n_name").alias("nation"))
+    agg = (
+        li.join(
+            orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
+                )
+            ).alias("lost_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+        )
+    )
+    return (
+        agg.orderBy(F.col("lost_exact").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "n_returned",
+            F.round(F.col("lost_exact").cast("double"), 2).alias("lost_revenue"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(CAST(100 AS DOUBLE)
+                 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,10))
+                       ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,10))) AS DOUBLE), 4) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    description="TPC-H Q14 shape (promotion effect), widened to a "
+    "per-month trend: share of revenue from PROMO-type parts. Scale "
+    "shape: part is a broadcast dim (the fact table never shuffles "
+    "before the aggregate); the conditional revenue split is one CASE "
+    "inside a single hash aggregate; both sums accumulate in "
+    "decimal(38,10) and divide as doubles only at the end, so the "
+    "percentage agrees bit-for-bit across engines.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.lit(100).cast("double")
+                * F.sum(
+                    F.expr(
+                        f"CASE WHEN p_type LIKE 'PROMO%' THEN {rev} "
+                        f"ELSE CAST(0 AS DECIMAL(38,10)) END"
+                    )
+                ).cast("double")
+                / F.sum(F.expr(rev)).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+        .select("ship_month", "promo_pct", "n_lineitems")
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty_exact
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           round(CAST(b.qty_exact AS DOUBLE), 2) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    description="TPC-H Q18 shape (large-volume customers): orders whose "
+    "total lineitem quantity exceeds 250, with their customer. Scale "
+    "shape: the HAVING aggregate reduces lineitem to qualifying order "
+    "keys BEFORE any join (the group-then-filter pushaway that keeps "
+    "the join input tiny); quantities accumulate in decimal so the "
+    "threshold can't flip on float summation order; the orders join is "
+    "a hash shuffle on the already-reduced key set and customer is a "
+    "broadcast dim.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,10))")).alias(
+                "qty_exact"
+            )
+        )
+        .filter(F.col("qty_exact") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(
+            orders.hint("shuffle_hash"), big["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("qty_exact").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

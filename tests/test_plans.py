@@ -350,6 +350,23 @@ def test_r6_additions_plan_posture(plans):
         "order_leadtime_percentiles",
         # bounce rate: the sessionize window shuffle + O(days) rollup
         "session_bounce_stats",
+        # --- r7 additions ---
+        # DQ6 cardinality gate: two hash aggs, verdict is a column expr
+        "landing_cardinality_check",
+        # tuning advisor: one hash agg per table, verdict arithmetic
+        # in-plan — no joins at all
+        "scale_conf_advisor",
+        # Q3 shape: customer broadcast, orders-lineitem hinted
+        # shuffle-hash, top-10 TakeOrdered on the exact decimal revenue
+        "segment_shipping_priority",
+        # Q10 shape: lineitem-orders hinted shuffle-hash, customer+nation
+        # collapsed broadcast dim, top-20 TakeOrdered
+        "returned_item_losses",
+        # Q14 shape: part broadcast — the fact never shuffles pre-agg
+        "promo_revenue_share",
+        # Q18 shape: HAVING pre-reduce before any join; orders hinted
+        # shuffle-hash; customer broadcast
+        "large_volume_customers",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

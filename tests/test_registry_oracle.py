@@ -206,6 +206,10 @@ R8_PENDING = frozenset({
     # new in r7 (registered after the r7 window committed to the
     # pending backlog)
     "scale_conf_advisor",
+    "segment_shipping_priority",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "large_volume_customers",
 })
 
 
@@ -250,4 +254,11 @@ def _r7_new() -> frozenset:
     """Names first registered in round 7 (no prior window or pending
     slot). Kept separate so the window equation above reads exactly:
     r7 window = 49 × R7_PENDING + the DQ6 gate."""
-    return frozenset({"landing_cardinality_check", "scale_conf_advisor"})
+    return frozenset({
+        "landing_cardinality_check",
+        "scale_conf_advisor",
+        "segment_shipping_priority",
+        "returned_item_losses",
+        "promo_revenue_share",
+        "large_volume_customers",
+    })
