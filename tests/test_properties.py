@@ -624,3 +624,50 @@ def test_symspell_delete_neighborhood_complete_for_lev2(word, edits):
             t = t[:p] + ch + t[p + 1:]
     if t:  # empty strings have no tokens in the query
         assert deletes2(word) & deletes2(t), (word, t)
+
+
+# documents as lists of small-alphabet "tokens" so collisions/dup sets are
+# common; singletons and identical docs exercise the prefix/position edge
+# cases (n=1 prefix, ties, J=1 pairs)
+pf_corpus = st.lists(
+    st.lists(st.integers(0, 9), min_size=1, max_size=8),
+    min_size=2,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pf_corpus)
+def test_prefix_filter_pairs_exact_recall(spark, docs):
+    """prefix_filter_pairs (rarest-first prefix + length filter + PPJoin
+    positional filter) must equal brute-force all-pairs token-set
+    Jaccard >= 3/5 on random corpora — the positional filter is only
+    admissible if NO qualifying pair is pruned, whatever the df ties,
+    singleton sets, and duplicate documents."""
+    from smartpool_bigdata_spark.ops.text import (
+        prefix_filter_pairs,
+        release_signature_caches,
+    )
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_union"])
+            for r in prefix_filter_pairs(
+                df, threshold_num=3, threshold_den=5, shingle_k=1
+            ).collect()
+        }
+    finally:
+        release_signature_caches()
+    sets = {i: {f"t{t}" for t in toks} for i, toks in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            shared = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 5 * shared >= 3 * union:
+                want[(a, b)] = (shared, union)
+    assert got == want
