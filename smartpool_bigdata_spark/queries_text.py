@@ -5397,5 +5397,118 @@ def vocab_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# corpus_mixture_plan's fixed plan constants, shared by both dialects:
+# target mixture weights (percent) and the budget as a fraction of the
+# total corpus token mass (3/5).
+_MIX_WEIGHTS = {"en": 40, "zh": 30, "fr": 10, "de": 10, "es": 10}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang, len({T.duck_tokens('text')}) AS nt FROM documents
+    ),
+    per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS avail
+        FROM per_doc GROUP BY lang
+    ),
+    w AS (
+        SELECT *, CAST({_MIX_CASE} AS BIGINT) AS weight,
+               CAST(sum(avail) OVER () * 3 // 5 AS BIGINT) AS budget
+        FROM per_lang
+    ),
+    t AS (
+        SELECT *, least(avail, weight * budget // 100) AS take1 FROM w
+    ),
+    r AS (
+        SELECT *, budget - sum(take1) OVER () AS leftover,
+               CASE WHEN avail > take1 THEN weight ELSE 0 END AS wcap,
+               sum(CASE WHEN avail > take1 THEN weight ELSE 0 END)
+                   OVER () AS wcap_tot
+        FROM t
+    ),
+    f AS (
+        SELECT *, take1 + least(avail - take1,
+            CASE WHEN wcap_tot > 0 THEN wcap * leftover // wcap_tot
+                 ELSE 0 END) AS allocated
+        FROM r
+    )
+    SELECT lang, n_docs, avail AS available_tokens,
+           CAST(weight * budget // 100 AS BIGINT) AS desired_tokens,
+           CAST(allocated AS BIGINT) AS allocated_tokens,
+           round(CAST(allocated AS DOUBLE) / avail, 4) AS sampling_rate
+    FROM f
+    """,
+    description="Corpus mixture ALLOCATION plan (the step after "
+    "corpus_language_mixing chooses weights — the Pile/LLaMA-style "
+    "mixing recipe made executable): a fixed token budget (3/5 of the "
+    "corpus) is split by target percentage weights, each language's "
+    "take is capped at its available token mass, and the leftover from "
+    "capped (low-resource) languages is redistributed one round "
+    "proportionally to the weights of languages with remaining "
+    "capacity. ALL allocation arithmetic is integer (div), so both "
+    "engines agree bit-for-bit; sampling_rate = allocated/available "
+    "feeds the downstream per-language weighted sampler "
+    "(doc_weighted_sample_per_lang). One corpus scan, one O(langs) "
+    "aggregate, window sums over the 5-row frame - no joins.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = _ts(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang", F.expr(f"size({T.spark_tokens('text')})").alias("nt")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("avail"),
+        )
+    )
+    everything = _W.partitionBy()
+    w = per_lang.select(
+        "*",
+        F.expr(f"CAST({_MIX_CASE} AS BIGINT)").alias("weight"),
+        F.expr("CAST((sum(avail) OVER ()) * 3 div 5 AS BIGINT)").alias(
+            "budget"
+        ),
+    )
+    t = w.withColumn("take1", F.expr("least(avail, weight * budget div 100)"))
+    r = t.select(
+        "*",
+        (F.col("budget") - F.sum("take1").over(everything)).alias("leftover"),
+        F.expr("CASE WHEN avail > take1 THEN weight ELSE 0 END").alias("wcap"),
+        F.sum(
+            F.expr("CASE WHEN avail > take1 THEN weight ELSE 0 END")
+        ).over(everything).alias("wcap_tot"),
+    )
+    f = r.withColumn(
+        "allocated",
+        F.expr(
+            "take1 + least(avail - take1, CASE WHEN wcap_tot > 0 "
+            "THEN wcap * leftover div wcap_tot ELSE 0 END)"
+        ),
+    )
+    return f.select(
+        "lang",
+        "n_docs",
+        F.col("avail").alias("available_tokens"),
+        F.expr("CAST(weight * budget div 100 AS BIGINT)").alias(
+            "desired_tokens"
+        ),
+        F.col("allocated").cast("bigint").alias("allocated_tokens"),
+        F.round(F.expr("CAST(allocated AS DOUBLE) / avail"), 4).alias(
+            "sampling_rate"
+        ),
+    )
+
 
 __reorder()

@@ -210,6 +210,7 @@ R8_PENDING = frozenset({
     "returned_item_losses",
     "promo_revenue_share",
     "large_volume_customers",
+    "corpus_mixture_plan",
 })
 
 
@@ -261,4 +262,5 @@ def _r7_new() -> frozenset:
         "returned_item_losses",
         "promo_revenue_share",
         "large_volume_customers",
+        "corpus_mixture_plan",
     })
