@@ -370,6 +370,89 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: the restart mass
+    teleports to the ``seeds`` node set (first column, cast to long)
+    instead of uniformly — rank(v) becomes v's affinity to the seeds
+    (the recommendation / related-entities primitive). Same undirected
+    symmetrization, fixed-budget determinism, and decimal(38,18)-stable
+    contribution sums as ``pagerank`` (see its docstring); seeds not
+    present in the graph are dropped.
+
+    Sparse by construction: the vector starts with rows only for seeds
+    and grows one hop per iteration — nodes never reached carry exact 0
+    and never materialize, so per-seed-set cost is proportional to the
+    touched neighborhood, not the graph. The restart mass is folded in
+    by a UNION of per-node contribution sums with the O(seeds) base
+    rows followed by one groupBy-sum — zero-in-contribution seeds keep
+    their base without an outer join.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        sym.join(deg, "a")
+        .select(
+            "a",
+            "b",
+            (F.lit(1.0) / F.col("__deg").cast("double")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .join(deg.select(F.col("a").alias("node")), "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    base = (1.0 - damping) / n_seeds
+    base_rows = seed_nodes.select(
+        "node", F.lit(base).alias("val")
+    ).localCheckpoint(eager=True)
+    ranks = seed_nodes.select("node", F.lit(1.0 / n_seeds).alias("rank"))
+    for _ in range(iterations):
+        contrib = wedges.join(ranks, wedges["a"] == ranks["node"]).select(
+            F.col("b").alias("node"), (F.col("rank") * F.col("w")).alias("c")
+        )
+        contrib_agg = contrib.groupBy("node").agg(
+            (
+                F.lit(damping)
+                * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+            ).alias("val")
+        )
+        ranks = (
+            contrib_agg.unionByName(base_rows)
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -2853,6 +2853,98 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Chained-CTE twin of ops.graph.personalized_pagerank over the
+    purchase graph with BUILDING-segment customers as the seed set —
+    same decimal(38,18)-stable sums as _pagerank_oracle, but the
+    restart mass unions O(seeds) base rows into each iteration's
+    aggregate instead of a uniform base term."""
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """sym AS (
+        SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+    )""",
+        """deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a)""",
+        """w AS (
+        SELECT s.a, s.b, CAST(1 AS DOUBLE) / CAST(d.deg AS DOUBLE) AS w
+        FROM sym s JOIN deg d ON d.a = s.a
+    )""",
+        """seeds AS (
+        SELECT DISTINCT c_custkey AS node FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey IN (SELECT a FROM deg)
+    )""",
+        """ns AS (SELECT count(*) AS n FROM seeds)""",
+        """r0 AS (
+        SELECT node, CAST(1 AS DOUBLE) / ns.n AS rank FROM seeds, ns
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+        SELECT node, CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) AS rank
+        FROM (
+            SELECT w.b AS node,
+                   {d} * CAST(sum(
+                       CAST(r{i-1}.rank * w.w AS DECIMAL(38,18))
+                   ) AS DOUBLE) AS val
+            FROM w JOIN r{i-1} ON w.a = r{i-1}.node
+            GROUP BY w.b
+            UNION ALL
+            SELECT node, (CAST(1 AS DOUBLE) - {d}) / ns.n AS val
+            FROM seeds, ns
+        ) GROUP BY node
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(node - 1000000 AS BIGINT) AS s_suppkey,
+           round(rank, 9) AS affinity
+    FROM r{iterations} WHERE node > 1000000
+    """
+
+
+@query(
+    "segment_supplier_affinity_ppr",
+    oracle=_ppr_oracle(),
+    description="Personalized PageRank (3 fixed iterations, restart on "
+    "the BUILDING-segment customers) over the symmetrized purchase "
+    "graph: each supplier's rank becomes its affinity to that customer "
+    "segment — the related-entities / recommendation primitive the "
+    "uniform-restart pagerank can't express. Sparse by construction: "
+    "the rank vector starts at the O(seeds) rows and grows one hop per "
+    "iteration; restart mass folds in via UNION + one groupBy-sum (no "
+    "outer join). Same fixed-budget full-value oracle and "
+    "decimal(38,18)-stable float determinism as purchase_graph_pagerank.",
+)
+def segment_supplier_affinity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    pr = personalized_pagerank(edges, seeds, iterations=3)
+    return pr.filter(F.col("node") > 1_000_000).select(
+        (F.col("node") - 1_000_000).cast("bigint").alias("s_suppkey"),
+        F.round("rank", 9).alias("affinity"),
+    )
+
+
 @query(
     "event_ewma_anomalies",
     oracle="""

@@ -367,6 +367,11 @@ def test_r6_additions_plan_posture(plans):
         # Q18 shape: HAVING pre-reduce before any join; orders hinted
         # shuffle-hash; customer broadcast
         "large_volume_customers",
+        # mixture plan: one scan + O(langs) window sums, join-free
+        "corpus_mixture_plan",
+        # personalized PR: loop plans cut by localCheckpoint; the lock
+        # still catches a cartesian/SMJ in the final supplier projection
+        "segment_supplier_affinity_ppr",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -211,6 +211,7 @@ R8_PENDING = frozenset({
     "promo_revenue_share",
     "large_volume_customers",
     "corpus_mixture_plan",
+    "segment_supplier_affinity_ppr",
 })
 
 
@@ -263,4 +264,5 @@ def _r7_new() -> frozenset:
         "promo_revenue_share",
         "large_volume_customers",
         "corpus_mixture_plan",
+        "segment_supplier_affinity_ppr",
     })
