@@ -671,3 +671,54 @@ def test_prefix_filter_pairs_exact_recall(spark, docs):
             if 5 * shared >= 3 * union:
                 want[(a, b)] = (shared, union)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.sets(st.integers(0, 12), min_size=1, max_size=4),
+)
+def test_personalized_pagerank_matches_model(spark, edge_list, seed_ids):
+    """ops.graph.personalized_pagerank must match a pure-Python seeded
+    power iteration (restart mass on the seed set only, sparse zero
+    ranks elsewhere) on random graphs + random seed sets; seeds outside
+    the graph are dropped, and total mass approaches 1 from below."""
+    from smartpool_bigdata_spark.ops.graph import personalized_pagerank
+
+    sym = {(a, b) for a, b in edge_list if a != b}
+    sym |= {(b, a) for a, b in sym}
+    nodes = sorted({a for a, _ in sym})
+    seeds = sorted(set(seed_ids) & set(nodes))
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    seeds_df = spark.createDataFrame([(s,) for s in seed_ids], ["node"])
+    if not seeds:
+        import pytest
+
+        with pytest.raises(ValueError):
+            personalized_pagerank(df, seeds_df, iterations=3)
+        return
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds_df, iterations=3).collect()
+    }
+
+    deg = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    d = 0.85
+    base = (1.0 - d) / len(seeds)
+    ranks = {u: 1.0 / len(seeds) for u in seeds}
+    for _ in range(3):
+        nxt = {}
+        for a, b in sym:
+            if a in ranks:
+                nxt[b] = nxt.get(b, 0.0) + ranks[a] / deg[a]
+        ranks = {u: d * v for u, v in nxt.items()}
+        for s in seeds:
+            ranks[s] = ranks.get(s, 0.0) + base
+    assert set(got) == set(ranks)
+    for u in ranks:
+        assert abs(got[u] - ranks[u]) < 1e-9, (u, got[u], ranks[u])
+    assert sum(got.values()) <= 1.0 + 1e-9
