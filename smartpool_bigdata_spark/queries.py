@@ -5548,6 +5548,111 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(d) AS mxd FROM daily),
+    test AS (
+        SELECT t.* FROM daily t, mx WHERE t.d > mx.mxd - 7
+    ),
+    joined AS (
+        SELECT t.event_type, t.cnt, n.cnt AS naive_pred, s.cnt AS snaive_pred
+        FROM test t
+        LEFT JOIN daily n
+          ON n.event_type = t.event_type AND n.d = t.d - 1
+        LEFT JOIN daily s
+          ON s.event_type = t.event_type AND s.d = t.d - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           round(CAST(sum(abs(cnt - naive_pred)) AS DOUBLE)
+                 / count(naive_pred), 4) AS naive_mae,
+           round(CAST(sum(abs(cnt - snaive_pred)) AS DOUBLE)
+                 / count(snaive_pred), 4) AS snaive_mae,
+           round(CAST(sum(CASE WHEN snaive_pred IS NOT NULL
+                     THEN abs(cnt - snaive_pred) END) AS DOUBLE)
+                 / sum(CASE WHEN snaive_pred IS NOT NULL THEN cnt END), 4)
+               AS snaive_wape
+    FROM joined GROUP BY event_type
+    """,
+    description="Forecast BACKTEST harness over daily event volumes: the "
+    "last 7 days are the holdout, scored against the two baselines every "
+    "real forecaster must beat — naive (yesterday's value) and "
+    "seasonal-naive (same weekday last week) — reporting per-type MAE "
+    "and WAPE. All errors are |BIGINT-BIGINT| summed exactly, divided "
+    "as doubles only at the end, so both engines agree bit-for-bit. "
+    "Scale shape: everything after the daily pre-agg is O(types x days); "
+    "the lag joins are equi-joins of that tiny frame to itself "
+    "(broadcast) keyed on shifted dates — no window over the fact table, "
+    "no per-row Python. Complements event_type_trend_slopes (direction) "
+    "and daily_seasonal_residuals (decomposition) with the evaluation "
+    "half of the time-series toolkit.",
+)
+def daily_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds the test slice AND both lags
+    )
+    mx = daily.agg(F.max("d").alias("mxd"))
+    test = daily.crossJoin(F.broadcast(mx)).filter(
+        F.col("d") > F.date_sub(F.col("mxd"), 7)
+    )
+    naive = daily.select(
+        F.col("event_type").alias("ne"),
+        F.col("d").alias("nd"),
+        F.col("cnt").alias("naive_pred"),
+    )
+    snaive = daily.select(
+        F.col("event_type").alias("se"),
+        F.col("d").alias("sd"),
+        F.col("cnt").alias("snaive_pred"),
+    )
+    joined = (
+        test.join(
+            F.broadcast(naive),
+            (F.col("event_type") == F.col("ne"))
+            & (F.col("nd") == F.date_sub(F.col("d"), 1)),
+            "left",
+        )
+        .join(
+            F.broadcast(snaive),
+            (F.col("event_type") == F.col("se"))
+            & (F.col("sd") == F.date_sub(F.col("d"), 7)),
+            "left",
+        )
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        F.round(
+            F.sum(F.abs(F.col("cnt") - F.col("naive_pred"))).cast("double")
+            / F.count("naive_pred"),
+            4,
+        ).alias("naive_mae"),
+        F.round(
+            F.sum(F.abs(F.col("cnt") - F.col("snaive_pred"))).cast("double")
+            / F.count("snaive_pred"),
+            4,
+        ).alias("snaive_mae"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("snaive_pred").isNotNull(),
+                    F.abs(F.col("cnt") - F.col("snaive_pred")),
+                )
+            ).cast("double")
+            / F.sum(F.when(F.col("snaive_pred").isNotNull(), F.col("cnt"))),
+            4,
+        ).alias("snaive_wape"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -372,6 +372,9 @@ def test_r6_additions_plan_posture(plans):
         # personalized PR: loop plans cut by localCheckpoint; the lock
         # still catches a cartesian/SMJ in the final supplier projection
         "segment_supplier_affinity_ppr",
+        # forecast backtest: O(types x days) after the daily pre-agg;
+        # lag joins broadcast
+        "daily_forecast_backtest",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -212,6 +212,7 @@ R8_PENDING = frozenset({
     "large_volume_customers",
     "corpus_mixture_plan",
     "segment_supplier_affinity_ppr",
+    "daily_forecast_backtest",
 })
 
 
@@ -265,4 +266,5 @@ def _r7_new() -> frozenset:
         "large_volume_customers",
         "corpus_mixture_plan",
         "segment_supplier_affinity_ppr",
+        "daily_forecast_backtest",
     })
