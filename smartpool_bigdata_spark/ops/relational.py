@@ -637,3 +637,85 @@ def sliding_agg(
         *keys,
         *[F.col(name) for name in aggs],
     )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: Sequence[str] = (),
+    bucket: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join via time bucketization — the classic
+    rewrite that turns a pure theta join (``p.ts >= i.start AND p.ts <
+    i.end``) into an equi-join Spark can hash-partition.
+
+    The reference never needs this (its price joins are hour-bucket
+    equi-joins by construction, SURVEY §2.3); this is the general form a
+    telemetry engine wants for maintenance windows, promo periods, and
+    incident overlays where intervals have arbitrary bounds.
+
+    Mechanics: pick a bucket width ``W``. Each POINT lands in exactly one
+    bucket (``floor(ts / W)``); each INTERVAL is exploded to every bucket
+    it covers (``sequence(floor(start/W), floor((end - 1µs)/W))`` —
+    half-open ``[start, end)`` semantics, so an interval never claims the
+    bucket that starts exactly at its end). The join is then an equi-join
+    on ``(keys..., bucket)`` with the exact range predicate kept as a
+    residual filter. Because a point has exactly ONE bucket, every
+    matching (point, interval) pair appears exactly once — no dedup pass.
+
+    Scale: cost is |points| + Σ ceil(len_i/W) interval replicas through
+    ONE hash shuffle — never the |P|·|I| blow-up of the naive theta join
+    (which Spark can only run as BroadcastNestedLoop or a range-expanded
+    sort-merge). Choose ``W`` near the median interval length: too small
+    explodes long intervals (replicas = len/W), too large degrades the
+    residual filter's selectivity (more non-matching candidates per
+    bucket). Long-tail intervals are bounded: replicas grow linearly with
+    interval length, not with |points|. With ``how="left_point"`` the
+    equi-join runs as a left join and unmatched points survive with null
+    interval columns exactly once (the null-bucket replica can't match).
+    """
+    # express the bucket width in microseconds via an interval literal so
+    # callers can pass any Spark interval string ("1 day", "6 hours", ...)
+    width = F.unix_micros(
+        F.expr(f"TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {bucket}")
+    )
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+
+    bcol = _helper_col(points, "__bucket")
+    pts = points.withColumn(bcol, F.floor(p_us / width))
+    ivs = intervals.withColumn(
+        bcol,
+        F.explode(F.sequence(F.floor(s_us / width), F.floor((e_us - 1) / width))),
+    )
+    cond = [pts[bcol] == ivs[bcol]] + [pts[k] == ivs[k] for k in keys]
+    residual = (F.col(point_ts).cast("timestamp") >= F.col(start_ts).cast("timestamp")) & (
+        F.col(point_ts).cast("timestamp") < F.col(end_ts).cast("timestamp")
+    )
+    def _strip(joined: DataFrame) -> DataFrame:
+        # the interval-side key/bucket copies are equal to the point side's
+        out = joined.drop(pts[bcol]).drop(ivs[bcol])
+        for k in keys:
+            out = out.drop(ivs[k])
+        return out
+
+    if how == "inner":
+        return _strip(pts.join(ivs, cond, "inner").where(residual))
+    if how == "left_point":
+        icols = [c for c in intervals.columns if c not in keys]
+        matched = _strip(pts.join(ivs, cond, "inner").where(residual))
+        # unmatched points: anti-join on the same equi+residual condition
+        unmatched = pts.join(
+            ivs, cond + [residual], "left_anti"
+        ).drop(bcol)
+        for c in icols:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+        return matched.unionByName(unmatched)
+    raise ValueError(f"unsupported how={how!r}")

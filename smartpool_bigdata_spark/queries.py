@@ -5653,6 +5653,60 @@ def daily_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_in_incident_windows",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS w_id, event_type AS w_type, ts AS w_start,
+               ts + INTERVAL 4 HOUR AS w_end
+        FROM events WHERE event_id % 499 = 0
+    )
+    SELECT w.w_type,
+           CAST(count(DISTINCT w.w_id) AS BIGINT) AS n_windows,
+           count(*) AS n_hits,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value
+    FROM events e
+    JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_type
+    """,
+    description="Point-in-interval RANGE JOIN with no equi-key — the one "
+    "join shape the registry lacked: sampled high-signal events open a "
+    "4-hour incident window, and every event falling inside any window "
+    "is attributed to it (pure time-overlap predicate, both sides "
+    "fact-sized in general). Spark plan: ops.relational."
+    "interval_point_join bucketizes time (4h buckets), explodes each "
+    "interval to its ~2 covered buckets, and equi-joins on the bucket "
+    "with the exact range predicate as a residual — ONE hash shuffle, "
+    "O(|P| + 2|I|) rows moved, never the BroadcastNestedLoop/|P|x|I| "
+    "plan the naive theta join forces. Oracle: the naive theta join "
+    "(DuckDB's IEJoin handles it at oracle scale), so the bucketized "
+    "rewrite is value-locked against the exact semantics.",
+)
+def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("event_id", "ts", "user_id", "value")
+    windows = ev.filter(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("w_id"),
+        F.col("event_type").alias("w_type"),
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 4 HOUR").alias("w_end"),
+    )
+    joined = interval_point_join(
+        points, windows, point_ts="ts", start_ts="w_start", end_ts="w_end",
+        bucket="4 hours",
+    )
+    return joined.groupBy("w_type").agg(
+        F.countDistinct("w_id").cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        stable_sum("value", 2).alias("total_value"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

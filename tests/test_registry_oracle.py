@@ -213,6 +213,7 @@ R8_PENDING = frozenset({
     "corpus_mixture_plan",
     "segment_supplier_affinity_ppr",
     "daily_forecast_backtest",
+    "events_in_incident_windows",
 })
 
 
@@ -267,4 +268,5 @@ def _r7_new() -> frozenset:
         "corpus_mixture_plan",
         "segment_supplier_affinity_ppr",
         "daily_forecast_backtest",
+        "events_in_incident_windows",
     })

@@ -367,3 +367,90 @@ def test_global_running_sum_equals_window(spark):
         ).collect()
     }
     assert got_g == want_g
+
+
+def test_interval_point_join_matches_theta_join(spark):
+    """Bucketized range join == naive theta join, each matching pair
+    exactly once, for bucket widths smaller, equal, and larger than the
+    interval lengths; half-open [start, end) boundaries pinned."""
+    import random
+
+    from smartpool_bigdata_spark.ops.relational import interval_point_join
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1 + rng.randrange(5), rng.randrange(24),
+                         rng.randrange(60)))
+            for i in range(300)
+        ],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                j,
+                datetime(2024, 1, 1 + rng.randrange(5), rng.randrange(24)),
+                rng.randrange(1, 30),
+            )
+            for j in range(40)
+        ],
+        ["iid", "s", "hours"],
+    ).select(
+        "iid", "s", F.expr("s + make_interval(0,0,0,0,hours,0,0)").alias("e")
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    for bucket in ["30 minutes", "4 hours", "2 days"]:
+        got = [
+            (r["pid"], r["iid"])
+            for r in interval_point_join(
+                points, intervals, "ts", "s", "e", bucket=bucket
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at {bucket}"
+        assert set(got) == naive, f"pair mismatch at {bucket}"
+    assert naive, "fixture degenerate: no overlapping pairs"
+
+
+def test_interval_point_join_boundaries_keys_and_left(spark):
+    """Half-open semantics at exact bucket edges, per-key isolation, and
+    left_point mode keeping unmatched points exactly once."""
+    from smartpool_bigdata_spark.ops.relational import interval_point_join
+
+    points = spark.createDataFrame(
+        [
+            ("a", 1, datetime(2024, 1, 2, 0, 0)),   # == start -> in
+            ("a", 2, datetime(2024, 1, 3, 0, 0)),   # == end -> out
+            ("b", 3, datetime(2024, 1, 2, 12, 0)),  # right key b -> in
+            ("a", 4, datetime(2024, 1, 9, 0, 0)),   # no window -> out
+        ],
+        ["k", "pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 10, datetime(2024, 1, 2), datetime(2024, 1, 3)),
+            ("b", 11, datetime(2024, 1, 2), datetime(2024, 1, 3)),
+        ],
+        ["k", "iid", "s", "e"],
+    )
+    inner = {
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            points, intervals, "ts", "s", "e", keys=["k"], bucket="1 day"
+        ).collect()
+    }
+    assert inner == {(1, 10), (3, 11)}
+    left = [
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            points, intervals, "ts", "s", "e", keys=["k"], bucket="1 day",
+            how="left_point",
+        ).collect()
+    ]
+    assert sorted(left) == [(1, 10), (2, None), (3, 11), (4, None)]
