@@ -510,3 +510,65 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first search over an UNDIRECTED graph
+    (edges symmetrized like ``pagerank``): returns (node, hop) where
+    ``hop`` is the minimum number of edges from any seed, hop 0 = the
+    seeds themselves, bounded by ``max_hops``. Unreachable nodes are
+    absent. The reachability / blast-radius primitive the rank family
+    can't express (PageRank says *how much* influence flows, BFS says
+    *how far* it is).
+
+    Semantics are a pure function of (edges, seeds, max_hops), so a
+    DuckDB ``WITH RECURSIVE`` twin value-locks every (node, hop)
+    assignment — no float anywhere.
+
+    Scale: textbook frontier expansion (the Pregel iteration shape):
+    each hop is ONE equi-join of the current frontier onto the edge
+    list + ONE distinct + ONE anti-join against the visited set —
+    all hash shuffles on node id; frontier and visited are O(nodes),
+    never collected. ``localCheckpoint`` cuts per-iteration lineage
+    (without it the k-th frontier replays all k-1 prior joins on every
+    action). The loop's only driver-side value is the isEmpty
+    early-stop probe. Worst case cost: max_hops scans of the edge
+    list — for small-diameter graphs the frontier saturates and the
+    anti-join empties it after ~diameter rounds.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("node", F.lit(0).alias("hop"))
+    for k in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited.select("node"), "node", "left_anti")
+        frontier = new.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.union(
+            frontier.select("node", F.lit(k).alias("hop"))
+        ).localCheckpoint(eager=True)
+    return visited

@@ -2946,6 +2946,74 @@ def segment_supplier_affinity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "segment_reach_bfs",
+    oracle="""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sym AS (SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw),
+    seeds AS (
+        SELECT DISTINCT c_custkey AS node FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    bfs(node, hop) AS (
+        SELECT node, 0 AS hop FROM seeds
+        UNION
+        SELECT s.b AS node, bfs.hop + 1 AS hop
+        FROM bfs JOIN sym s ON s.a = bfs.node
+        WHERE bfs.hop < 4
+    ),
+    dist AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+    SELECT hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM dist GROUP BY hop
+    """,
+    description="Multi-source BFS hop distance (bounded blast radius) "
+    "from the AUTOMOBILE-segment customers over the symmetrized "
+    "purchase graph — the reachability primitive the rank family can't "
+    "express: PageRank says how much influence flows, BFS says how FAR "
+    "every node is from the seed set. Spark plan: ops.graph.bfs_hops "
+    "Pregel-style frontier expansion (per hop: one edge join + one "
+    "distinct + one anti-join vs visited, all hash shuffles, "
+    "localCheckpoint-cut lineage, isEmpty early-stop). Integer-only "
+    "semantics make it a pure function of the input, so the oracle is "
+    "DuckDB's native WITH RECURSIVE with min-hop dedup — the registry's "
+    "first recursive-CTE-locked query. The per-hop sum(node) checksum "
+    "locks the exact membership partition, not just layer sizes.",
+)
+def segment_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    dist = bfs_hops(edges, seeds, max_hops=4)
+    return dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node") > 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+    )
+
+
+@query(
     "event_ewma_anomalies",
     oracle="""
     WITH daily AS (

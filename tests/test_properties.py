@@ -722,3 +722,44 @@ def test_personalized_pagerank_matches_model(spark, edge_list, seed_ids):
     for u in ranks:
         assert abs(got[u] - ranks[u]) < 1e-9, (u, got[u], ranks[u])
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.sets(st.integers(0, 12), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_bfs_hops_matches_model(spark, edge_list, seed_ids, max_hops):
+    """ops.graph.bfs_hops must equal a pure-Python multi-source BFS over
+    the same symmetrized graph: min hop per node, seeds at hop 0 even if
+    isolated, nothing beyond max_hops."""
+    from smartpool_bigdata_spark.ops.graph import bfs_hops
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ["node"])
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=max_hops).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seed_ids}
+    frontier = set(seed_ids)
+    for k in range(1, max_hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in want
+        }
+        for v in frontier:
+            want[v] = k
+        if not frontier:
+            break
+    assert got == want

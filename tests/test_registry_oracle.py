@@ -214,6 +214,7 @@ R8_PENDING = frozenset({
     "segment_supplier_affinity_ppr",
     "daily_forecast_backtest",
     "events_in_incident_windows",
+    "segment_reach_bfs",
 })
 
 
@@ -269,4 +270,5 @@ def _r7_new() -> frozenset:
         "segment_supplier_affinity_ppr",
         "daily_forecast_backtest",
         "events_in_incident_windows",
+        "segment_reach_bfs",
     })
