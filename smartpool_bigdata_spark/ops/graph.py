@@ -572,3 +572,74 @@ def bfs_hops(
             frontier.select("node", F.lit(k).alias("hop"))
         ).localCheckpoint(eager=True)
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (hubs & authorities, Kleinberg) over a DIRECTED graph with a
+    fixed iteration budget and L1 normalization. Returns
+    ``(hubs, auths)``: (node, hub) for every node with out-edges and
+    (node, auth) for every node with in-edges.
+
+    The L1 variant (divide by the sum, not the L2 norm) keeps every
+    operation a join + decimal-stable sum + one double division — no
+    sqrt — so a fixed budget is a pure function of the input and a
+    chained-CTE SQL oracle can value-lock the full vectors, exactly like
+    ``pagerank``. Ranking order is identical to the L2 variant (both are
+    positive rescalings of the same power iteration on AᵀA / AAᵀ).
+
+    Zero-score semantics are SPARSE on both sides: a node with no
+    in-edges never enters the auth vector (inner-join algebra), matching
+    the oracle's inner joins row-for-row.
+
+    Scale: each half-iteration is ONE equi-join of the score vector onto
+    the edge list + ONE groupBy decimal-sum (two key shuffles) + ONE
+    single-row global sum broadcast back with a crossJoin (a broadcast
+    of one row — never a shuffle). Vectors are O(nodes), edges scanned
+    2×/iteration, lineage cut per iteration with localCheckpoint.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _l1_normalize(vec: DataFrame, col: str) -> DataFrame:
+        total = vec.agg(
+            F.sum(F.col(col).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("__l1")
+        )
+        return vec.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("__l1")).alias(col)
+        )
+
+    n_src = e.select("a").distinct().count()
+    hubs = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.lit(1.0 / n_src).alias("hub")
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["a"] == hubs["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                F.sum(F.col("hub").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("auth")
+            )
+        )
+        auths = _l1_normalize(a_raw, "auth").localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths, e["b"] == auths["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.sum(F.col("auth").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("hub")
+            )
+        )
+        hubs = _l1_normalize(h_raw, "hub").localCheckpoint(eager=True)
+    return hubs, auths

@@ -3013,6 +3013,103 @@ def segment_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle(iterations: int = 3) -> str:
+    """Chained-CTE twin of ops.graph.hits on the directed purchase
+    graph (customer -> supplier): per iteration, a decimal(38,18)-stable
+    hub-sum into each authority, an L1 scalar divide, then the mirror
+    step back into hubs — the same fixed-budget full-value-oracle
+    pattern as _pagerank_oracle."""
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """ns AS (SELECT count(DISTINCT a) AS n FROM raw)""",
+        """h0 AS (
+        SELECT DISTINCT a AS node, CAST(1 AS DOUBLE) / ns.n AS hub
+        FROM raw, ns
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ar{i} AS (
+        SELECT r.b AS node,
+               CAST(sum(CAST(h{i-1}.hub AS DECIMAL(38,18))) AS DOUBLE) AS auth
+        FROM raw r JOIN h{i-1} ON r.a = h{i-1}.node GROUP BY r.b
+    )""")
+        ctes.append(f"""a{i} AS (
+        SELECT node, auth / (
+            SELECT CAST(sum(CAST(auth AS DECIMAL(38,18))) AS DOUBLE)
+            FROM ar{i}
+        ) AS auth FROM ar{i}
+    )""")
+        ctes.append(f"""hr{i} AS (
+        SELECT r.a AS node,
+               CAST(sum(CAST(a{i}.auth AS DECIMAL(38,18))) AS DOUBLE) AS hub
+        FROM raw r JOIN a{i} ON r.b = a{i}.node GROUP BY r.a
+    )""")
+        ctes.append(f"""h{i} AS (
+        SELECT node, hub / (
+            SELECT CAST(sum(CAST(hub AS DECIMAL(38,18))) AS DOUBLE)
+            FROM hr{i}
+        ) AS hub FROM hr{i}
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT 'hub' AS role, CAST(node AS BIGINT) AS entity,
+           round(hub, 9) AS score
+    FROM h{iterations}
+    UNION ALL
+    SELECT 'auth' AS role, CAST(node - 1000000 AS BIGINT) AS entity,
+           round(auth, 9) AS score
+    FROM a{iterations}
+    """
+
+
+@query(
+    "purchase_graph_hits",
+    oracle=_hits_oracle(),
+    description="HITS hubs & authorities (3 fixed iterations, L1 "
+    "normalization) over the DIRECTED customer->supplier purchase "
+    "graph: customers score as hubs (breadth of strong suppliers "
+    "bought from), suppliers as authorities (mass of strong buyers) — "
+    "the mutually-recursive centrality the symmetric PageRank family "
+    "can't express, and the natural two-sided marketplace ranking. L1 "
+    "instead of L2 normalization keeps every step sqrt-free (join + "
+    "decimal(38,18)-stable sum + one double divide), so the full hub "
+    "AND authority vectors are value-locked by a chained-CTE oracle; "
+    "ranking order is identical to classic L2 HITS. Plan per "
+    "half-iteration: one vector->edges equi-join + one groupBy-sum "
+    "(two key shuffles) + a ONE-ROW broadcast crossJoin for the "
+    "scalar divide; lineage localCheckpoint-cut per iteration.",
+)
+def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    hubs, auths = hits(edges, iterations=3)
+    return hubs.select(
+        F.lit("hub").alias("role"),
+        F.col("node").cast("bigint").alias("entity"),
+        F.round("hub", 9).alias("score"),
+    ).unionAll(
+        auths.select(
+            F.lit("auth").alias("role"),
+            (F.col("node") - 1_000_000).cast("bigint").alias("entity"),
+            F.round("auth", 9).alias("score"),
+        )
+    )
+
+
 @query(
     "event_ewma_anomalies",
     oracle="""

@@ -763,3 +763,46 @@ def test_bfs_hops_matches_model(spark, edge_list, seed_ids, max_hops):
         if not frontier:
             break
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(10, 16)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 3),
+)
+def test_hits_matches_model(spark, edge_list, iterations):
+    """ops.graph.hits must match a pure-Python L1-normalized HITS power
+    iteration on random bipartite graphs; both vectors sum to 1."""
+    from smartpool_bigdata_spark.ops.graph import hits as spark_hits
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    hubs_df, auths_df = spark_hits(edges, iterations=iterations)
+    got_h = {r["node"]: r["hub"] for r in hubs_df.collect()}
+    got_a = {r["node"]: r["auth"] for r in auths_df.collect()}
+
+    es = sorted(set(edge_list))
+    srcs = sorted({a for a, _ in es})
+    hub = {u: 1.0 / len(srcs) for u in srcs}
+    auth: dict[int, float] = {}
+    for _ in range(iterations):
+        auth = {}
+        for a, b in es:
+            auth[b] = auth.get(b, 0.0) + hub.get(a, 0.0)
+        s = sum(auth.values())
+        auth = {v: x / s for v, x in auth.items()}
+        hub = {}
+        for a, b in es:
+            hub[a] = hub.get(a, 0.0) + auth.get(b, 0.0)
+        s = sum(hub.values())
+        hub = {u: x / s for u, x in hub.items()}
+    assert set(got_h) == set(hub) and set(got_a) == set(auth)
+    for u in hub:
+        assert abs(got_h[u] - hub[u]) < 1e-9
+    for v in auth:
+        assert abs(got_a[v] - auth[v]) < 1e-9
+    assert abs(sum(got_h.values()) - 1.0) < 1e-9
+    assert abs(sum(got_a.values()) - 1.0) < 1e-9

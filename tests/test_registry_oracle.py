@@ -215,6 +215,7 @@ R8_PENDING = frozenset({
     "daily_forecast_backtest",
     "events_in_incident_windows",
     "segment_reach_bfs",
+    "purchase_graph_hits",
 })
 
 
@@ -271,4 +272,5 @@ def _r7_new() -> frozenset:
         "daily_forecast_backtest",
         "events_in_incident_windows",
         "segment_reach_bfs",
+        "purchase_graph_hits",
     })
