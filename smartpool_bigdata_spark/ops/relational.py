@@ -719,3 +719,51 @@ def interval_point_join(
             )
         return matched.unionByName(unmatched)
     raise ValueError(f"unsupported how={how!r}")
+
+
+def skyline_2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) per key group, maximizing both
+    ``x`` and ``y``: keep the rows for which no other row in the group
+    has x' >= x AND y' >= y with at least one strict inequality.
+    Duplicate (x, y) points do not dominate each other — all copies
+    survive together.
+
+    The multi-objective "best tradeoffs" primitive (price vs recency,
+    quality vs length, cost vs throughput) that top-N ranking collapses
+    incorrectly to one axis.
+
+    Scale: never the quadratic NOT EXISTS self-join. 2-D dominance is
+    monotone, so one pass over the DISTINCT x values suffices: (1) a
+    hash agg to one row per (keys, x) carrying max(y); (2) a running
+    strictly-preceding max of that y over x DESC — a window over the
+    distinct-x frame, which is skyline-scale, not fact-scale; (3) one
+    equi-join back on (keys, x). A row is dominated iff a strictly
+    higher x reaches its y (hi_y >= y) or an equal-x row strictly
+    beats it (eq_max_y > y). Two key shuffles + one join; the window
+    frame is O(distinct x per group) — if a single group's distinct-x
+    set can't fit one task, pre-thin it with the same (keys, coarse
+    x-bucket) max(y) agg first (monotonicity makes that exact).
+    """
+    gx = _helper_col(df, "__eq_max_y")
+    hi = _helper_col(df, "__hi_y")
+    per_x = df.groupBy(*keys, x).agg(F.max(F.col(y)).alias(gx))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_x = per_x.withColumn(hi, F.max(F.col(gx)).over(w))
+    # no broadcast hint: per_x is O(distinct x) — near fact-sized when x
+    # is high-cardinality; AQE picks broadcast itself when it shrinks
+    joined = df.join(per_x, [*keys, x])
+    return joined.filter(
+        ~(
+            F.coalesce(F.col(hi) >= F.col(y), F.lit(False))
+            | (F.col(gx) > F.col(y))
+        )
+    ).drop(gx, hi)

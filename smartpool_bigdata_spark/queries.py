@@ -5819,6 +5819,61 @@ def daily_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_pareto_customers",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                     AS DOUBLE), 2) AS spend,
+               max(o.o_orderdate) AS last_order
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, custkey, spend, last_order
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.segment = p.segment
+          AND q.spend >= p.spend AND q.last_order >= p.last_order
+          AND (q.spend > p.spend OR q.last_order > p.last_order)
+    )
+    """,
+    description="2-D Pareto frontier (SKYLINE) per market segment: the "
+    "customers for whom no segment peer has BOTH higher total spend and "
+    "a more recent order — the multi-objective 'best tradeoffs' "
+    "primitive that single-axis top-N collapses incorrectly (a "
+    "dormant whale and a small-but-active buyer are both frontier "
+    "points). Spark plan: ops.relational.skyline_2d — 2-D dominance is "
+    "monotone, so one distinct-x hash agg + a strictly-preceding "
+    "running-max window over the DISTINCT-spend frame + one equi-join "
+    "back decides every row; never the quadratic NOT EXISTS self-join, "
+    "which is exactly what the oracle runs (DuckDB, dominance "
+    "semantics including duplicate-point survival) to value-lock the "
+    "rewrite.",
+)
+def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import skyline_2d
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pts = (
+        orders.groupBy("o_custkey")
+        .agg(
+            stable_sum("o_totalprice", 2).alias("spend"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+            "spend",
+            "last_order",
+        )
+    )
+    return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
+
+
+@query(
     "events_in_incident_windows",
     oracle="""
     WITH win AS (

@@ -806,3 +806,36 @@ def test_hits_matches_model(spark, edge_list, iterations):
         assert abs(got_a[v] - auth[v]) < 1e-9
     assert abs(sum(got_h.values()) - 1.0) < 1e-9
     assert abs(sum(got_a.values()) - 1.0) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 6),
+            st.integers(0, 6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_2d_matches_brute_force(spark, rows):
+    """ops.relational.skyline_2d == brute-force dominance filter,
+    including tie groups and duplicate points (which survive together)."""
+    from smartpool_bigdata_spark.ops.relational import skyline_2d
+
+    tagged = [(i, g, x, y) for i, (g, x, y) in enumerate(rows)]
+    df = spark.createDataFrame(tagged, ["rid", "g", "x", "y"])
+    got = sorted(
+        r["rid"] for r in skyline_2d(df, x="x", y="y", keys=["g"]).collect()
+    )
+    want = sorted(
+        i
+        for i, g, x, y in tagged
+        if not any(
+            g2 == g and x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for _, g2, x2, y2 in tagged
+        )
+    )
+    assert got == want

@@ -216,6 +216,7 @@ R8_PENDING = frozenset({
     "events_in_incident_windows",
     "segment_reach_bfs",
     "purchase_graph_hits",
+    "segment_pareto_customers",
 })
 
 
@@ -273,4 +274,5 @@ def _r7_new() -> frozenset:
         "events_in_incident_windows",
         "segment_reach_bfs",
         "purchase_graph_hits",
+        "segment_pareto_customers",
     })
