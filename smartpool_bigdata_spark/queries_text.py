@@ -5512,3 +5512,124 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "classifier_calibration_eval",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_contains({T.duck_tokens('text')}, 'spark') AS label,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, label, u.h AS h FROM (
+            SELECT doc_id, label, unnest(th) AS h FROM th
+            UNION ALL
+            SELECT doc_id, label,
+                   unnest(list_transform(range(1, len(th)),
+                          i -> (th[i] + th[i + 1]) % 1152921504606846976)) AS h
+            FROM th)
+        AS u(doc_id, label, h)
+    ),
+    scored AS (
+        SELECT doc_id, label,
+               CAST(sum(CAST((h % 997) / 996.0 - 0.5 AS DECIMAL(38,10)))
+                    AS DOUBLE) / count(*) + CAST(0.5 AS DOUBLE) AS p
+        FROM feats GROUP BY doc_id, label
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_pred,
+           round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS frac_pos,
+           round(abs(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                 - CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*)), 4) AS gap,
+           round(CAST(sum(CAST(
+                 (p - CASE WHEN label THEN 1.0 ELSE 0.0 END)
+                 * (p - CASE WHEN label THEN 1.0 ELSE 0.0 END)
+                 AS DECIMAL(38,10))) AS DOUBLE), 4) AS sq_err
+    FROM scored GROUP BY 1
+    """,
+    description="CALIBRATION evaluation of the hashed-feature quality "
+    "classifier — the reliability-diagram harness every "
+    "model-based-filtering pipeline needs before trusting a score "
+    "threshold: per predicted-probability decile, count, mean "
+    "prediction, observed positive rate, |gap| (the ECE numerator "
+    "per bin) and the decimal-stable squared-error mass (so Brier = "
+    "sum(sq_err)/sum(n_docs) and ECE = sum(n*gap)/sum(n) both fall "
+    "out of the bin table). Prediction is the classifier's margin "
+    "rationally rescaled to [0,1] (p = margin + 0.5) — sqrt/exp-free "
+    "so bin ASSIGNMENT (floor(p*10)) is bit-identical across engines; "
+    "the label is a text-derived binary (contains the token 'spark'), "
+    "making the whole eval a pure function of the corpus. Scale: one "
+    "scan, one doc_id shuffle for the margin agg, one 10-key hash agg "
+    "— the eval costs no more than the inference pass it audits.",
+)
+def classifier_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_contains({T.spark_tokens('text')}, 'spark')"
+        ).alias("label"),
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    feats = th.select(
+        "doc_id",
+        "label",
+        F.explode(
+            F.expr(
+                "concat(th, CASE WHEN size(th) >= 2 THEN "
+                "transform(sequence(1, size(th) - 1), "
+                "i -> pmod(element_at(th, i) + element_at(th, i + 1), "
+                "1152921504606846976L)) ELSE array() END)"
+            )
+        ).alias("h"),
+    )
+    scored = feats.groupBy("doc_id", "label").agg(
+        (
+            F.sum(
+                F.expr("CAST(pmod(h, 997) / 996.0 - 0.5 AS DECIMAL(38,10))")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5).cast("double")
+        ).alias("p")
+    )
+    lbl = F.when(F.col("label"), 1.0).otherwise(0.0)
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        stable_avg("p", 4).alias("avg_pred"),
+        F.round(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_pos"),
+        F.round(
+            F.abs(
+                F.sum(F.col("p").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+                - F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("gap"),
+        F.round(
+            F.sum(
+                ((F.col("p") - lbl) * (F.col("p") - lbl)).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("sq_err"),
+    )
+
+
+__reorder()

@@ -217,6 +217,7 @@ R8_PENDING = frozenset({
     "segment_reach_bfs",
     "purchase_graph_hits",
     "segment_pareto_customers",
+    "classifier_calibration_eval",
 })
 
 
@@ -275,4 +276,5 @@ def _r7_new() -> frozenset:
         "segment_reach_bfs",
         "purchase_graph_hits",
         "segment_pareto_customers",
+        "classifier_calibration_eval",
     })
