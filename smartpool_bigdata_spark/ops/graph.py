@@ -643,3 +643,69 @@ def hits(
         )
         hubs = _l1_normalize(h_raw, "hub").localCheckpoint(eager=True)
     return hubs, auths
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    seed_col: str = "node",
+    seed_ts=None,
+    iterations: int = 4,
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability over a directed
+    temporal graph: an edge (u, v, t) can be traversed only if u was
+    reached at or before t, and then v is reached at time t. Returns
+    (node, arrival) — the earliest time each node can be reached from
+    the seed set along a time-increasing path, after a fixed number of
+    relaxation rounds (covers all time-respecting paths of up to
+    ``iterations`` edges; temporal paths are NOT covered by static BFS,
+    which happily walks back in time).
+
+    This is the propagation primitive for influence / contagion /
+    provenance over interaction logs — the temporal twin of
+    ``bfs_hops``. Fixed budget => pure function of the input => a
+    chained-CTE SQL oracle value-locks every (node, arrival) pair
+    (min() over timestamps, no floats anywhere).
+
+    ``seed_ts``: the time seeds become active (a Column or literal
+    accepted by ``F.lit``); defaults to epoch so every seed edge
+    qualifies.
+
+    Scale: each round is ONE equi-join of the arrival vector onto the
+    edge list (time residual as a join filter) + ONE min-aggregate over
+    the union — two key shuffles per round, vector O(nodes), edges
+    scanned once per round, lineage cut with localCheckpoint. Monotone
+    (arrivals only decrease), so rounds converge like Bellman-Ford.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+        F.col(ts).cast("timestamp_ntz").alias("t"),
+    ).distinct().localCheckpoint(eager=True)
+    if seed_ts is None:
+        seed_ts = "1970-01-01 00:00:00"
+    arr = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(seed_ts).cast("timestamp_ntz").alias("arrival"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        relaxed = (
+            e.join(arr, e["a"] == arr["node"])
+            .where(F.col("t") >= F.col("arrival"))
+            .select(F.col("b").alias("node"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arr

@@ -3110,6 +3110,86 @@ def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temporal_reach_oracle(iterations: int = 4) -> str:
+    """Chained-CTE twin of ops.graph.temporal_reachability on the
+    timestamped purchase graph with MACHINERY-segment seeds: one
+    min-relaxation CTE per round — integer/timestamp-only, so the full
+    (node, arrival) vector is value-locked."""
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b,
+               o.o_orderdate AS t
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """sym AS (
+        SELECT a, b, t FROM raw UNION SELECT b AS a, a AS b, t FROM raw
+    )""",
+        """a0 AS (
+        SELECT DISTINCT c_custkey AS node,
+               TIMESTAMP '1970-01-01 00:00:00' AS arrival
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""a{i} AS (
+        SELECT node, min(arrival) AS arrival FROM (
+            SELECT node, arrival FROM a{i-1}
+            UNION ALL
+            SELECT s.b AS node, s.t AS arrival
+            FROM sym s JOIN a{i-1} ON s.a = a{i-1}.node
+            WHERE s.t >= a{i-1}.arrival
+        ) GROUP BY node
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(node AS BIGINT) AS node, arrival FROM a{iterations}
+    """
+
+
+@query(
+    "temporal_purchase_reach",
+    oracle=_temporal_reach_oracle(),
+    description="TIME-RESPECTING reachability (earliest arrival, 4 "
+    "relaxation rounds) from the MACHINERY-segment customers over the "
+    "timestamped purchase graph: an edge dated t is traversable only "
+    "if its tail was reached at or before t — the propagation "
+    "semantics (influence, contagion, provenance) that static BFS "
+    "gets WRONG by walking backwards in time. Spark plan: ops.graph."
+    "temporal_reachability — per round one arrival-vector->edges "
+    "equi-join with the time residual as a join filter + one "
+    "min-aggregate (two key shuffles), Bellman-Ford-monotone, "
+    "localCheckpoint-cut. No floats anywhere, so the oracle (one "
+    "chained min-relaxation CTE per round) value-locks the full "
+    "(node, arrival) vector.",
+)
+def temporal_purchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import temporal_reachability
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    raw = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    edges = raw.unionByName(
+        raw.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "ts"
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    arr = temporal_reachability(edges, seeds, iterations=4)
+    return arr.select(F.col("node").cast("bigint").alias("node"), "arrival")
+
+
 @query(
     "event_ewma_anomalies",
     oracle="""

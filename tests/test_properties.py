@@ -839,3 +839,48 @@ def test_skyline_2d_matches_brute_force(spark, rows):
         )
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 8), st.integers(0, 8), st.integers(0, 5)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sets(st.integers(0, 8), min_size=1, max_size=2),
+    st.integers(1, 4),
+)
+def test_temporal_reachability_matches_model(spark, edge_list, seed_ids, rounds):
+    """ops.graph.temporal_reachability == pure-Python earliest-arrival
+    relaxation: edges only traversable at t >= arrival(tail), arrivals
+    only decrease, bounded rounds."""
+    import datetime as _dt
+
+    from smartpool_bigdata_spark.ops.graph import temporal_reachability
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (a, b, base + _dt.timedelta(days=t)) for a, b, t in edge_list
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst", "ts"])
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ["node"])
+    got = {
+        r["node"]: r["arrival"]
+        for r in temporal_reachability(
+            edges, seeds, iterations=rounds
+        ).collect()
+    }
+
+    epoch = _dt.datetime(1970, 1, 1)
+    want = {s: epoch for s in seed_ids}
+    es = sorted({(a, b, base + _dt.timedelta(days=t)) for a, b, t in edge_list})
+    for _ in range(rounds):
+        nxt = dict(want)
+        for a, b, t in es:
+            if a in want and t >= want[a] and t < nxt.get(b, _dt.datetime.max):
+                nxt[b] = t
+        want = nxt
+    assert got == want

@@ -218,6 +218,7 @@ R8_PENDING = frozenset({
     "purchase_graph_hits",
     "segment_pareto_customers",
     "classifier_calibration_eval",
+    "temporal_purchase_reach",
 })
 
 
@@ -277,4 +278,5 @@ def _r7_new() -> frozenset:
         "purchase_graph_hits",
         "segment_pareto_customers",
         "classifier_calibration_eval",
+        "temporal_purchase_reach",
     })
