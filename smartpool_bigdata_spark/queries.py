@@ -5954,6 +5954,79 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incident_concurrency_profile",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS w_id, ts AS s, ts + INTERVAL 4 HOUR AS e
+        FROM events WHERE event_id % 499 = 0
+    ),
+    bounds AS (
+        SELECT s AS t, 1 AS delta, w_id FROM win
+        UNION ALL
+        SELECT e AS t, -1 AS delta, w_id FROM win
+    ),
+    run AS (
+        SELECT t, CAST(sum(delta) OVER (
+                   ORDER BY t, delta, w_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc
+        FROM bounds
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           round(CAST(sum(CAST(conc AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_concurrency
+    FROM run GROUP BY 1
+    """,
+    description="SWEEP-LINE interval concurrency: how many 4-hour "
+    "incident windows are simultaneously open, per day (peak and "
+    "boundary-weighted mean) — the capacity-planning / overlap-audit "
+    "primitive behind 'how many incidents were concurrent at the "
+    "worst moment'. Each window contributes a +1 boundary at its "
+    "start and a -1 at its end; concurrency is the GLOBAL running sum "
+    "over boundaries ordered by (time, delta, id) — half-open [s, e) "
+    "pinned by sorting -1 before +1 at equal timestamps. Spark plan: "
+    "ops.relational.global_running_sum, the range-partitioned "
+    "distributed prefix sum — one range exchange + parallel "
+    "within-bucket windows + an O(buckets) offset broadcast, never "
+    "the single-reducer global window the naive OVER (ORDER BY ...) "
+    "pays at 100 TB (which is exactly what the oracle runs at oracle "
+    "scale). The unique w_id tiebreaker makes the order total, so "
+    "every per-row concurrency value is bit-deterministic.",
+)
+def incident_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    win = ev.filter(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 4 HOUR").alias("e"),
+    )
+    bounds = win.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "w_id"
+    ).unionByName(
+        win.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "w_id")
+    ).withColumn("t_us", F.unix_micros(F.col("t").cast("timestamp")))
+    run = global_running_sum(
+        bounds,
+        order_by=["t_us", "delta", "w_id"],
+        value_col="delta",
+        out_col="conc",
+    )
+    return run.groupBy(F.col("t").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        F.max(F.col("conc").cast("bigint")).alias("peak_concurrency"),
+        F.round(
+            F.sum(F.col("conc").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_concurrency"),
+    )
+
+
+@query(
     "events_in_incident_windows",
     oracle="""
     WITH win AS (

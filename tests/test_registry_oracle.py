@@ -219,6 +219,7 @@ R8_PENDING = frozenset({
     "segment_pareto_customers",
     "classifier_calibration_eval",
     "temporal_purchase_reach",
+    "incident_concurrency_profile",
 })
 
 
@@ -279,4 +280,5 @@ def _r7_new() -> frozenset:
         "segment_pareto_customers",
         "classifier_calibration_eval",
         "temporal_purchase_reach",
+        "incident_concurrency_profile",
     })
