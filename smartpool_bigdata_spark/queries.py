@@ -5953,6 +5953,124 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+def _bootstrap_ci_oracle() -> str:
+    from smartpool_bigdata_spark.ops import text as _T
+
+    h = _T.duck_hash64("CAST(e.event_id * 64 + u.b AS VARCHAR)")
+    return f"""
+    WITH ev AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    base AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*) AS xbar
+        FROM ev GROUP BY 1
+    ),
+    reps AS (
+        SELECT e.event_type, u.b,
+               CAST(sum(CAST((({h} % 2) * 2 - 1) * value
+                    AS DECIMAL(38,10))) AS DOUBLE) AS s,
+               CAST(sum(({h} % 2) * 2 - 1) AS BIGINT) AS tsum
+        FROM ev e, unnest(range(0, 64)) AS u(b)
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT r.event_type, r.b, b2.n, b2.xbar,
+               b2.xbar + (r.s - b2.xbar * r.tsum) / b2.n AS mb
+        FROM reps r JOIN base b2 USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, n, xbar, mb,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mb, b) AS rn
+        FROM means
+    )
+    SELECT event_type, max(n) AS n_events,
+           round(max(xbar), 4) AS mean_value,
+           round(max(CASE WHEN rn = 2 THEN mb END), 4) AS ci_lo,
+           round(max(CASE WHEN rn = 63 THEN mb END), 4) AS ci_hi
+    FROM ranked GROUP BY event_type
+    """
+
+
+@query(
+    "event_value_bootstrap_ci",
+    oracle=_bootstrap_ci_oracle(),
+    description="Distributed UNCERTAINTY QUANTIFICATION: a 95% "
+    "confidence interval for the mean event value per type via the "
+    "Rademacher MULTIPLIER BOOTSTRAP (wild bootstrap) — 64 replicas "
+    "where replica b's mean is xbar + n^-1 * sum(eps_ib (x_i - xbar)) "
+    "with eps = +/-1 drawn from a deterministic per-(row, replica) "
+    "hash bit, folded to one pass via S_b = sum(eps x), T_b = "
+    "sum(eps): mean_b = xbar + (S_b - xbar T_b)/n. CI bounds are "
+    "EXACT order statistics (2nd and 63rd of 64 replica means, "
+    "b-tiebroken), so the whole thing is hash-deterministic, sqrt/"
+    "exp-free, and value-locked cross-engine. Scale: one 64x explode "
+    "absorbed by map-side combine into (types x 64) partial sums — "
+    "the resample never materializes, no per-row Python, no second "
+    "pass over the data (the classic resample-by-copying bootstrap "
+    "is impossible at 100 TB; the multiplier form is the published "
+    "scale-out answer).",
+)
+def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbar"),
+    )
+    h = T.spark_hash64("cast(event_id * 64 + b as string)")
+    eps = f"(pmod({h}, 2) * 2 - 1)"
+    reps = (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.expr(f"CAST({eps} * value AS DECIMAL(38,10))"))
+            .cast("double")
+            .alias("s"),
+            F.sum(F.expr(eps)).cast("bigint").alias("tsum"),
+        )
+    )
+    means = reps.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "b",
+        "n",
+        "xbar",
+        (
+            F.col("xbar")
+            + (F.col("s") - F.col("xbar") * F.col("tsum")) / F.col("n")
+        ).alias("mb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("mb", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.round(F.max("xbar"), 4).alias("mean_value"),
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("mb"))), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("rn") == 63, F.col("mb"))), 4).alias(
+            "ci_hi"
+        ),
+    )
+
+
 @query(
     "incident_concurrency_profile",
     oracle="""

@@ -884,3 +884,17 @@ def test_temporal_reachability_matches_model(spark, edge_list, seed_ids, rounds)
                 nxt[b] = t
         want = nxt
     assert got == want
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The multiplier-bootstrap CI must bracket the point estimate and
+    have positive width for every event type at sf0.001."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    rows = REGISTRY["event_value_bootstrap_ci"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], dict(r.asDict())
+        assert r["ci_hi"] > r["ci_lo"]

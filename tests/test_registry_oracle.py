@@ -220,6 +220,7 @@ R8_PENDING = frozenset({
     "classifier_calibration_eval",
     "temporal_purchase_reach",
     "incident_concurrency_profile",
+    "event_value_bootstrap_ci",
 })
 
 
@@ -281,4 +282,5 @@ def _r7_new() -> frozenset:
         "classifier_calibration_eval",
         "temporal_purchase_reach",
         "incident_concurrency_profile",
+        "event_value_bootstrap_ci",
     })
