@@ -5953,6 +5953,227 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+def _cuped_oracle() -> str:
+    from smartpool_bigdata_spark.ops import text as _T
+
+    h = _T.duck_hash64("CAST(user_id AS VARCHAR)")
+    ds = "CAST(sum(CAST({e} AS DECIMAL(38,10))) AS DOUBLE)"
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, CAST({h} % 2 AS INT) AS arm,
+               {ds.format(e="CASE WHEN ts < TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")} AS x,
+               {ds.format(e="CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")} AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {ds.format(e="x")} AS sx, {ds.format(e="y")} AS sy,
+               {ds.format(e="x * x")} AS sxx, {ds.format(e="x * y")} AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx / n AS xbar,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+        FROM g
+    ),
+    adj AS (
+        SELECT p.arm, p.y, p.y - t.th * (p.x - t.xbar) AS ya
+        FROM per_user p, theta t
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           round({ds.format(e="y")} / count(*), 4) AS mean_y,
+           round({ds.format(e="ya")} / count(*), 4) AS mean_y_adj,
+           round({ds.format(e="y * y")} / count(*)
+                 - ({ds.format(e="y")} / count(*))
+                   * ({ds.format(e="y")} / count(*)), 4) AS var_y,
+           round({ds.format(e="ya * ya")} / count(*)
+                 - ({ds.format(e="ya")} / count(*))
+                   * ({ds.format(e="ya")} / count(*)), 4) AS var_y_adj
+    FROM adj GROUP BY arm
+    """
+
+
+@query(
+    "segment_cuped_adjusted_lift",
+    oracle=_cuped_oracle(),
+    description="CUPED variance reduction (Deng et al., the standard "
+    "experimentation-platform adjustment): per-user post-period value "
+    "Y is adjusted by the pre-period covariate X via Y - theta*(X - "
+    "Xbar), theta = cov(X,Y)/var(X) — per-arm means stay unbiased "
+    "while variance drops by the squared X-Y correlation, which is "
+    "what makes small A/B effects detectable. Arms are a "
+    "deterministic hash(user) %% 2 split; the pre/post boundary is "
+    "mid-corpus. Everything reduces to ONE scan into per-user "
+    "conditional sums, one tiny global moment aggregate (n, SX, SY, "
+    "SXX, SXY -> theta as a broadcast scalar), then a per-arm "
+    "aggregate of the adjusted metric — no second pass over raw "
+    "events, no driver-side math beyond scalars. Decimal-stable sums "
+    "everywhere; variance via the moment identity E[Z^2]-E[Z]^2, all "
+    "rational so both engines agree bit-for-bit. var_y_adj < var_y "
+    "is the observable payoff (asserted in tests).",
+)
+def segment_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+
+    h = T.spark_hash64("cast(user_id as string)")
+    cutoff = "TIMESTAMP '2024-01-16'"
+
+    def dsum(e: str):
+        return F.sum(F.expr(f"CAST({e} AS DECIMAL(38,10))")).cast("double")
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.expr(f"CAST(pmod({h}, 2) AS INT)").alias("arm"))
+        .agg(
+            dsum(
+                f"CASE WHEN ts < {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+            ).alias("x"),
+            dsum(
+                f"CASE WHEN ts >= {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+            ).alias("y"),
+        )
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum("x * x").alias("sxx"),
+        dsum("x * y").alias("sxy"),
+    )
+    theta = g.select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias("ya"),
+    )
+    cnt = F.count(F.lit(1))
+    return adj.groupBy("arm").agg(
+        cnt.cast("bigint").alias("n_users"),
+        F.round(dsum("y") / cnt, 4).alias("mean_y"),
+        F.round(dsum("ya") / cnt, 4).alias("mean_y_adj"),
+        F.round(
+            dsum("y * y") / cnt - (dsum("y") / cnt) * (dsum("y") / cnt), 4
+        ).alias("var_y"),
+        F.round(
+            dsum("ya * ya") / cnt - (dsum("ya") / cnt) * (dsum("ya") / cnt),
+            4,
+        ).alias("var_y_adj"),
+    )
+
+
+def _target_encoding_oracle() -> str:
+    from smartpool_bigdata_spark.ops import text as _T
+
+    h = _T.duck_hash64("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH ev AS (
+        SELECT event_type, value, CAST({h} % 5 AS INT) AS fold
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s_all
+        FROM ev
+    ),
+    per_c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s_c
+        FROM ev GROUP BY 1
+    ),
+    per_cf AS (
+        SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_cf,
+               CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s_cf
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.fold, p.n_cf AS n_infold,
+           round(CASE WHEN c.n_c - p.n_cf > 0
+                 THEN (c.s_c - p.s_cf) / (c.n_c - p.n_cf) END, 4)
+               AS oof_mean,
+           round((c.s_c - p.s_cf + 20.0 * (g.s_all / g.n_all))
+                 / (c.n_c - p.n_cf + 20.0), 4) AS smoothed_encoding
+    FROM per_cf p JOIN per_c c USING (event_type), g
+    """
+
+
+@query(
+    "event_type_target_encoding",
+    oracle=_target_encoding_oracle(),
+    description="Leakage-free K-FOLD TARGET ENCODING — the standard "
+    "categorical-feature trick for gradient-boosted / linear models at "
+    "scale: each (category, fold) cell gets the mean target computed "
+    "from the OTHER folds only (out-of-fold), plus the "
+    "m-estimate-smoothed variant ((S_oof + m*prior)/(n_oof + m), "
+    "m=20) that keeps rare categories from memorizing noise. Folds "
+    "are hash(user_id) % 5 — split by USER, not row, because "
+    "row-level folds leak a user's own signal across folds. "
+    "Everything is subtraction algebra on ONE pass of per-(cat) and "
+    "per-(cat, fold) decimal-stable sums — the naive 'train K models "
+    "on K-1 folds' scan-K-times shape collapses to a single scan + "
+    "two tiny hash aggs + a broadcast join, the only form that "
+    "survives 100 TB. Division-by-zero (a category entirely inside "
+    "one fold) is CASE-guarded to NULL in both dialects.",
+)
+def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+
+    h = T.spark_hash64("cast(user_id as string)")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.expr(f"CAST(pmod({h}, 5) AS INT)").alias("fold"),
+        )
+    )
+    g = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s_all"),
+    )
+    per_c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s_c"),
+    )
+    per_cf = ev.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s_cf"),
+    )
+    out = (
+        per_cf.join(F.broadcast(per_c), "event_type")
+        .crossJoin(F.broadcast(g))
+    )
+    oof_n = F.col("n_c") - F.col("n_cf")
+    return out.select(
+        "event_type",
+        "fold",
+        F.col("n_cf").alias("n_infold"),
+        F.round(
+            F.when(oof_n > 0, (F.col("s_c") - F.col("s_cf")) / oof_n), 4
+        ).alias("oof_mean"),
+        F.round(
+            (
+                F.col("s_c")
+                - F.col("s_cf")
+                + F.lit(20.0) * (F.col("s_all") / F.col("n_all"))
+            )
+            / (oof_n + F.lit(20.0)),
+            4,
+        ).alias("smoothed_encoding"),
+    )
+
+
 def _bootstrap_ci_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 

@@ -898,3 +898,32 @@ def test_bootstrap_ci_brackets_mean(spark):
     for r in rows:
         assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], dict(r.asDict())
         assert r["ci_hi"] > r["ci_lo"]
+
+
+def test_cuped_reduces_variance_and_keeps_means_unbiased(spark):
+    """CUPED's contract: per-arm adjusted variance <= raw variance (the
+    pre-period covariate genuinely correlates), and the POOLED adjusted
+    mean equals the pooled raw mean (the theta*(X - Xbar) term sums to
+    zero over all users by construction)."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    rows = REGISTRY["segment_cuped_adjusted_lift"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 2
+    n = sum(r["n_users"] for r in rows)
+    pooled_raw = sum(r["mean_y"] * r["n_users"] for r in rows) / n
+    pooled_adj = sum(r["mean_y_adj"] * r["n_users"] for r in rows) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+    # theta is the GLOBAL OLS minimizer, so the guarantee is on the
+    # POOLED variance (reconstructed via the law of total variance from
+    # per-arm moments), not on each tiny arm separately
+    def pooled_var(mean_key, var_key, pooled_mean):
+        ez2 = sum(
+            r["n_users"] * (r[var_key] + r[mean_key] ** 2) for r in rows
+        ) / n
+        return ez2 - pooled_mean**2
+
+    raw_var = pooled_var("mean_y", "var_y", pooled_raw)
+    adj_var = pooled_var("mean_y_adj", "var_y_adj", pooled_adj)
+    assert adj_var <= raw_var + 1e-6, (raw_var, adj_var)

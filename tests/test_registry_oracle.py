@@ -221,6 +221,8 @@ R8_PENDING = frozenset({
     "temporal_purchase_reach",
     "incident_concurrency_profile",
     "event_value_bootstrap_ci",
+    "event_type_target_encoding",
+    "segment_cuped_adjusted_lift",
 })
 
 
@@ -283,4 +285,6 @@ def _r7_new() -> frozenset:
         "temporal_purchase_reach",
         "incident_concurrency_profile",
         "event_value_bootstrap_ci",
+        "event_type_target_encoding",
+        "segment_cuped_adjusted_lift",
     })
