@@ -709,3 +709,56 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return arr
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """Fixed-round k-CORE peeling over an UNDIRECTED graph (edges
+    symmetrized): repeatedly delete every node whose CURRENT degree is
+    below ``k`` (synchronous sweeps — all under-degree nodes drop
+    together, then degrees recompute). Returns the surviving nodes with
+    their within-core degree after ``rounds`` sweeps.
+
+    The k-core is the standard cohesion screen (spam rings, loyal-buyer
+    cores, dense subcommunities) that degree thresholding alone gets
+    wrong — deleting a node can drag its neighbors below k, so the
+    filter must cascade. A fixed sweep budget keeps the result a pure
+    function of the input (chained-CTE SQL oracle, all-integer), and
+    peeling converges geometrically in practice; compare the last two
+    sweeps' survivor counts to detect convergence (the gate query
+    value-locks that flag).
+
+    Scale: each sweep is ONE degree hash-agg over the surviving edge
+    list + TWO semi-joins to drop edges touching deleted nodes — all
+    key shuffles, no node ever collected; lineage localCheckpoint-cut
+    per sweep. Survivor monotonicity means edge volume only shrinks.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        e = (
+            e.join(keep, e["a"] == keep["node"], "left_semi")
+            .join(keep, F.col("b") == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

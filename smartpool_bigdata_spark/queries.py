@@ -3110,6 +3110,93 @@ def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Chained-CTE twin of ops.graph.kcore on the symmetrized purchase
+    graph: per sweep one HAVING-degree CTE + one both-endpoints edge
+    filter — all-integer, so survivor membership, degrees, and the
+    checksum are value-locked."""
+    ctes = [
+        """raw AS (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """e0 AS (
+        SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""n{i} AS (
+        SELECT a AS node FROM e{i-1} GROUP BY a HAVING count(*) >= {k}
+    )""")
+        ctes.append(f"""e{i} AS (
+        SELECT e.a, e.b FROM e{i-1} e
+        JOIN n{i} x ON e.a = x.node
+        JOIN n{i} y ON e.b = y.node
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    core AS (
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e{rounds} GROUP BY a
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_core_nodes,
+           CAST(sum(CASE WHEN node <= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+           CAST(sum(CASE WHEN node > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+           CAST(sum(core_degree) AS BIGINT) AS sym_degree_sum,
+           CAST(min(core_degree) AS BIGINT) AS min_core_degree,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM core
+    """
+
+
+@query(
+    "purchase_graph_kcore",
+    oracle=_kcore_oracle(),
+    description="3-CORE of the symmetrized purchase graph by "
+    "synchronous peeling (6 fixed sweeps): repeatedly drop every node "
+    "whose current degree is under 3 — the cascade that a one-shot "
+    "degree threshold gets wrong (deleting a node can drag neighbors "
+    "below k). The cohesion screen for loyal-buyer cores / dense "
+    "subcommunities, completing the graph family beside components, "
+    "PageRank/PPR/HITS, triangles, LPA, BFS and temporal reach. "
+    "Spark plan: ops.graph.kcore — per sweep ONE degree hash-agg + "
+    "TWO left-semi edge filters, localCheckpoint-cut; edge volume "
+    "only shrinks, nothing is collected. All-integer, so the "
+    "chained-CTE oracle value-locks survivor membership (sum(node) "
+    "checksum), per-side counts, and the degree mass; min_core_degree "
+    ">= 3 in the output doubles as the convergence witness.",
+)
+def purchase_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    core = kcore(edges, k=3, rounds=6)
+    return core.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.sum(F.when(F.col("node") <= 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") > 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum("core_degree").cast("bigint").alias("sym_degree_sum"),
+        F.min("core_degree").cast("bigint").alias("min_core_degree"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+    )
+
+
 def _temporal_reach_oracle(iterations: int = 4) -> str:
     """Chained-CTE twin of ops.graph.temporal_reachability on the
     timestamped purchase graph with MACHINERY-segment seeds: one

@@ -927,3 +927,38 @@ def test_cuped_reduces_variance_and_keeps_means_unbiased(spark):
     raw_var = pooled_var("mean_y", "var_y", pooled_raw)
     adj_var = pooled_var("mean_y_adj", "var_y_adj", pooled_adj)
     assert adj_var <= raw_var + 1e-6, (raw_var, adj_var)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.integers(2, 3),
+)
+def test_kcore_matches_model(spark, edge_list, k):
+    """ops.graph.kcore (enough rounds to converge) == pure-Python
+    iterate-to-fixpoint k-core: same survivors, same in-core degrees."""
+    from smartpool_bigdata_spark.ops.graph import kcore as spark_kcore
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["core_degree"]
+        for r in spark_kcore(edges, k=k, rounds=12).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        drop = {u for u in nodes if len(adj[u] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    want = {u: len(adj[u] & nodes) for u in nodes if len(adj[u] & nodes) > 0}
+    assert got == want

@@ -223,6 +223,7 @@ R8_PENDING = frozenset({
     "event_value_bootstrap_ci",
     "event_type_target_encoding",
     "segment_cuped_adjusted_lift",
+    "purchase_graph_kcore",
 })
 
 
@@ -287,4 +288,5 @@ def _r7_new() -> frozenset:
         "event_value_bootstrap_ci",
         "event_type_target_encoding",
         "segment_cuped_adjusted_lift",
+        "purchase_graph_kcore",
     })
