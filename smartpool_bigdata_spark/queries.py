@@ -6040,6 +6040,173 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+def _did_oracle() -> str:
+    from smartpool_bigdata_spark.ops import text as _T
+
+    arm_h = _T.duck_hash64("CAST(user_id AS VARCHAR)")
+    rep_h = _T.duck_hash64("CAST(user_id * 64 + u.b AS VARCHAR)")
+    ds = "CAST(sum(CAST({e} AS DECIMAL(38,10))) AS DOUBLE)"
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, CAST({arm_h} % 2 AS INT) AS arm,
+               {ds.format(e="CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")}
+             - {ds.format(e="CASE WHEN ts < TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")}
+               AS d
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               {ds.format(e="d")} / count(*) AS dbar
+        FROM per_user GROUP BY arm
+    ),
+    reps AS (
+        SELECT p.arm, u.b,
+               {ds.format(e=f"(({rep_h} % 2) * 2 - 1) * d")} AS s,
+               CAST(sum(({rep_h} % 2) * 2 - 1) AS BIGINT) AS tsum
+        FROM per_user p, unnest(range(0, 64)) AS u(b)
+        GROUP BY 1, 2
+    ),
+    arm_means AS (
+        SELECT r.b, r.arm,
+               b2.dbar + (r.s - b2.dbar * r.tsum) / b2.n AS mb
+        FROM reps r JOIN base b2 USING (arm)
+    ),
+    did_reps AS (
+        SELECT b,
+               sum(CASE WHEN arm = 1 THEN mb ELSE 0 END)
+             - sum(CASE WHEN arm = 0 THEN mb ELSE 0 END) AS did_b
+        FROM arm_means GROUP BY b
+    ),
+    ranked AS (
+        SELECT did_b, row_number() OVER (ORDER BY did_b, b) AS rn
+        FROM did_reps
+    ),
+    pt AS (
+        SELECT sum(CASE WHEN arm = 1 THEN dbar ELSE 0 END)
+             - sum(CASE WHEN arm = 0 THEN dbar ELSE 0 END) AS did,
+               sum(CASE WHEN arm = 1 THEN dbar ELSE 0 END) AS treat_diff,
+               sum(CASE WHEN arm = 0 THEN dbar ELSE 0 END) AS control_diff,
+               CAST(sum(n) AS BIGINT) AS n_users
+        FROM base
+    )
+    SELECT pt.n_users,
+           round(pt.treat_diff, 4) AS treat_diff,
+           round(pt.control_diff, 4) AS control_diff,
+           round(pt.did, 4) AS did_estimate,
+           round((SELECT did_b FROM ranked WHERE rn = 2), 4) AS ci_lo,
+           round((SELECT did_b FROM ranked WHERE rn = 63), 4) AS ci_hi
+    FROM pt
+    """
+
+
+@query(
+    "segment_did_bootstrap",
+    oracle=_did_oracle(),
+    description="DIFFERENCE-IN-DIFFERENCES with a multiplier-bootstrap "
+    "CI — the panel causal estimator: per-user post-minus-pre value "
+    "change d_i, DiD = mean(d | treated) - mean(d | control) "
+    "(hash-assigned arms, mid-corpus boundary), so any user-level "
+    "time trend common to both arms cancels. Uncertainty reuses the "
+    "Rademacher multiplier machinery of event_value_bootstrap_ci: 64 "
+    "per-(arm, replica) partial sums S_b, T_b fold each replica's arm "
+    "mean from the SAME single pass, did_b = treated_b - control_b, "
+    "CI = exact order statistics (2/63 of 64, b-tiebroken). One scan "
+    "of events -> per-user sums, one tiny agg per arm, one 64x "
+    "map-side-combined explode over USERS (not events) — the whole "
+    "causal readout is two hash-agg passes over user-cardinality "
+    "data, nothing driver-side but scalars.",
+)
+def segment_did_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+    from pyspark.sql import Window
+
+    arm_h = T.spark_hash64("cast(user_id as string)")
+    rep_h = T.spark_hash64("cast(user_id * 64 + b as string)")
+    cutoff = "TIMESTAMP '2024-01-16'"
+
+    def dsum(e: str):
+        return F.sum(F.expr(f"CAST({e} AS DECIMAL(38,10))")).cast("double")
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr(f"CAST(pmod({arm_h}, 2) AS INT)").alias("arm"),
+        )
+        .agg(
+            (
+                dsum(
+                    f"CASE WHEN ts >= {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+                )
+                - dsum(
+                    f"CASE WHEN ts < {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+                )
+            ).alias("d")
+        )
+    )
+    base = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum("d") / F.count(F.lit(1))).alias("dbar"),
+    )
+    eps = f"(pmod({rep_h}, 2) * 2 - 1)"
+    reps = (
+        per_user.select(
+            "arm", "d", "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .groupBy("arm", "b")
+        .agg(
+            F.sum(F.expr(f"CAST({eps} * d AS DECIMAL(38,10))"))
+            .cast("double")
+            .alias("s"),
+            F.sum(F.expr(eps)).cast("bigint").alias("tsum"),
+        )
+    )
+    arm_means = reps.join(F.broadcast(base), "arm").select(
+        "b",
+        "arm",
+        (
+            F.col("dbar")
+            + (F.col("s") - F.col("dbar") * F.col("tsum")) / F.col("n")
+        ).alias("mb"),
+    )
+    did_reps = arm_means.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("mb")).otherwise(0.0))
+            - F.sum(F.when(F.col("arm") == 0, F.col("mb")).otherwise(0.0))
+        ).alias("did_b")
+    )
+    ranked = did_reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("did_b", "b"))
+    )
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("did_b"))), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("rn") == 63, F.col("did_b"))), 4).alias(
+            "ci_hi"
+        ),
+    )
+    pt = base.agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.when(F.col("arm") == 1, F.col("dbar")).otherwise(0.0)), 4
+        ).alias("treat_diff"),
+        F.round(
+            F.sum(F.when(F.col("arm") == 0, F.col("dbar")).otherwise(0.0)), 4
+        ).alias("control_diff"),
+        F.round(
+            F.sum(F.when(F.col("arm") == 1, F.col("dbar")).otherwise(0.0))
+            - F.sum(F.when(F.col("arm") == 0, F.col("dbar")).otherwise(0.0)),
+            4,
+        ).alias("did_estimate"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_users", "treat_diff", "control_diff", "did_estimate",
+        "ci_lo", "ci_hi",
+    )
+
+
 def _cuped_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 

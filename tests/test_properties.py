@@ -962,3 +962,18 @@ def test_kcore_matches_model(spark, edge_list, k):
         nodes -= drop
     want = {u: len(adj[u] & nodes) for u in nodes if len(adj[u] & nodes) > 0}
     assert got == want
+
+
+def test_did_bootstrap_ci_brackets_estimate(spark):
+    """The DiD bootstrap replicas center on the point estimate, so the
+    CI must bracket it with positive width."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    r = REGISTRY["segment_did_bootstrap"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["ci_lo"] <= r["did_estimate"] <= r["ci_hi"], dict(r.asDict())
+    assert r["ci_hi"] > r["ci_lo"]
+    assert abs(
+        r["did_estimate"] - (r["treat_diff"] - r["control_diff"])
+    ) < 1e-3

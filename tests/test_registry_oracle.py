@@ -224,6 +224,7 @@ R8_PENDING = frozenset({
     "event_type_target_encoding",
     "segment_cuped_adjusted_lift",
     "purchase_graph_kcore",
+    "segment_did_bootstrap",
 })
 
 
@@ -289,4 +290,5 @@ def _r7_new() -> frozenset:
         "event_type_target_encoding",
         "segment_cuped_adjusted_lift",
         "purchase_graph_kcore",
+        "segment_did_bootstrap",
     })
