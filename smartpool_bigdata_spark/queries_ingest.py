@@ -1186,3 +1186,78 @@ def scale_conf_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    WITH top_days AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(count(*) AS BIGINT) AS day_events
+        FROM events GROUP BY 1
+        ORDER BY day_events DESC, event_date ASC LIMIT 5
+    )
+    SELECT e.event_date, t.day_events,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value,
+           TRUE AS dpp_applied
+    FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+    JOIN top_days t USING (event_date)
+    GROUP BY 1, 2
+    """,
+    description="DYNAMIC PARTITION PRUNING end-to-end — the runtime "
+    "scale feature that makes star joins viable on partitioned 100 TB "
+    "facts: events are written partitioned by event_date, then joined "
+    "to a 5-row derived dim (top-5 busiest days); Catalyst injects a "
+    "DynamicPruningExpression into the fact scan's PartitionFilters, "
+    "so only the 5 matching date partitions are READ — without DPP "
+    "the scan reads all ~30 partitions and discards rows after the "
+    "join. The dpp_applied column is folded from the EXECUTED plan "
+    "(PartitionFilters must carry dynamicpruning on the partitioned "
+    "scan), so a Spark-conf or planner regression that silently "
+    "disables DPP flips the value hash, exactly like the bootstrap "
+    "gate's partition_col contract. Ranking of days is (count DESC, "
+    "date ASC) — fully tie-deterministic.",
+    skip_bench=True,  # staging write dominates the timing
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("event_date"), "value"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_dpp_")
+    try:
+        path = os.path.join(stage, "events_by_day")
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        fact = spark.read.parquet(path)
+        top_days = (
+            fact.groupBy("event_date")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("day_events"))
+            .orderBy(F.col("day_events").desc(), F.col("event_date").asc())
+            .limit(5)
+            .localCheckpoint(eager=True)  # freeze the dim: its derivation
+            # must not re-run inside the pruning subquery
+            # the no-op filter below is LOAD-BEARING: Catalyst's
+            # PartitionPruning rule only injects a pruning subquery when
+            # the build side has a likely-selective predicate (a LIMIT/agg
+            # alone does not qualify) — verified by the plan probe
+            .filter(F.col("day_events") > 0)
+        )
+        joined = fact.join(F.broadcast(top_days), "event_date").groupBy(
+            "event_date", "day_events"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruning" in plan.lower()
+        out = joined.withColumn("dpp_applied", F.lit(bool(dpp)))
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+__reorder()

@@ -225,6 +225,7 @@ R8_PENDING = frozenset({
     "segment_cuped_adjusted_lift",
     "purchase_graph_kcore",
     "segment_did_bootstrap",
+    "dpp_partition_pruned_join",
 })
 
 
@@ -291,4 +292,5 @@ def _r7_new() -> frozenset:
         "segment_cuped_adjusted_lift",
         "purchase_graph_kcore",
         "segment_did_bootstrap",
+        "dpp_partition_pruned_join",
     })
