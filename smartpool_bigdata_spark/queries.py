@@ -6431,7 +6431,8 @@ def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_ci_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 
-    h = _T.duck_hash64("CAST(e.event_id * 64 + u.b AS VARCHAR)")
+    h = _T.duck_hash64("CAST(e.event_id AS VARCHAR)")
+    eps = f"(CAST(({h} >> u.b) & 1 AS INT) * 2 - 1)"
     return f"""
     WITH ev AS (
         SELECT event_id, event_type, value FROM events
@@ -6445,10 +6446,10 @@ def _bootstrap_ci_oracle() -> str:
     ),
     reps AS (
         SELECT e.event_type, u.b,
-               CAST(sum(CAST((({h} % 2) * 2 - 1) * value
+               CAST(sum(CAST({eps} * value
                     AS DECIMAL(38,10))) AS DOUBLE) AS s,
-               CAST(sum(({h} % 2) * 2 - 1) AS BIGINT) AS tsum
-        FROM ev e, unnest(range(0, 64)) AS u(b)
+               CAST(sum({eps}) AS BIGINT) AS tsum
+        FROM ev e, unnest(range(0, 60)) AS u(b)
         GROUP BY 1, 2
     ),
     means AS (
@@ -6465,7 +6466,7 @@ def _bootstrap_ci_oracle() -> str:
     SELECT event_type, max(n) AS n_events,
            round(max(xbar), 4) AS mean_value,
            round(max(CASE WHEN rn = 2 THEN mb END), 4) AS ci_lo,
-           round(max(CASE WHEN rn = 63 THEN mb END), 4) AS ci_hi
+           round(max(CASE WHEN rn = 59 THEN mb END), 4) AS ci_hi
     FROM ranked GROUP BY event_type
     """
 
@@ -6475,18 +6476,21 @@ def _bootstrap_ci_oracle() -> str:
     oracle=_bootstrap_ci_oracle(),
     description="Distributed UNCERTAINTY QUANTIFICATION: a 95% "
     "confidence interval for the mean event value per type via the "
-    "Rademacher MULTIPLIER BOOTSTRAP (wild bootstrap) — 64 replicas "
+    "Rademacher MULTIPLIER BOOTSTRAP (wild bootstrap) — 60 replicas "
     "where replica b's mean is xbar + n^-1 * sum(eps_ib (x_i - xbar)) "
-    "with eps = +/-1 drawn from a deterministic per-(row, replica) "
-    "hash bit, folded to one pass via S_b = sum(eps x), T_b = "
-    "sum(eps): mean_b = xbar + (S_b - xbar T_b)/n. CI bounds are "
-    "EXACT order statistics (2nd and 63rd of 64 replica means, "
-    "b-tiebroken), so the whole thing is hash-deterministic, sqrt/"
-    "exp-free, and value-locked cross-engine. Scale: one 64x explode "
-    "absorbed by map-side combine into (types x 64) partial sums — "
-    "the resample never materializes, no per-row Python, no second "
-    "pass over the data (the classic resample-by-copying bootstrap "
-    "is impossible at 100 TB; the multiplier form is the published "
+    "with eps_ib = +/-1 from BIT b of ONE md5 per row (md5 bits are "
+    "independent, so one hash funds all 60 replicas — the 10x probe "
+    "caught the per-(row, replica) md5 variant at 5.8x growth; "
+    "bit-slicing brings the explode back to pure codegen shift/mask), "
+    "folded to one pass via S_b = sum(eps x), T_b = sum(eps): mean_b "
+    "= xbar + (S_b - xbar T_b)/n. CI bounds are EXACT order "
+    "statistics (2nd and 59th of 60 replica means, b-tiebroken), so "
+    "the whole thing is hash-deterministic, sqrt/exp-free, and "
+    "value-locked cross-engine. Scale: one 60x explode absorbed by "
+    "map-side combine into (types x 60) partial sums — the resample "
+    "never materializes, no per-row Python, ONE md5 + one pass over "
+    "the data (the classic resample-by-copying bootstrap is "
+    "impossible at 100 TB; the multiplier form is the published "
     "scale-out answer).",
 )
 def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6505,14 +6509,15 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("xbar"),
     )
-    h = T.spark_hash64("cast(event_id * 64 + b as string)")
-    eps = f"(pmod({h}, 2) * 2 - 1)"
+    h = T.spark_hash64("cast(event_id as string)")
+    eps = "(CAST((__h >> b) & 1 AS INT) * 2 - 1)"
     reps = (
-        ev.select(
+        ev.withColumn("__h", F.expr(h))  # ONE md5 per row, 60 bits used
+        .select(
             "event_type",
             "value",
-            "event_id",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+            "__h",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
         )
         .groupBy("event_type", "b")
         .agg(
@@ -6540,7 +6545,7 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn") == 2, F.col("mb"))), 4).alias(
             "ci_lo"
         ),
-        F.round(F.max(F.when(F.col("rn") == 63, F.col("mb"))), 4).alias(
+        F.round(F.max(F.when(F.col("rn") == 59, F.col("mb"))), 4).alias(
             "ci_hi"
         ),
     )
