@@ -6040,6 +6040,147 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+def _uplift_decile_oracle() -> str:
+    from smartpool_bigdata_spark.ops import text as _T
+
+    h = _T.duck_hash64("CAST(user_id AS VARCHAR)")
+    ds = "CAST(sum(CAST({e} AS DECIMAL(38,10))) AS DOUBLE)"
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, CAST({h} % 2 AS INT) AS arm,
+               {ds.format(e="CASE WHEN ts < TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")} AS score,
+               {ds.format(e="CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN coalesce(value, 0) ELSE 0 END")} AS y
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user),
+    ranked AS (
+        SELECT p.*, row_number() OVER (ORDER BY score DESC, user_id) AS rk,
+               n.n_users
+        FROM per_user p, n
+    ),
+    dec AS (
+        SELECT CAST(floor((rk - 1) * 10 / n_users) AS INT) AS decile,
+               arm, y
+        FROM ranked
+    ),
+    cell AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treated,
+               CASE WHEN sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+                    THEN {ds.format(e="CASE WHEN arm = 1 THEN y ELSE 0 END")}
+                         / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) END
+                   AS mt,
+               CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+                    THEN {ds.format(e="CASE WHEN arm = 0 THEN y ELSE 0 END")}
+                         / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) END
+                   AS mc
+        FROM dec GROUP BY decile
+    )
+    SELECT decile, n_users, n_treated,
+           round(mt, 4) AS mean_treated,
+           round(mc, 4) AS mean_control,
+           round(mt - mc, 4) AS uplift,
+           round(sum(coalesce(mt - mc, 0))
+                 OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_uplift
+    FROM cell
+    """
+
+
+@query(
+    "uplift_decile_curve",
+    oracle=_uplift_decile_oracle(),
+    description="UPLIFT DECILE (Qini-style targeting) curve — the "
+    "readout that turns an experiment into a targeting policy: users "
+    "ranked by a pre-period activity score, cut into deciles by the "
+    "DISTRIBUTED rank (prefix-sum ranking, the Gini machinery — never "
+    "a single-reducer global ntile), then per decile the "
+    "treated-minus-control post-period mean = the incremental value "
+    "of treating that decile, plus the cumulative curve whose shape "
+    "says 'treat only the top-k deciles'. Empty arms in a decile are "
+    "CASE-guarded to NULL and contribute 0 to the cumulative sum in "
+    "both dialects. One scan to per-user sums; everything after is "
+    "user-cardinality; the final cumulative window runs over 10 rows.",
+)
+def uplift_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+    from pyspark.sql import Window
+
+    h = T.spark_hash64("cast(user_id as string)")
+    cutoff = "TIMESTAMP '2024-01-16'"
+
+    def dsum(e: str):
+        return F.sum(F.expr(f"CAST({e} AS DECIMAL(38,10))")).cast("double")
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.expr(f"CAST(pmod({h}, 2) AS INT)").alias("arm")
+        )
+        .agg(
+            dsum(
+                f"CASE WHEN ts < {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+            ).alias("score"),
+            dsum(
+                f"CASE WHEN ts >= {cutoff} THEN coalesce(value, 0) ELSE 0 END"
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the rank AND the count
+    )
+    n_users = per_user.count()  # driver scalar, like a watermark
+    # distributed rank: prefix-sum of 1 over (score DESC, user_id) — the
+    # order columns must be numeric-first for the range partitioner, so
+    # rank on negated score
+    ranked = global_running_sum(
+        per_user.withColumn("neg_score", -F.col("score")).withColumn(
+            "one", F.lit(1)
+        ),
+        order_by=["neg_score", "user_id"],
+        value_col="one",
+        out_col="rk",
+    )
+    dec = ranked.select(
+        F.floor((F.col("rk") - 1) * 10 / F.lit(n_users))
+        .cast("int")
+        .alias("decile"),
+        "arm",
+        "y",
+    )
+    n_t = F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+    n_c = F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+    cell = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        n_t.cast("bigint").alias("n_treated"),
+        F.when(
+            n_t > 0,
+            dsum("CASE WHEN arm = 1 THEN y ELSE 0 END") / n_t,
+        ).alias("mt"),
+        F.when(
+            n_c > 0,
+            dsum("CASE WHEN arm = 0 THEN y ELSE 0 END") / n_c,
+        ).alias("mc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.select(
+        "decile",
+        "n_users",
+        "n_treated",
+        F.round("mt", 4).alias("mean_treated"),
+        F.round("mc", 4).alias("mean_control"),
+        F.round(F.col("mt") - F.col("mc"), 4).alias("uplift"),
+        F.round(
+            F.sum(F.coalesce(F.col("mt") - F.col("mc"), F.lit(0.0))).over(w),
+            4,
+        ).alias("cum_uplift"),
+    )
+
+
 def _did_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 

@@ -226,6 +226,7 @@ R8_PENDING = frozenset({
     "purchase_graph_kcore",
     "segment_did_bootstrap",
     "dpp_partition_pruned_join",
+    "uplift_decile_curve",
 })
 
 
@@ -293,4 +294,5 @@ def _r7_new() -> frozenset:
         "purchase_graph_kcore",
         "segment_did_bootstrap",
         "dpp_partition_pruned_join",
+        "uplift_decile_curve",
     })
