@@ -5633,3 +5633,77 @@ def classifier_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+def _cluster_cohesion_oracle() -> str:
+    return f"""{_dup_clusters_cte_prefix()},
+    csz AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY 1
+    ),
+    esz AS (
+        SELECT comp.component, CAST(count(*) AS BIGINT) AS n_edges
+        FROM pairs JOIN comp ON comp.node = pairs.doc_a GROUP BY 1
+    )
+    SELECT c.component, c.n_docs, e.n_edges,
+           CAST(c.n_docs * (c.n_docs - 1) // 2 - e.n_edges AS BIGINT)
+               AS missing_pairs,
+           round(CAST(2 * e.n_edges AS DOUBLE)
+                 / (c.n_docs * (c.n_docs - 1)), 4) AS density,
+           4 * e.n_edges >= c.n_docs * (c.n_docs - 1) AS cohesive
+    FROM csz c JOIN esz e USING (component)
+    """
+
+
+@query(
+    "dup_cluster_cohesion_audit",
+    oracle=_cluster_cohesion_oracle(),
+    description="CHAINING-RISK audit of the near-dup clusters — the "
+    "known failure mode of transitive-closure dedup: A~B and B~C chain "
+    "A and C into one cluster even when A and C are nothing alike, so "
+    "keep-one-per-cluster silently drops non-duplicates. Per cluster: "
+    "size, verified-pair edge count, MISSING pair count and edge "
+    "density (1.0 = clique = safe; low density on a big cluster = a "
+    "chain, review before deleting); the `cohesive` flag (density >= "
+    "1/2) is computed INTEGER-EXACTLY (4e >= n(n-1)) so the verdict "
+    "can't flip on a float boundary. Costs one extra hash-agg over "
+    "the pair table + a join of two cluster-sized frames on top of "
+    "the clustering the pipeline already ran. The audit every "
+    "production dedup (Gopher, RefinedWeb ablations) runs before "
+    "committing to cluster-level deletion.",
+    skip_bench=True,  # the pair stage is benched as doc_near_dup_pairs
+)
+def dup_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus_spark(docs)
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.5
+    ).localCheckpoint(eager=True)  # consumed by CC and the edge counts
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    csz = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    esz = (
+        pairs.join(cc, pairs["doc_a"] == cc["node"])
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    out = csz.join(esz, "component")
+    poss = F.col("n_docs") * (F.col("n_docs") - 1)
+    return out.select(
+        "component",
+        "n_docs",
+        "n_edges",
+        F.expr("n_docs * (n_docs - 1) div 2 - n_edges")
+        .cast("bigint")
+        .alias("missing_pairs"),
+        F.round((2 * F.col("n_edges")).cast("double") / poss, 4).alias(
+            "density"
+        ),
+        (4 * F.col("n_edges") >= poss).alias("cohesive"),
+    )
+
+
+__reorder()

@@ -227,6 +227,7 @@ R8_PENDING = frozenset({
     "segment_did_bootstrap",
     "dpp_partition_pruned_join",
     "uplift_decile_curve",
+    "dup_cluster_cohesion_audit",
 })
 
 
@@ -295,4 +296,5 @@ def _r7_new() -> frozenset:
         "segment_did_bootstrap",
         "dpp_partition_pruned_join",
         "uplift_decile_curve",
+        "dup_cluster_cohesion_audit",
     })
