@@ -891,6 +891,128 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_nearest",
+    oracle="""
+    WITH updates AS (
+        SELECT event_type, ts,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(value), 4) AS ref_value
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY event_type, ts
+    ),
+    b AS (
+        SELECT e.event_id, e.event_type, e.ts,
+               u.ts AS bts, u.ref_value AS bval
+        FROM events e
+        ASOF LEFT JOIN updates u
+          ON e.event_type = u.event_type AND u.ts <= e.ts
+    ),
+    f AS (
+        SELECT e.event_id, u.ts AS fts, u.ref_value AS fval
+        FROM events e
+        ASOF LEFT JOIN updates u
+          ON e.event_type = u.event_type AND u.ts >= e.ts
+    ),
+    chosen AS (
+        SELECT b.event_type,
+               CASE WHEN b.bts IS NULL THEN f.fval
+                    WHEN f.fts IS NULL THEN b.bval
+                    WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                         <= epoch_us(f.fts) - epoch_us(b.ts)
+                    THEN b.bval ELSE f.fval END AS val,
+               CASE WHEN b.bts IS NULL THEN 'fwd'
+                    WHEN f.fts IS NULL THEN 'back'
+                    WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                         <= epoch_us(f.fts) - epoch_us(b.ts)
+                    THEN 'back' ELSE 'fwd' END AS side
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN side = 'back' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_back,
+           CAST(sum(CASE WHEN side = 'fwd' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fwd,
+           round(CAST(sum(CAST(val AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_ref_value
+    FROM chosen GROUP BY event_type
+    """,
+    description="NEAREST-neighbor-in-time as-of join — the "
+    "bidirectional completion of the as-of family (QuestDB/kdb's "
+    "nearest form): each event takes whichever reference update is "
+    "temporally CLOSEST, before or after, ties to the backward match. "
+    "Composed from TWO passes of ops.relational.asof_join — backward "
+    "as-is, forward by running the same union-tag + last_value window "
+    "on NEGATED epoch-microseconds (time reversal turns 'following' "
+    "into 'preceding', reusing one battle-tested kernel instead of a "
+    "mirrored second implementation) — then an integer-microsecond "
+    "distance compare picks the winner, so the choice can never flip "
+    "on float rounding. Two key-shuffles total, O(L+R) each, no range "
+    "explosion. Oracle: DuckDB's native ASOF in both directions with "
+    "the same integer tie rule.",
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    updates = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", "ts")
+        .agg(stable_avg("value", 4).alias("ref_value"))
+    )
+    upd_b = updates.withColumn("bts", F.col("ts")).withColumnRenamed(
+        "ref_value", "bval"
+    )
+    back = asof_join(
+        ev, upd_b, keys=["event_type"], left_ts="ts", right_ts="ts",
+        value_cols=["bval", "bts"],
+    )
+    ev_neg = back.withColumn(
+        "negts", -F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    upd_f = (
+        updates.withColumn("fts", F.col("ts"))
+        .withColumnRenamed("ref_value", "fval")
+        .withColumn("negts", -F.unix_micros(F.col("ts").cast("timestamp")))
+        .drop("ts")
+    )
+    both = asof_join(
+        ev_neg, upd_f, keys=["event_type"], left_ts="negts",
+        right_ts="negts", value_cols=["fval", "fts"],
+    )
+    bd = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("bts").cast("timestamp")
+    )
+    fd = F.unix_micros(F.col("fts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    take_back = F.when(F.col("bts").isNull(), F.lit(False)).otherwise(
+        F.col("fts").isNull() | (bd <= fd)
+    )
+    chosen = both.select(
+        "event_type",
+        F.when(take_back, F.col("bval")).otherwise(F.col("fval")).alias(
+            "val"
+        ),
+        F.when(take_back, F.lit("back")).otherwise(F.lit("fwd")).alias(
+            "side"
+        ),
+    )
+    return chosen.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("side") == "back", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_back"),
+        F.sum(F.when(F.col("side") == "fwd", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fwd"),
+        stable_sum("val", 2).alias("total_ref_value"),
+    )
+
+
+@query(
     "regional_supplier_revenue",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,

@@ -228,6 +228,7 @@ R8_PENDING = frozenset({
     "dpp_partition_pruned_join",
     "uplift_decile_curve",
     "dup_cluster_cohesion_audit",
+    "events_asof_nearest",
 })
 
 
@@ -297,4 +298,5 @@ def _r7_new() -> frozenset:
         "dpp_partition_pruned_join",
         "uplift_decile_curve",
         "dup_cluster_cohesion_audit",
+        "events_asof_nearest",
     })
