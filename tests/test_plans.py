@@ -375,6 +375,34 @@ def test_r6_additions_plan_posture(plans):
         # forecast backtest: O(types x days) after the daily pre-agg;
         # lag joins broadcast
         "daily_forecast_backtest",
+        # bucketized range join: the point-interval join is a HASH join
+        # on the bucket key with the range predicate residual — losing
+        # the bucketization reverts to BroadcastNestedLoop and fails here
+        "events_in_incident_windows",
+        # BFS: loop plans cut by localCheckpoint; lock catches a
+        # cartesian/SMJ in the final histogram tail
+        "segment_reach_bfs",
+        # HITS: same posture as the other checkpointed iterators
+        "purchase_graph_hits",
+        # skyline: distinct-x agg + window + ONE equi-join back — the
+        # quadratic NOT-EXISTS rewrite would surface as a nested loop
+        "segment_pareto_customers",
+        # calibration: scan + doc_id agg + 10-key agg, join-free
+        "classifier_calibration_eval",
+        # temporal reach + k-core: checkpointed loops, locked tails
+        "temporal_purchase_reach",
+        "purchase_graph_kcore",
+        # sweep-line concurrency: prefix-sum joins broadcast-only
+        "incident_concurrency_profile",
+        # bootstrap CI / target encoding / CUPED / DiD / uplift: tiny
+        # moment frames must stay broadcast over the per-key aggregates
+        "event_value_bootstrap_ci",
+        "event_type_target_encoding",
+        "segment_cuped_adjusted_lift",
+        "segment_did_bootstrap",
+        "uplift_decile_curve",
+        # nearest as-of: two union-tag window passes, join-free
+        "events_asof_nearest",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
