@@ -660,3 +660,135 @@ def pca_project(
             f"(w, x) -> w * cast(x as double)), 0D, (acc, v) -> acc + v))"
         ),
     )
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Exact 2-D DBSCAN via GRID-CELL candidate generation — the
+    density-based clustering that k-means-family methods can't express
+    (arbitrary-shape clusters, explicit noise). Returns one row per
+    point: (id, role in {'core','border','noise'}, component — the min
+    core id of its cluster, -1 for noise).
+
+    Semantics (all deterministic, hence SQL-oracle-lockable):
+    * |N_eps(p)| counts p itself (the standard definition);
+      core <=> |N_eps| >= min_pts.
+    * clusters = connected components of the core-core eps-graph; a
+      core with no core neighbor is its own singleton cluster.
+    * border = non-core within eps of >= 1 core, assigned to the MIN
+      component among its core neighbors (classic DBSCAN leaves border
+      assignment scan-order-dependent; min makes it a pure function).
+
+    Scale: the O(n²) neighbor search becomes an EQUI-join on grid
+    cells of side eps — each point probes its 9-cell neighborhood
+    (explode on the probe side only, so each ordered pair appears
+    exactly once) with the exact distance as a residual, the same
+    bucketize-then-residual rewrite as interval_point_join. Cost is
+    pairs-within-3x3-cells, i.e. data-density-bounded, never n²;
+    counts and roles are hash aggregates; clustering reuses
+    connected_components. For skewed density, shrink eps or pre-cap
+    cells like the SemDeDup hot-cluster guard.
+    """
+    from smartpool_bigdata_spark.ops.graph import connected_components
+
+    eps2 = eps * eps
+    pts = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+    ).localCheckpoint(eager=True)  # consumed by probe, build, and roles
+    cx = F.floor(F.col("x") / F.lit(eps))
+    cy = F.floor(F.col("y") / F.lit(eps))
+    probe = pts.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(-1, 2)])
+        ).alias("dx"),
+        cx.alias("cx0"), cy.alias("cy0"),
+    ).select(
+        "id", "x", "y",
+        (F.col("cx0") + F.col("dx")).alias("gx"),
+        F.explode(F.array(*[F.lit(d) for d in range(-1, 2)])).alias("dy"),
+        F.col("cy0").alias("cy0"),
+    ).select(
+        "id", "x", "y", "gx", (F.col("cy0") + F.col("dy")).alias("gy")
+    )
+    build = pts.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    # plain multiplies, NOT pow(): libm pow differs across engines in
+    # the last ulp; (a-b)*(a-b) is the same IEEE op in both
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    prs = (
+        probe.join(build.hint("shuffle_hash"), ["gx", "gy"])
+        .where((F.col("id") != F.col("ib")) & (d2 <= F.lit(eps2)))
+        .select(F.col("id").alias("ia"), "ib")
+        .localCheckpoint(eager=True)  # feeds counts, edges, and borders
+    )
+    cnt = prs.groupBy(F.col("ia").alias("id")).agg(
+        (F.count(F.lit(1)) + 1).alias("n")
+    )
+    roles = pts.join(cnt.hint("shuffle_hash"), "id", "left").select(
+        "id", (F.coalesce("n", F.lit(1)) >= min_pts).alias("is_core")
+    ).localCheckpoint(eager=True)
+    core_ids = roles.filter("is_core").select("id")
+    cedges = (
+        prs.join(
+            core_ids.hint("shuffle_hash"), prs["ia"] == core_ids["id"],
+            "left_semi",
+        )
+        .join(
+            core_ids.hint("shuffle_hash"), prs["ib"] == core_ids["id"],
+            "left_semi",
+        )
+        .filter(F.col("ia") < F.col("ib"))
+    )
+    cc = connected_components(cedges, src="ia", dst="ib")
+    core_comp = core_ids.join(
+        cc.hint("shuffle_hash"), core_ids["id"] == cc["node"], "left"
+    ).select("id", F.coalesce("component", "id").alias("component"))
+    border = (
+        prs.join(
+            roles.filter(~F.col("is_core")).select("id").hint("shuffle_hash"),
+            prs["ia"] == F.col("id"),
+            "left_semi",
+        )
+        .join(
+            core_comp.select(
+                F.col("id").alias("ib"), F.col("component").alias("bc")
+            ).hint("shuffle_hash"),
+            "ib",
+        )
+        .groupBy("ia")
+        .agg(F.min("bc").alias("component"))
+        .select(F.col("ia").alias("id"), "component")
+    )
+    out_core = core_comp.select(
+        "id", F.lit("core").alias("role"), "component"
+    )
+    out_border = border.select(
+        "id", F.lit("border").alias("role"), "component"
+    )
+    assigned = out_core.unionByName(out_border)
+    out_noise = (
+        pts.select("id")
+        .join(assigned.select("id").hint("shuffle_hash"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("long").alias("component"),
+        )
+    )
+    return assigned.unionByName(out_noise)

@@ -2298,3 +2298,95 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from smartpool_bigdata_spark.queries import _apply_gate_priority as __reorder  # noqa: E402
 
 __reorder()
+
+
+@query(
+    "embedding_dbscan_2d",
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT vec_id AS id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    prs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pts a JOIN pts b
+          ON a.id != b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 0.03 * 0.03
+    ),
+    cnt AS (SELECT ia AS id, count(*) + 1 AS n FROM prs GROUP BY 1),
+    roles AS (
+        SELECT p.id, coalesce(c.n, 1) >= 8 AS is_core
+        FROM pts p LEFT JOIN cnt c ON c.id = p.id
+    ),
+    cedges AS (
+        SELECT ia AS a, ib AS b FROM prs
+        WHERE ia IN (SELECT id FROM roles WHERE is_core)
+          AND ib IN (SELECT id FROM roles WHERE is_core)
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM cedges
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN cedges e
+          ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    core_comp AS (
+        SELECT ro.id, coalesce(comp.component, ro.id) AS component
+        FROM roles ro LEFT JOIN comp ON comp.node = ro.id
+        WHERE ro.is_core
+    ),
+    border AS (
+        SELECT p.ia AS id, min(cc.component) AS component
+        FROM prs p
+        JOIN roles ro ON ro.id = p.ia AND NOT ro.is_core
+        JOIN core_comp cc ON cc.id = p.ib
+        GROUP BY p.ia
+    ),
+    assigned AS (
+        SELECT id, 'core' AS role, component FROM core_comp
+        UNION ALL
+        SELECT id, 'border' AS role, component FROM border
+    )
+    SELECT CAST(id AS BIGINT) AS id, role,
+           CAST(component AS BIGINT) AS component
+    FROM assigned
+    UNION ALL
+    SELECT CAST(p.id AS BIGINT) AS id, 'noise' AS role,
+           CAST(-1 AS BIGINT) AS component
+    FROM pts p WHERE p.id NOT IN (SELECT id FROM assigned)
+    """,
+    description="Exact 2-D DBSCAN (eps=0.03, minPts=8) over the first "
+    "two embedding dimensions — DENSITY-based clustering with explicit "
+    "noise, the family k-means/IVF can't express (arbitrary-shape "
+    "clusters; outliers stay unassigned instead of polluting a "
+    "centroid). Spark plan: ops.vectors.dbscan_2d — the O(n²) "
+    "neighbor search becomes a grid-cell equi-join (side-eps cells, "
+    "9-cell probe explode, exact squared distance as the residual — "
+    "the same bucketize-then-residual rewrite as the range join; "
+    "plain multiplies, never pow(), so the predicate is bit-identical "
+    "cross-engine), then counts/roles are hash aggregates and "
+    "clusters reuse connected_components with min-id borders. The "
+    "oracle replays the FULL per-point assignment (role + component "
+    "for every vector) via the naive quadratic join + recursive-CTE "
+    "closure.",
+)
+def embedding_dbscan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.vectors import dbscan_2d
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    out = dbscan_2d(emb, id_col="vec_id", x="x", y="y", eps=0.03, min_pts=8)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        "role",
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+__reorder()

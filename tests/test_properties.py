@@ -977,3 +977,65 @@ def test_did_bootstrap_ci_brackets_estimate(spark):
     assert abs(
         r["did_estimate"] - (r["treat_diff"] - r["control_diff"])
     ) < 1e-3
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=3,
+        max_size=35,
+        unique=True,
+    ),
+    st.integers(2, 4),
+)
+def test_dbscan_2d_matches_model(spark, coords, min_pts):
+    """ops.vectors.dbscan_2d == a pure-Python exact DBSCAN with the same
+    deterministic conventions (self-inclusive counts, min-id components,
+    min-component borders), on random integer grids where points land
+    exactly on cell boundaries — the worst case for the grid join."""
+    from smartpool_bigdata_spark.ops.vectors import dbscan_2d
+
+    eps = 5.0
+    rows = [(i, float(cx), float(cy)) for i, (cx, cy) in enumerate(coords)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {
+        r["id"]: (r["role"], r["component"])
+        for r in dbscan_2d(
+            df, id_col="id", x="x", y="y", eps=eps, min_pts=min_pts
+        ).collect()
+    }
+
+    def near(a, b):
+        return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps * eps
+
+    nbrs = {
+        i: {j for j, *_ in rows if j != i and near(rows[i], rows[j])}
+        for i, *_ in rows
+    }
+    cores = {i for i in nbrs if len(nbrs[i]) + 1 >= min_pts}
+    # components over the core-core graph (min-id labels)
+    comp = {}
+    for c in sorted(cores):
+        if c in comp:
+            continue
+        stack, members = [c], []
+        seen = {c}
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in nbrs[u] & cores:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        root = min(members)
+        for u in members:
+            comp[u] = root
+    want = {}
+    for i in nbrs:
+        if i in cores:
+            want[i] = ("core", comp[i])
+        else:
+            cn = {comp[v] for v in nbrs[i] & cores}
+            want[i] = ("border", min(cn)) if cn else ("noise", -1)
+    assert got == want

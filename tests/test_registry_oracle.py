@@ -229,6 +229,7 @@ R8_PENDING = frozenset({
     "uplift_decile_curve",
     "dup_cluster_cohesion_audit",
     "events_asof_nearest",
+    "embedding_dbscan_2d",
 })
 
 
@@ -299,4 +300,5 @@ def _r7_new() -> frozenset:
         "uplift_decile_curve",
         "dup_cluster_cohesion_audit",
         "events_asof_nearest",
+        "embedding_dbscan_2d",
     })
