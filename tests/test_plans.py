@@ -403,6 +403,10 @@ def test_r6_additions_plan_posture(plans):
         "uplift_decile_curve",
         # nearest as-of: two union-tag window passes, join-free
         "events_asof_nearest",
+        # DBSCAN: grid-join internals are checkpoint-cut but hinted
+        # shuffle-hash (plan_audit sweeps the full build: 0 SMJ); the
+        # lock covers the role/union tail
+        "embedding_dbscan_2d",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
