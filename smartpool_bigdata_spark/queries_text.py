@@ -5707,3 +5707,142 @@ def dup_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+def _lsh_scurve_oracle() -> str:
+    toks = T.duck_tokens("text")
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    band_eq = " OR ".join(
+        f"a.sig[{b * T.ROWS_PER_BAND + 1}:{(b + 1) * T.ROWS_PER_BAND}]"
+        f" = b.sig[{b * T.ROWS_PER_BAND + 1}:{(b + 1) * T.ROWS_PER_BAND}]"
+        for b in range(T.BANDS)
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({toks}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_distinct({T.duck_shingle_hashes('th', 3)}) AS sh,
+               {T.duck_minhash_sig(
+                   f"list_distinct({T.duck_shingle_hashes('th', 3)})"
+               )} AS sig
+        FROM th
+    ),
+    prs AS (
+        SELECT {jac} AS s,
+               CASE WHEN {band_eq} THEN 1 ELSE 0 END AS caught
+        FROM sigs a JOIN sigs b
+          ON a.doc_id % 19 = 0 AND b.doc_id % 7 = 0
+         AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    scored AS (
+        SELECT CAST(least(floor(s * 10), 9) AS INT) AS sim_bin, caught,
+               1 - (((1 - (s * s) * (s * s)) * (1 - (s * s) * (s * s)))
+                    * ((1 - (s * s) * (s * s)) * (1 - (s * s) * (s * s))))
+                 * (((1 - (s * s) * (s * s)) * (1 - (s * s) * (s * s)))
+                    * ((1 - (s * s) * (s * s)) * (1 - (s * s) * (s * s))))
+                   AS p_theory
+        FROM prs
+    )
+    SELECT sim_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           round(CAST(sum(CAST(caught AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS measured_rate,
+           round(CAST(sum(CAST(p_theory AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 4) AS theoretical_rate
+    FROM scored GROUP BY sim_bin
+    """
+
+
+@query(
+    "lsh_scurve_eval",
+    oracle=_lsh_scurve_oracle(),
+    description="S-CURVE evaluation of the MinHash-LSH banding (b=8, "
+    "r=4) — the tuning audit behind every near-dup threshold choice: "
+    "on a deterministic two-sided sample of document pairs, per exact-"
+    "Jaccard decile, the MEASURED band-collision rate vs the "
+    "THEORETICAL 1-(1-s^4)^8 (expanded as pure repeated multiplication "
+    "— no pow(), so both engines agree bit-for-bit). A drift between "
+    "the columns means the permutation family is biased or a band "
+    "refactor broke the geometry; the curve's shoulder placement is "
+    "how you pick (b, r) for a target threshold. The all-pairs tier "
+    "is EVAL-ONLY on ~0.8%% of the pair space (hash-sampled both "
+    "sides); production candidate generation stays the banded "
+    "one-shuffle path this query audits.",
+    skip_bench=True,  # deliberate sampled all-pairs eval tier
+)
+def lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    sh_expr = (
+        f"array_distinct({T.spark_shingle_hashes('th', 3)})"
+    )
+    sigs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    ).select(
+        "doc_id",
+        F.expr(sh_expr).alias("sh"),
+        F.expr(T.spark_minhash_sig(sh_expr)).alias("sig"),
+    )
+    a = sigs.filter(F.col("doc_id") % 19 == 0).select(
+        F.col("doc_id").alias("ida"), F.col("sh").alias("sha"),
+        F.col("sig").alias("siga"),
+    )
+    b = sigs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("idb"), F.col("sh").alias("shb"),
+        F.col("sig").alias("sigb"),
+    )
+    band_eq = " OR ".join(
+        f"slice(siga, {bi * T.ROWS_PER_BAND + 1}, {T.ROWS_PER_BAND})"
+        f" = slice(sigb, {bi * T.ROWS_PER_BAND + 1}, {T.ROWS_PER_BAND})"
+        for bi in range(T.BANDS)
+    )
+    inter = "size(array_intersect(sha, shb))"
+    prs = (
+        F.broadcast(a)
+        .crossJoin(b)  # eval-only: both sides are ~1/19 and ~1/7 samples
+        .where((F.col("ida") < F.col("idb")) & F.expr(f"{inter} > 0"))
+        .select(
+            F.expr(
+                f"CAST({inter} AS DOUBLE)"
+                f" / (size(sha) + size(shb) - {inter})"
+            ).alias("s"),
+            F.expr(f"CASE WHEN {band_eq} THEN 1 ELSE 0 END").alias(
+                "caught"
+            ),
+        )
+    )
+    s4 = "(s * s) * (s * s)"
+    t4 = f"((1 - {s4}) * (1 - {s4})) * ((1 - {s4}) * (1 - {s4}))"
+    scored = prs.select(
+        F.expr("CAST(least(floor(s * 10), 9) AS INT)").alias("sim_bin"),
+        "caught",
+        F.expr(f"1 - ({t4}) * ({t4})").alias("p_theory"),
+    )
+    return scored.groupBy("sim_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("caught").cast("bigint").alias("n_caught"),
+        F.round(
+            F.sum(F.col("caught").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("measured_rate"),
+        F.round(
+            F.sum(F.col("p_theory").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("theoretical_rate"),
+    )
+
+
+__reorder()

@@ -230,6 +230,7 @@ R8_PENDING = frozenset({
     "dup_cluster_cohesion_audit",
     "events_asof_nearest",
     "embedding_dbscan_2d",
+    "lsh_scurve_eval",
 })
 
 
@@ -301,4 +302,5 @@ def _r7_new() -> frozenset:
         "dup_cluster_cohesion_audit",
         "events_asof_nearest",
         "embedding_dbscan_2d",
+        "lsh_scurve_eval",
     })
