@@ -3068,6 +3068,83 @@ def segment_supplier_affinity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM flagged
+    ),
+    lists AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts, event_id) AS t
+        FROM sess GROUP BY 1, 2
+    ),
+    tris AS (
+        SELECT u.tri FROM lists,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || '>' || t[i+1] || '>' || t[i+2])) AS u(tri)
+        WHERE len(t) >= 3
+    )
+    SELECT tri AS path, count(*) AS n_occurrences
+    FROM tris GROUP BY tri
+    ORDER BY n_occurrences DESC, path ASC LIMIT 20
+    """,
+    description="SEQUENTIAL PATTERN MINING over sessionized behavior: "
+    "the top-20 most common 3-step event-type paths within a 30-minute "
+    "session — the order-2 sequence analytic the order-1 transition "
+    "matrix can't see (view>view>purchase vs purchase>view>view are "
+    "different journeys with identical transition counts). Per "
+    "session, events sort by (ts, event_id) — a total order, so the "
+    "trigram multiset is a pure function of the input — then trigrams "
+    "are one row-local transform+explode off the collected type array "
+    "and the count is a hash agg with TakeOrdered top-20 "
+    "(count DESC, path ASC tie-break, deterministic at the limit "
+    "boundary). One user_id shuffle for sessionization reused by the "
+    "per-session collect; per-session arrays are session-sized, never "
+    "user-history-sized.",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sessions = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    lists = sessions.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), e -> e.event_type)"
+        ).alias("t")
+    )
+    tris = lists.filter(F.expr("size(t) >= 3")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> "
+                "concat_ws('>', element_at(t, i), element_at(t, i + 1), "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("path")
+    )
+    return (
+        tris.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@query(
     "segment_reach_bfs",
     oracle="""
     WITH RECURSIVE raw AS (

@@ -407,6 +407,9 @@ def test_r6_additions_plan_posture(plans):
         # shuffle-hash (plan_audit sweeps the full build: 0 SMJ); the
         # lock covers the role/union tail
         "embedding_dbscan_2d",
+        # path trigrams: one user shuffle + row-local explode; top-20
+        # must stay TakeOrdered, never a total sort
+        "session_path_trigrams",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

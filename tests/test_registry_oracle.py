@@ -231,6 +231,7 @@ R8_PENDING = frozenset({
     "events_asof_nearest",
     "embedding_dbscan_2d",
     "lsh_scurve_eval",
+    "session_path_trigrams",
 })
 
 
@@ -303,4 +304,5 @@ def _r7_new() -> frozenset:
         "events_asof_nearest",
         "embedding_dbscan_2d",
         "lsh_scurve_eval",
+        "session_path_trigrams",
     })
