@@ -3315,19 +3315,24 @@ def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     filter — all-integer, so survivor membership, degrees, and the
     checksum are value-locked."""
     ctes = [
-        """raw AS (
+        """raw AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )""",
-        """e0 AS (
+        """e0 AS MATERIALIZED (
         SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
     )""",
     ]
+    # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    # CTEs, so a 6-deep peel chain re-evaluates each level per reference
+    # (~3^rounds expansions of the edge list) — at sf0.1 that exploded
+    # temp spill to disk-full. Materializing pins each level to one
+    # evaluation, which is also the semantics the Spark loop has.
     for i in range(1, rounds + 1):
-        ctes.append(f"""n{i} AS (
+        ctes.append(f"""n{i} AS MATERIALIZED (
         SELECT a AS node FROM e{i-1} GROUP BY a HAVING count(*) >= {k}
     )""")
-        ctes.append(f"""e{i} AS (
+        ctes.append(f"""e{i} AS MATERIALIZED (
         SELECT e.a, e.b FROM e{i-1} e
         JOIN n{i} x ON e.a = x.node
         JOIN n{i} y ON e.b = y.node
@@ -3407,7 +3412,7 @@ def _temporal_reach_oracle(iterations: int = 4) -> str:
                o.o_orderdate AS t
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )""",
-        """sym AS (
+        """sym AS MATERIALIZED (
         SELECT a, b, t FROM raw UNION SELECT b AS a, a AS b, t FROM raw
     )""",
         """a0 AS (
@@ -3416,8 +3421,11 @@ def _temporal_reach_oracle(iterations: int = 4) -> str:
         FROM customer WHERE c_mktsegment = 'MACHINERY'
     )""",
     ]
+    # MATERIALIZED for the same reason as the k-core oracle: each round
+    # references the previous level twice, and DuckDB re-evaluates
+    # inlined CTEs per reference (2^rounds blowup without it)
     for i in range(1, iterations + 1):
-        ctes.append(f"""a{i} AS (
+        ctes.append(f"""a{i} AS MATERIALIZED (
         SELECT node, min(arrival) AS arrival FROM (
             SELECT node, arrival FROM a{i-1}
             UNION ALL
