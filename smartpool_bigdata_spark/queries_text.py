@@ -5535,7 +5535,9 @@ __reorder()
     ),
     scored AS (
         SELECT doc_id, label,
-               CAST(sum(CAST((h % 997) / 996.0 - 0.5 AS DECIMAL(38,10)))
+               CAST(sum(CAST(CAST(
+                    (h % 997) / CAST(996 AS DOUBLE) - 0.5
+                    AS VARCHAR) AS DECIMAL(38,20)))
                     AS DOUBLE) / count(*) + CAST(0.5 AS DOUBLE) AS p
         FROM feats GROUP BY doc_id, label
     )
@@ -5548,10 +5550,10 @@ __reorder()
            round(abs(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*)
                  - CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
                    / count(*)), 4) AS gap,
-           round(CAST(sum(CAST(
+           round(CAST(sum(CAST(CAST(
                  (p - CASE WHEN label THEN 1.0 ELSE 0.0 END)
                  * (p - CASE WHEN label THEN 1.0 ELSE 0.0 END)
-                 AS DECIMAL(38,10))) AS DOUBLE), 4) AS sq_err
+                 AS VARCHAR) AS DECIMAL(38,20))) AS DOUBLE), 4) AS sq_err
     FROM scored GROUP BY 1
     """,
     description="CALIBRATION evaluation of the hashed-feature quality "
@@ -5592,10 +5594,19 @@ def classifier_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # per-feature weight as a DOUBLE division staged through the VARCHAR
+    # hop (not the classifier's decimal-literal division): DuckDB and
+    # Spark quantize decimal division at different scales, which leaves
+    # p differing in the last ulp per doc — invisible to the classifier's
+    # rounded avg, but enough to flip this query's sq_err at a round(.,4)
+    # boundary (caught at sf0.1)
     scored = feats.groupBy("doc_id", "label").agg(
         (
             F.sum(
-                F.expr("CAST(pmod(h, 997) / 996.0 - 0.5 AS DECIMAL(38,10))")
+                F.expr(
+                    "CAST(CAST(pmod(h, 997) / CAST(996 AS DOUBLE) - 0.5D "
+                    "AS STRING) AS DECIMAL(38,20))"
+                )
             ).cast("double")
             / F.count(F.lit(1))
             + F.lit(0.5).cast("double")
@@ -5622,9 +5633,17 @@ def classifier_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gap"),
         F.round(
+            # double->decimal via the VARCHAR hop: Spark casts through the
+            # shortest decimal repr, DuckDB scales the raw binary — on
+            # expansion boundaries the direct cast disagrees by 1e-10 per
+            # addend, enough to flip round(sum, 4) at sf0.1 (caught by the
+            # full-registry gate); the string hop pins both engines to the
+            # shortest-repr semantics, like _wrap_double_rounds
             F.sum(
-                ((F.col("p") - lbl) * (F.col("p") - lbl)).cast(
-                    "decimal(38,10)"
+                F.expr(
+                    "CAST(CAST((p - (CASE WHEN label THEN 1.0D ELSE 0.0D "
+                    "END)) * (p - (CASE WHEN label THEN 1.0D ELSE 0.0D "
+                    "END)) AS STRING) AS DECIMAL(38,20))"
                 )
             ).cast("double"),
             4,
