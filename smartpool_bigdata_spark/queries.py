@@ -6247,6 +6247,104 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+_ALS_STAGE = "CAST(CAST({e} AS VARCHAR) AS DECIMAL(38,20))"
+_ALS_STAGE_SPARK = "CAST(CAST({e} AS STRING) AS DECIMAL(38,20))"
+
+
+@query(
+    "purchase_als_rank1",
+    oracle=f"""
+    WITH r AS (
+        SELECT o.o_custkey AS u_id, l.l_partkey AS i_id,
+               CAST(count(*) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    uf AS (
+        SELECT u_id,
+               CAST(sum(r) AS DOUBLE) / count(*) AS u
+        FROM r GROUP BY u_id
+    ),
+    ru AS (SELECT r.i_id, r.r, uf.u FROM r JOIN uf USING (u_id)),
+    vf AS (
+        SELECT i_id, CAST(count(*) AS BIGINT) AS n_raters,
+               CAST(sum({_ALS_STAGE.format(e="r * u")}) AS DOUBLE)
+               / CAST(sum({_ALS_STAGE.format(e="u * u")}) AS DOUBLE) AS v
+        FROM ru GROUP BY i_id
+    ),
+    mse AS (
+        SELECT CAST(sum({_ALS_STAGE.format(
+            e="(ru.r - ru.u * vf.v) * (ru.r - ru.u * vf.v)"
+        )}) AS DOUBLE) / count(*) AS mse
+        FROM ru JOIN vf USING (i_id)
+    )
+    SELECT CAST(i_id AS BIGINT) AS partkey, n_raters,
+           round(v, 6) AS item_factor,
+           round(mse.mse, 3) AS global_mse
+    FROM vf, mse
+    ORDER BY item_factor DESC, partkey ASC LIMIT 20
+    """,
+    description="Rank-1 ALS (one alternation of alternating least "
+    "squares, no regularization) over the customer x part purchase-"
+    "count matrix — the collaborative-filtering primitive, expressed "
+    "as pure join+aggregate algebra: user factors are the exact "
+    "closed-form least-squares update against the all-ones init "
+    "(integer ratio), item factors the mirror update against those "
+    "users (VARCHAR-hop decimal-staged double sums, the cross-engine "
+    "lesson from the calibration gate), plus the global "
+    "reconstruction MSE. Per half-step: ONE groupBy over the sparse "
+    "rating triples + ONE fact-keyed hash join — exactly how "
+    "production ALS distributes (factors co-partitioned with the "
+    "rating shards; higher rank swaps the scalar divide for a k x k "
+    "Gram solve, same data movement). Top-20 items by factor, "
+    "deterministic tie-break, TakeOrdered.",
+)
+def purchase_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    r = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u_id"),
+            F.col("l_partkey").alias("i_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    uf = r.groupBy("u_id").agg(
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("u")
+    )
+    ru = r.join(uf.hint("shuffle_hash"), "u_id").select("i_id", "r", "u")
+    vf = ru.groupBy("i_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raters"),
+        (
+            F.sum(F.expr(_ALS_STAGE_SPARK.format(e="r * u"))).cast("double")
+            / F.sum(F.expr(_ALS_STAGE_SPARK.format(e="u * u"))).cast(
+                "double"
+            )
+        ).alias("v"),
+    )
+    scored = ru.join(vf.hint("shuffle_hash"), "i_id")
+    mse = scored.agg(
+        (
+            F.sum(
+                F.expr(_ALS_STAGE_SPARK.format(e="(r - u * v) * (r - u * v)"))
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mse")
+    )
+    return (
+        vf.crossJoin(F.broadcast(mse))
+        .select(
+            F.col("i_id").cast("bigint").alias("partkey"),
+            "n_raters",
+            F.round("v", 6).alias("item_factor"),
+            F.round("mse", 3).alias("global_mse"),
+        )
+        .orderBy(F.col("item_factor").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
 def _uplift_decile_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 

@@ -410,6 +410,9 @@ def test_r6_additions_plan_posture(plans):
         # path trigrams: one user shuffle + row-local explode; top-20
         # must stay TakeOrdered, never a total sort
         "session_path_trigrams",
+        # rank-1 ALS: factor join-backs hinted shuffle-hash (fact-keyed),
+        # MSE scalar broadcast, top-20 TakeOrdered
+        "purchase_als_rank1",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -232,6 +232,7 @@ R8_PENDING = frozenset({
     "embedding_dbscan_2d",
     "lsh_scurve_eval",
     "session_path_trigrams",
+    "purchase_als_rank1",
 })
 
 
@@ -305,4 +306,5 @@ def _r7_new() -> frozenset:
         "embedding_dbscan_2d",
         "lsh_scurve_eval",
         "session_path_trigrams",
+        "purchase_als_rank1",
     })
