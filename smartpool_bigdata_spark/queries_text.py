@@ -5865,3 +5865,112 @@ def lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "doc_cdc_chunks",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, source,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, source, th,
+               list_filter(range(1, len(th) + 1), i -> th[i] % 64 = 0)
+                   AS b
+        FROM th
+    ),
+    starts AS (
+        SELECT doc_id, source, th, b,
+               list_concat([1], list_transform(b, x -> x + 1)) AS st
+        FROM bounds
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               st[u.i] AS s,
+               CASE WHEN u.i <= len(b) THEN b[u.i] ELSE len(th) END AS e,
+               th
+        FROM starts, unnest(range(1, len(st) + 1)) AS u(i)
+    ),
+    hashed AS (
+        SELECT source, e - s + 1 AS chunk_tokens,
+               md5(array_to_string(th[s:e], ',')) AS chunk_hash
+        FROM chunks WHERE e >= s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(chunk_tokens) AS DOUBLE) / count(*), 4)
+               AS avg_chunk_tokens,
+           round(1 - CAST(count(DISTINCT chunk_hash) AS DOUBLE)
+                 / count(*), 4) AS dup_chunk_rate
+    FROM hashed GROUP BY source
+    """,
+    description="CONTENT-DEFINED CHUNKING (rsync/LBFS-style): chunk "
+    "boundaries fall where the token hash ≡ 0 mod 64 — a pure function "
+    "of local content, so inserting text early in a document does NOT "
+    "shift later chunk boundaries (the property fixed-stride chunking "
+    "lacks, and the reason CDC is the dedup/delta-sync primitive: "
+    "shared suffixes still dedup after edits). Expected chunk length "
+    "64 tokens; per source: chunk count, distinct chunk hashes, and "
+    "the duplicate-chunk rate that storage dedup would reclaim. All "
+    "row-local array algebra (boundary filter, start/end zip, per-"
+    "chunk md5) + one hash agg — one scan, no joins, no shuffle "
+    "beyond the 5-key rollup.",
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    bounds = th.withColumn(
+        "b",
+        F.expr("filter(sequence(1, size(th)), i -> element_at(th, i) % 64 = 0)"),
+    )
+    chunks = bounds.select(
+        "source",
+        "th",
+        "b",
+        F.posexplode(
+            F.expr("concat(array(1), transform(b, x -> x + 1))")
+        ).alias("ord0", "s"),
+    ).select(
+        "source",
+        "s",
+        F.expr(
+            "CASE WHEN ord0 < size(b) THEN element_at(b, ord0 + 1) "
+            "ELSE size(th) END"
+        ).alias("e"),
+        "th",
+    )
+    hashed = chunks.filter(F.col("e") >= F.col("s")).select(
+        "source",
+        (F.col("e") - F.col("s") + 1).alias("chunk_tokens"),
+        F.expr(
+            "md5(array_join(transform(slice(th, s, e - s + 1), "
+            "x -> cast(x as string)), ','))"
+        ).alias("chunk_hash"),
+    )
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_distinct"),
+        F.sum("chunk_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("chunk_tokens").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chunk_tokens"),
+        F.round(
+            1
+            - F.countDistinct("chunk_hash").cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_chunk_rate"),
+    )
+
+
+__reorder()

@@ -413,6 +413,8 @@ def test_r6_additions_plan_posture(plans):
         # rank-1 ALS: factor join-backs hinted shuffle-hash (fact-keyed),
         # MSE scalar broadcast, top-20 TakeOrdered
         "purchase_als_rank1",
+        # CDC chunking: row-local array algebra + one rollup, join-free
+        "doc_cdc_chunks",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -233,6 +233,7 @@ R8_PENDING = frozenset({
     "lsh_scurve_eval",
     "session_path_trigrams",
     "purchase_als_rank1",
+    "doc_cdc_chunks",
 })
 
 
@@ -307,4 +308,5 @@ def _r7_new() -> frozenset:
         "lsh_scurve_eval",
         "session_path_trigrams",
         "purchase_als_rank1",
+        "doc_cdc_chunks",
     })
