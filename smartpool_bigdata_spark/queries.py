@@ -6247,6 +6247,112 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="spend", y="last_order", keys=["segment"])
 
 
+@query(
+    "event_value_ks_drift",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS half
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+        SELECT event_type, value,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1
+        FROM per_v GROUP BY 1
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(c0) OVER w AS k0, sum(c1) OVER w AS k1
+        FROM per_v
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT c.event_type, t.n0 AS n_first, t.n1 AS n_second,
+           round(max(abs(CAST(c.k0 AS DOUBLE) / t.n0
+                         - CAST(c.k1 AS DOUBLE) / t.n1)), 6) AS ks_stat
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    description="Exact two-sample KOLMOGOROV-SMIRNOV drift statistic "
+    "per event type (first vs second half of the window): the "
+    "nonparametric max-ECDF-gap test that catches distribution shifts "
+    "PSI's fixed deciles smooth over (shape changes inside a bin, "
+    "tail migrations). Exact at any scale: ECDFs only step at sample "
+    "points, so KS = max over DISTINCT values of |k0/n0 - k1/n1| "
+    "after one (type, value) pre-agg with per-half counts and a "
+    "cumulative window over the distinct-value frame — counts are "
+    "integers, the division is the same IEEE op in both engines, and "
+    "max is order-free, so the statistic is bit-deterministic with "
+    "NO resampling or binning approximation. Spark runs the cumsum "
+    "through the distributed prefix sum (range-partitioned, per-type) "
+    "— never one reducer per type; the oracle uses the plain window "
+    "at oracle scale.",
+)
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    cutoff = "TIMESTAMP '2024-01-16'"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.expr(f"CASE WHEN ts < {cutoff} THEN 0 ELSE 1 END").alias(
+                "half"
+            ),
+        )
+    )
+    per_v = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    tot = per_v.groupBy("event_type").agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    cum = global_running_sum(
+        per_v, order_by=["value"], value_col="c0",
+        partition_cols=["event_type"], out_col="k0",
+    )
+    cum = global_running_sum(
+        cum, order_by=["value"], value_col="c1",
+        partition_cols=["event_type"], out_col="k1",
+    )
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n0").alias("n_first"),
+            F.col("n1").alias("n_second"),
+        )
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("k0").cast("double") / F.col("n0")
+                        - F.col("k1").cast("double") / F.col("n1")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
+
+
 _ALS_STAGE = "CAST(CAST({e} AS VARCHAR) AS DECIMAL(38,20))"
 _ALS_STAGE_SPARK = "CAST(CAST({e} AS STRING) AS DECIMAL(38,20))"
 

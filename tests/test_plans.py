@@ -415,6 +415,8 @@ def test_r6_additions_plan_posture(plans):
         "purchase_als_rank1",
         # CDC chunking: row-local array algebra + one rollup, join-free
         "doc_cdc_chunks",
+        # KS drift: prefix-sum cumsum joins broadcast, totals broadcast
+        "event_value_ks_drift",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -234,6 +234,7 @@ R8_PENDING = frozenset({
     "session_path_trigrams",
     "purchase_als_rank1",
     "doc_cdc_chunks",
+    "event_value_ks_drift",
 })
 
 
@@ -309,4 +310,5 @@ def _r7_new() -> frozenset:
         "session_path_trigrams",
         "purchase_als_rank1",
         "doc_cdc_chunks",
+        "event_value_ks_drift",
     })
