@@ -6248,6 +6248,134 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_leadlag",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, u.lag,
+               a.cnt AS x, b.cnt AS y
+        FROM daily a
+        JOIN (SELECT unnest(range(-7, 8)) AS lag) u ON TRUE
+        JOIN daily b
+          ON b.event_type != a.event_type
+         AND b.d = a.d + CAST(u.lag || ' days' AS INTERVAL)
+    ),
+    mom AS (
+        SELECT type_a, type_b, lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM lagged GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT type_a, type_b, CAST(lag AS INT) AS lag,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                    THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                    ELSE 0.0 END AS r2,
+               CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END
+                   AS direction
+        FROM mom
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                   ORDER BY r2 DESC, abs(lag) ASC, lag ASC) AS rn
+        FROM scored
+    )
+    SELECT type_a, type_b, lag AS best_lag, round(r2, 6) AS r2, direction
+    FROM ranked WHERE rn = 1
+    """,
+    description="LEAD-LAG analysis between event-type daily series: for "
+    "every ordered type pair and lag in [-7, +7], the squared "
+    "correlation of (x_a[d], x_b[d+lag]) over overlapping days — best "
+    "lag per pair says which signal LEADS which and by how many days "
+    "(the cross-correlation primitive behind demand forecasting and "
+    "incident root-causing). Sqrt-free on purpose: R^2 = (n*Sxy - "
+    "SxSy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2)) where every moment is "
+    "an EXACT BIGINT sum of integer daily counts — the only doubles "
+    "are the final three casts and one divide, identical IEEE ops in "
+    "both engines, so even the argmax tie-break (r2 DESC, |lag|, lag) "
+    "is bit-deterministic. Scale: everything after the daily pre-agg "
+    "is O(types^2 x lags x days) — the 15-lag fan-out rides a "
+    "broadcast self-join of the tiny daily frame, the fact table is "
+    "scanned once.",
+)
+def event_type_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("d").alias("da"),
+        F.col("cnt").alias("x"),
+    ).withColumn("lag", F.explode(F.sequence(F.lit(-7), F.lit(7))))
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("y"),
+    )
+    lagged = a.join(
+        F.broadcast(b),
+        (F.col("type_b") != F.col("type_a"))
+        & (F.col("db") == F.expr("date_add(da, lag)")),
+    )
+    mom = lagged.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    scored = mom.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("int").alias("lag"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            (cov_n.cast("double") * cov_n.cast("double"))
+            / (var_x.cast("double") * var_y.cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("r2"),
+        F.when(cov_n > 0, 1).when(cov_n < 0, -1).otherwise(0).alias(
+            "direction"
+        ),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.col("r2").desc(), F.abs("lag").asc(), F.col("lag").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            F.round("r2", 6).alias("r2"),
+            "direction",
+        )
+    )
+
+
+@query(
     "event_value_ks_drift",
     oracle="""
     WITH ev AS (

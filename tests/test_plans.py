@@ -417,6 +417,8 @@ def test_r6_additions_plan_posture(plans):
         "doc_cdc_chunks",
         # KS drift: prefix-sum cumsum joins broadcast, totals broadcast
         "event_value_ks_drift",
+        # lead-lag: broadcast self-join of the tiny daily frame
+        "event_type_leadlag",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

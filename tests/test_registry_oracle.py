@@ -235,6 +235,7 @@ R8_PENDING = frozenset({
     "purchase_als_rank1",
     "doc_cdc_chunks",
     "event_value_ks_drift",
+    "event_type_leadlag",
 })
 
 
@@ -311,4 +312,5 @@ def _r7_new() -> frozenset:
         "purchase_als_rank1",
         "doc_cdc_chunks",
         "event_value_ks_drift",
+        "event_type_leadlag",
     })
