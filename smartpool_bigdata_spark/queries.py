@@ -6579,6 +6579,187 @@ def purchase_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "als_recall_eval",
+    oracle=f"""
+    WITH base AS (
+        SELECT o.o_custkey AS u_id, l.l_partkey AS i_id,
+               o.o_orderdate < TIMESTAMP '1998-07-01' AS is_train
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    train AS (
+        SELECT u_id, i_id, CAST(count(*) AS BIGINT) AS r
+        FROM base WHERE is_train GROUP BY 1, 2
+    ),
+    test_new AS (
+        SELECT DISTINCT b.u_id, b.i_id FROM base b
+        WHERE NOT b.is_train
+          AND NOT EXISTS (SELECT 1 FROM train t
+                          WHERE t.u_id = b.u_id AND t.i_id = b.i_id)
+    ),
+    uf AS (
+        SELECT u_id, CAST(sum(r) AS DOUBLE) / count(*) AS u
+        FROM train GROUP BY u_id
+    ),
+    ru AS (SELECT t.i_id, t.r, uf.u FROM train t JOIN uf USING (u_id)),
+    vf AS (
+        SELECT i_id,
+               CAST(sum({_ALS_STAGE.format(e="r * u")}) AS DOUBLE)
+               / CAST(sum({_ALS_STAGE.format(e="u * u")}) AS DOUBLE) AS v
+        FROM ru GROUP BY i_id
+    ),
+    kmax AS (
+        SELECT 5 + max(deg) AS k FROM (
+            SELECT count(*) AS deg FROM train GROUP BY u_id)
+    ),
+    top_items AS (
+        SELECT i_id, v,
+               row_number() OVER (ORDER BY v DESC, i_id ASC) AS grk
+        FROM vf QUALIFY grk <= (SELECT k FROM kmax)
+    ),
+    eval_users AS (SELECT DISTINCT u_id FROM test_new),
+    recs AS (
+        SELECT u_id, i_id FROM (
+            SELECT e.u_id, ti.i_id,
+                   row_number() OVER (PARTITION BY e.u_id
+                                      ORDER BY ti.v DESC, ti.i_id ASC)
+                       AS rk
+            FROM eval_users e CROSS JOIN top_items ti
+            WHERE NOT EXISTS (SELECT 1 FROM train t
+                              WHERE t.u_id = e.u_id
+                                AND t.i_id = ti.i_id)
+        ) WHERE rk <= 5
+    ),
+    per_user AS (
+        SELECT tn.u_id,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN r.i_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM test_new tn
+        LEFT JOIN recs r ON r.u_id = tn.u_id AND r.i_id = tn.i_id
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           round(CAST(sum(n_hit) AS DOUBLE) / (5 * count(*)), 6)
+               AS precision_at_5,
+           round(CAST(sum(CAST(CAST(
+                 CAST(n_hit AS DOUBLE) / least(5, n_test)
+                 AS VARCHAR) AS DECIMAL(38,20))) AS DOUBLE)
+                 / count(*), 6) AS avg_recall_at_5
+    FROM per_user
+    """,
+    description="RECSYS holdout evaluation closing the loop on "
+    "purchase_als_rank1: train on pre-1998-07 purchases, recommend "
+    "top-5 unseen items per user from the rank-1 item factors, score "
+    "precision@5 and recall@5 against each user's genuinely NEW "
+    "post-cutoff purchases (test items already bought in train are "
+    "excluded — they could never be recommended). The rank-1 "
+    "degeneracy is used honestly AND exploited for scale: positive "
+    "user factors only rescale one global item ranking, so exact "
+    "per-user top-5 = the global top-(5 + max train degree) items "
+    "(one TakeOrdered + a broadcast) anti-joined against each user's "
+    "train history — no users x items score matrix ever materializes "
+    "(at rank k>1 this step becomes the ANN stack the registry "
+    "already has). Recall averages ride the VARCHAR-hop decimal "
+    "staging.",
+)
+def als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("u_id"),
+        F.col("l_partkey").alias("i_id"),
+        (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-07-01'")).alias(
+            "is_train"
+        ),
+    )
+    train = (
+        base.filter("is_train")
+        .groupBy("u_id", "i_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .localCheckpoint(eager=True)  # reused by factors, recs, and eval
+    )
+    test_new = (
+        base.filter(~F.col("is_train"))
+        .select("u_id", "i_id")
+        .distinct()
+        .join(
+            train.select("u_id", "i_id").hint("shuffle_hash"),
+            ["u_id", "i_id"],
+            "left_anti",
+        )
+    )
+    uf = train.groupBy("u_id").agg(
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("u")
+    )
+    ru = train.join(uf.hint("shuffle_hash"), "u_id").select("i_id", "r", "u")
+    vf = ru.groupBy("i_id").agg(
+        (
+            F.sum(F.expr(_ALS_STAGE_SPARK.format(e="r * u"))).cast("double")
+            / F.sum(F.expr(_ALS_STAGE_SPARK.format(e="u * u"))).cast(
+                "double"
+            )
+        ).alias("v")
+    )
+    max_deg = (
+        train.groupBy("u_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.max("deg"))
+        .collect()[0][0]
+    )  # driver scalar, like a watermark
+    k = 5 + int(max_deg)
+    top_items = (
+        vf.orderBy(F.col("v").desc(), F.col("i_id").asc()).limit(k)
+    )
+    eval_users = test_new.select("u_id").distinct()
+    w = Window.partitionBy("u_id").orderBy(
+        F.col("v").desc(), F.col("i_id").asc()
+    )
+    recs = (
+        eval_users.crossJoin(F.broadcast(top_items))
+        .join(
+            train.select("u_id", "i_id").hint("shuffle_hash"),
+            ["u_id", "i_id"],
+            "left_anti",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("u_id", "i_id")
+    )
+    per_user = (
+        test_new.join(
+            recs.withColumn("hit", F.lit(1)).hint("shuffle_hash"),
+            ["u_id", "i_id"],
+            "left",
+        )
+        .groupBy("u_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_hit"
+            ),
+        )
+    )
+    recall = "CAST(n_hit AS DOUBLE) / least(5, n_test)"
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        F.round(
+            F.sum("n_hit").cast("double") / (5 * F.count(F.lit(1))), 6
+        ).alias("precision_at_5"),
+        F.round(
+            F.sum(
+                F.expr(_ALS_STAGE_SPARK.format(e=recall))
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_recall_at_5"),
+    )
+
+
 def _uplift_decile_oracle() -> str:
     from smartpool_bigdata_spark.ops import text as _T
 

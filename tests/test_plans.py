@@ -419,6 +419,9 @@ def test_r6_additions_plan_posture(plans):
         "event_value_ks_drift",
         # lead-lag: broadcast self-join of the tiny daily frame
         "event_type_leadlag",
+        # ALS eval: train-side joins hinted shuffle-hash, top-K items
+        # broadcast, never a users x items score matrix
+        "als_recall_eval",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -236,6 +236,7 @@ R8_PENDING = frozenset({
     "doc_cdc_chunks",
     "event_value_ks_drift",
     "event_type_leadlag",
+    "als_recall_eval",
 })
 
 
@@ -313,4 +314,5 @@ def _r7_new() -> frozenset:
         "doc_cdc_chunks",
         "event_value_ks_drift",
         "event_type_leadlag",
+        "als_recall_eval",
     })
