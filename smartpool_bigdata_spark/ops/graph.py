@@ -762,3 +762,68 @@ def kcore(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def densest_subgraph_trajectory(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eps_num: int = 22,
+    eps_den: int = 10,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii,
+    VLDB'12 — the MapReduce 2(1+eps)-approximation of Charikar's greedy):
+    repeatedly delete EVERY node whose degree is <= (eps_num/eps_den) *
+    (E/N) — for the default 22/10 that is 2(1+0.1)·avg/2, giving the
+    2(1+eps) guarantee in O(log N) rounds. Returns one row per non-empty
+    round: (round, n_nodes, sym_degree_sum, density) over the surviving
+    subgraph BEFORE that round's deletion; the max-density row is the
+    approximation's answer.
+
+    Deleting low-degree nodes in bulk is what makes this distributable
+    (sequential Charikar removes ONE min-degree node per step — a chain
+    of |V| dependent steps); the threshold comparison is kept
+    INTEGER-EXACT (eps_den * deg * N > eps_num * E as BIGINT cross-
+    multiplication), so round membership — and therefore every stat —
+    is a pure function of the input with a chained-CTE SQL twin.
+
+    Scale per round: one degree hash-agg + one two-row stats aggregate
+    + two semi-joins, same shape as ``kcore``; edges shrink
+    geometrically (each round removes >= eps/(2+2eps) of nodes or
+    terminates), lineage localCheckpoint-cut.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    spark = edges.sparkSession
+    for i in range(1, max_rounds + 1):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        stats = deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("deg").cast("bigint").alias("m2"),  # 2E (sym degree sum)
+        ).collect()[0]
+        n, m2 = stats["n"], stats["m2"]  # driver scalars, like a watermark
+        if not n:
+            break
+        rows.append((i, n, m2, float(m2) / (2.0 * n)))
+        # keep iff eps_den * deg * N > eps_num * E; with m2 = 2E the
+        # integer form is 2 * eps_den * deg * n > eps_num * m2
+        keep = deg.filter(
+            2 * eps_den * F.col("deg") * F.lit(n) > eps_num * F.lit(m2)
+        ).select(F.col("a").alias("node"))
+        e = (
+            e.join(keep.hint("shuffle_hash"), e["a"] == keep["node"], "left_semi")
+            .join(keep.hint("shuffle_hash"), F.col("b") == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rows, "round int, n_nodes bigint, sym_degree_sum bigint, density double"
+    )

@@ -3309,6 +3309,93 @@ def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _densest_oracle(eps_num: int = 22, eps_den: int = 10, rounds: int = 12) -> str:
+    """Chained materialized-CTE twin of
+    ops.graph.densest_subgraph_trajectory on the symmetrized purchase
+    graph — per round one degree CTE, one 1-row stats CTE, one
+    integer-exact keep filter, one both-endpoints edge filter."""
+    ctes = [
+        """raw AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """g0 AS MATERIALIZED (
+        SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+    )""",
+    ]
+    selects = []
+    for i in range(1, rounds + 1):
+        ctes.append(f"""deg{i} AS MATERIALIZED (
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM g{i-1} GROUP BY a
+    )""")
+        ctes.append(f"""st{i} AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(deg), 0) AS BIGINT) AS m2
+        FROM deg{i}
+    )""")
+        ctes.append(f"""keep{i} AS MATERIALIZED (
+        SELECT d.node FROM deg{i} d, st{i} s
+        WHERE 2 * {eps_den} * d.deg * s.n > {eps_num} * s.m2
+    )""")
+        ctes.append(f"""g{i} AS MATERIALIZED (
+        SELECT g.a, g.b FROM g{i-1} g
+        JOIN keep{i} x ON g.a = x.node
+        JOIN keep{i} y ON g.b = y.node
+    )""")
+        selects.append(
+            f"""SELECT {i} AS round, n AS n_nodes, m2 AS sym_degree_sum,
+            round(CAST(m2 AS DOUBLE) / (2 * n), 6) AS density
+            FROM st{i} WHERE n > 0"""
+        )
+    joined = ",\n    ".join(ctes)
+    unions = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH {joined}
+    {unions}
+    """
+
+
+@query(
+    "purchase_graph_densest",
+    oracle=_densest_oracle(),
+    description="Greedy DENSEST-SUBGRAPH peeling (Bahmani/Kumar/"
+    "Vassilvitskii VLDB'12, the MapReduce 2(1+eps)-approximation of "
+    "Charikar's greedy, eps=0.1): each round bulk-deletes every node "
+    "with degree <= 2.2x the current average — the parallelizable "
+    "form of the one-node-at-a-time sequential greedy — and the "
+    "trajectory row with MAX density is the answer (the tightest "
+    "buyer-supplier community by average degree, a different object "
+    "from k-core's fixed-threshold shell). The keep test is "
+    "INTEGER-EXACT (2*eps_den*deg*N > eps_num*2E cross-multiplied in "
+    "BIGINT), so round membership and every emitted stat are pure "
+    "functions of the input — full trajectory value-locked by "
+    "materialized chained CTEs. Per round: one degree agg, a 1-row "
+    "stats aggregate (a driver scalar, like a watermark), two "
+    "semi-joins; edges shrink geometrically, O(log N) rounds.",
+)
+def purchase_graph_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import densest_subgraph_trajectory
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    traj = densest_subgraph_trajectory(edges, max_rounds=12)
+    return traj.select(
+        "round",
+        "n_nodes",
+        "sym_degree_sum",
+        F.round("density", 6).alias("density"),
+    )
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     """Chained-CTE twin of ops.graph.kcore on the symmetrized purchase
     graph: per sweep one HAVING-degree CTE + one both-endpoints edge

@@ -422,6 +422,8 @@ def test_r6_additions_plan_posture(plans):
         # ALS eval: train-side joins hinted shuffle-hash, top-K items
         # broadcast, never a users x items score matrix
         "als_recall_eval",
+        # densest peeling: loop cut per round; stats are 1-row scalars
+        "purchase_graph_densest",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

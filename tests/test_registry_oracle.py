@@ -237,6 +237,7 @@ R8_PENDING = frozenset({
     "event_value_ks_drift",
     "event_type_leadlag",
     "als_recall_eval",
+    "purchase_graph_densest",
 })
 
 
@@ -315,4 +316,5 @@ def _r7_new() -> frozenset:
         "event_value_ks_drift",
         "event_type_leadlag",
         "als_recall_eval",
+        "purchase_graph_densest",
     })
