@@ -6335,6 +6335,169 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope,
+               a.x * 1000 + b.x AS pid
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, pid) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes
+    ),
+    med AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+               CASE WHEN max(n) % 2 = 1
+                    THEN max(CASE WHEN rk = (n + 1) // 2
+                             THEN slope END)
+                    ELSE (max(CASE WHEN rk = n // 2 THEN slope END)
+                        + max(CASE WHEN rk = n // 2 + 1
+                              THEN slope END)) / 2 END AS m_slope
+        FROM ranked GROUP BY event_type
+    ),
+    resid AS (
+        SELECT d.event_type, m.n_pairs, m.m_slope,
+               d.y - m.m_slope * d.x AS r,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.y - m.m_slope * d.x, d.x)
+                   AS rk,
+               count(*) OVER (PARTITION BY d.event_type) AS n
+        FROM daily d JOIN med m USING (event_type)
+    )
+    SELECT event_type, n_pairs,
+           round(m_slope, 6) AS theilsen_slope,
+           round(CASE WHEN max(n) % 2 = 1
+                 THEN max(CASE WHEN rk = (n + 1) // 2 THEN r END)
+                 ELSE (max(CASE WHEN rk = n // 2 THEN r END)
+                     + max(CASE WHEN rk = n // 2 + 1 THEN r END))
+                      / 2 END, 6) AS theilsen_intercept
+    FROM resid GROUP BY event_type, n_pairs, m_slope
+    """,
+    description="THEIL-SEN robust trend per event type: the median of "
+    "all pairwise slopes of the daily series (plus the median-residual "
+    "intercept) — the 29.3%%-breakdown-point estimator that one "
+    "outage day cannot bend, beside event_type_trend_slopes' OLS "
+    "(which a single bad day drags arbitrarily). Exact medians as "
+    "order statistics with (slope, pair-id) total order, even-count "
+    "midpoint averaged — bit-deterministic in both engines since "
+    "every slope is the same IEEE divide of exact BIGINT daily "
+    "counts. Scale: the O(days^2) pair join runs on the POST-AGG "
+    "daily frame (days is bounded by the window, not the corpus), so "
+    "cost is independent of fact-table size; the fact is scanned "
+    "once.",
+)
+def event_type_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    slopes = a.join(
+        F.broadcast(b),
+        (F.col("et2") == F.col("event_type")) & (F.col("x2") > F.col("x1")),
+    ).select(
+        "event_type",
+        ((F.col("y2") - F.col("y1")).cast("double") / (F.col("x2") - F.col("x1"))).alias("slope"),
+        (F.col("x1") * 1000 + F.col("x2")).alias("pid"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "pid")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def _median(rk, n, val):
+        odd = F.max(F.when(rk == (n + 1) / 2, val))
+        lo = F.max(F.when(rk == n / 2, val))
+        hi = F.max(F.when(rk == n / 2 + 1, val))
+        return F.when(F.max("n") % 2 == 1, odd).otherwise((lo + hi) / 2)
+
+    nmax = F.max("n")
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.when(
+            nmax % 2 == 1,
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope")
+                )
+            ),
+        )
+        .otherwise(
+            (
+                F.max(F.when(F.col("rk") == F.expr("n div 2"), F.col("slope")))
+                + F.max(
+                    F.when(
+                        F.col("rk") == F.expr("n div 2 + 1"), F.col("slope")
+                    )
+                )
+            )
+            / 2
+        )
+        .alias("m_slope"),
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "m_slope",
+        (F.col("y") - F.col("m_slope") * F.col("x")).alias("r"),
+        "x",
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "x")
+    rr = resid.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return rr.groupBy("event_type", "n_pairs", "m_slope").agg(
+        F.when(
+            F.max("n") % 2 == 1,
+            F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("r"))),
+        )
+        .otherwise(
+            (
+                F.max(F.when(F.col("rk") == F.expr("n div 2"), F.col("r")))
+                + F.max(
+                    F.when(F.col("rk") == F.expr("n div 2 + 1"), F.col("r"))
+                )
+            )
+            / 2
+        )
+        .alias("ti")
+    ).select(
+        "event_type",
+        "n_pairs",
+        F.round("m_slope", 6).alias("theilsen_slope"),
+        F.round("ti", 6).alias("theilsen_intercept"),
+    )
+
+
+@query(
     "event_type_leadlag",
     oracle="""
     WITH daily AS (

@@ -424,6 +424,8 @@ def test_r6_additions_plan_posture(plans):
         "als_recall_eval",
         # densest peeling: loop cut per round; stats are 1-row scalars
         "purchase_graph_densest",
+        # Theil-Sen: O(days^2) pair join on the post-agg frame, broadcast
+        "event_type_theilsen_trend",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

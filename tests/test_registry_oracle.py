@@ -238,6 +238,7 @@ R8_PENDING = frozenset({
     "event_type_leadlag",
     "als_recall_eval",
     "purchase_graph_densest",
+    "event_type_theilsen_trend",
 })
 
 
@@ -317,4 +318,5 @@ def _r7_new() -> frozenset:
         "event_type_leadlag",
         "als_recall_eval",
         "purchase_graph_densest",
+        "event_type_theilsen_trend",
     })
