@@ -6335,6 +6335,126 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "transition_model_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type AS cur,
+               lead(event_type) OVER w AS nxt,
+               lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT cur, nxt, ts FROM seq WHERE nxt IS NOT NULL
+    ),
+    train AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM pairs WHERE ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT cur, nxt AS pred FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt ASC) AS rk
+            FROM train
+        ) WHERE rk = 1
+    ),
+    base AS (
+        SELECT nxt AS pred FROM (
+            SELECT nxt, row_number() OVER (
+                   ORDER BY sum(c) DESC, nxt ASC) AS rk
+            FROM train GROUP BY nxt
+        ) WHERE rk = 1
+    )
+    SELECT p.cur,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS model_acc,
+           round(CAST(sum(CASE WHEN p.nxt = b.pred THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS baseline_acc
+    FROM pairs p
+    JOIN model m USING (cur)
+    CROSS JOIN base b
+    WHERE p.ts >= TIMESTAMP '2024-01-16'
+    GROUP BY p.cur
+    """,
+    description="Holdout evaluation of the MARKOV next-event model: "
+    "train argmax P(next | current) on first-half transitions "
+    "(consecutive events per user, (ts, event_id)-total-ordered), "
+    "score top-1 accuracy on second-half transitions against the "
+    "must-beat baseline (the globally most common next type) — the "
+    "eval that tells you whether the transition matrix carries any "
+    "signal beyond the marginal distribution. Ties in the argmax "
+    "break on type name, so the learned model is a pure function of "
+    "the corpus. Scale: ONE user-keyed window pass builds all "
+    "transitions, the model is O(types^2) -> broadcast, the eval is "
+    "one hash agg — same cost as the transition matrix itself.",
+)
+def transition_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cutoff = "TIMESTAMP '2024-01-16'"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = seq.filter(F.col("nxt").isNotNull()).select("cur", "nxt", "ts")
+    train = (
+        pairs.filter(F.expr(f"ts < {cutoff}"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wm = Window.partitionBy("cur").orderBy(
+        F.col("c").desc(), F.col("nxt").asc()
+    )
+    model = (
+        train.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    base = (
+        train.groupBy("nxt")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("nxt").asc())
+        .limit(1)
+        .select(F.col("nxt").alias("bpred"))
+    )
+    test = pairs.filter(F.expr(f"ts >= {cutoff}"))
+    return (
+        test.join(F.broadcast(model), "cur")
+        .crossJoin(F.broadcast(base))
+        .groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("model_acc"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("bpred"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("baseline_acc"),
+        )
+    )
+
+
+@query(
     "event_type_theilsen_trend",
     oracle="""
     WITH daily AS (

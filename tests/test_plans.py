@@ -426,6 +426,8 @@ def test_r6_additions_plan_posture(plans):
         "purchase_graph_densest",
         # Theil-Sen: O(days^2) pair join on the post-agg frame, broadcast
         "event_type_theilsen_trend",
+        # Markov eval: O(types^2) model broadcast over one window pass
+        "transition_model_eval",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -239,6 +239,7 @@ R8_PENDING = frozenset({
     "als_recall_eval",
     "purchase_graph_densest",
     "event_type_theilsen_trend",
+    "transition_model_eval",
 })
 
 
@@ -319,4 +320,5 @@ def _r7_new() -> frozenset:
         "als_recall_eval",
         "purchase_graph_densest",
         "event_type_theilsen_trend",
+        "transition_model_eval",
     })
