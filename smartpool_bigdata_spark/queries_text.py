@@ -5974,3 +5974,88 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "vocab_coverage_eval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {T.duck_hash64("('vs|' || CAST(doc_id AS VARCHAR))")} % 5 AS fold,
+               u.tok
+        FROM documents, unnest({T.duck_tokens('text')}) AS u(tok)
+    ),
+    train AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE fold != 0 GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+        FROM train
+    ),
+    ks AS (SELECT unnest([64, 256, 1024, 4096]) AS k),
+    test AS (SELECT tok FROM toks WHERE fold = 0)
+    SELECT CAST(k.k AS BIGINT) AS vocab_size,
+           CAST(count(*) AS BIGINT) AS n_test_tokens,
+           CAST(sum(CASE WHEN r.rk IS NOT NULL AND r.rk <= k.k
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN r.rk IS NOT NULL AND r.rk <= k.k
+                     THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+               AS oov_rate
+    FROM test t
+    CROSS JOIN ks k
+    LEFT JOIN ranked r ON r.tok = t.tok
+    GROUP BY k.k
+    """,
+    description="VOCABULARY COVERAGE curve — the tokenizer-sizing eval: "
+    "build a frequency-ranked vocabulary from 4/5 of the corpus "
+    "(hash-split by doc), then measure the held-out OOV rate at "
+    "vocab sizes 64/256/1k/4k. The knee of this curve is how you "
+    "pick a vocab budget; the held-out split (not train coverage) is "
+    "what makes it honest — memorized hapaxes don't count. "
+    "Deterministic rank ties on the token string. Scale: vocabulary "
+    "is Heaps-law sublinear in corpus size, so the rank window runs "
+    "on the DISTINCT-token frame; the test side joins the ranked "
+    "vocab by token hash join and the 4-size fan-out is a broadcast "
+    "cross join of a 4-row frame — one corpus scan total.",
+)
+def vocab_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _ts(spark, sf_dir, "documents")
+    _h = T.spark_hash64("concat('vs|', cast(doc_id as string))")
+    fold = F.expr(f"pmod({_h}, 5)")
+    toks = docs.select(
+        fold.alias("fold"),
+        F.explode(F.expr(T.spark_tokens("text"))).alias("tok"),
+    )
+    train = (
+        toks.filter(F.col("fold") != 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = train.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+        ),
+    ).select("tok", "rk")
+    ks = spark.createDataFrame([(64,), (256,), (1024,), (4096,)], ["k"])
+    test = toks.filter(F.col("fold") == 0).select("tok")
+    oov = F.when(
+        F.col("rk").isNotNull() & (F.col("rk") <= F.col("k")), 0
+    ).otherwise(1)
+    return (
+        test.join(ranked.hint("shuffle_hash"), "tok", "left")
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("vocab_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+__reorder()

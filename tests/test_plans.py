@@ -428,6 +428,8 @@ def test_r6_additions_plan_posture(plans):
         "event_type_theilsen_trend",
         # Markov eval: O(types^2) model broadcast over one window pass
         "transition_model_eval",
+        # vocab coverage: Heaps-sublinear rank window, 4-row broadcast
+        "vocab_coverage_eval",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -240,6 +240,7 @@ R8_PENDING = frozenset({
     "purchase_graph_densest",
     "event_type_theilsen_trend",
     "transition_model_eval",
+    "vocab_coverage_eval",
 })
 
 
@@ -321,4 +322,5 @@ def _r7_new() -> frozenset:
         "purchase_graph_densest",
         "event_type_theilsen_trend",
         "transition_model_eval",
+        "vocab_coverage_eval",
     })
