@@ -189,6 +189,102 @@ def main() -> int:
     value_r5_headline_subset = round(
         sum(v for k, v in timings.items() if k in R5_BENCH_SET), 3
     )
+    # Third fixed trend line, pinned at the END of round 7: the 190
+    # queries this round's final bench measured (steady-state total
+    # 104.2 s, BENCH_FULL.json at this commit). Covers every family
+    # through the r7 additions (graph suite, causal/experimentation,
+    # DBSCAN, range join, evals) so r8+ regressions on them are as
+    # visible as the r2/r5 subsets made earlier eras.
+    R7_BENCH_SET = {
+        "active_ids_union", "active_without_purchase_last_day",
+        "allowed_event_types", "als_recall_eval", "audio_pcm_chunk_stats",
+        "basket_association_rules", "benford_price_audit",
+        "bpe_merge_candidates", "brand_small_qty_revenue",
+        "chunk_dedup_stats", "chunk_packing", "classifier_calibration_eval",
+        "contrastive_inbatch_pairs", "conversion_funnel",
+        "corpus_language_mixing", "corpus_mixture_plan",
+        "corpus_packing_manifest", "corpus_token_budget_selection",
+        "corpus_zipf_slope", "customer_order_summary",
+        "customer_revenue_gini", "customer_rfm_segments",
+        "customer_similarity_topk", "customer_top_orders_lateral",
+        "daily_activity_reconciliation", "daily_event_anomalies",
+        "daily_event_stats", "daily_forecast_backtest",
+        "daily_purchase_spine", "daily_seasonal_residuals",
+        "doc_bigram_logprob", "doc_bm25_topk", "doc_cdc_chunks",
+        "doc_char_entropy", "doc_chunks", "doc_decontamination",
+        "doc_dsir_weights", "doc_dup_span_mass", "doc_embedding_profile",
+        "doc_exact_dedup", "doc_fingerprint_dedup", "doc_language_guess",
+        "doc_near_dup_pairs", "doc_pii_scrub", "doc_quality_classifier",
+        "doc_quality_filter", "doc_repetition_signals", "doc_signatures",
+        "doc_simhash_near_dup", "doc_sorted_neighborhood_pairs",
+        "doc_split_leakage", "doc_stratified_sample", "doc_text_quality",
+        "doc_tfidf_top_terms", "doc_token_classes", "doc_token_percentiles",
+        "doc_token_percentiles_approx", "doc_token_pmi", "doc_train_split",
+        "doc_unigram_logprob", "doc_weighted_quality_quantiles",
+        "doc_weighted_sample", "doc_weighted_sample_per_lang",
+        "embedding_cluster_quality", "embedding_covariance",
+        "embedding_covariance_partial", "embedding_dbscan_2d",
+        "embedding_dim_profile", "embedding_matryoshka_recall",
+        "embedding_near_dup", "embedding_pca_whitened",
+        "embedding_prototype_eval", "embedding_semdedup",
+        "event_audience_overlap_kmv", "event_cost_model",
+        "event_cusum_changepoints", "event_ewma_anomalies",
+        "event_grouping_sets", "event_heavy_hitters_cms",
+        "event_hourly_window", "event_null_profile", "event_orphan_users",
+        "event_projection_normalize", "event_props_parsed",
+        "event_props_variant", "event_range_flags",
+        "event_transition_matrix", "event_type_hour_cube",
+        "event_type_leadlag", "event_type_rollup", "event_type_stats_salted",
+        "event_type_target_encoding", "event_type_theilsen_trend",
+        "event_type_trend_slopes", "event_user_skew_profile",
+        "event_value_bootstrap_ci", "event_value_dispersion",
+        "event_value_histogram", "event_value_ks_drift",
+        "event_value_mad_outliers", "event_value_psi_drift",
+        "event_value_winsorized", "events_asof_nearest",
+        "events_asof_reference_value", "events_asof_tolerance",
+        "events_from_customers", "events_in_incident_windows",
+        "events_profile_summary", "fd_violation_audit",
+        "hourly_value_deviation", "hybrid_rrf_retrieval",
+        "incident_concurrency_profile", "ingest_watermark",
+        "join_size_ams_estimate", "knn_brute_force", "knn_ivf",
+        "knn_ivf_multiprobe", "knn_ivfpq_adc", "knn_lsh_hamming",
+        "knn_pq_adc", "knn_recall_eval", "landing_cardinality_check",
+        "large_volume_customers", "latest_order_per_customer",
+        "lineitem_measures_unpivot", "llm_corpus_pipeline",
+        "llm_corpus_pipeline_v2", "llm_corpus_pipeline_v3",
+        "llm_corpus_pipeline_v4", "multimodal_byte_features",
+        "multimodal_frame_index", "order_dup_check",
+        "order_leadtime_percentiles", "order_priority_pivot",
+        "order_priority_pivot_native", "order_value_window_stats",
+        "orders_bloom_prefilter", "orders_with_late_shipments",
+        "peak_event_hours", "pq_distortion_stats", "pricing_summary",
+        "priority_revenue_salted_join", "promo_revenue_share",
+        "purchase_als_rank1", "purchase_graph_densest",
+        "purchase_graph_hits", "purchase_graph_kcore",
+        "purchase_graph_pagerank", "purchase_running_total",
+        "regional_supplier_revenue", "repeat_purchasers_first_last_day",
+        "returned_item_losses", "scale_conf_advisor",
+        "scd2_enriched_event_stats", "segment_conversion_ztest",
+        "segment_cuped_adjusted_lift", "segment_did_bootstrap",
+        "segment_fee_model", "segment_pareto_customers", "segment_reach_bfs",
+        "segment_shipping_priority", "segment_supplier_affinity_ppr",
+        "session_bounce_stats", "session_path_trigrams",
+        "snapshot_diff_stats", "source_corpus_profile",
+        "source_discriminative_terms", "source_dup_matrix",
+        "table_content_digest", "temporal_purchase_reach",
+        "top_orders_per_priority", "top_value_orders",
+        "transition_model_eval", "uplift_decile_curve", "urgent_open_orders",
+        "user_conversion_life_table", "user_daily_value_interpolated",
+        "user_distinct_hll", "user_distinct_kmv", "user_event_type_profile",
+        "user_first_last_events", "user_item_negative_samples",
+        "user_retention_cohorts", "user_rolling_distinct_kmv",
+        "user_session_windows", "user_sessions", "user_window_funnel",
+        "views_before_purchase", "vocab_coverage_eval",
+        "vocab_editdist_pairs",
+    }
+    value_r7_headline_subset = round(
+        sum(v for k, v in timings.items() if k in R7_BENCH_SET), 3
+    )
     # Headline "value"/"queries" stay min-of-2 steady-state (the r2
     # methodology — PERF.md); "queries_first_run" keeps the cold numbers
     # alongside so cross-round trajectories stay apples-to-apples however
@@ -202,6 +298,7 @@ def main() -> int:
         "value_first_run": round(sum(first_run.values()), 3),
         "value_r2_subset": value_r2_subset,
         "value_r5_headline_subset": value_r5_headline_subset,
+        "value_r7_headline_subset": value_r7_headline_subset,
         "n_queries": len(timings),
         "sf": sf,
     }
