@@ -6059,3 +6059,101 @@ def vocab_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "source_ngram_diversity",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, source,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    grams AS (
+        SELECT source, u.g
+        FROM th, unnest({T.duck_shingle_hashes('th', 4)}) AS u(g)
+        WHERE len(th) >= 4
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+        FROM grams GROUP BY source
+    ),
+    owners AS (
+        SELECT g, count(DISTINCT source) AS n_sources FROM grams GROUP BY g
+    ),
+    uniq AS (
+        SELECT gr.source,
+               CAST(count(DISTINCT gr.g) AS BIGINT) AS n_exclusive
+        FROM grams gr JOIN owners o ON o.g = gr.g AND o.n_sources = 1
+        GROUP BY gr.source
+    )
+    SELECT p.source, p.n_grams, p.n_distinct,
+           round(CAST(p.n_distinct AS DOUBLE) / p.n_grams, 6)
+               AS diversity,
+           coalesce(u.n_exclusive, 0) AS n_exclusive,
+           round(CAST(coalesce(u.n_exclusive, 0) AS DOUBLE)
+                 / p.n_distinct, 6) AS exclusivity
+    FROM per_source p LEFT JOIN uniq u USING (source)
+    """,
+    description="N-GRAM DIVERSITY audit per source — the self-repetition "
+    "metric (distinct-4-gram ratio, the corpus-level form of "
+    "self-BLEU) that flags template-generated or boilerplate-heavy "
+    "sources before they flatten a training mix, plus EXCLUSIVITY "
+    "(share of the source's distinct 4-grams that appear in no other "
+    "source — how much genuinely new text it contributes vs "
+    "cross-source recycling). Complements doc_repetition_signals "
+    "(within-doc) and source_dup_matrix (pairwise overlap) with the "
+    "per-source marginal view. Scale: one scan -> 4-gram explode with "
+    "map-side-combined counts; the ownership pass is one hash agg on "
+    "the DISTINCT gram table (vocabulary-sized, Heaps-sublinear) "
+    "joined back by gram hash — never doc x doc.",
+)
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    ).filter(F.expr("size(th) >= 4")).select(
+        "source",
+        F.explode(F.expr(T.spark_shingle_hashes("th", 4))).alias("g"),
+    )
+    grams = grams.localCheckpoint(eager=True)  # feeds counts + ownership
+    per_source = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.countDistinct("g").cast("bigint").alias("n_distinct"),
+    )
+    owners = grams.groupBy("g").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    uniq = (
+        grams.join(
+            owners.filter(F.col("n_sources") == 1).hint("shuffle_hash"),
+            "g",
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("g").cast("bigint").alias("n_exclusive"))
+    )
+    return (
+        per_source.join(F.broadcast(uniq), "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_grams"), 6
+            ).alias("diversity"),
+            F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
+            F.round(
+                F.coalesce("n_exclusive", F.lit(0)).cast("double")
+                / F.col("n_distinct"),
+                6,
+            ).alias("exclusivity"),
+        )
+    )
+
+
+__reorder()

@@ -430,6 +430,8 @@ def test_r6_additions_plan_posture(plans):
         "transition_model_eval",
         # vocab coverage: Heaps-sublinear rank window, 4-row broadcast
         "vocab_coverage_eval",
+        # n-gram diversity: gram-table hash aggs, ownership join hinted
+        "source_ngram_diversity",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

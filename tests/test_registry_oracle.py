@@ -241,6 +241,7 @@ R8_PENDING = frozenset({
     "event_type_theilsen_trend",
     "transition_model_eval",
     "vocab_coverage_eval",
+    "source_ngram_diversity",
 })
 
 
@@ -323,4 +324,5 @@ def _r7_new() -> frozenset:
         "event_type_theilsen_trend",
         "transition_model_eval",
         "vocab_coverage_eval",
+        "source_ngram_diversity",
     })
