@@ -602,6 +602,11 @@ def hits(
     of one row — never a shuffle). Vectors are O(nodes), edges scanned
     2×/iteration, lineage cut per iteration with localCheckpoint.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits() needs iterations >= 1 (got {iterations}); with 0 the "
+            "auth vector would never be computed"
+        )
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).distinct().localCheckpoint(eager=True)
@@ -815,9 +820,14 @@ def densest_subgraph_trajectory(
             break
         rows.append((i, n, m2, float(m2) / (2.0 * n)))
         # keep iff eps_den * deg * N > eps_num * E; with m2 = 2E the
-        # integer form is 2 * eps_den * deg * n > eps_num * m2
+        # integer form is 2 * eps_den * deg * n > eps_num * m2. The
+        # three-bigint product can exceed 2^63 on extreme graphs
+        # (deg * n > ~4.6e17) and silently wrap without ANSI checks, so
+        # the left factor accumulates in decimal(38,0) — still integer-
+        # exact, never overflows for any bigint inputs.
         keep = deg.filter(
-            2 * eps_den * F.col("deg") * F.lit(n) > eps_num * F.lit(m2)
+            F.lit(2 * eps_den).cast("decimal(38,0)") * F.col("deg") * F.lit(n)
+            > F.lit(eps_num).cast("decimal(38,0)") * F.lit(m2)
         ).select(F.col("a").alias("node"))
         e = (
             e.join(keep.hint("shuffle_hash"), e["a"] == keep["node"], "left_semi")

@@ -24,6 +24,40 @@ def _order_columns(order_by: Sequence) -> list[Column]:
     return cols
 
 
+_INTERVAL_UNIT_US = {
+    "week": 7 * 86_400_000_000,
+    "day": 86_400_000_000,
+    "hour": 3_600_000_000,
+    "minute": 60_000_000,
+    "second": 1_000_000,
+    "millisecond": 1_000,
+    "microsecond": 1,
+}
+
+
+def _interval_micros(spec: str) -> int:
+    """Parse an interval string like ``"1 day"`` / ``"6 hours 30 minutes"``
+    into microseconds, driver-side and timezone-free. Fixed-width units
+    only (week and below) — a bucketization width must be a constant
+    number of microseconds, so calendar units (month/year) are rejected
+    rather than silently approximated."""
+    total = 0
+    toks = spec.lower().replace(",", " ").split()
+    if len(toks) % 2:
+        raise ValueError(f"malformed interval spec: {spec!r}")
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_UNIT_US:
+            raise ValueError(
+                f"unsupported bucket unit {unit!r} in {spec!r}: fixed-width "
+                f"units only ({', '.join(_INTERVAL_UNIT_US)})"
+            )
+        total += int(qty) * _INTERVAL_UNIT_US[unit]
+    if total <= 0:
+        raise ValueError(f"bucket width must be positive: {spec!r}")
+    return total
+
+
 def _helper_col(df: DataFrame, base: str) -> str:
     """Name for an internal helper column that cannot collide with input
     columns (withColumn would silently overwrite a same-named column)."""
@@ -677,19 +711,29 @@ def interval_point_join(
     interval length, not with |points|. With ``how="left_point"`` the
     equi-join runs as a left join and unmatched points survive with null
     interval columns exactly once (the null-bucket replica can't match).
+
+    Intervals with ``end <= start`` are dropped up front: they match no
+    point under the half-open ``[start, end)`` contract, and a long
+    REVERSED interval would otherwise make ``F.sequence`` generate a
+    descending replica explosion (stop < start defaults to step -1)
+    that the residual filter only cleans up after the join pays for it.
+
+    The bucket width is parsed driver-side (``_interval_micros``) into a
+    fixed microsecond literal — independent of the session timezone, so
+    a non-UTC ``spark.sql.session.timeZone`` cannot skew bucket
+    boundaries the way an epoch-literal-plus-interval expression would
+    (the epoch literal parses in session time).
     """
-    # express the bucket width in microseconds via an interval literal so
-    # callers can pass any Spark interval string ("1 day", "6 hours", ...)
-    width = F.unix_micros(
-        F.expr(f"TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {bucket}")
-    )
+    width = F.lit(_interval_micros(bucket))
     p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
 
     bcol = _helper_col(points, "__bucket")
     pts = points.withColumn(bcol, F.floor(p_us / width))
-    ivs = intervals.withColumn(
+    ivs = intervals.where(
+        F.col(end_ts).cast("timestamp") > F.col(start_ts).cast("timestamp")
+    ).withColumn(
         bcol,
         F.explode(F.sequence(F.floor(s_us / width), F.floor((e_us - 1) / width))),
     )

@@ -454,3 +454,58 @@ def test_interval_point_join_boundaries_keys_and_left(spark):
         ).collect()
     ]
     assert sorted(left) == [(1, 10), (2, None), (3, 11), (4, None)]
+
+
+def test_interval_micros_is_timezone_free():
+    """The bucket width is parsed driver-side into fixed microseconds —
+    no session-timezone dependence, calendar units rejected loudly."""
+    import pytest
+
+    from smartpool_bigdata_spark.ops.relational import _interval_micros
+
+    assert _interval_micros("1 day") == 86_400_000_000
+    assert _interval_micros("6 hours 30 minutes") == 23_400_000_000
+    assert _interval_micros("2 weeks") == 14 * 86_400_000_000
+    assert _interval_micros("250 milliseconds") == 250_000
+    with pytest.raises(ValueError):
+        _interval_micros("1 month")  # calendar unit: not fixed-width
+    with pytest.raises(ValueError):
+        _interval_micros("0 hours")  # non-positive width
+
+
+def test_interval_point_join_drops_reversed_intervals(spark):
+    """A malformed end <= start interval matches nothing AND never
+    reaches F.sequence (where stop < start would generate a descending
+    replica explosion before the residual filter)."""
+    from smartpool_bigdata_spark.ops.relational import interval_point_join
+
+    points = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2, 12, 0))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            # reversed by a year: would explode to ~365 descending buckets
+            (10, datetime(2025, 1, 1), datetime(2024, 1, 1)),
+            # zero-length: half-open [s, s) is empty
+            (11, datetime(2024, 1, 2, 12, 0), datetime(2024, 1, 2, 12, 0)),
+            (12, datetime(2024, 1, 2), datetime(2024, 1, 3)),  # valid
+        ],
+        ["iid", "s", "e"],
+    )
+    got = [
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            points, intervals, "ts", "s", "e", bucket="1 day"
+        ).collect()
+    ]
+    assert got == [(1, 12)]
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    from smartpool_bigdata_spark.ops.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits(edges, iterations=0)
