@@ -72,6 +72,45 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Host-calibration canaries (round-7 lesson: the driver's container
+    # ran ~1.12x slower than a quiet host — 2-6x on the Python-worker
+    # path — and a whole round's artifact read as a regression until a
+    # judge re-run proved it was noise). Two FIXED workloads, fully
+    # independent of sf_dir and of the registry, timed min-of-3 after
+    # warm-up, so every BENCH artifact carries its own yardstick:
+    # cross-round comparisons divide the trend lines by the canaries
+    # instead of guessing at host contention.
+    #   canary_jvm   — pure whole-stage-codegen shuffle+agg (JVM ceiling)
+    #   canary_arrow — Arrow mapInPandas round-trip (Python-worker path,
+    #                  the one the round-7 contention hit 2-6x)
+    def _canary_jvm() -> None:
+        spark.range(20_000_000).select(
+            (F.col("id") % 9973).alias("k"), (F.col("id") % 131).alias("v")
+        ).groupBy("k").agg(F.sum("v"), F.count(F.lit(1))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def _canary_arrow() -> None:
+        def _bump(it):
+            for pdf in it:
+                pdf["id"] = pdf["id"] * 2 + 1
+                yield pdf
+
+        spark.range(2_000_000).repartition(int(cpus)).mapInPandas(
+            _bump, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+
+    canaries = {}
+    for cname, fn in [("canary_jvm_sec", _canary_jvm),
+                      ("canary_arrow_sec", _canary_arrow)]:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        canaries[cname] = round(best, 3)
+
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 
     timings: dict[str, float] = {}
@@ -301,6 +340,7 @@ def main() -> int:
         "value_r7_headline_subset": value_r7_headline_subset,
         "n_queries": len(timings),
         "sf": sf,
+        **canaries,
     }
     # The driver records only the LAST 2000 chars of stdout and parses the
     # final JSON line out of that tail. The full per-query map crossed

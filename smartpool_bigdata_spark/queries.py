@@ -763,6 +763,151 @@ def event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_stats_autotuned",
+    oracle="""
+    WITH prof AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS mx
+        FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+    ),
+    sized AS (
+        SELECT n_rows, mx,
+               greatest(96, least(least(200000,
+                   greatest((n_rows * 256) // 134217728, 1)), 1600)) AS parts
+        FROM prof
+    ),
+    tuned AS (
+        SELECT CASE WHEN mx > greatest(n_rows // parts, 1)
+                    THEN 'salt' ELSE 'plain' END AS agg_strategy,
+               CASE WHEN mx > greatest(n_rows // parts, 1)
+                    THEN CAST(least(greatest(
+                         (mx + greatest(n_rows // parts, 1) - 1)
+                             // greatest(n_rows // parts, 1), 1), 64) AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS salt_buckets
+        FROM sized
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           t.agg_strategy, t.salt_buckets
+    FROM events e, tuned t
+    GROUP BY e.event_type, t.agg_strategy, t.salt_buckets
+    """,
+    description="COST-BASED AUTOTUNER ROUND-TRIP: profile events on its "
+    "aggregation key (one hash agg), feed the measured (n_rows, n_keys, "
+    "max_key_rows) profile to session.autotune_scale_conf(total_cores=32), "
+    "and APPLY its verdict — agg_strategy='salt' whenever the hottest key "
+    "overflows the tuner-sized partition row budget (no ratio guard: AQE "
+    "skew split only applies to join sides, a hash-agg group must reduce "
+    "on one partition), with the tuner's ceil(max_key_rows/budget) bucket "
+    "count (capped 64) driving salted_agg's fan-out. The emitted "
+    "agg_strategy/salt_buckets columns are recomputed independently by the "
+    "oracle in integer SQL, so the gate locks BOTH the tuner's decision "
+    "arithmetic and the salted plan's exactness end-to-end — closing the "
+    "profile->advice->applied-op loop that scale_conf_advisor (decision "
+    "only) and event_type_stats_salted (fixed 64 buckets) each prove half "
+    "of. The profile collect is a driver scalar, like a watermark.",
+)
+def event_type_stats_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import salted_agg
+    from smartpool_bigdata_spark.session import autotune_scale_conf
+
+    ev = _t(spark, sf_dir, "events")
+    prof = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("max_key_rows"),
+        )
+        .collect()[0]  # driver scalar profile, like a watermark
+    )
+    tuned = autotune_scale_conf(
+        [{"table_name": "events", **prof.asDict()}], total_cores=32
+    )
+    adv = tuned["advice"]["events"]
+    salting = adv["agg_strategy"] == "salt"
+    buckets = int(adv["salt_buckets"]) if salting else 1
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partials={
+            "n_events": (F.count(F.lit(1)), F.sum),
+            "total_value": (F.sum(F.col("value").cast("decimal(38,10)")), F.sum),
+            "n_users": (F.countDistinct("user_id"), F.sum),
+        },
+        salt_buckets=buckets,
+        salt_cols=["user_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+        "n_users",
+        F.lit(adv["agg_strategy"]).alias("agg_strategy"),
+        F.lit(buckets).cast("bigint").alias("salt_buckets"),
+    )
+
+
+@query(
+    "event_session_window_native",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s
+        FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS w_start,
+           max(ts) + INTERVAL 30 MINUTE AS w_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS total_value
+    FROM sid GROUP BY user_id, s
+    """,
+    description="NATIVE session windows (F.session_window, the gap-based "
+    "dynamic window Spark added for sessionization): per-user sessions "
+    "with a 30-minute inactivity gap, each session's span being "
+    "[first_event, last_event + gap) — events exactly gap apart MERGE "
+    "(empirically pinned: a new session starts only when the gap is "
+    "STRICTLY exceeded). Complements the manual lag/cumsum islands of "
+    "user_session_windows/user_sessions with the built-in operator a "
+    "Spark user reaches for first; the oracle recomputes the islands "
+    "with the strict-gap rule. One shuffle on user_id; session merging "
+    "is per-group local work. Batch plan == the streaming twin "
+    "stream_session_window_agg's (unified model).",
+)
+def event_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("w_start"),
+            F.col("session_window.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "events_asof_reference_value",
     oracle="""
     WITH updates AS (
@@ -2661,67 +2806,73 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    # --- r7 window: the r6-verdict #1/#2 asks. 49 of the 55 late-r6
-    # additions that had NO driver row yet (R7_PENDING in
-    # tests/test_registry_oracle.py — the only builder-verified-only
-    # slice), plus the new DQ6 expected-cardinality gate. The 6
-    # cheapest/simplest pending aggregates defer to R8_PENDING (the
-    # window holds exactly 50).
-    "landing_cardinality_check",  # DQ6 gate, new in r7
-    # -- ledger / table-maintenance / streaming state --
-    "ledger_time_travel_stats",
-    "merge_change_feed_stats",
-    "stream_cdf_matview",
-    "snapshot_diff_stats",
-    "scd2_enriched_event_stats",
-    "stream_cms_heavy_hitters",
-    "table_content_digest",
-    # -- retrieval / ANN / embeddings --
-    "knn_recall_eval",
-    "knn_lsh_hamming",
-    "doc_bm25_topk",
-    "hybrid_rrf_retrieval",
-    "pq_distortion_stats",
-    "contrastive_inbatch_pairs",
-    "embedding_prototype_eval",
-    "embedding_matryoshka_recall",
-    "embedding_dim_profile",
-    "embedding_cluster_quality",
-    "customer_similarity_topk",
-    # -- text / corpus curation --
-    "doc_dup_span_mass",
-    "doc_token_pmi",
-    "doc_char_entropy",
-    "doc_split_leakage",
-    "doc_groupwise_split",
-    "doc_weighted_sample_per_lang",
-    "doc_weighted_quality_quantiles",
-    "doc_sorted_neighborhood_pairs",
-    "vocab_editdist_pairs",
-    "bpe_merge_candidates",
-    "source_dup_matrix",
-    "source_corpus_profile",
-    "source_discriminative_terms",
-    "llm_corpus_pipeline_v4",
-    # -- sketches / statistics / time series --
-    "join_size_ams_estimate",
-    "user_rolling_distinct_kmv",
-    "events_profile_summary",
-    "event_ewma_anomalies",
-    "event_cusum_changepoints",
-    "event_value_mad_outliers",
-    "event_value_psi_drift",
-    "daily_seasonal_residuals",
-    "event_type_trend_slopes",
-    "segment_conversion_ztest",
-    # -- graph / behavioral analytics --
-    "copurchase_triangle_stats",
-    "purchase_graph_communities",
-    "basket_association_rules",
-    "customer_rfm_segments",
-    "user_window_funnel",
-    "user_conversion_life_table",
-    "user_item_negative_samples",
+    # --- r8 window: the r7-verdict #1 ask. ALL 43 R8_PENDING queries
+    # (the only slice without a driver CORRECTNESS row — 6 deferred-r7
+    # aggregates + 37 r7 additions), the 5 genuinely-new r8 operators
+    # (gated the round they are born, so no pending backlog forms), and
+    # 2 re-confirmation slots for the r4-stale queries most worth a
+    # fresh driver row: the fixed-64-bucket salted agg (the autotuned
+    # twin's baseline) and the outer-join attribution stream whose
+    # oracle is coupled to Spark's eviction boundary (the carried r5+
+    # watch item). After this round every registry query has a driver
+    # row: union 250/250.
+    # -- the 6 r7-deferred aggregates --
+    "corpus_zipf_slope",
+    "benford_price_audit",
+    "customer_revenue_gini",
+    "fd_violation_audit",
+    "order_leadtime_percentiles",
+    "session_bounce_stats",
+    # -- r7 additions: OLAP / pipeline shapes --
+    "scale_conf_advisor",
+    "segment_shipping_priority",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "segment_pareto_customers",
+    "dpp_partition_pruned_join",
+    "events_asof_nearest",
+    "events_in_incident_windows",
+    "incident_concurrency_profile",
+    # -- r7 additions: stats / experimentation --
+    "event_value_bootstrap_ci",
+    "event_value_ks_drift",
+    "event_type_theilsen_trend",
+    "event_type_leadlag",
+    "event_type_target_encoding",
+    "segment_cuped_adjusted_lift",
+    "segment_did_bootstrap",
+    "uplift_decile_curve",
+    "classifier_calibration_eval",
+    "daily_forecast_backtest",
+    "transition_model_eval",
+    # -- r7 additions: graph / recsys --
+    "purchase_graph_hits",
+    "purchase_graph_kcore",
+    "purchase_graph_densest",
+    "segment_reach_bfs",
+    "temporal_purchase_reach",
+    "segment_supplier_affinity_ppr",
+    "purchase_als_rank1",
+    "als_recall_eval",
+    "embedding_dbscan_2d",
+    "lsh_scurve_eval",
+    # -- r7 additions: text / corpus --
+    "corpus_mixture_plan",
+    "doc_cdc_chunks",
+    "vocab_coverage_eval",
+    "source_ngram_diversity",
+    "session_path_trigrams",
+    "dup_cluster_cohesion_audit",
+    # -- new in r8 (gated immediately) --
+    "event_type_stats_autotuned",
+    "event_session_window_native",
+    "stream_session_window_agg",
+    "stream_state_accounting",
+    "stream_dedup_reappear",
+    # -- r4-stale re-confirmations --
+    "event_type_stats_salted",
+    "stream_purchase_attribution_outer",
 ]
 
 

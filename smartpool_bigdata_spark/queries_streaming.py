@@ -922,4 +922,240 @@ def stream_cdf_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "stream_session_window_agg",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+    seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id,
+               min(ts) AS w_start,
+               max(ts) + INTERVAL 30 MINUTE AS w_end,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+                   AS total_value
+        FROM sid GROUP BY user_id, s
+    )
+    SELECT user_id, w_start, w_end, n_events, total_value
+    FROM sess, wm WHERE w_end <= wm.cut
+    """,
+    description="REAL streaming run of NATIVE session windows "
+    "(F.session_window + watermark, append mode): per-user 30-minute-gap "
+    "sessions drain through Trigger.AvailableNow; a session emits exactly "
+    "once, when the watermark passes its end (last_event + gap) — state "
+    "is one open session per active user, bounded by the watermark. "
+    "Emitted set == sessions with end <= max(event_time) - delay "
+    "(empirically pinned, same final-flush semantics as the tumbling "
+    "harness), so the islands-SQL oracle is exact. The operator the "
+    "reference's sensor sessions would need at a real gap workload; "
+    "batch twin: event_session_window_native.",
+    skip_bench=True,  # staging write + stream startup dominates
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+
+    stream, stage = _stream_events(
+        spark, sf_dir, ["ts", "user_id", "value", "event_id"]
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("w_start"),
+            F.col("session_window.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(sess, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.table(name)
+        .withColumn("w_start", F.col("w_start").cast("timestamp_ntz"))
+        .withColumn("w_end", F.col("w_end").cast("timestamp_ntz"))
+    )
+
+
+@query(
+    "stream_state_accounting",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+    w AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type
+          FROM events)
+    SELECT 'emitted_windows' AS metric, CAST(count(*) AS BIGINT) AS value
+    FROM w, wm WHERE ws + INTERVAL 1 HOUR <= wm.cut
+    UNION ALL
+    SELECT 'state_rows_final', CAST(count(*) AS BIGINT)
+    FROM w, wm WHERE ws + INTERVAL 1 HOUR > wm.cut
+    UNION ALL
+    SELECT 'state_rows_removed', CAST(count(*) AS BIGINT)
+    FROM w, wm WHERE ws + INTERVAL 1 HOUR <= wm.cut
+    """,
+    description="STREAMING STATE-SIZE ACCOUNTING (T8's missing half): the "
+    "watermarked hourly agg drains under AvailableNow and the query "
+    "returns the runtime's OWN state metrics from "
+    "lastProgress['stateOperators'] — numRowsTotal after the final flush "
+    "and numRowsRemoved by it — alongside the emitted-row count. The "
+    "oracle recomputes all three from the input in SQL: state after the "
+    "flush must be EXACTLY the open windows (end > max(ts) - delay) and "
+    "the flush must have removed exactly the closed ones — so a green row "
+    "PROVES state is bounded by key_cardinality x (watermark/duration) "
+    "under the watermark contract, not just asserts it. The reference "
+    "semantic is T1's state bounding "
+    "(spark-apps/07_kafka_smartpool_sensors.py:89); runner support: "
+    "progress_summary (streaming/runner.py).",
+    skip_bench=True,  # staging write + stream startup dominates
+)
+def stream_state_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, stage = _stream_events(spark, sf_dir, ["ts", "event_type"])
+    agg = watermarked_tumbling_agg(
+        stream,
+        ts_col="ts",
+        watermark="1 hour",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1))},
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        q = run_available_now(agg, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    # the final progress is the flush micro-batch: it emits + evicts every
+    # window the terminal watermark closed and leaves exactly the open ones
+    ops = (q.lastProgress or {}).get("stateOperators", [])
+    state_total = sum(s.get("numRowsTotal", 0) for s in ops)
+    state_removed = sum(s.get("numRowsRemoved", 0) for s in ops)
+    emitted = spark.table(name).count()
+    return spark.createDataFrame(
+        [
+            ("emitted_windows", emitted),
+            ("state_rows_final", state_total),
+            ("state_rows_removed", state_removed),
+        ],
+        "metric string, value bigint",
+    )
+
+
+@query(
+    "stream_dedup_reappear",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, ts FROM events WHERE event_id % 3 = 0
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM base),
+    emitted AS (
+        SELECT 0 AS phase, event_id, ts FROM base
+        UNION ALL
+        SELECT 2, event_id, ts + INTERVAL 7 DAY
+        FROM base, wm
+        WHERE event_id % 6 = 0
+          AND ts + INTERVAL 7 DAY > wm.w
+          AND ts + INTERVAL 1 HOUR <= wm.w
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM emitted GROUP BY phase
+    """,
+    description="dropDuplicatesWithinWatermark's BOUNDED-STATE REAPPEARANCE "
+    "semantics, value-locked end-to-end: three chronologically-ordered "
+    "micro-batches (maxFilesPerTrigger=1, mtime-pinned file order) — the "
+    "base sample; a dup of its max-ts rows (still tracked, emits nothing, "
+    "and its batch evicts every key whose ts+delay <= watermark); then "
+    "7-day-shifted dups of a sub-sample. A shifted dup re-emits IFF it is "
+    "not late (shifted ts STRICTLY above the watermark — boundary pinned "
+    "empirically: a dup AT the watermark drops) AND its original's state "
+    "expired (ts + delay <= watermark, eviction AT the boundary pinned "
+    "too). Eviction lags one batch (cleanup runs at batch end), which is "
+    "why the middle batch is load-bearing. This is the semantic "
+    "stream_dedup_events (dup-within-delay -> exactly-once) cannot reach: "
+    "state is GC'd, keys MAY come back — the price of bounded state at "
+    "100 TB, here pinned to the exact row set. Per-phase digest keeps the "
+    "compare O(phases).",
+    skip_bench=True,  # three staged writes + stream startup dominate
+)
+def stream_dedup_reappear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = event_time_ltz(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .where(F.col("event_id") % 3 == 0),
+        "ts",
+    ).localCheckpoint(eager=True)  # one staged lineage, three derived writes
+    mx = base.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+
+    stage = tempfile.mkdtemp(prefix="spark_dedup_reappear_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    # f=0: the base sample; f=1: dup of the max-ts row(s) — tracked, so it
+    # emits nothing, but processing it evicts every expired key; f=2: the
+    # shifted dups that probe reappearance. coalesce(1) pins one file (=
+    # one micro-batch) per phase; mtimes pin the source's file order.
+    base.coalesce(1).write.parquet(os.path.join(src, "f=0"))
+    base.where(F.col("ts") == F.lit(mx)).coalesce(1).write.parquet(
+        os.path.join(src, "f=1")
+    )
+    (
+        base.where(F.col("event_id") % 6 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 7 DAYS"))
+        .coalesce(1)
+        .write.parquet(os.path.join(src, "f=2"))
+    )
+    import time as _time
+
+    now = _time.time()
+    for sub, off in [("f=0", -120), ("f=1", -60), ("f=2", 0)]:
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + off, now + off))
+
+    stream = file_stream(
+        spark,
+        src,
+        "event_id bigint, ts timestamp, f int",
+        max_files_per_trigger=1,
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(deduped, name, fmt="memory")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy(F.col("f").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.min("ts").cast("timestamp_ntz").alias("min_ts"),
+            F.max("ts").cast("timestamp_ntz").alias("max_ts"),
+        )
+    )
+
+
 __reorder()

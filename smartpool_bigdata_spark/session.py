@@ -182,6 +182,12 @@ def autotune_scale_conf(
     * sizes ``salt_buckets`` so the hottest key spreads to roughly
       partition-budget chunks (capped at 64 — past that the salted
       aggregate's combine fan-in dominates);
+    * flags ``agg_strategy='salt'`` under the overflow condition ALONE
+      (no ratio guard): AQE's runtime skew split only applies to JOIN
+      sides — a hash-AGGREGATE group must reduce on one partition, so
+      any key whose rows overflow the partition budget needs the
+      two-stage salted aggregate regardless of how uniform the rest of
+      the key distribution is (the classic low-cardinality groupBy);
     * marks tables under ``broadcast_row_cap`` rows as broadcast-side
       candidates.
 
@@ -205,6 +211,7 @@ def autotune_scale_conf(
             "skew_strategy": (
                 "salt" if hot_key_overflows and ratio > skew_ratio_cap else "aqe"
             ),
+            "agg_strategy": "salt" if hot_key_overflows else "plain",
             "salt_buckets": max(1, min(64, -(-mx // rows_per_partition))),
             "skew_ratio": round(ratio, 2),
         }

@@ -130,72 +130,67 @@ R6_WINDOW = frozenset({
     "embedding_dup_clusters",
 })
 
-# The 55 late-r6 registry additions that entered round 7 with no driver
-# CORRECTNESS row (builder-verified only: this suite + CORRECTNESS_FULL
-# at three SFs). 49 of them take the r7 driver window (the r6 verdict's
-# #1 ask); the 6 in R8_PENDING defer one round.
-R7_PENDING = frozenset({
-    "doc_dup_span_mass",
-    "doc_token_pmi",
+# The 50 queries that held the driver window in round 7 (all green in
+# CORRECTNESS_r07.json): 49 of the 55 R7_PENDING late-r6 additions +
+# the new DQ6 expected-cardinality gate.
+R7_WINDOW = frozenset({
+    "landing_cardinality_check",
     "ledger_time_travel_stats",
-    "knn_recall_eval",
-    "doc_bm25_topk",
-    "join_size_ams_estimate",
     "merge_change_feed_stats",
     "stream_cdf_matview",
-    "copurchase_triangle_stats",
-    "knn_lsh_hamming",
-    "user_rolling_distinct_kmv",
-    "events_profile_summary",
     "snapshot_diff_stats",
-    "doc_char_entropy",
     "scd2_enriched_event_stats",
-    "pq_distortion_stats",
-    "contrastive_inbatch_pairs",
-    "llm_corpus_pipeline_v4",
-    "embedding_prototype_eval",
-    "customer_rfm_segments",
-    "event_ewma_anomalies",
-    "doc_split_leakage",
-    "doc_weighted_sample_per_lang",
-    "bpe_merge_candidates",
-    "corpus_zipf_slope",
-    "customer_similarity_topk",
-    "source_dup_matrix",
-    "embedding_dim_profile",
-    "source_corpus_profile",
-    "vocab_editdist_pairs",
-    "basket_association_rules",
-    "source_discriminative_terms",
-    "event_cusum_changepoints",
-    "doc_sorted_neighborhood_pairs",
-    "embedding_matryoshka_recall",
-    "hybrid_rrf_retrieval",
-    "doc_weighted_quality_quantiles",
-    "segment_conversion_ztest",
-    "benford_price_audit",
-    "event_type_trend_slopes",
-    "purchase_graph_communities",
-    "user_window_funnel",
-    "event_value_mad_outliers",
-    "daily_seasonal_residuals",
-    "customer_revenue_gini",
-    "user_conversion_life_table",
-    "embedding_cluster_quality",
-    "fd_violation_audit",
     "stream_cms_heavy_hitters",
     "table_content_digest",
-    "event_value_psi_drift",
+    "knn_recall_eval",
+    "knn_lsh_hamming",
+    "doc_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "pq_distortion_stats",
+    "contrastive_inbatch_pairs",
+    "embedding_prototype_eval",
+    "embedding_matryoshka_recall",
+    "embedding_dim_profile",
+    "embedding_cluster_quality",
+    "customer_similarity_topk",
+    "doc_dup_span_mass",
+    "doc_token_pmi",
+    "doc_char_entropy",
+    "doc_split_leakage",
     "doc_groupwise_split",
+    "doc_weighted_sample_per_lang",
+    "doc_weighted_quality_quantiles",
+    "doc_sorted_neighborhood_pairs",
+    "vocab_editdist_pairs",
+    "bpe_merge_candidates",
+    "source_dup_matrix",
+    "source_corpus_profile",
+    "source_discriminative_terms",
+    "llm_corpus_pipeline_v4",
+    "join_size_ams_estimate",
+    "user_rolling_distinct_kmv",
+    "events_profile_summary",
+    "event_ewma_anomalies",
+    "event_cusum_changepoints",
+    "event_value_mad_outliers",
+    "event_value_psi_drift",
+    "daily_seasonal_residuals",
+    "event_type_trend_slopes",
+    "segment_conversion_ztest",
+    "copurchase_triangle_stats",
+    "purchase_graph_communities",
+    "basket_association_rules",
+    "customer_rfm_segments",
+    "user_window_funnel",
+    "user_conversion_life_table",
     "user_item_negative_samples",
-    "order_leadtime_percentiles",
-    "session_bounce_stats",
 })
 
 
-# The 6 R7_PENDING queries the 50-slot r7 window could not hold (49
-# pending + the new DQ6 gate fill it), plus any genuinely-new r7
-# registry additions. First in line for the r8 window.
+# The 43 queries that entered round 8 with no driver CORRECTNESS row
+# (6 r7-deferred aggregates + 37 post-window r7 additions; judge-verified
+# green at sf0.01 in the r7 session). ALL of them take the r8 window —
+# after r8 every registry query has a driver row.
 R8_PENDING = frozenset({
     "corpus_zipf_slope",
     "benford_price_audit",
@@ -245,13 +240,33 @@ R8_PENDING = frozenset({
 })
 
 
+# Queries first registered in round 8 — gated the round they are born,
+# so no pending backlog forms again.
+R8_NEW = frozenset({
+    "event_type_stats_autotuned",
+    "event_session_window_native",
+    "stream_session_window_agg",
+    "stream_state_accounting",
+    "stream_dedup_reappear",
+})
+
+# r4-window queries taking the two spare r8 slots for a fresh driver
+# row: the fixed-64-bucket salted agg (now the autotuned twin's
+# baseline) and the outer-join attribution stream whose oracle is
+# coupled to Spark's eviction boundary (the carried r5+ watch item).
+R8_RECONFIRM = frozenset({
+    "event_type_stats_salted",
+    "stream_purchase_attribution_outer",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r7 set: 49 of
-    the 55 R7_PENDING late-r6 additions (the only slice that entered r7
-    builder-verified-only) plus the new DQ6 expected-cardinality gate —
-    closing the r6 verdict's #1/#2 asks. The 6 deferred pending queries
-    are pinned in R8_PENDING. A refactor that reorders registration
+    registry entries in iteration order. Pin the ROTATED r8 set: ALL 43
+    R8_PENDING queries (the only slice without a driver row — the r7
+    verdict's #1 ask), the 5 new-in-r8 operators (gated at birth), and
+    2 r4-stale re-confirmations. After this round the driver union
+    covers the whole registry. A refactor that reorders registration
     (round 2 silently pushed embedding_near_dup and all of §2.7 out of
     the window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
@@ -262,67 +277,19 @@ def test_gate_window_pinned():
 
     gated = set(GATE_PRIORITY)
     # prior-window greens stay registered and oracle-checked by this suite
-    missing = (R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW) - set(names)
+    prior = R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R7_WINDOW
+    missing = prior - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
-    # FULL coverage: every registry query has a driver window somewhere
-    # (or is a declared post-window addition queued for the r8 window)
-    covered = gated | R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R8_PENDING
-    uncovered = set(names) - covered
+    # FULL coverage: after this window, every registry query has a
+    # driver row from some round — no pending backlog remains
+    uncovered = set(names) - (gated | prior)
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # this window is EXACTLY the pending backlog + the new DQ6 gate:
-    # every slot either clears a builder-verified-only query or gates a
-    # new operator — re-confirmation resumes in r8
-    assert gated - R7_PENDING == {"landing_cardinality_check"}
-    assert R7_PENDING - gated == R8_PENDING - _r7_new()
-    # R8_PENDING must not rot: only for queries genuinely without a
-    # driver row (deferred pending or new-in-r7)
-    stale_pending = R8_PENDING & (
-        gated | R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW
-    )
-    assert not stale_pending, f"R8_PENDING entries already gated: {stale_pending}"
-
-
-def _r7_new() -> frozenset:
-    """Names first registered in round 7 (no prior window or pending
-    slot). Kept separate so the window equation above reads exactly:
-    r7 window = 49 × R7_PENDING + the DQ6 gate."""
-    return frozenset({
-        "landing_cardinality_check",
-        "scale_conf_advisor",
-        "segment_shipping_priority",
-        "returned_item_losses",
-        "promo_revenue_share",
-        "large_volume_customers",
-        "corpus_mixture_plan",
-        "segment_supplier_affinity_ppr",
-        "daily_forecast_backtest",
-        "events_in_incident_windows",
-        "segment_reach_bfs",
-        "purchase_graph_hits",
-        "segment_pareto_customers",
-        "classifier_calibration_eval",
-        "temporal_purchase_reach",
-        "incident_concurrency_profile",
-        "event_value_bootstrap_ci",
-        "event_type_target_encoding",
-        "segment_cuped_adjusted_lift",
-        "purchase_graph_kcore",
-        "segment_did_bootstrap",
-        "dpp_partition_pruned_join",
-        "uplift_decile_curve",
-        "dup_cluster_cohesion_audit",
-        "events_asof_nearest",
-        "embedding_dbscan_2d",
-        "lsh_scurve_eval",
-        "session_path_trigrams",
-        "purchase_als_rank1",
-        "doc_cdc_chunks",
-        "event_value_ks_drift",
-        "event_type_leadlag",
-        "als_recall_eval",
-        "purchase_graph_densest",
-        "event_type_theilsen_trend",
-        "transition_model_eval",
-        "vocab_coverage_eval",
-        "source_ngram_diversity",
-    })
+    # the window is EXACTLY: the whole pending backlog + the new r8
+    # operators + the two declared re-confirmations
+    assert R8_PENDING <= gated, f"pending dropped: {R8_PENDING - gated}"
+    assert gated - R8_PENDING == R8_NEW | R8_RECONFIRM
+    # R8_NEW must be genuinely new (no prior window) and the
+    # re-confirmations genuinely stale (r4 was their newest row)
+    assert not R8_NEW & prior
+    assert R8_RECONFIRM <= R4_WINDOW
+    assert not R8_RECONFIRM & (R5_WINDOW | R6_WINDOW | R7_WINDOW)
