@@ -8,6 +8,7 @@ curves locally, for ONLY the tables those queries read:
 * ``documents``  (50k rows)  — doc_prefix_filter_pairs
 * ``lineitem``   (~6M rows)  — copurchase_triangle_stats, temporal_purchase_reach
 * ``orders``     (1.5M rows) — temporal_purchase_reach
+* ``customer``   (150k rows) — temporal_purchase_reach (segment seeds)
 
 Fidelity contract (marginals measured from /root/testdata/sf0.1 and
 matched here; DISCLOSED as builder-synthesized in SCALE.md §8):
@@ -125,6 +126,19 @@ def gen_lineitem(rng: np.random.Generator, out: str) -> None:
     pq.write_table(tbl, os.path.join(out, "lineitem.parquet"))
 
 
+def gen_customer(rng: np.random.Generator, out: str) -> None:
+    tbl = pa.table(
+        {
+            "c_custkey": np.arange(N_CUST, dtype=np.int64),
+            "c_name": np.array([f"Customer#{i:09d}" for i in range(N_CUST)]),
+            "c_nationkey": rng.integers(0, 25, N_CUST),
+            "c_acctbal": _empirical("c_acctbal", "customer", rng, N_CUST),
+            "c_mktsegment": _empirical("c_mktsegment", "customer", rng, N_CUST),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "customer.parquet"))
+
+
 def gen_documents(rng: np.random.Generator, out: str) -> None:
     langs = np.array(["en", "de", "zh", "es", "fr"])
     lang_p = np.array([0.412, 0.140, 0.151, 0.149, 0.148])
@@ -157,6 +171,7 @@ def main() -> int:
     rng = np.random.default_rng(42)
     gen_orders(rng, out)
     gen_lineitem(rng, out)
+    gen_customer(rng, out)
     gen_documents(rng, out)
     for f in sorted(os.listdir(out)):
         p = os.path.join(out, f)

@@ -8060,6 +8060,218 @@ def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS INTEGER) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape (customer order-count distribution): "
+    "LEFT OUTER customer->orders with the filter ON THE JOIN (not the "
+    "WHERE — a WHERE would silently turn the outer join inner and drop "
+    "the zero-order customers the query exists to count), count(order) "
+    "per customer so no-order customers land in the c_count=0 bucket, "
+    "then a second agg folds customers into a distribution. Scale: "
+    "customers and orders are BOTH fact-sized at 100 TB, so unlike the "
+    "snowflake dims this is an honest shuffle equi-join on custkey "
+    "followed by two hash aggs — the first already key-partitioned by "
+    "the join exchange (no extra shuffle), the second on the tiny "
+    "distribution domain.",
+)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 proper (local-supplier revenue): revenue by "
+    "nation for ASIA/1996, with Q5's distinguishing twist the simpler "
+    "regional_supplier_revenue snowflake lacks — the CUSTOMER's nation "
+    "must equal the SUPPLIER's nation, a cross-fact equality that only "
+    "binds after both fact joins. Plan shape at 100 TB: orders is "
+    "date-filtered AT THE SCAN (pushed predicate prunes ~6/7 of the "
+    "fact), the customer join carries c_nationkey onto the order rows, "
+    "lineitem shuffle-joins on orderkey, and supplier joins broadcast "
+    "on (s_suppkey) with the nation equality evaluated in the join "
+    "condition — never as a post-join filter on a wider intermediate.",
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # snowflake-collapse nation->region once, broadcast to the fact side
+    sup_dim = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    enriched = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(sup_dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        stable_sum(F.expr("l_extendedprice * (1 - l_discount)"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "user_event_bag_diff",
+    oracle="""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+         pmv AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b),
+         vmp AS (SELECT user_id FROM b EXCEPT ALL SELECT user_id FROM a),
+         ib  AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+    SELECT 'purchase_minus_view' AS metric,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS id_sum
+    FROM pmv
+    UNION ALL
+    SELECT 'view_minus_purchase', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM vmp
+    UNION ALL
+    SELECT 'bag_intersection', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM ib
+    """,
+    description="MULTISET set ops — exceptAll / intersectAll — the bag "
+    "semantics the distinct-set family (union/intersect/subtract, all "
+    "covered) cannot express: EXCEPT ALL keeps max(n_a - n_b, 0) copies "
+    "per key and INTERSECT ALL min(n_a, n_b), so a user with 5 "
+    "purchases and 2 views contributes 3 rows to the difference and 2 "
+    "to the intersection — per-row accounting (how many EVENTS exceed "
+    "the other bag), not membership. Digested to per-bag (count, "
+    "distinct users, id-sum) so the compare is O(1) while still "
+    "value-locking the exact multiset. Scale: Spark plans both as a "
+    "single hash shuffle on user_id with per-key counting — no "
+    "row-pairing, no sort.",
+)
+def user_event_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+
+    def digest(df: DataFrame, metric: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("id_sum"),
+        ).select(F.lit(metric).alias("metric"), "n_rows", "n_users", "id_sum")
+
+    return (
+        digest(a.exceptAll(b), "purchase_minus_view")
+        .unionByName(digest(b.exceptAll(a), "view_minus_purchase"))
+        .unionByName(digest(a.intersectAll(b), "bag_intersection"))
+    )
+
+
+@query(
+    "user_value_rolling_7d",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w
+                 AS DOUBLE), 2) AS roll_value_7d,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    description="Time-RANGE window frame (rangeBetween over epoch "
+    "seconds): per-user rolling 7-day spend and event count at EVERY "
+    "event — the value-based frame ROWS BETWEEN cannot express (the "
+    "lookback is 604800 SECONDS, not N rows, so sparse and bursty "
+    "users get correct windows). Ties (equal ts) are RANGE peers and "
+    "enter each other's frames symmetrically in both engines, and the "
+    "sum folds through decimal so peer order can't flip the rounding. "
+    "Completes the §2.5 frame surface: rows-frames (running totals), "
+    "growth frames (unbounded), and now value-range frames. Scale: "
+    "one shuffle on user_id; frames are per-user sorted scans with a "
+    "sliding two-pointer — no self-join, no explode.",
+)
+def user_value_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ has no direct long cast; NTZ->LTZ is value-identity under
+        # the session's pinned UTC tz, then LTZ->long = epoch seconds
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double"), 2
+        ).alias("roll_value_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n_7d"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

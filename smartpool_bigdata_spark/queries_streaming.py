@@ -1159,3 +1159,119 @@ def stream_dedup_reappear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __reorder()
+
+
+@query(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT b) AS BIGINT) AS n_updates,
+           CAST(sum(cnt) AS BIGINT) AS final_count,
+           CAST(max(cnt) AS BIGINT) AS max_batch_rows
+    FROM (
+        SELECT event_type, event_id % 3 AS b, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    GROUP BY event_type
+    """,
+    description="UPDATE output mode (SURVEY §2.7 lists it absent from "
+    "the reference; first-class here): an unwatermarked running count "
+    "per event_type drains through three pinned micro-batches "
+    "(event_id%3 file split, maxFilesPerTrigger=1) into a memory sink, "
+    "which in update mode APPENDS one row per CHANGED key per batch — "
+    "the emission TRACE, not just the final state. The gate locks the "
+    "trace: n_updates per key == number of batches containing the key "
+    "(any arrival changes a count), final_count == the max running "
+    "value == the batch-twin total, and max_batch_rows (the largest "
+    "single-batch contribution, recovered from consecutive trace "
+    "deltas and recomputed by the oracle from the same split) pins "
+    "that the trace's intermediate values are the exact prefix sums "
+    "of the batch partition. Empirically pinned in "
+    "scripts/proto_r8_modes.py. Scale: update mode is the dashboard- "
+    "sink contract — state is one row per key, emissions are deltas; "
+    "unlike append it needs no watermark to emit, unlike complete it "
+    "never rewrites the world.",
+    skip_bench=True,  # three staged writes + stream startup dominate
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    stage = tempfile.mkdtemp(prefix="spark_update_mode_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    import time as _time
+
+    now = _time.time()
+    for b in range(3):
+        d = os.path.join(src, f"b={b}")
+        ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + 60 * b, now + 60 * b))
+
+    stream = file_stream(
+        spark, src, "event_id bigint, event_type string, b int",
+        max_files_per_trigger=1,
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(counts, name, fmt="memory", output_mode="update")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    trace = spark.table(name)
+    # per-batch contribution = running value minus the previous emission
+    # (running counts are strictly increasing per key, so the trace order
+    # is recoverable by value — no batch id column needed)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("n")
+    deltas = trace.withColumn(
+        "batch_rows", F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))
+    )
+    return deltas.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_updates"),
+        F.max("n").cast("bigint").alias("final_count"),
+        F.max("batch_rows").cast("bigint").alias("max_batch_rows"),
+    )
+
+
+@query(
+    "stream_complete_topk",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY n_events DESC, event_type, hr
+    LIMIT 10
+    """,
+    description="COMPLETE output mode with streaming sort + limit (both "
+    "only legal in complete mode; SURVEY §2.7 lists the mode absent "
+    "from the reference): the top-10 (event_type, hour-of-day) cells "
+    "by count, maintained as a live leaderboard — each micro-batch "
+    "REWRITES the memory sink with the full reranked result, so after "
+    "the AvailableNow drain the sink holds exactly the batch-twin "
+    "top-10 (deterministic total order: count desc, then key). "
+    "Empirically pinned in scripts/proto_r8_modes.py. Scale: complete "
+    "mode re-emits O(output) per batch — viable precisely because the "
+    "query bounds output to k rows via TakeOrderedAndProject over the "
+    "keyed state store, never because the corpus is small; the state "
+    "is one row per (type, hour) cell.",
+    skip_bench=True,  # staged write + stream startup dominates
+)
+def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, stage = _stream_events(spark, sf_dir, ["ts", "event_type"])
+    topk = (
+        stream.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.desc("n_events"), "event_type", "hr")
+        .limit(10)
+    )
+    name = f"mem_{uuid.uuid4().hex}"
+    try:
+        run_available_now(topk, name, fmt="memory", output_mode="complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+__reorder()
