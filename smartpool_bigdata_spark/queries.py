@@ -8205,9 +8205,14 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the intersection — per-row accounting (how many EVENTS exceed "
     "the other bag), not membership. Digested to per-bag (count, "
     "distinct users, id-sum) so the compare is O(1) while still "
-    "value-locking the exact multiset. Scale: Spark plans both as a "
-    "single hash shuffle on user_id with per-key counting — no "
-    "row-pairing, no sort.",
+    "value-locking the exact multiset. Scale note, honest: each native "
+    "set-op is one hash shuffle with per-key counting (no row-pairing, "
+    "no sort), but the three-op digest union re-scans the pushed "
+    "2-column projection per op (6 scans — visible in the plan audit); "
+    "at 100 TB the rewrite is ONE scan into per-user (cnt_a, cnt_b) "
+    "and greatest/least algebra over the count vector. This query "
+    "exists to value-lock the NATIVE exceptAll/intersectAll operators "
+    "a Spark user reaches for first.",
 )
 def user_event_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
