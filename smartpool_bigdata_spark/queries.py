@@ -8277,6 +8277,146 @@ def user_value_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sole_late_supplier_waitlist",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    cand AS (
+        SELECT a.ok, a.sk FROM late a
+        WHERE EXISTS (SELECT 1 FROM pairs b
+                      WHERE b.ok = a.ok AND b.sk <> a.sk)
+    ),
+    sole AS (
+        SELECT a.ok, a.sk FROM cand a
+        WHERE NOT EXISTS (SELECT 1 FROM late c
+                          WHERE c.ok = a.ok AND c.sk <> a.sk)
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.sk
+    GROUP BY s.s_name
+    """,
+    description="TPC-H Q21 shape (suppliers who kept orders waiting, "
+    "adapted to this schema's dates: late = shipped >60 days after the "
+    "order date, same convention as the Q4-shaped EXISTS gate): per "
+    "supplier, the count of finished multi-supplier orders where it was "
+    "the SOLE late shipper — the famously tricky EXISTS + NOT EXISTS "
+    "double-correlation on the same fact table. Spark plan: the two "
+    "correlations become one LEFT SEMI (another supplier exists on the "
+    "order) and one LEFT ANTI (no OTHER late supplier) self-join of the "
+    "deduped (order, supplier) pair set on orderkey with the "
+    "inequality in the join condition — no per-row subquery "
+    "re-execution, three key shuffles total at any scale, supplier "
+    "names broadcast at the end.",
+)
+def sole_late_supplier_waitlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    cand = late.alias("a").join(
+        pairs.alias("b"),
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")),
+        "left_semi",
+    )
+    # the anti self-join would SMJ (the distinct-agg build side carries
+    # no useful size stats); both sides are key-partitioned pair sets, so
+    # hint the hash build — same fix as the DBSCAN/ALS checkpoint case
+    sole = cand.alias("a").join(
+        late.hint("shuffle_hash").alias("c"),
+        (F.col("a.ok") == F.col("c.ok")) & (F.col("a.sk") != F.col("c.sk")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@query(
+    "rich_nonurgent_customers",
+    oracle="""
+    WITH bal AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    ab AS (
+        SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM bal WHERE bal_cents > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(bal_cents) AS DOUBLE) / 100, 2) AS totacctbal
+    FROM bal, ab
+    WHERE bal_cents * ab.n > ab.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = bal.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    description="TPC-H Q22 shape (global-mean scalar subquery + anti "
+    "join): customers whose balance beats the average POSITIVE balance "
+    "and who placed no URGENT order (adapted: every customer here has "
+    "SOME order, so Q22's no-orders anti-join keys on the urgent "
+    "slice), rolled up per nation. The above-average comparison is "
+    "INTEGER-exact: balances become cents (round(x*100) — integral "
+    "doubles cast identically in both engines, dodging the "
+    "Spark-truncates/DuckDB-rounds cast trap), and bal*n > sum "
+    "cross-multiplies instead of dividing, so no float mean ever "
+    "exists to disagree at the boundary. Plan: the (sum, n) profile is "
+    "a broadcast single-row aggregate crossJoined onto customers; the "
+    "NOT EXISTS decorrelates to a LEFT ANTI hash join on the "
+    "priority-filtered orders projection — one fact shuffle.",
+)
+def rich_nonurgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    ab = bal.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = bal.crossJoin(F.broadcast(ab)).where(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    idle = rich.join(
+        urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum("bal_cents").cast("double") / 100, 2).alias("totacctbal"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -270,6 +270,8 @@ R9_PENDING = frozenset({
     "user_value_rolling_7d",
     "stream_update_mode_counts",
     "stream_complete_topk",
+    "sole_late_supplier_waitlist",
+    "rich_nonurgent_customers",
 })
 
 
