@@ -1260,4 +1260,107 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query(
+    "ledger_vacuum_stats",
+    oracle="""
+    WITH ev AS (SELECT count(*) AS n_even FROM orders WHERE o_orderkey % 2 = 0),
+         od AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_odd,
+                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                          AS DOUBLE), 2) AS total_odd
+             FROM orders WHERE o_orderkey % 2 = 1
+         )
+    SELECT 'pre_vacuum_epochs' AS metric, CAST(2 AS DOUBLE) AS value FROM ev
+    UNION ALL SELECT 'pre_epoch0_rows', CAST(n_even AS DOUBLE) FROM ev
+    UNION ALL SELECT 'files_removed', CAST(4 AS DOUBLE) FROM ev
+    UNION ALL SELECT 'staged_orphans_reclaimed', CAST(1 AS DOUBLE) FROM ev
+    UNION ALL SELECT 'post_vacuum_epochs', CAST(1 AS DOUBLE) FROM ev
+    UNION ALL SELECT 'post_epoch0_rows', CAST(0 AS DOUBLE) FROM ev
+    UNION ALL SELECT 'post_head_rows', CAST(n_odd AS DOUBLE) FROM od
+    UNION ALL SELECT 'post_head_total', total_odd FROM od
+    """,
+    description="VACUUM on the ledger sink (the Delta VACUUM analog, "
+    "completing the table-maintenance trio: compact + time travel + "
+    "retention GC): even orders land as epoch 0, a retain-ed overwrite "
+    "publishes odd orders as epoch 1, a crash-orphaned .staged- file is "
+    "planted with an old mtime, then vacuum_staged reclaims the orphan "
+    "and vacuum_epochs removes every non-HEAD epoch (4 data files + "
+    "manifests). The gate value-locks the whole contract: BEFORE vacuum "
+    "both epochs resolve (epoch-0 pin readable, history length 2); "
+    "AFTER, history is HEAD-only, the epoch-0 pin resolves to zero "
+    "files (removed, never torn), and HEAD still reads the odd orders "
+    "bit-exact (count + decimal-stable price sum vs the oracle\'s "
+    "arithmetic rebuild) — proving vacuum cannot damage the live "
+    "version. io/pyledger.py:181,262.",
+    skip_bench=True,  # staging writes dominate the timing
+)
+def ledger_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.functions import stable_sum
+    from smartpool_bigdata_spark.io.pyledger import (
+        history,
+        register_ledger,
+        vacuum_epochs,
+        vacuum_staged,
+    )
+
+    register_ledger(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_ledger_vac_")
+    path = os.path.join(stage, "ledger")
+    try:
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4).write.format(
+            "ledger"
+        ).mode("append").option("path", path).save()
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4).write.format(
+            "ledger"
+        ).mode("overwrite").option("path", path).option("retain", "true").save()
+
+        def _read(epoch: int | None) -> DataFrame:
+            r = (
+                spark.read.format("ledger")
+                .schema("o_orderkey bigint, o_totalprice double")
+                .option("path", path)
+            )
+            if epoch is not None:
+                r = r.option("epoch", str(epoch))
+            return r.load()
+
+        pre_epochs = len(history(path))
+        pre_epoch0_rows = _read(0).count()
+
+        # plant a crash-orphaned staged file older than the retention age
+        orphan = os.path.join(path, ".staged-deadbeef.jsonl")
+        with open(orphan, "w") as f:
+            f.write("{}\n")
+        os.utime(orphan, (1, 1))
+        orphans_reclaimed = vacuum_staged(path, max_age_sec=3600)
+
+        files_removed = vacuum_epochs(path)
+        post_epochs = len(history(path))
+        post_epoch0_rows = _read(0).count()
+        head = _read(None)
+        head_stats = head.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            stable_sum("o_totalprice", 2).alias("tot"),
+        ).collect()[0]
+
+        return spark.createDataFrame(
+            [
+                ("pre_vacuum_epochs", float(pre_epochs)),
+                ("pre_epoch0_rows", float(pre_epoch0_rows)),
+                ("files_removed", float(files_removed)),
+                ("staged_orphans_reclaimed", float(orphans_reclaimed)),
+                ("post_vacuum_epochs", float(post_epochs)),
+                ("post_epoch0_rows", float(post_epoch0_rows)),
+                ("post_head_rows", float(head_stats["n"])),
+                ("post_head_total", float(head_stats["tot"])),
+            ],
+            "metric string, value double",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 __reorder()

@@ -272,6 +272,7 @@ R9_PENDING = frozenset({
     "stream_complete_topk",
     "sole_late_supplier_waitlist",
     "rich_nonurgent_customers",
+    "ledger_vacuum_stats",
 })
 
 
