@@ -1274,4 +1274,112 @@ def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_checkpoint_recovery",
+    oracle="""
+    WITH cut AS (SELECT max(ts) - INTERVAL 72 HOUR AS c,
+                        max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    w AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT 'run1_input_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+    FROM events, cut WHERE ts <= cut.c
+    UNION ALL
+    SELECT 'run2_input_rows', CAST(count(*) AS BIGINT)
+    FROM events, cut WHERE ts > cut.c
+    UNION ALL
+    SELECT 'emitted_windows', CAST(count(*) AS BIGINT)
+    FROM w, cut WHERE ws + INTERVAL 1 HOUR <= cut.wm
+    UNION ALL
+    SELECT 'dup_window_keys', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'events_in_emitted', CAST(sum(n) AS BIGINT)
+    FROM w, cut WHERE ws + INTERVAL 1 HOUR <= cut.wm
+    """,
+    description="CHECKPOINT RECOVERY across two separate streaming runs "
+    "(the restart semantic every production stream lives on, previously "
+    "only implied by single-run gates): run 1 drains the first 27 days "
+    "into a parquet sink under a checkpoint and STOPS; the last 3 days "
+    "of files then land in the source and run 2 starts from the SAME "
+    "checkpoint. The gate value-locks all three recovery guarantees at "
+    "once: OFFSET recovery (run 2's observed numInputRows == exactly "
+    "the new files' rows — nothing reprocessed), STATE recovery (the "
+    "hour window straddling the split gets contributions from BOTH "
+    "runs and its merged count matches the oracle's whole-corpus "
+    "rebuild — impossible unless run 2 loaded run 1's state store), "
+    "and EXACTLY-ONCE emission (zero duplicate (window, key) rows "
+    "across the two runs' appends). Watermark also recovers: run 1's "
+    "terminal watermark persists, and no run-2 event is late by "
+    "construction (the split is chronological). streaming/runner.py.",
+    skip_bench=True,  # two staged runs + stream startup dominate
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = event_time_ltz(
+        load_table(spark, sf_dir, "events").select("ts", "event_type"), "ts"
+    ).localCheckpoint(eager=True)  # one lineage, two staged writes
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 72 HOURS")).alias("c")
+    ).collect()[0]["c"]
+
+    stage = tempfile.mkdtemp(prefix="spark_ckpt_recovery_")
+    src = os.path.join(stage, "src")
+    sink = os.path.join(stage, "sink")
+    ckpt = os.path.join(stage, "ckpt")
+    os.makedirs(src)
+
+    def _agg(stream: DataFrame) -> DataFrame:
+        return watermarked_tumbling_agg(
+            stream,
+            ts_col="ts",
+            watermark="1 hour",
+            duration="1 hour",
+            keys=["event_type"],
+            aggs={"n_events": F.count(F.lit(1))},
+        )
+
+    schema = "ts timestamp, event_type string"
+    try:
+        ev.where(F.col("ts") <= F.lit(cut)).coalesce(2).write.parquet(
+            os.path.join(src, "f=0")
+        )
+        q1 = run_available_now(
+            _agg(file_stream(spark, src, schema)), sink,
+            checkpoint=ckpt, fmt="parquet",
+        )
+        run1_rows = sum(p["numInputRows"] for p in q1.recentProgress)
+
+        ev.where(F.col("ts") > F.lit(cut)).coalesce(2).write.parquet(
+            os.path.join(src, "f=1")
+        )
+        q2 = run_available_now(
+            _agg(file_stream(spark, src, schema)), sink,
+            checkpoint=ckpt, fmt="parquet",
+        )
+        run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+
+        emitted = spark.read.parquet(sink)
+        stats = emitted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("n_events").cast("bigint").alias("n_rows"),
+        ).collect()[0]
+        dups = (
+            emitted.groupBy("window_start", "event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .count()
+        )
+        return spark.createDataFrame(
+            [
+                ("run1_input_rows", int(run1_rows)),
+                ("run2_input_rows", int(run2_rows)),
+                ("emitted_windows", int(stats["n_windows"])),
+                ("dup_window_keys", int(dups)),
+                ("events_in_emitted", int(stats["n_rows"])),
+            ],
+            "metric string, value bigint",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 __reorder()

@@ -273,6 +273,7 @@ R9_PENDING = frozenset({
     "sole_late_supplier_waitlist",
     "rich_nonurgent_customers",
     "ledger_vacuum_stats",
+    "stream_checkpoint_recovery",
 })
 
 
