@@ -6156,4 +6156,132 @@ def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "classifier_auc_eval",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_contains({T.duck_tokens('text')}, 'spark') AS label,
+               list_transform({T.duck_tokens('text')}, t -> {T.duck_hash64('t')}) AS th
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, label, u.h AS h FROM (
+            SELECT doc_id, label, unnest(th) AS h FROM th
+            UNION ALL
+            SELECT doc_id, label,
+                   unnest(list_transform(range(1, len(th)),
+                          i -> (th[i] + th[i + 1]) % 1152921504606846976)) AS h
+            FROM th)
+        AS u(doc_id, label, h)
+    ),
+    scored AS (
+        SELECT doc_id, label,
+               CAST(CAST(sum(h % 997) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS BIGINT) AS score
+        FROM feats GROUP BY doc_id, label
+    ),
+    grp AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT cnt, pos,
+               sum(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grp
+    ),
+    agg AS (
+        SELECT CAST(sum(pos * (2 * cum - cnt + 1)) AS BIGINT) AS s2,
+               CAST(sum(pos) AS BIGINT) AS np,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM cum
+    )
+    SELECT np AS n_pos, n - np AS n_neg, s2 AS rank_sum2,
+           round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * (n - np) AS DOUBLE), 6) AS auc,
+           round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / CAST(np * (n - np) AS DOUBLE) - 1, 6) AS gini
+    FROM agg
+    """,
+    description="EXACT ROC-AUC of the hashed-feature classifier, "
+    "computed distributed as the tie-corrected Mann-Whitney rank-sum "
+    "statistic — the eval every model-based filter needs beside "
+    "calibration (calibration_eval says whether scores mean what they "
+    "claim; AUC says whether they RANK). No sort-all-rows, no per-row "
+    "window: scores collapse to per-distinct-score (count, positives) "
+    "groups, the global prefix sum over score groups runs through "
+    "global_running_sum (distributed range-partitioned prefix sums — "
+    "never one reducer), and tied scores get their exact average rank "
+    "via the 2x-integer identity 2*avgrank = 2*cum - cnt + 1, so the "
+    "doubled positive rank-sum (rank_sum2) is an INTEGER the oracle "
+    "value-locks exactly; AUC and Gini are one terminal division. The "
+    "score is the integer margin ratio (identical IEEE division from "
+    "identical ints in both engines, so score-equality groups match "
+    "bit-for-bit). Scale: one corpus scan, one doc shuffle, one "
+    "range-partition pass over distinct scores.",
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    docs = _ts(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_contains({T.spark_tokens('text')}, 'spark')"
+        ).alias("label"),
+        F.expr(
+            f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
+        ).alias("th"),
+    )
+    feats = th.select(
+        "doc_id",
+        "label",
+        F.explode(
+            F.expr(
+                "concat(th, CASE WHEN size(th) >= 2 THEN "
+                "transform(sequence(1, size(th) - 1), "
+                "i -> pmod(element_at(th, i) + element_at(th, i + 1), "
+                "1152921504606846976L)) ELSE array() END)"
+            )
+        ).alias("h"),
+    )
+    scored = feats.groupBy("doc_id", "label").agg(
+        (
+            F.sum(F.expr("pmod(h, 997)")).cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("bigint")
+        ).alias("score")
+    )
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    cum = global_running_sum(
+        grp, order_by=["score"], value_col="cnt", out_col="cum"
+    )
+    agg = cum.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        (F.col("n") - F.col("np")).alias("n_neg"),
+        F.col("s2").alias("rank_sum2"),
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * (F.col("n") - F.col("np"))).cast("double"),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (F.col("np") * (F.col("n") - F.col("np"))).cast("double")
+            - 1,
+            6,
+        ).alias("gini"),
+    )
+
+
 __reorder()

@@ -274,6 +274,7 @@ R9_PENDING = frozenset({
     "rich_nonurgent_customers",
     "ledger_vacuum_stats",
     "stream_checkpoint_recovery",
+    "classifier_auc_eval",
 })
 
 
