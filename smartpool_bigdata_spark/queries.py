@@ -8241,14 +8241,19 @@ def user_event_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS DOUBLE), 2) AS roll_value_7d,
            CAST(count(*) OVER w AS BIGINT) AS roll_n_7d
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
     """,
     description="Time-RANGE window frame (rangeBetween over epoch "
     "seconds): per-user rolling 7-day spend and event count at EVERY "
     "event — the value-based frame ROWS BETWEEN cannot express (the "
     "lookback is 604800 SECONDS, not N rows, so sparse and bursty "
-    "users get correct windows). Ties (equal ts) are RANGE peers and "
+    "users get correct windows). The ordering key is EPOCH "
+    "MICROSECONDS as a bigint on both sides (unix_micros / epoch_us): "
+    "whole seconds would truncate in Spark's long cast while DuckDB's "
+    "epoch() keeps the fraction, and the disagreement surfaces exactly "
+    "at frame boundaries — one row 7d+0.3s away flipped the hash at "
+    "sf0.1. Ties (equal ts) are RANGE peers and "
     "enter each other's frames symmetrically in both engines, and the "
     "sum folds through decimal so peer order can't flip the rounding. "
     "Completes the §2.5 frame surface: rows-frames (running totals), "
@@ -8261,10 +8266,12 @@ def user_value_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (
         Window.partitionBy("user_id")
-        # NTZ has no direct long cast; NTZ->LTZ is value-identity under
-        # the session's pinned UTC tz, then LTZ->long = epoch seconds
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-604800, Window.currentRow)
+        # NTZ has no unix_micros; NTZ->LTZ is value-identity under the
+        # session's pinned UTC tz. Micros, not seconds: a seconds cast
+        # truncates sub-second parts and disagrees with DuckDB's
+        # fractional epoch() at frame boundaries.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, Window.currentRow)
     )
     ev = _t(spark, sf_dir, "events")
     return ev.select(
