@@ -439,6 +439,39 @@ def test_r6_additions_plan_posture(plans):
         assert "CartesianProduct" not in final, name
 
 
+def test_r8_additions_plan_posture(plans):
+    """The r8 batch additions' scale posture, plan-locked (streaming
+    additions run real streams at build and are posture-audited by
+    their own gates instead)."""
+    for name in (
+        # autotuner round-trip: profile agg + salted two-stage agg,
+        # join-free
+        "event_type_stats_autotuned",
+        # native session windows: one user shuffle, no join
+        "event_session_window_native",
+        # Q13: the customer<->orders join may broadcast at test SF or
+        # shuffle-hash at scale — either way never SMJ/cartesian
+        "customer_order_count_distribution",
+        # Q5: date filter pushed, snowflake dims broadcast
+        "local_supplier_revenue",
+        # multiset ops: per-key counting hash shuffles, no sort
+        "user_event_bag_diff",
+        # RANGE frame: per-user sorted scan, join-free
+        "user_value_rolling_7d",
+        # Q21: semi+anti self-joins, anti side shuffle-hash-hinted
+        # (distinct-agg build sides lose size stats -> SMJ without it)
+        "sole_late_supplier_waitlist",
+        # Q22: broadcast scalar profile + anti join
+        "rich_nonurgent_customers",
+        # exact AUC: distinct-score prefix sums, broadcast offsets
+        "classifier_auc_eval",
+    ):
+        plan = plans(name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "CartesianProduct" not in final, name
+
+
 def test_r5_additions_plan_posture(plans):
     """The r5 family's scale posture, plan-locked like the r4 one:
     broadcast/hash joins only (no SortMergeJoin, no cartesian), and for
