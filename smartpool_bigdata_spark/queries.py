@@ -1701,12 +1701,17 @@ def event_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degenerates to a per-user cross product (Spark plans inequality "
     "joins as BroadcastNestedLoop); instead both sides are bucketed into "
     "bin-width = range-width epoch bins and the purchase side probes "
-    "exactly two bins (its own and the previous — (t-W) div W = "
-    "t div W - 1, so the candidate set provably covers the window), "
-    "making it an EQUI-join on (user_id, bin) with the exact range "
-    "applied as a post-filter. Scale: shuffle keyed on (user, bin) — "
-    "candidate count is bounded by per-user-per-window activity, never "
-    "|user events|².",
+    "its own bin and the previous one, DEDUPED with array_distinct: "
+    "for t >= W the two probes always differ ((t-W) div W = "
+    "t div W - 1), but Spark's div truncates toward zero, so in the "
+    "degenerate 0 < t < W region both collapse to bin 0 and an "
+    "un-deduped explode would count boundary views twice (hypothesis "
+    "found the falsifying case at epoch seconds < W; unreachable with "
+    "real 2024 timestamps, fixed anyway). The candidate set provably "
+    "covers the window, making it an EQUI-join on (user_id, bin) with "
+    "the exact range applied as a post-filter. Scale: shuffle keyed on "
+    "(user, bin) — candidate count is bounded by per-user-per-window "
+    "activity, never |user events|².",
 )
 def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = 4 * 3600  # bin width == range width (seconds)
@@ -1728,9 +1733,11 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.explode(
-            F.array(
-                F.expr(f"(p_epoch - {W}) div {W}"),
-                F.expr(f"p_epoch div {W}"),
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(p_epoch - {W}) div {W}"),
+                    F.expr(f"p_epoch div {W}"),
+                )
             )
         ).alias("bin"),
     )

@@ -155,9 +155,16 @@ def test_binned_range_join_covers_window(spark, rows):
         "event_id",
         "user_id",
         "p_epoch",
+        # array_distinct mirrors the production fix: Spark's div
+        # truncates toward zero, so for 0 < p_epoch < W both probes
+        # collapse to bin 0 and an un-deduped explode double-counts
+        # boundary views (the falsifying example this test found)
         F.explode(
-            F.array(
-                F.expr(f"(p_epoch - {W}) div {W}"), F.expr(f"p_epoch div {W}")
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(p_epoch - {W}) div {W}"),
+                    F.expr(f"p_epoch div {W}"),
+                )
             )
         ).alias("bin"),
     )
