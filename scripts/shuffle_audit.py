@@ -33,11 +33,12 @@ def _stages(ui: str, app_id: str) -> dict[int, dict]:
     out = {}
     for status in ("complete", "failed"):
         url = f"{ui}/api/v1/applications/{app_id}/stages?status={status}"
-        try:
-            for s in json.load(urllib.request.urlopen(url)):
-                out[(s["stageId"], s["attemptId"])] = s
-        except Exception:
-            pass
+        # no blanket except: an unreachable UI / changed JSON shape must
+        # fail LOUDLY — silently returning {} would print 0 MB shuffle
+        # and zero spill for every query, which reads as a (false) clean
+        # bill of health
+        for s in json.load(urllib.request.urlopen(url)):
+            out[(s["stageId"], s["attemptId"])] = s
     return out
 
 
@@ -64,6 +65,9 @@ def main() -> int:
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # keep the sweep going
             rows.append({"query": name, "error": str(e)[:120]})
+            # refresh the stage watermark so this query's partial stages
+            # are never attributed to the NEXT query's delta
+            seen = set(_stages(ui, app_id))
             continue
         wall = time.perf_counter() - t0
         release_signature_caches()
@@ -71,6 +75,14 @@ def main() -> int:
         cur = _stages(ui, app_id)
         new = [s for k, s in cur.items() if k not in seen]
         seen = set(cur)
+        if not new:
+            # a successful noop save always runs >=1 stage; an empty
+            # delta means stage attribution is broken (UI retention
+            # overflow or REST drift) — fail loudly, don't print zeros
+            raise RuntimeError(
+                f"no new stages attributed to {name}; "
+                "check spark.ui.retainedStages / REST availability"
+            )
         rows.append(
             {
                 "query": name,

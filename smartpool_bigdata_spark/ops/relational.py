@@ -52,7 +52,26 @@ def _interval_micros(spec: str) -> int:
                 f"unsupported bucket unit {unit!r} in {spec!r}: fixed-width "
                 f"units only ({', '.join(_INTERVAL_UNIT_US)})"
             )
-        total += int(qty) * _INTERVAL_UNIT_US[unit]
+        try:
+            n = int(qty)
+        except ValueError:
+            # support fractional quantities ("1.5 hours"), which the
+            # pre-r8 INTERVAL-literal path accepted; anything else gets
+            # a diagnostic naming the spec, not a bare int() error
+            try:
+                frac_us = float(qty) * _INTERVAL_UNIT_US[unit]
+            except ValueError:
+                raise ValueError(
+                    f"non-numeric quantity {qty!r} in interval spec {spec!r}"
+                ) from None
+            if frac_us != int(frac_us):
+                raise ValueError(
+                    f"interval spec {spec!r} is not a whole number of "
+                    f"microseconds"
+                )
+            total += int(frac_us)
+            continue
+        total += n * _INTERVAL_UNIT_US[unit]
     if total <= 0:
         raise ValueError(f"bucket width must be positive: {spec!r}")
     return total

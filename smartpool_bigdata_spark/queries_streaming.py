@@ -48,6 +48,29 @@ def _stream_events(spark: SparkSession, sf_dir: str, cols) -> tuple[DataFrame, s
     return file_stream(spark, src, ev.schema), stage
 
 
+def _staged_batches(frames, part_col: str, prefix: str) -> tuple[str, str]:
+    """Stage each frame as ONE file under ``{part_col}={i}`` with strictly
+    increasing mtimes, so ``maxFilesPerTrigger=1`` replays them as
+    deterministic micro-batches in list order — the file-order pin is
+    LOAD-BEARING for every multi-batch semantics gate (equal mtimes
+    would let the source reorder batches). Shared by the r8 update-mode
+    and dedup-reappearance gates; stream_user_sessions keeps its older
+    flat-file variant (its gate schema has no partition column).
+    Returns (stage_root_to_rm, source_dir)."""
+    import time as _time
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, frame in enumerate(frames):
+        d = os.path.join(src, f"{part_col}={i}")
+        frame.coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + 60 * i, now + 60 * i))
+    return stage, src
+
+
 @query(
     "stream_event_hourly_window",
     oracle="""
@@ -967,9 +990,7 @@ def stream_cdf_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.functions import stable_sum
 
-    stream, stage = _stream_events(
-        spark, sf_dir, ["ts", "user_id", "value", "event_id"]
-    )
+    stream, stage = _stream_events(spark, sf_dir, ["ts", "user_id", "value"])
     sess = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
@@ -1107,31 +1128,20 @@ def stream_dedup_reappear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # one staged lineage, three derived writes
     mx = base.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
 
-    stage = tempfile.mkdtemp(prefix="spark_dedup_reappear_")
-    src = os.path.join(stage, "src")
-    os.makedirs(src)
     # f=0: the base sample; f=1: dup of the max-ts row(s) — tracked, so it
     # emits nothing, but processing it evicts every expired key; f=2: the
-    # shifted dups that probe reappearance. coalesce(1) pins one file (=
-    # one micro-batch) per phase; mtimes pin the source's file order.
-    base.coalesce(1).write.parquet(os.path.join(src, "f=0"))
-    base.where(F.col("ts") == F.lit(mx)).coalesce(1).write.parquet(
-        os.path.join(src, "f=1")
+    # shifted dups that probe reappearance.
+    stage, src = _staged_batches(
+        [
+            base,
+            base.where(F.col("ts") == F.lit(mx)),
+            base.where(F.col("event_id") % 6 == 0).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 7 DAYS")
+            ),
+        ],
+        part_col="f",
+        prefix="spark_dedup_reappear_",
     )
-    (
-        base.where(F.col("event_id") % 6 == 0)
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 7 DAYS"))
-        .coalesce(1)
-        .write.parquet(os.path.join(src, "f=2"))
-    )
-    import time as _time
-
-    now = _time.time()
-    for sub, off in [("f=0", -120), ("f=1", -60), ("f=2", 0)]:
-        d = os.path.join(src, sub)
-        for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (now + off, now + off))
-
     stream = file_stream(
         spark,
         src,
@@ -1195,18 +1205,11 @@ __reorder()
 )
 def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    stage = tempfile.mkdtemp(prefix="spark_update_mode_")
-    src = os.path.join(stage, "src")
-    os.makedirs(src)
-    import time as _time
-
-    now = _time.time()
-    for b in range(3):
-        d = os.path.join(src, f"b={b}")
-        ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(d)
-        for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (now + 60 * b, now + 60 * b))
-
+    stage, src = _staged_batches(
+        [ev.where(F.col("event_id") % 3 == b) for b in range(3)],
+        part_col="b",
+        prefix="spark_update_mode_",
+    )
     stream = file_stream(
         spark, src, "event_id bigint, event_type string, b int",
         max_files_per_trigger=1,
