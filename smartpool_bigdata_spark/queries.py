@@ -8431,6 +8431,54 @@ def rich_nonurgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANCESTOR_CHAIN_CTE = """
+WITH RECURSIVE chain(root, node, cents, depth) AS (
+    SELECT o_orderkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT), 0
+    FROM {orders} WHERE o_orderkey BETWEEN 1 AND 1023
+    UNION ALL
+    SELECT c.root, o.o_orderkey,
+           c.cents + CAST(round(o.o_totalprice * 100) AS BIGINT),
+           c.depth + 1
+    FROM chain c JOIN {orders} o
+      ON o.o_orderkey = CAST(floor(c.node / 2) AS BIGINT)
+    WHERE c.node > 1
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_chains,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+FROM chain GROUP BY depth
+"""
+
+
+@query(
+    "order_ancestor_chain_cte",
+    oracle=_ANCESTOR_CHAIN_CTE.format(orders="orders"),
+    description="RECURSIVE CTE (WITH RECURSIVE — new in Spark 4, the "
+    "declarative fixpoint operator that replaces the driver-side "
+    "iterate-and-checkpoint loop the graph suite hand-rolls): every "
+    "order key in [1, 1023] walks its binary-ancestor chain "
+    "(parent = floor(node/2)) up to the root, accumulating exact "
+    "integer cents along the path; the result is the per-depth chain "
+    "count and path-sum mass. The SAME SQL text runs on both engines "
+    "(Spark against a temp view, DuckDB against its view) — the "
+    "recursion operator itself is what's value-locked, seed + step + "
+    "termination (the node > 1 guard; floor(int/int) division is "
+    "fractional in BOTH dialects, so the parent arithmetic is "
+    "engine-identical). Scale: Spark executes each recursion level as "
+    "a distributed self-join on the orderkey — the same shuffle shape "
+    "per level as the hand-rolled BFS, with the engine owning "
+    "fixpoint detection; chain length is log2(key), so the level "
+    "count is bounded and each level shrinks.",
+)
+def order_ancestor_chain_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    view = f"orders_cte_{_uuid.uuid4().hex}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(_ANCESTOR_CHAIN_CTE.format(orders=view))
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -275,6 +275,7 @@ R9_PENDING = frozenset({
     "ledger_vacuum_stats",
     "stream_checkpoint_recovery",
     "classifier_auc_eval",
+    "order_ancestor_chain_cte",
 })
 
 
