@@ -8431,6 +8431,80 @@ def rich_nonurgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_daily_twap",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS v_cents,
+               event_id
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, day, v_cents,
+               coalesce(
+                   lead(us) OVER (PARTITION BY user_id, day
+                                  ORDER BY us, event_id),
+                   epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+               ) - us AS w_us
+        FROM pts
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_us) AS BIGINT) AS covered_us,
+           round(CAST(sum(v_cents * w_us) AS DOUBLE)
+                 / CAST(sum(w_us) AS DOUBLE) / 100, 4) AS twap_value
+    FROM w GROUP BY user_id, day
+    """,
+    description="TIME-WEIGHTED average (TWAP / sensor hold-interpolation "
+    "— the reference's pool-telemetry domain semantic: a reading holds "
+    "until the next one, so the daily mean weights each value by its "
+    "HOLD DURATION, not one-per-row like avg): per user-day, each "
+    "event's value (cent-quantized — round(v*100) is an integral "
+    "double, casting identically in both engines) is weighted by "
+    "microseconds until the next event, the last event holding to "
+    "midnight. All weights and products are exact int64 (max "
+    "~5e15/user-day, 1000x under overflow), so the only float op is "
+    "the terminal division — bit-identical cross-engine. Scale: one "
+    "shuffle on (user, day); the lead() window is per-user-day sorted "
+    "scans whose size the day boundary bounds.",
+)
+def user_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        "user_id",
+        day.alias("day"),
+        us.alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        "event_id",
+    )
+    day_end = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    weighted = pts.select(
+        "user_id",
+        "day",
+        "v_cents",
+        (F.coalesce(F.lead("us").over(w), day_end) - F.col("us")).alias("w_us"),
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("w_us").cast("bigint").alias("covered_us"),
+        F.round(
+            F.sum(F.col("v_cents") * F.col("w_us")).cast("double")
+            / F.sum("w_us").cast("double")
+            / 100,
+            4,
+        ).alias("twap_value"),
+    )
+
+
 _ANCESTOR_CHAIN_CTE = """
 WITH RECURSIVE chain(root, node, cents, depth) AS (
     SELECT o_orderkey, o_orderkey,

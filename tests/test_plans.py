@@ -465,6 +465,8 @@ def test_r8_additions_plan_posture(plans):
         "rich_nonurgent_customers",
         # exact AUC: distinct-score prefix sums, broadcast offsets
         "classifier_auc_eval",
+        # TWAP: one (user, day) shuffle, lead window, join-free
+        "user_daily_twap",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -276,6 +276,7 @@ R9_PENDING = frozenset({
     "stream_checkpoint_recovery",
     "classifier_auc_eval",
     "order_ancestor_chain_cte",
+    "user_daily_twap",
 })
 
 
