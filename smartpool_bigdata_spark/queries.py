@@ -8432,6 +8432,102 @@ def rich_nonurgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_value_equidepth_hist",
+    oracle="""
+    WITH grp AS (
+        SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events GROUP BY value
+    ),
+    cum AS (
+        SELECT value, cnt, v_cents,
+               CAST(sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM grp
+    ),
+    spans AS (
+        SELECT v_cents, cnt, cum, n,
+               unnest(range((cum - cnt) * 10 // n,
+                            (cum - 1) * 10 // n + 1)) AS bucket
+        FROM cum
+    ),
+    olap AS (
+        SELECT bucket, v_cents,
+               least(cum - 1, ((bucket + 1) * n + 9) // 10 - 1)
+                   - greatest(cum - cnt, (bucket * n + 9) // 10) + 1
+                   AS overlap
+        FROM spans
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(sum(overlap) AS BIGINT) AS n_rows,
+           CAST(min(v_cents) AS BIGINT) AS lo_cents,
+           CAST(max(v_cents) AS BIGINT) AS hi_cents,
+           CAST(sum(v_cents * overlap) AS BIGINT) AS cents_mass
+    FROM olap GROUP BY bucket
+    """,
+    description="EXACT equi-depth histogram (10 equal-count buckets over "
+    "event value) WITHOUT sorting rows — the layout primitive behind "
+    "range partitioning, decile features, and monotone binning, done "
+    "the way 100 TB allows: rows collapse to (distinct value, count), "
+    "a distributed range-partitioned prefix sum (global_running_sum) "
+    "assigns each value its row-index span [cum-cnt, cum), and pure "
+    "int64 algebra intersects that span with the bucket index grid "
+    "(row i -> bucket floor(i*k/n)), so a tied value straddling a "
+    "boundary SPLITS exactly — counts per bucket are equal to the "
+    "remainder, not approximately. Every emitted number (counts, "
+    "cent-bounds, weighted mass) is an exactly-locked integer; "
+    "contrast event_value_histogram (fixed-width) and "
+    "doc_token_percentiles_approx (sketched cuts). Scale: one hash agg "
+    "to distinct values, one range pass — never a row sort.",
+)
+def event_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    grp = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(F.first("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    n = grp.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = global_running_sum(
+        grp, order_by=["value"], value_col="cnt", out_col="cum"
+    ).crossJoin(F.broadcast(n))
+    spans = cum.select(
+        "v_cents",
+        "cnt",
+        "cum",
+        "n",
+        F.explode(
+            F.expr("sequence((cum - cnt) * 10 div n, (cum - 1) * 10 div n)")
+        ).alias("bucket"),
+    )
+    olap = spans.select(
+        "bucket",
+        "v_cents",
+        (
+            F.least(
+                F.col("cum") - 1,
+                F.expr("((bucket + 1) * n + 9) div 10") - 1,
+            )
+            - F.greatest(
+                F.col("cum") - F.col("cnt"),
+                F.expr("(bucket * n + 9) div 10"),
+            )
+            + 1
+        ).alias("overlap"),
+    )
+    return olap.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.sum("overlap").cast("bigint").alias("n_rows"),
+        F.min("v_cents").cast("bigint").alias("lo_cents"),
+        F.max("v_cents").cast("bigint").alias("hi_cents"),
+        F.sum(F.col("v_cents") * F.col("overlap")).cast("bigint").alias(
+            "cents_mass"
+        ),
+    )
+
+
+@query(
     "user_daily_twap",
     oracle="""
     WITH pts AS (

@@ -467,6 +467,8 @@ def test_r8_additions_plan_posture(plans):
         "classifier_auc_eval",
         # TWAP: one (user, day) shuffle, lead window, join-free
         "user_daily_twap",
+        # equi-depth hist: distinct-value prefix sums, broadcast total
+        "event_value_equidepth_hist",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

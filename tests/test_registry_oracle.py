@@ -277,6 +277,7 @@ R9_PENDING = frozenset({
     "classifier_auc_eval",
     "order_ancestor_chain_cte",
     "user_daily_twap",
+    "event_value_equidepth_hist",
 })
 
 
