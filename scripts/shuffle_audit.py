@@ -42,16 +42,15 @@ def _stages(ui: str, app_id: str) -> dict[int, dict]:
     return out
 
 
-def main() -> int:
-    from smartpool_bigdata_spark.session import get_spark
+def measure(spark, sf_dir: str, names: list[str]) -> list[dict]:
+    """Run each query to a noop sink on a warm session and attribute
+    per-stage byte metrics via stage-id deltas. Importable — this is
+    also the engine behind tests/test_shuffle_budget.py's pinned
+    per-query ceilings. Failures are returned as {'query', 'error'}
+    rows (the CLI prints them; the budget test asserts none)."""
     from smartpool_bigdata_spark.queries import REGISTRY
     from smartpool_bigdata_spark.ops.text import release_signature_caches
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or [n for n in REGISTRY if not REGISTRY[n].skip_bench]
-
-    spark = get_spark(app_name="shuffle-audit", master="local[8]")
-    spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
     ui, app_id = sc.uiWebUrl, sc.applicationId
     # retention must cover the whole sweep; default spark.ui.retainedStages
@@ -110,6 +109,19 @@ def main() -> int:
                 ),
             }
         )
+    return rows
+
+
+def main() -> int:
+    from smartpool_bigdata_spark.session import get_spark
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or [n for n in REGISTRY if not REGISTRY[n].skip_bench]
+
+    spark = get_spark(app_name="shuffle-audit", master="local[8]")
+    spark.sparkContext.setLogLevel("WARN")
+    rows = measure(spark, sf_dir, names)
 
     ok = [r for r in rows if "error" not in r]
     ok.sort(key=lambda r: -r["shuffle_write_mb"])

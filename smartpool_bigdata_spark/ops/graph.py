@@ -798,6 +798,18 @@ def densest_subgraph_trajectory(
     geometrically (each round removes >= eps/(2+2eps) of nodes or
     terminates), lineage localCheckpoint-cut.
     """
+    # decimal(38,0) headroom for the keep-filter product below:
+    # 2*eps_den * deg * n with deg,n <= 2^63-1 means deg*n < 8.6e37, so
+    # 2*eps_den must stay <= 10 digits of slack past that — bound it at
+    # 1e9 (any realistic eps ratio is single digits). Without this cap a
+    # huge caller-supplied eps_den could overflow decimal(38,0), which
+    # under non-ANSI evaluation yields NULL -> filter false -> nodes
+    # silently dropped.
+    if not (0 < eps_den <= 500_000_000) or eps_num <= 0:
+        raise ValueError(
+            "eps_num/eps_den must be positive and eps_den <= 5e8 "
+            f"(decimal(38,0) overflow headroom); got {eps_num}/{eps_den}"
+        )
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -823,8 +835,9 @@ def densest_subgraph_trajectory(
         # integer form is 2 * eps_den * deg * n > eps_num * m2. The
         # three-bigint product can exceed 2^63 on extreme graphs
         # (deg * n > ~4.6e17) and silently wrap without ANSI checks, so
-        # the left factor accumulates in decimal(38,0) — still integer-
-        # exact, never overflows for any bigint inputs.
+        # the left factor accumulates in decimal(38,0) — integer-exact
+        # for any bigint deg/n GIVEN the eps_den <= 5e8 entry bound
+        # above (2*5e8 * (2^63-1)^2 < 10^38).
         keep = deg.filter(
             F.lit(2 * eps_den).cast("decimal(38,0)") * F.col("deg") * F.lit(n)
             > F.lit(eps_num).cast("decimal(38,0)") * F.lit(m2)

@@ -11,6 +11,7 @@ states its shuffle behavior and the mitigation for skew.
 
 from __future__ import annotations
 
+import decimal
 from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -57,10 +58,13 @@ def _interval_micros(spec: str) -> int:
         except ValueError:
             # support fractional quantities ("1.5 hours"), which the
             # pre-r8 INTERVAL-literal path accepted; anything else gets
-            # a diagnostic naming the spec, not a bare int() error
+            # a diagnostic naming the spec, not a bare int() error.
+            # Decimal, not float: binary rounding would falsely reject
+            # specs that are exactly whole microseconds (e.g. "0.0079
+            # seconds" = 7900 us, but 0.0079*1e6 = 7899.999... as float).
             try:
-                frac_us = float(qty) * _INTERVAL_UNIT_US[unit]
-            except ValueError:
+                frac_us = decimal.Decimal(qty) * _INTERVAL_UNIT_US[unit]
+            except decimal.InvalidOperation:
                 raise ValueError(
                     f"non-numeric quantity {qty!r} in interval spec {spec!r}"
                 ) from None

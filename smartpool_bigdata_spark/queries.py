@@ -2813,73 +2813,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
 GATE_PRIORITY: list[str] = [
-    # --- r8 window: the r7-verdict #1 ask. ALL 43 R8_PENDING queries
-    # (the only slice without a driver CORRECTNESS row — 6 deferred-r7
-    # aggregates + 37 r7 additions), the 5 genuinely-new r8 operators
-    # (gated the round they are born, so no pending backlog forms), and
-    # 2 re-confirmation slots for the r4-stale queries most worth a
-    # fresh driver row: the fixed-64-bucket salted agg (the autotuned
-    # twin's baseline) and the outer-join attribution stream whose
-    # oracle is coupled to Spark's eviction boundary (the carried r5+
-    # watch item). After this round every registry query has a driver
-    # row: union 250/250.
-    # -- the 6 r7-deferred aggregates --
-    "corpus_zipf_slope",
-    "benford_price_audit",
-    "customer_revenue_gini",
-    "fd_violation_audit",
-    "order_leadtime_percentiles",
-    "session_bounce_stats",
-    # -- r7 additions: OLAP / pipeline shapes --
-    "scale_conf_advisor",
-    "segment_shipping_priority",
-    "returned_item_losses",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "segment_pareto_customers",
-    "dpp_partition_pruned_join",
-    "events_asof_nearest",
-    "events_in_incident_windows",
-    "incident_concurrency_profile",
-    # -- r7 additions: stats / experimentation --
-    "event_value_bootstrap_ci",
-    "event_value_ks_drift",
-    "event_type_theilsen_trend",
-    "event_type_leadlag",
-    "event_type_target_encoding",
-    "segment_cuped_adjusted_lift",
-    "segment_did_bootstrap",
-    "uplift_decile_curve",
-    "classifier_calibration_eval",
-    "daily_forecast_backtest",
-    "transition_model_eval",
-    # -- r7 additions: graph / recsys --
-    "purchase_graph_hits",
-    "purchase_graph_kcore",
-    "purchase_graph_densest",
-    "segment_reach_bfs",
-    "temporal_purchase_reach",
-    "segment_supplier_affinity_ppr",
-    "purchase_als_rank1",
-    "als_recall_eval",
-    "embedding_dbscan_2d",
-    "lsh_scurve_eval",
-    # -- r7 additions: text / corpus --
-    "corpus_mixture_plan",
-    "doc_cdc_chunks",
-    "vocab_coverage_eval",
-    "source_ngram_diversity",
-    "session_path_trigrams",
-    "dup_cluster_cohesion_audit",
-    # -- new in r8 (gated immediately) --
-    "event_type_stats_autotuned",
-    "event_session_window_native",
-    "stream_session_window_agg",
-    "stream_state_accounting",
-    "stream_dedup_reappear",
-    # -- r4-stale re-confirmations --
-    "event_type_stats_salted",
-    "stream_purchase_attribution_outer",
+    # --- r9 window: the r8-verdict #1 ask. ALL 14 R9_PENDING queries
+    # (the post-r8-window additions — the only slice whose driver row
+    # is missing; judge-verified at sf0.01 in r8), the 4 genuinely-new
+    # r9 operators (gated the round they are born), and 32
+    # re-confirmation slots refreshing the OLDEST driver rows (the
+    # r4-era greens — all 48 tie at newest=r4, so the first 32 in
+    # name order take the slots; the alphabetical tail of 16 is first
+    # in line for r10 re-confirmation, pinned as R10_RECONFIRM in
+    # tests/test_registry_oracle.py). After this round the driver
+    # union covers the whole registry: 266/266.
+    # -- the 14 R9_PENDING (post-r8-window additions) --
+    "customer_order_count_distribution",
+    "local_supplier_revenue",
+    "user_event_bag_diff",
+    "user_value_rolling_7d",
+    "stream_update_mode_counts",
+    "stream_complete_topk",
+    "sole_late_supplier_waitlist",
+    "rich_nonurgent_customers",
+    "ledger_vacuum_stats",
+    "stream_checkpoint_recovery",
+    "classifier_auc_eval",
+    "order_ancestor_chain_cte",
+    "user_daily_twap",
+    "event_value_equidepth_hist",
+    # -- new in r9 (gated immediately) --
+    "min_cost_region_supplier",
+    "small_part_hoarding_suppliers",
+    "top_revenue_supplier",
+    "segment_reach_bfs_cte",
+    # -- r4-stale re-confirmations (first 32 of 48 in name order) --
+    "active_without_purchase_last_day",
+    "brand_small_qty_revenue",
+    "clustered_time_slice",
+    "conversion_funnel",
+    "daily_activity_reconciliation",
+    "daily_event_anomalies",
+    "daily_purchase_spine",
+    "doc_char_jaccard_pairs",
+    "doc_embedding_profile",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_classes",
+    "doc_token_percentiles_approx",
+    "doc_winnow_fingerprint_overlap",
+    "embedding_dedup_survivors",
+    "event_grouping_sets",
+    "event_props_parsed",
+    "event_transition_matrix",
+    "event_type_hour_cube",
+    "event_type_rollup",
+    "event_user_skew_profile",
+    "event_value_dispersion",
+    "event_value_histogram",
+    "event_value_winsorized",
+    "events_asof_reference_value",
+    "knn_ivf_kmeans",
+    "knn_pq_adc",
+    "lineitem_measures_unpivot",
+    "llm_corpus_pipeline",
+    "multimodal_frame_index",
+    "order_value_window_stats",
+    "orders_with_late_shipments",
 ]
 
 
@@ -8252,7 +8248,7 @@ def user_event_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
     """,
     description="Time-RANGE window frame (rangeBetween over epoch "
-    "seconds): per-user rolling 7-day spend and event count at EVERY "
+    "microseconds): per-user rolling 7-day spend and event count at EVERY "
     "event — the value-based frame ROWS BETWEEN cannot express (the "
     "lookback is 604800 SECONDS, not N rows, so sparse and bursty "
     "users get correct windows). The ordering key is EPOCH "
@@ -8647,6 +8643,305 @@ def order_ancestor_chain_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"orders_cte_{_uuid.uuid4().hex}"
     _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(_ANCESTOR_CHAIN_CTE.format(orders=view))
+
+
+@query(
+    "min_cost_region_supplier",
+    oracle="""
+    WITH eur AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    offers AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+               CAST(min(floor(l.l_extendedprice * 100 / l.l_quantity))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        WHERE l.l_suppkey IN (SELECT s_suppkey FROM eur)
+        GROUP BY 1, 2
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+           round(CAST(o.cents AS DOUBLE) / 100, 2) AS supply_cost
+    FROM part p
+    JOIN offers o ON o.partkey = p.p_partkey
+    JOIN eur e ON e.s_suppkey = o.suppkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      AND o.cents = (SELECT min(o2.cents) FROM offers o2
+                     WHERE o2.partkey = p.p_partkey)
+    """,
+    description="TPC-H Q2 shape (min-cost supplier per part — the "
+    "min-per-group correlated subquery): for every STANDARD mid-size "
+    "part, the EUROPE supplier(s) whose cheapest historical offer ties "
+    "the part's regional minimum. The partsupp relation is derived from "
+    "lineitem (this schema has no partsupp): an offer is a supplier's "
+    "min unit price for a part, held integer-exact as "
+    "floor(extendedprice*100/quantity) cents — IEEE double division is "
+    "bit-identical in both engines and floor() dodges the "
+    "round-half-mode trap, so the min-equality correlation never "
+    "compares lossy floats. Spark plan: the region-filtered supplier "
+    "dim (supplier x nation x region) broadcasts into a semi-join that "
+    "prunes lineitem BEFORE the offer aggregation; the correlated "
+    "per-part min decorrelates to a window min over the offer set "
+    "(same partkey partitioning as the groupBy — no extra shuffle "
+    "beyond the agg) with an equality filter; part attributes and "
+    "supplier details broadcast at the end. One fact shuffle total.",
+)
+def min_cost_region_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity")).alias(
+            "unit_cents"
+        ),
+    )
+    offers = (
+        li.join(
+            F.broadcast(eur.select("s_suppkey")),
+            li["suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("partkey", "suppkey")
+        .agg(F.min("unit_cents").cast("bigint").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partkey")
+    best = offers.withColumn("min_cents", F.min("cents").over(w)).where(
+        F.col("cents") == F.col("min_cents")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        best.join(F.broadcast(parts), best["partkey"] == parts["p_partkey"])
+        .join(F.broadcast(eur), best["suppkey"] == eur["s_suppkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("cents").cast("double") / 100, 2).alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "small_part_hoarding_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate < TIMESTAMP '1998-01-01'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_1997
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(qty_1997) AS BIGINT) AS qty_1997_total
+    FROM ps
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.qty_1997 * 2 > ps.total_qty
+    GROUP BY s.s_name, n.n_name
+    """,
+    description="TPC-H Q20 shape (nested IN + per-(supplier,part) "
+    "correlated threshold): suppliers who concentrated MORE THAN HALF "
+    "of their all-time shipped volume of some 'small%' part into the "
+    "single year 1997 — per supplier, how many such parts and the "
+    "concentrated volume. Q20's two nesting levels survive the "
+    "adaptation: the inner IN (parts matching a name pattern) and the "
+    "correlated availqty-vs-half-of-shipped threshold, with the "
+    "partsupp analog derived from lineitem itself. The threshold "
+    "needs the SAME relation aggregated over two horizons — computed "
+    "in ONE pass as a conditional aggregate (sum + filtered sum, "
+    "map-side combined), not a self-join; the comparison is "
+    "integer-exact cross-multiplication (qty_1997 * 2 > total_qty, "
+    "quantities are integral doubles cast to bigint). Spark plan: "
+    "part-pattern dim broadcasts into a semi-join pruning the fact "
+    "scan, one hash agg on (suppkey, partkey), supplier and nation "
+    "dims broadcast into the final per-supplier rollup.",
+)
+def small_part_hoarding_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    ps = (
+        li.join(F.broadcast(small), li["l_partkey"] == small["p_partkey"], "left_semi")
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+            F.sum(
+                F.when(in_1997, F.col("l_quantity").cast("bigint")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("qty_1997"),
+        )
+        .where(F.col("qty_1997") * 2 > F.col("total_qty"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ps.join(F.broadcast(sup), ps["suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("qty_1997").cast("bigint").alias("qty_1997_total"),
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.rev_cents AS DOUBLE) / 100, 2) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+    description="TPC-H Q15 shape (scalar max over an aggregate view — "
+    "the top-revenue supplier): quarterly discounted revenue per "
+    "supplier, then the supplier(s) whose revenue equals the global "
+    "maximum — the aggregate-of-aggregate correlation Q15 expresses "
+    "through a view. Revenue is integer-exact: per-row "
+    "floor(extendedprice*(1-discount)*100) cents (IEEE product is "
+    "bit-identical in both engines, floor has no rounding-mode "
+    "ambiguity, bigint sums are associative), so the max-equality "
+    "comparison can never disagree at the boundary the way a "
+    "float-accumulated revenue could. Spark plan: one hash agg on "
+    "suppkey over the date-pruned scan, the single-row max broadcast "
+    "crossJoined back (no second fact pass, no window over a global "
+    "partition), supplier names broadcast.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents").cast("double") / 100, 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_REACH_BFS_CTE = """
+WITH RECURSIVE raw AS (
+    SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+    FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+),
+sym AS (SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw),
+seeds AS (
+    SELECT DISTINCT c_custkey AS node FROM {customer}
+    WHERE c_mktsegment = 'AUTOMOBILE'
+),
+bfs(node, hop) AS (
+    SELECT node, 0 AS hop FROM seeds
+    UNION ALL
+    SELECT DISTINCT s.b AS node, bfs.hop + 1 AS hop
+    FROM bfs JOIN sym s ON s.a = bfs.node
+    WHERE bfs.hop < 4
+),
+dist AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN node > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers,
+       CAST(sum(node) AS BIGINT) AS node_checksum
+FROM dist GROUP BY hop
+"""
+
+
+@query(
+    "segment_reach_bfs_cte",
+    oracle=_REACH_BFS_CTE.format(
+        lineitem="lineitem", orders="orders", customer="customer"
+    ),
+    description="Recursive-CTE twin of segment_reach_bfs: the SAME "
+    "multi-source BFS over the real symmetrized purchase graph, but "
+    "expressed as WITH RECURSIVE and executed by Spark 4's native "
+    "fixpoint operator instead of ops.graph.bfs_hops' hand-rolled "
+    "iterate-and-localCheckpoint loop — the cross-check that "
+    "value-locks the engine's recursion against the Pregel-style "
+    "implementation (tests/test_properties.py::test_bfs_cte_twin_"
+    "matches_handrolled asserts the two queries' outputs are "
+    "identical row-for-row). Spark's recursive "
+    "CTE supports UNION ALL only (UNION-distinct raises "
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so min-hop BFS is "
+    "recovered without path explosion by DISTINCT-ing each frontier "
+    "LEVEL inside the recursive member (per level each node appears "
+    "once, so level rows are bounded by |V| — never by path count, "
+    "which is combinatorial on this dense bipartite graph) and taking "
+    "min(hop) per node at the end. The SAME SQL text runs on both "
+    "engines. Plan note (why the hand-rolled loop stays the scale "
+    "path): the native operator re-derives each level from the FULL "
+    "previous level without a visited-set anti-join, so every level "
+    "re-emits all reachable nodes (~|V| rows/level regardless of how "
+    "many are new), while bfs_hops' frontier shrinks to only "
+    "newly-discovered nodes — at depth d the CTE does O(d*|V|) node "
+    "emissions vs the loop's O(|V|); for this 4-hop graph both are "
+    "sub-second, and the CTE wins on plan simplicity (no driver "
+    "round-trips, one job).",
+)
+def segment_reach_bfs_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex
+    names = {}
+    for t in ("lineitem", "orders", "customer"):
+        names[t] = f"{t}_bfscte_{sfx}"
+        _t(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return spark.sql(_REACH_BFS_CTE.format(**names))
 
 
 # Register the document-pipeline and similarity-search query families into

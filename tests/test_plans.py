@@ -476,6 +476,29 @@ def test_r8_additions_plan_posture(plans):
         assert "CartesianProduct" not in final, name
 
 
+def test_r9_additions_plan_posture(plans):
+    """The r9 batch additions' scale posture, plan-locked."""
+    for name in (
+        # Q2: region-filtered supplier dim broadcast-semi prunes the
+        # fact scan; per-part min is a window over the offer agg's own
+        # partitioning; part + supplier detail joins broadcast
+        "min_cost_region_supplier",
+        # Q20: part-pattern dim broadcast semi-join, ONE conditional
+        # hash agg on (supp, part) for both horizons, dims broadcast
+        "small_part_hoarding_suppliers",
+        # Q15: one suppkey hash agg, scalar max broadcast crossJoined,
+        # supplier names broadcast — never a global window
+        "top_revenue_supplier",
+        # recursive-CTE BFS twin: the loop body is owned by the engine's
+        # UnionLoop node; the lock covers the dist/histogram tail
+        "segment_reach_bfs_cte",
+    ):
+        plan = plans(name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "CartesianProduct" not in final, name
+
+
 def test_r5_additions_plan_posture(plans):
     """The r5 family's scale posture, plan-locked like the r4 one:
     broadcast/hash joins only (no SortMergeJoin, no cartesian), and for

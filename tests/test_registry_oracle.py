@@ -259,10 +259,18 @@ R8_RECONFIRM = frozenset({
     "stream_purchase_attribution_outer",
 })
 
-# Queries registered AFTER the r8 window was pinned (the window holds
-# exactly 50; these are builder-verified at three SFs this round and
-# first in line for the r9 window): update/complete output modes,
-# multiset set ops, TPC-H Q5/Q13 proper, and the time-RANGE frame.
+# The r8 window as the driver recorded it (all green in
+# CORRECTNESS_r08.json): the whole pending backlog + the new r8
+# operators + the two declared re-confirmations.
+R8_WINDOW = R8_PENDING | R8_NEW | R8_RECONFIRM
+
+
+# Queries registered AFTER the r8 window was pinned (builder-verified
+# at three SFs in r8, judge-verified at sf0.01 in the r8 session):
+# update/complete output modes, multiset set ops, TPC-H Q5/Q13/Q21/Q22
+# proper, the time-RANGE frame, ledger VACUUM, checkpoint recovery,
+# exact AUC, recursive CTE, TWAP, and the equi-depth histogram. ALL of
+# them take the r9 window — the r8 verdict's #1 ask.
 R9_PENDING = frozenset({
     "customer_order_count_distribution",
     "local_supplier_revenue",
@@ -280,13 +288,86 @@ R9_PENDING = frozenset({
     "event_value_equidepth_hist",
 })
 
+# Queries first registered in round 9 — gated the round they are born,
+# so no pending backlog forms: the TPC-H Q2/Q20/Q15 decorrelation
+# shapes and the recursive-CTE twin of the hand-rolled BFS.
+R9_NEW = frozenset({
+    "min_cost_region_supplier",
+    "small_part_hoarding_suppliers",
+    "top_revenue_supplier",
+    "segment_reach_bfs_cte",
+})
+
+# The 32 re-confirmation slots: of the 48 queries whose NEWEST driver
+# row is still r4 (everything else is r5+), the first 32 in name
+# order take the spare r9 slots for a fresh row.
+R9_RECONFIRM = frozenset({
+    "active_without_purchase_last_day",
+    "brand_small_qty_revenue",
+    "clustered_time_slice",
+    "conversion_funnel",
+    "daily_activity_reconciliation",
+    "daily_event_anomalies",
+    "daily_purchase_spine",
+    "doc_char_jaccard_pairs",
+    "doc_embedding_profile",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_classes",
+    "doc_token_percentiles_approx",
+    "doc_winnow_fingerprint_overlap",
+    "embedding_dedup_survivors",
+    "event_grouping_sets",
+    "event_props_parsed",
+    "event_transition_matrix",
+    "event_type_hour_cube",
+    "event_type_rollup",
+    "event_user_skew_profile",
+    "event_value_dispersion",
+    "event_value_histogram",
+    "event_value_winsorized",
+    "events_asof_reference_value",
+    "knn_ivf_kmeans",
+    "knn_pq_adc",
+    "lineitem_measures_unpivot",
+    "llm_corpus_pipeline",
+    "multimodal_frame_index",
+    "order_value_window_stats",
+    "orders_with_late_shipments",
+})
+
+# The alphabetical tail of the 48 r4-stale queries (the 16 that did
+# not fit the r9 window) — first in line for r10 re-confirmation.
+R10_RECONFIRM_BACKLOG = frozenset({
+    "priority_revenue_salted_join",
+    "purchase_running_total",
+    "repeat_purchasers_first_last_day",
+    "sensor_feed_stats",
+    "stream_merge_upsert_roundtrip",
+    "stream_session_windows",
+    "stream_view_purchase_join",
+    "user_daily_value_interpolated",
+    "user_distinct_hll",
+    "user_distinct_kmv",
+    "user_event_type_profile",
+    "user_first_last_events",
+    "user_retention_cohorts",
+    "user_session_windows",
+    "user_sessions",
+    "views_before_purchase",
+})
+
+# Queries registered AFTER the r9 window was pinned (none yet; any
+# late-r9 addition goes here and is first in line for the r10 window).
+R10_PENDING = frozenset()
+
 
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r8 set: ALL 43
-    R8_PENDING queries (the only slice without a driver row — the r7
-    verdict's #1 ask), the 5 new-in-r8 operators (gated at birth), and
-    2 r4-stale re-confirmations. After this round the driver union
+    registry entries in iteration order. Pin the ROTATED r9 set: ALL 14
+    R9_PENDING queries (the only slice without a driver row — the r8
+    verdict's #1 ask), the 4 new-in-r9 operators (gated at birth), and
+    32 r4-stale re-confirmations. After this round the driver union
     covers the whole registry. A refactor that reorders registration
     (round 2 silently pushed embedding_near_dup and all of §2.7 out of
     the window) must fail HERE, not at the gate."""
@@ -298,24 +379,33 @@ def test_gate_window_pinned():
 
     gated = set(GATE_PRIORITY)
     # prior-window greens stay registered and oracle-checked by this suite
-    prior = R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R7_WINDOW
+    prior = (
+        R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW
+    )
     missing = prior - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
     # FULL coverage: after this window, every registry query has a
-    # driver row from some round, except the declared post-window r8
-    # additions pinned in R9_PENDING (first in line for the r9 window)
-    uncovered = set(names) - (gated | prior | R9_PENDING)
+    # driver row from some round, except declared post-window r9
+    # additions pinned in R10_PENDING (first in line for the r10 window)
+    uncovered = set(names) - (gated | prior | R10_PENDING)
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # R9_PENDING must not rot: only for queries genuinely without a
+    # R10_PENDING must not rot: only for queries genuinely without a
     # driver row
-    stale_pending = R9_PENDING & (gated | prior)
-    assert not stale_pending, f"R9_PENDING entries already gated: {stale_pending}"
-    # the window is EXACTLY: the whole pending backlog + the new r8
-    # operators + the two declared re-confirmations
-    assert R8_PENDING <= gated, f"pending dropped: {R8_PENDING - gated}"
-    assert gated - R8_PENDING == R8_NEW | R8_RECONFIRM
-    # R8_NEW must be genuinely new (no prior window) and the
-    # re-confirmations genuinely stale (r4 was their newest row)
-    assert not R8_NEW & prior
-    assert R8_RECONFIRM <= R4_WINDOW
-    assert not R8_RECONFIRM & (R5_WINDOW | R6_WINDOW | R7_WINDOW)
+    stale_pending = R10_PENDING & (gated | prior)
+    assert not stale_pending, f"R10_PENDING entries already gated: {stale_pending}"
+    # the window is EXACTLY: the whole pending backlog + the new r9
+    # operators + the 32 declared re-confirmations
+    assert R9_PENDING <= gated, f"pending dropped: {R9_PENDING - gated}"
+    assert gated - R9_PENDING == R9_NEW | R9_RECONFIRM
+    # R9_NEW must be genuinely new (no prior window); the
+    # re-confirmations genuinely stale (r4 was their newest row) and
+    # disjoint from everything refreshed since
+    assert not R9_NEW & prior
+    assert R9_RECONFIRM <= R4_WINDOW
+    assert not R9_RECONFIRM & (
+        R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW
+    )
+    # the declared backlog is exactly the rest of the r4-stale set
+    stale48 = (R4_WINDOW - (R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW))
+    assert R9_RECONFIRM | R10_RECONFIRM_BACKLOG == stale48
+    assert not R9_RECONFIRM & R10_RECONFIRM_BACKLOG
