@@ -111,6 +111,21 @@ def main() -> int:
             best = el if best is None else min(best, el)
         canaries[cname] = round(best, 3)
 
+    # Pinned reference canaries: the round-8 driver artifact's host
+    # (BENCH_r08.json / BENCH_FULL.json at commit f65d299, local[32]:
+    # canary_jvm 0.634 s, canary_arrow 0.792 s). host_factor_jvm > 1
+    # means THIS run's host is slower than that reference; the
+    # *_normalized trend lines below divide it out, so a normalized
+    # round-9+ value compares to BENCH_r08's RAW trend lines
+    # one-number-to-one-number — the "divide by the canary ratio"
+    # rule from PERF.md, applied by the artifact itself instead of by
+    # a human. (The canary workloads are sf-independent but their
+    # wall time scales with cores: these references hold for the
+    # driver's 32-thread runs; at other $SPARK_GRAFT_CPUS the factor
+    # still self-normalizes across runs with the same setting.)
+    CANARY_REF_JVM = 0.634
+    host_factor_jvm = canaries["canary_jvm_sec"] / CANARY_REF_JVM
+
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 
     timings: dict[str, float] = {}
@@ -338,6 +353,16 @@ def main() -> int:
         "value_r2_subset": value_r2_subset,
         "value_r5_headline_subset": value_r5_headline_subset,
         "value_r7_headline_subset": value_r7_headline_subset,
+        "host_factor_jvm": round(host_factor_jvm, 3),
+        "value_r2_subset_normalized": round(
+            value_r2_subset / host_factor_jvm, 3
+        ),
+        "value_r5_headline_subset_normalized": round(
+            value_r5_headline_subset / host_factor_jvm, 3
+        ),
+        "value_r7_headline_subset_normalized": round(
+            value_r7_headline_subset / host_factor_jvm, 3
+        ),
         "n_queries": len(timings),
         "sf": sf,
         **canaries,

@@ -44,6 +44,25 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Host-calibration canary + pinned reference (same workload and
+    # r8-artifact reference as bench.py; see PERF.md "divide by the
+    # canary ratio") so the staged trend line self-normalizes too.
+    def _canary_jvm() -> None:
+        spark.range(20_000_000).select(
+            (F.col("id") % 9973).alias("k"), (F.col("id") % 131).alias("v")
+        ).groupBy("k").agg(F.sum("v"), F.count(F.lit(1))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    canary_jvm = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _canary_jvm()
+        el = time.perf_counter() - t0
+        canary_jvm = el if canary_jvm is None else min(canary_jvm, el)
+    CANARY_REF_JVM = 0.634
+    host_factor_jvm = canary_jvm / CANARY_REF_JVM
+
     staged = [name for name in REGISTRY if REGISTRY[name].skip_bench]
     timings: dict[str, float] = {}
     for name in staged:
@@ -88,6 +107,13 @@ def main() -> int:
         "n_queries": len(timings),
         "value_r5_subset": round(
             sum(v for k, v in timings.items() if k in R5_STAGED_SET), 3
+        ),
+        "canary_jvm_sec": round(canary_jvm, 3),
+        "host_factor_jvm": round(host_factor_jvm, 3),
+        "value_r5_subset_normalized": round(
+            sum(v for k, v in timings.items() if k in R5_STAGED_SET)
+            / host_factor_jvm,
+            3,
         ),
         "sf": sf,
     }

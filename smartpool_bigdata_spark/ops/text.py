@@ -1262,6 +1262,7 @@ def prefix_filter_pairs(
     threshold_den: int = 5,
     shingle_k: int = 1,
     candidate_observation=None,
+    candidate_budget: int | None = 2_000_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
@@ -1302,6 +1303,22 @@ def prefix_filter_pairs(
     the pair job for free (no extra pass); ``scripts/
     probe_prefix_filter.py`` uses it for the measured candidate-growth
     curve vs the LSH tier recorded in SCALE.md §3.
+
+    ``candidate_budget``: circuit breaker for the exact tier's one
+    superlinear cost. The sf0.01->sf1 probe measured 160x candidate
+    growth at 10x docs — at the NEXT decade that curve is a
+    cluster-killer if this function is pointed at an unbounded corpus.
+    Before the pair join runs, the candidate-GENERATION volume is
+    estimated from the prefix-token histogram as sum over prefix
+    tokens of C(count, 2) — one cheap aggregate over the prefix
+    relation (no join), an upper bound on join events (the length +
+    positional filters only shrink it). If the estimate exceeds the
+    budget the function raises instead of launching the join, naming
+    the probabilistic LSH tier (``minhash_pairs_from_signatures`` /
+    the ``doc_near_dup_pairs`` query) as the unbounded-corpus path.
+    The default (2e9 events, roughly tens of GB of candidate shuffle)
+    passes every measured tier through sf1 (~est 4e8) and trips about
+    one decade later; ``None`` disables the breaker.
     """
     t_num, t_den = threshold_num, threshold_den
     toks_expr = spark_tokens(text_col)
@@ -1340,6 +1357,37 @@ def prefix_filter_pairs(
             f"slice(toks, 1, n - (({t_num}*n + {t_den} - 1) div {t_den}) + 1)"
         ).alias("__prefix"),
     ).select("doc_id", "n", F.posexplode("__prefix").alias("pos", "tok"))
+    if candidate_budget is not None:
+        # upper bound on candidate-generation events: every pair of
+        # prefix rows sharing a token is one potential join event, so
+        # sum C(c, 2) over the prefix-token histogram. Double math (a
+        # hot token's c*(c-1) overflows bigint around c ~ 3e9) — this
+        # is an estimate, not an exact count. Driver-side scalar like a
+        # watermark read; the agg is over the prefix relation only.
+        est = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c").cast("double") * (F.col("c") - 1) / 2
+                ).alias("est")
+            )
+            .collect()[0]["est"]
+            or 0.0
+        )
+        if est > candidate_budget:
+            raise ValueError(
+                "prefix_filter_pairs: estimated candidate-generation "
+                f"volume {est:.3g} exceeds candidate_budget "
+                f"{candidate_budget:.3g}. The EXACT prefix-filter tier "
+                "is priced for bounded corpora (decontamination lists, "
+                "vocab tables); its candidate curve is superlinear "
+                "(measured 160x at 10x docs, SCALE.md). For unbounded "
+                "corpora use the MinHash-LSH tier "
+                "(minhash_pairs_from_signatures / doc_near_dup_pairs), "
+                "raise candidate_budget deliberately, or pass "
+                "candidate_budget=None to disable the breaker."
+            )
     l, r = prefix.alias("l"), prefix.alias("r")
     # Positional filter (PPJoin, Xiao et al. WWW'08): for a candidate
     # generated by a token at 0-based set positions (pa, pb), every

@@ -8944,6 +8944,469 @@ def segment_reach_bfs_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REACH_BFS_CTE.format(**names))
 
 
+@query(
+    "bilateral_shipping_volume",
+    oracle="""
+    WITH sn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+    ),
+    cn AS (
+        SELECT c_custkey, n_name AS cust_nation
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+    )
+    SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN sn ON sn.s_suppkey = l_suppkey
+    JOIN cn ON cn.c_custkey = o_custkey
+    WHERE supp_nation <> cust_nation
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q7 shape (volume shipping between two nations): "
+    "discounted revenue flowing each direction between NATION_1 and "
+    "NATION_2 per ship year — the classic two-dimension-table "
+    "double-role join (nation joins the fact twice: once through the "
+    "supplier, once through the customer) with the cross-pair "
+    "inequality. Revenue is integer-exact floor-cents (bigint sums are "
+    "associative; both engines floor the identical IEEE product). "
+    "Spark plan: both nation-filtered dims broadcast (supplier x "
+    "nation and customer x nation are each tiny after the IN filter), "
+    "the date filter pushes to the lineitem scan, one orderkey shuffle "
+    "joins the two facts, then a 3-key hash agg — no SMJ at any SF.",
+)
+def bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn["s_suppkey"])
+        .join(F.broadcast(cn), F.col("o_custkey") == cn["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    )
+                )
+                .cast("double")
+                / 100,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "region_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cnat ON cnat.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cnat.n_regionkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                              ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape (national market share): NATION_3's "
+    "share of PROMO-part order volume delivered into the AMERICA "
+    "region per order year — the widest dim fan in the suite (nation "
+    "twice, region, part, supplier, customer all joined onto the "
+    "lineitem x orders fact pair). Share is a conditional aggregate "
+    "over ONE pass (never two scans joined); numerator and denominator "
+    "are exact floor-cent bigints exposed alongside the rounded ratio, "
+    "so the division is one deterministic double op on exact inputs. "
+    "Spark plan: every dim broadcasts (all are sub-MB after filters at "
+    "any SF — nation/region always, part/supplier/customer as filtered "
+    "projections), the date filter pushes to the orders scan, one "
+    "orderkey shuffle, one tiny year agg.",
+)
+def region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_am = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"], "left_semi")
+        .join(
+            F.broadcast(cust_am),
+            F.col("o_custkey") == cust_am["c_custkey"],
+            "left_semi",
+        )
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == sup_nat["s_suppkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).alias("cents"),
+            "supp_nation",
+        )
+    )
+    is_n3 = F.col("supp_nation") == "NATION_3"
+    return vol.groupBy("o_year").agg(
+        F.sum(F.when(is_n3, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("nation_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.round(
+            F.sum(F.when(is_n3, F.col("cents")).otherwise(0)).cast("double")
+            / F.sum("cents").cast("double"),
+            4,
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "supplier_nation_margin",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)
+                           - CAST(l.l_quantity AS BIGINT)
+                             * CAST(floor(p.p_retailprice * 90) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS margin
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    description="TPC-H Q9 shape (product-type profit by nation and "
+    "year): per supplier nation and order year, the margin earned on "
+    "parts whose name matches a pattern. This schema has no partsupp "
+    "supplycost, so cost basis is 90% of the part's retail price per "
+    "unit (deterministic and dimension-derived, preserving Q9's "
+    "structure: the profit expression mixes FACT columns with a "
+    "PART-dim column, which is what forces the part join before the "
+    "aggregate). All arithmetic is exact bigint cents — "
+    "floor(revenue*100) minus qty * floor(retail*90) — summed then "
+    "divided once for display. Spark plan: name-filtered part dim "
+    "broadcasts (prunes the fact first), supplier/nation broadcast, "
+    "one orderkey shuffle for the year column, one (nation, year) agg.",
+)
+def supplier_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ) - F.col("l_quantity").cast("bigint") * F.floor(
+        F.col("p_retailprice") * 90
+    )
+    return (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == sup_nat["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(amount).cast("double") / 100, 2).alias("margin")
+        )
+    )
+
+
+@query(
+    "important_part_values",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey AS partkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM lineitem l
+        WHERE l.l_suppkey IN (
+            SELECT s_suppkey FROM supplier JOIN nation
+              ON n_nationkey = s_nationkey
+            WHERE n_name IN ('NATION_5', 'NATION_10', 'NATION_15')
+        )
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM val)
+    SELECT partkey,
+           round(CAST(value_cents AS DOUBLE) / 100, 2) AS part_value
+    FROM val, tot
+    WHERE CAST(value_cents AS DECIMAL(38,0)) * n_parts * 4 > total * 5
+    """,
+    description="TPC-H Q11 shape (important stock, the global-fraction "
+    "HAVING): parts whose traded value through a three-nation supplier "
+    "slice exceeds 1.25x the slice's uniform per-part share — the "
+    "aggregate-vs-scalar-subquery-over-the-same-aggregate correlation. "
+    "Q11's spec fraction is itself SF-scaled (0.0001/SF); here the "
+    "scaling is data-derived instead of parameter-derived: the scalar "
+    "profile carries (total, n_parts) and the threshold is "
+    "value * n_parts * 4 > total * 5, so the query selects the "
+    "above-average tail at EVERY scale factor rather than going empty "
+    "as soon as the part count outgrows a pinned denominator. "
+    "Without partsupp, value is lineitem-derived discounted revenue "
+    "per part (exact floor-cents). The fraction compare is integer "
+    "cross-multiplication with the left side in decimal(38,0) "
+    "(value_cents * n_parts * 4 can pass 2^63 on a 100 TB slice), so "
+    "no float threshold exists to disagree at the boundary and no "
+    "silent bigint wrap either. Spark plan: nation-filtered "
+    "supplier dim broadcasts into a semi-join pruning the scan, one "
+    "partkey hash agg, the single-row total broadcast crossJoined for "
+    "the filter — Catalyst evaluates the scalar subquery ONCE, never "
+    "per row.",
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin("NATION_5", "NATION_10", "NATION_15")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"], "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                )
+            )
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    tot = val.agg(
+        F.sum("value_cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value_cents").cast("decimal(38,0)")
+            * F.col("n_parts")
+            * 4
+            > F.col("total") * 5
+        )
+        .select(
+            "partkey",
+            F.round(F.col("value_cents").cast("double") / 100, 2).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_diversity_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q16 shape (supplier diversity per part "
+    "attribute, with the NOT-IN exclusion subquery): how many distinct "
+    "acceptable suppliers have shipped each (brand, type, size) combo, "
+    "excluding one brand, restricting to the classic 8-size set, and "
+    "blacklisting negative-balance suppliers — the supplier-DIM "
+    "predicate standing in for Q16's comment-LIKE complaints filter "
+    "(this schema has no comment column; ~6% of suppliers qualify, "
+    "matching Q16's selectivity spirit). partsupp is derived as the "
+    "distinct (part, supplier) shipping relation. The NOT IN is "
+    "null-safe here (suppkey is non-null) and decorrelates to a LEFT "
+    "ANTI hash join; count(DISTINCT supplier) is Spark's two-phase "
+    "expand-aggregate, partitioned by the group keys. Part attributes "
+    "broadcast; the blacklist is a tiny dim slice, also broadcast.",
+)
+def supplier_diversity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bad_sup = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("sk"))
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#2")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad_sup), ps["suppkey"] == bad_sup["sk"], "left_anti")
+        .join(F.broadcast(parts), ps["partkey"] == parts["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "brand_bracket_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    description="TPC-H Q19 shape (disjunctive multi-bracket predicate): "
+    "discounted revenue over three OR'd (brand, size-range, "
+    "quantity-bracket) arms that each mix PART-dim and FACT columns — "
+    "the disjunction famously defeats naive predicate pushdown because "
+    "no single conjunct applies to either side alone. What Catalyst "
+    "does (and the plan lock protects): the dim-only implication "
+    "(brand IN the 3 brands AND size <= 15) is FACTORED OUT and pushed "
+    "to the part scan, the quantity range union (1..30) pushes to the "
+    "fact scan, the shrunken part side broadcasts, and the full "
+    "disjunction evaluates as the join residual. Revenue exact "
+    "floor-cents as everywhere.",
+)
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .where(arm)
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    )
+                )
+                .cast("double")
+                / 100,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

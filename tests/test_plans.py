@@ -492,6 +492,22 @@ def test_r9_additions_plan_posture(plans):
         # recursive-CTE BFS twin: the loop body is owned by the engine's
         # UnionLoop node; the lock covers the dist/histogram tail
         "segment_reach_bfs_cte",
+        # Q7: nation-filtered dims broadcast twice (supplier + customer
+        # roles), one orderkey shuffle
+        "bilateral_shipping_volume",
+        # Q8: widest dim fan — all five dims broadcast, one fact shuffle
+        "region_market_share",
+        # Q9: name-filtered part dim broadcast prunes the fact first
+        "supplier_nation_margin",
+        # Q11: scalar (total, n_parts) profile rides a 1-row broadcast
+        # NLJ (same shape as Q22's profile crossJoin) — never SMJ
+        "important_part_values",
+        # Q16: NOT IN decorrelates to broadcast LEFT ANTI; two-phase
+        # distinct-count aggregate
+        "supplier_diversity_counts",
+        # Q19: dim-only implication factored out of the OR and pushed;
+        # residual disjunction evaluates on the broadcast join
+        "brand_bracket_revenue",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -357,9 +357,21 @@ R10_RECONFIRM_BACKLOG = frozenset({
     "views_before_purchase",
 })
 
-# Queries registered AFTER the r9 window was pinned (none yet; any
-# late-r9 addition goes here and is first in line for the r10 window).
-R10_PENDING = frozenset()
+# Queries registered AFTER the r9 window was pinned (builder-verified
+# at three SFs this round; first in line for the r10 window): the six
+# remaining expressible TPC-H shapes — Q7 bilateral volume, Q8 market
+# share, Q9 margin (retail-basis cost, no partsupp in this schema),
+# Q11 global-fraction HAVING, Q16 NOT-IN supplier diversity, Q19
+# disjunctive brackets. (Q12 needs shipmode/receiptdate columns the
+# schema lacks — documented, not adapted.)
+R10_PENDING = frozenset({
+    "bilateral_shipping_volume",
+    "region_market_share",
+    "supplier_nation_margin",
+    "important_part_values",
+    "supplier_diversity_counts",
+    "brand_bracket_revenue",
+})
 
 
 def test_gate_window_pinned():

@@ -581,6 +581,39 @@ def test_prefix_filter_pairs_shingled_discriminates_order(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_prefix_filter_candidate_budget_breaker(spark):
+    """The exact tier's circuit breaker: on a hot-token corpus (every
+    doc shares the same rare-elsewhere prefix token, so candidate
+    generation is C(n,2)-shaped) a small budget must trip BEFORE the
+    pair join launches, with an error naming the LSH tier; a budget
+    above the estimate, and budget=None, must both let the same call
+    through unchanged."""
+    import pytest
+
+    from smartpool_bigdata_spark.ops.text import prefix_filter_pairs
+
+    # 40 docs, each: one shared hot token + unique fillers. Unigram
+    # sets, threshold 1/2 -> prefix keeps ~half of each set, and the
+    # hot token (df=40) sorts LAST within prefixes... make the SHARED
+    # token the rare one per prefix ordering by sharing several:
+    # simplest hot-token corpus = identical docs, where EVERY prefix
+    # token collides across all 40 docs: estimate >= C(40,2) = 780.
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    with pytest.raises(ValueError, match="minhash_pairs_from_signatures"):
+        prefix_filter_pairs(
+            df, threshold_num=1, threshold_den=2, candidate_budget=100
+        )
+
+    n_dup_pairs = 40 * 39 // 2
+    for budget in (10_000_000, None):
+        got = prefix_filter_pairs(
+            df, threshold_num=1, threshold_den=2, candidate_budget=budget
+        ).count()
+        assert got == n_dup_pairs
+
+
 def test_del2_variants_symspell_guarantee(spark):
     """The deletion neighborhood must contain every delete-0/1/2 string
     (SymSpell completeness for lev<=2 rests on it), identically in both
