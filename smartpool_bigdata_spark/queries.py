@@ -9407,6 +9407,370 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-9 additions: skyline (Pareto-dominance), closed-form multi-predictor
+# OLS, split-conformal prediction intervals, Fellegi-Sunter entity-resolution
+# scoring — four operator classes the registry did not yet cover.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_price_size_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    description="SKYLINE operator (Pareto frontier: minimize retail price, "
+    "maximize size — parts no other part beats on both axes). The spec is "
+    "the NOT EXISTS dominance anti-join (and that IS the oracle), but "
+    "evaluating it literally is an O(n^2) self-join — a cluster-killer on "
+    "a 100 TB dim. The 2-D skyline admits an exact prefix-max rewrite: "
+    "collapse rows to (distinct price -> max size) with one hash agg, then "
+    "a part is on the frontier iff its size EQUALS the max at its price "
+    "and EXCEEDS the max over all strictly cheaper prices. That exclusive "
+    "prefix-max is computed two-level (same shape as the equi-depth "
+    "histogram's distributed prefix sum): an in-band window PARTITIONED by "
+    "the integer price band runs in parallel, and the cross-band offsets "
+    "come from a #bands-row table whose global window is driver-scale. "
+    "Frontier prices (a handful) broadcast back onto the scan. Total cost: "
+    "two hash aggs + one broadcast join — never a pairwise product, never "
+    "a single-task global sort.",
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    ps = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("m"))
+        .withColumn("band", F.floor("p_retailprice").cast("bigint"))
+    )
+    bandt = ps.groupBy("band").agg(F.max("m").alias("band_max"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    bandp = bandt.select("band", F.max("band_max").over(wb).alias("pre_band"))
+    wi = (
+        Window.partitionBy("band")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        ps.withColumn("pre_in", F.max("m").over(wi))
+        .join(F.broadcast(bandp), "band")
+        .withColumn(
+            "pre",
+            F.greatest(
+                F.coalesce("pre_in", F.lit(-1)),
+                F.coalesce("pre_band", F.lit(-1)),
+            ),
+        )
+        .where(F.col("m") > F.col("pre"))
+        .select(F.col("p_retailprice").alias("sky_price"), F.col("m").alias("sky_size"))
+    )
+    return part.join(
+        F.broadcast(frontier),
+        (part["p_retailprice"] == frontier["sky_price"])
+        & (part["p_size"] == frontier["sky_size"]),
+    ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+
+# Cramer's-rule determinants for the 3x3 normal equations of a 2-predictor
+# OLS fit, written ONCE as SQL text and interpolated into BOTH the Spark
+# selectExpr and the DuckDB oracle — identical expression trees over
+# identical exact-integer inputs evaluate to bit-identical doubles, so the
+# rounded coefficients can't diverge on summation or association order.
+# A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y]; _OLS_D is
+# det(A), _OLS_D0/1/2 are det(A) with column 0/1/2 replaced by b.
+_OLS_D = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+_OLS_D0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+_OLS_D1 = "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+_OLS_D2 = "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+# R^2 from the same sums: SSR = b.beta - (sum y)^2/n, SST = Syy - (sum y)^2/n,
+# with beta in cents units (the /100 rescale cancels in the ratio).
+_OLS_R2 = (
+    f"((({_OLS_D0})/({_OLS_D})*sy + ({_OLS_D1})/({_OLS_D})*s1y"
+    f" + ({_OLS_D2})/({_OLS_D})*s2y - sy*sy/n) / (syy - sy*sy/n))"
+)
+
+_OLS_SUMS_SQL = """
+        SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+               CAST(count(*) AS DOUBLE)            AS n,
+               CAST(sum(x1) AS DOUBLE)             AS s1,
+               CAST(sum(x2) AS DOUBLE)             AS s2,
+               CAST(sum(x1 * x1) AS DOUBLE)        AS s11,
+               CAST(sum(x2 * x2) AS DOUBLE)        AS s22,
+               CAST(sum(x1 * x2) AS DOUBLE)        AS s12,
+               CAST(sum(yc) AS DOUBLE)             AS sy,
+               CAST(sum(x1 * yc) AS DOUBLE)        AS s1y,
+               CAST(sum(x2 * yc) AS DOUBLE)        AS s2y,
+               CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+"""
+
+
+@query(
+    "event_value_ols2",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(day(ts) AS BIGINT)  AS x2,
+               CAST(round(value * 100) AS BIGINT) AS yc
+        FROM events
+    ),
+    sums AS ({_OLS_SUMS_SQL} FROM base)
+    SELECT n_rows,
+           round(({_OLS_D0})/({_OLS_D})/100, 6) AS beta0,
+           round(({_OLS_D1})/({_OLS_D})/100, 6) AS beta_hour,
+           round(({_OLS_D2})/({_OLS_D})/100, 6) AS beta_dom,
+           round({_OLS_R2}, 6) AS r2
+    FROM sums
+    """,
+    description="Closed-form MULTIPLE linear regression (2 predictors + "
+    "intercept) via the normal equations — regress event value on hour-of-"
+    "day and day-of-month in ONE distributed aggregate pass: the 3x3 Gram "
+    "matrix X'X and moment vector X'y are nine sums, every one EXACT "
+    "integer arithmetic (value cent-quantized like the TWAP gate; x1,x2 "
+    "are small ints; the y^2 moment accumulates in decimal(38,0) so no "
+    "scale factor overflows int64), then Cramer's rule solves the system "
+    "in closed form. The determinant SQL text is interpolated into BOTH "
+    "engines (see _OLS_D*) so the post-aggregate double arithmetic is "
+    "structurally identical and the round(...,6) can't see engine "
+    "association differences. This is the never-iterate, never-collect "
+    "regression pattern: at 100 TB the fit is one map-side-combined agg "
+    "(a dozen numbers per partition) regardless of row count, the same "
+    "partial-moment trick as embedding_covariance_partial's X'X.",
+)
+def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofmonth("ts").cast("bigint").alias("x2"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    base.createOrReplaceTempView("__ols2_base")
+    sums = ev.sparkSession.sql(f"{_OLS_SUMS_SQL} FROM __ols2_base")
+    return sums.selectExpr(
+        "n_rows",
+        f"round(({_OLS_D0})/({_OLS_D})/100, 6) AS beta0",
+        f"round(({_OLS_D1})/({_OLS_D})/100, 6) AS beta_hour",
+        f"round(({_OLS_D2})/({_OLS_D})/100, 6) AS beta_dom",
+        f"round({_OLS_R2}, 6) AS r2",
+    )
+
+
+@query(
+    "order_conformal_interval",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents,
+               o_orderkey % 10 AS b
+        FROM orders
+    ),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(sum(tp_cents) AS DOUBLE) / count(*) AS pred
+        FROM base WHERE b < 6 GROUP BY o_orderpriority
+    ),
+    cal AS (
+        SELECT abs(base.tp_cents - model.pred) AS r, base.o_orderkey
+        FROM base JOIN model USING (o_orderpriority) WHERE b IN (6, 7)
+    ),
+    stats AS (
+        -- ceil(0.9*(n+1)) in pure int64 (ceil-div), clamped to n: DECIMAL
+        -- vs binary-float 0.9*(n+1) can straddle an integer, int math can't
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(least((9 * (count(*) + 1) + 9) // 10, count(*))
+                    AS BIGINT) AS k
+        FROM cal
+    ),
+    ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r, o_orderkey) AS rn FROM cal
+    ),
+    q AS (SELECT r AS q_hat FROM ranked, stats WHERE rn = k),
+    test AS (
+        SELECT abs(base.tp_cents - model.pred) AS r
+        FROM base JOIN model USING (o_orderpriority) WHERE b >= 8
+    )
+    SELECT stats.n_cal, stats.k,
+           round(q.q_hat / 100, 4) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN test.r <= q.q_hat THEN 1.0 ELSE 0.0 END), 6)
+               AS coverage
+    FROM test, q, stats
+    GROUP BY stats.n_cal, stats.k, q.q_hat
+    """,
+    description="SPLIT-CONFORMAL prediction interval with finite-sample "
+    "guarantee: hash-split orders 60/20/20 (train/calibration/test on "
+    "o_orderkey % 10 — deterministic, no RNG), fit the group-mean model "
+    "per order priority on train, take the ceil(0.9*(n+1))-th smallest "
+    "absolute calibration residual as the interval half-width (the exact "
+    "conformal order statistic, ties broken by orderkey), and report "
+    "empirical coverage on the held-out test split. The k-th-element "
+    "SELECTION is the scale story: no global sort and no single-task "
+    "window over the corpus — per-$1000 residual bands are counted with "
+    "one hash agg, the tiny band histogram is scanned driver-side (a "
+    "watermark-scale scalar, same discipline as the autotuner profile) to "
+    "locate the band holding rank k, and only THAT band's rows (a "
+    "1/width fraction of the data) are sorted to extract the order "
+    "statistic. Model means are exact cent-integer sums divided once in "
+    "double, identically on both engines.",
+)
+def order_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("tp_cents"),
+        (F.col("o_orderkey") % 10).alias("b"),
+    )
+    model = (
+        base.where("b < 6")
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum("tp_cents").cast("double") / F.count(F.lit(1))).alias(
+                "pred"
+            )
+        )
+    )
+    cal = (
+        base.where("b IN (6, 7)")
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.abs(F.col("tp_cents") - F.col("pred")).alias("r"),
+        )
+    )
+    band = F.floor(F.col("r") / 100000.0).cast("bigint")
+    # Tiny per-band histogram: #bands ~ (price range)/$1000, a driver-scale
+    # scalar read like a watermark — NOT a corpus collect.
+    hist = sorted(
+        cal.groupBy(band.alias("band")).count().collect(),
+        key=lambda row: row["band"],
+    )
+    n_cal = sum(row["count"] for row in hist)
+    # ceil(0.9*(n+1)) in pure int math, clamped to n — mirrors the oracle
+    # exactly (binary-float 0.9*(n+1) can land on the wrong side of an
+    # integer; DuckDB's DECIMAL product never does).
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    cum = 0
+    sel_band, k_in = hist[-1]["band"], n_cal - sum(
+        row["count"] for row in hist[:-1]
+    )
+    for row in hist:
+        if cum + row["count"] >= k:
+            sel_band, k_in = row["band"], k - cum
+            break
+        cum += row["count"]
+    w = Window.orderBy("r", "o_orderkey")  # band-local rows only: bounded
+    q_hat = (
+        cal.where(band == F.lit(sel_band))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k_in)
+        .select("r")
+        .collect()[0]["r"]
+    )
+    test = (
+        base.where("b >= 8")
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(F.abs(F.col("tp_cents") - F.col("pred")).alias("r"))
+    )
+    return test.agg(
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(F.lit(q_hat) / 100, 4).alias("q_hat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.avg(F.when(F.col("r") <= F.lit(q_hat), 1.0).otherwise(0.0)), 6
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "customer_er_match_scores",
+    oracle="""
+    WITH feat AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               right(c_name, 3) AS name3,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS balk
+        FROM customer
+    )
+    SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+           a.name3 = b.name3 AS name3_agree,
+           abs(a.bal_cents - b.bal_cents) < 10000 AS bal_close,
+           round(CASE WHEN a.name3 = b.name3 THEN 6.5 ELSE -4.3 END
+                 + CASE WHEN abs(a.bal_cents - b.bal_cents) < 10000
+                        THEN 2.0 ELSE -1.5 END, 2) AS score
+    FROM feat a JOIN feat b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.balk = b.balk
+     AND a.c_custkey < b.c_custkey
+    ORDER BY score DESC, a_custkey, b_custkey
+    LIMIT 50
+    """,
+    description="Fellegi-Sunter ENTITY-RESOLUTION match scoring — the "
+    "probabilistic record-linkage pattern (Fellegi & Sunter 1969): "
+    "candidate pairs come from BLOCKING, each compared field contributes "
+    "its log-likelihood agreement/disagreement weight (literal log(m/u) "
+    "constants here: name-suffix +6.5/-4.3, balance-within-$100 "
+    "+2.0/-1.5), and the pair score is the weight sum; top-50 scored "
+    "pairs with a total ordering tie-break. The scale architecture is the "
+    "whole point: the self-join keys on the COMPOSITE BLOCK (nation, "
+    "segment, $1000-balance-band) so the pair count is sum of "
+    "block_size^2, never corpus^2 — the same recall/cost dial as "
+    "sorted-neighborhood and LSH banding (band edges cost recall: a true "
+    "pair straddling a balance band is missed — disclosed, the standard "
+    "blocking tradeoff). Hinted shuffle-hash so the plan stays "
+    "SMJ-free when both sides outgrow broadcast; a hot block (skewed "
+    "nation x segment) sub-blocks by tightening the balance band, the "
+    "knob the $1000 band already is. Top-50 collapses to "
+    "TakeOrderedAndProject — no global sort materializes.",
+)
+def customer_er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    feat = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.expr("right(c_name, 3)").alias("name3"),
+    ).withColumn(
+        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    pairs = a.hint("shuffle_hash").join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.balk") == F.col("b.balk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    name3_agree = F.col("a.name3") == F.col("b.name3")
+    bal_close = F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000
+    scored = pairs.select(
+        F.col("a.c_custkey").alias("a_custkey"),
+        F.col("b.c_custkey").alias("b_custkey"),
+        name3_agree.alias("name3_agree"),
+        bal_close.alias("bal_close"),
+        F.round(
+            F.when(name3_agree, F.lit(6.5)).otherwise(F.lit(-4.3))
+            + F.when(bal_close, F.lit(2.0)).otherwise(F.lit(-1.5)),
+            2,
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), "a_custkey", "b_custkey"
+    ).limit(50)
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -508,6 +508,16 @@ def test_r9_additions_plan_posture(plans):
         # Q19: dim-only implication factored out of the OR and pushed;
         # residual disjunction evaluates on the broadcast join
         "brand_bracket_revenue",
+        # skyline: two hash aggs + broadcast frontier join — the NOT
+        # EXISTS dominance pair-join must never materialize
+        "part_price_size_skyline",
+        # OLS normal equations: ONE map-side-combined aggregate, no join
+        "event_value_ols2",
+        # conformal: model + band histogram aggs, broadcast model join
+        "order_conformal_interval",
+        # Fellegi-Sunter: blocked self-join stays shuffle-hash (hinted),
+        # top-50 collapses to TakeOrderedAndProject
+        "customer_er_match_scores",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

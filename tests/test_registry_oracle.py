@@ -371,6 +371,15 @@ R10_PENDING = frozenset({
     "important_part_values",
     "supplier_diversity_counts",
     "brand_bracket_revenue",
+    # second r9 batch: four operator classes the registry lacked —
+    # skyline (Pareto dominance via prefix-max, not the O(n^2) anti-join),
+    # closed-form 2-predictor OLS, split-conformal intervals, and
+    # Fellegi-Sunter entity-resolution scoring. Builder-verified at
+    # three SFs + plan-locked the round they were born.
+    "part_price_size_skyline",
+    "event_value_ols2",
+    "order_conformal_interval",
+    "customer_er_match_scores",
 })
 
 
