@@ -9771,6 +9771,139 @@ def customer_er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+@query(
+    "channel_shapley_attribution",
+    oracle="""
+    WITH journey AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id, day
+    ),
+    vobs AS (
+        -- touchpoint-free journeys (mask 0: purchase-only days) are not
+        -- attributable; excluding them pins the baseline v({}) at 0
+        SELECT mask, count(*) AS n_users, sum(conv) AS n_conv
+        FROM journey WHERE mask > 0 GROUP BY mask
+    ),
+    allm AS (SELECT CAST(range AS BIGINT) AS mask FROM range(16)),
+    v AS (
+        SELECT allm.mask,
+               coalesce(CAST(n_conv AS DOUBLE) / n_users, 0.0) AS v
+        FROM allm LEFT JOIN vobs ON allm.mask = vobs.mask
+    ),
+    ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                                 ('signup', 4), ('error', 8))
+                  t(channel, bit)),
+    contrib AS (
+        SELECT ch.channel,
+               (CASE (CASE WHEN (vs.mask & 1) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN (vs.mask & 2) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN (vs.mask & 4) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN (vs.mask & 8) > 0 THEN 1 ELSE 0 END)
+                  WHEN 0 THEN CAST(0.25 AS DOUBLE)
+                  WHEN 3 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(1 AS DOUBLE) / 12 END)
+               * (vi.v - vs.v) AS term
+        FROM ch
+        JOIN v vs ON (vs.mask & ch.bit) = 0
+        JOIN v vi ON vi.mask = vs.mask + ch.bit
+    )
+    SELECT channel,
+           round(CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6)
+               AS shapley
+    FROM contrib GROUP BY channel
+    """,
+    description="EXACT Shapley-value marketing attribution over the "
+    "channel power set (the game-theoretic credit split — Shapley 1953, "
+    "applied to conversion paths a la Zhao et al. 2018): each "
+    "(user, day) JOURNEY collapses to a 4-bit touched-channel mask "
+    "(view/click/signup/error) + converted-that-day flag, the coalition "
+    "value v(S) is the observed conversion rate of journeys with "
+    "EXACTLY that channel set (0 for "
+    "unobserved coalitions — the simplified-Shapley convention), and "
+    "each channel's credit is the classic weighted sum of marginal "
+    "contributions v(S+i)-v(S) over all 8 coalitions excluding it, "
+    "weights |S|!(n-1-|S|)!/n!. Scale shape: ONE (user, day) hash agg "
+    "over the corpus, then every downstream table is 2^k rows (16) — the "
+    "exponential lives in the CHANNEL count, never the row count "
+    "(exact Shapley is the k<=~20 regime; beyond that, permutation "
+    "sampling). The marginal-contribution sum crosses only 8 terms but "
+    "still goes through the decimal stable-sum so engine summation "
+    "order can't flip the 6th digit.",
+)
+def channel_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def touched(t: str) -> F.Column:
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    journey = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            touched("view")
+            + touched("click") * 2
+            + touched("signup") * 4
+            + touched("error") * 8
+        )
+        .cast("bigint")
+        .alias("mask"),
+        touched("purchase").alias("conv"),
+    )
+    # touchpoint-free journeys (mask 0) are not attributable — dropping
+    # them keeps the empty-coalition baseline at v({}) = 0
+    vobs = journey.where(F.col("mask") > 0).groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    allm = spark.range(16).select(F.col("id").cast("bigint").alias("mask"))
+    v = allm.join(F.broadcast(vobs), "mask", "left").select(
+        "mask",
+        F.coalesce(
+            F.col("n_conv").cast("double") / F.col("n_users"), F.lit(0.0)
+        ).alias("v"),
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit bigint",
+    )
+    vs, vi = v.alias("vs"), v.alias("vi")
+    contrib = (
+        ch.join(
+            F.broadcast(vs), (F.col("vs.mask").bitwiseAND(F.col("bit"))) == 0
+        )
+        .join(
+            F.broadcast(vi),
+            F.col("vi.mask") == F.col("vs.mask") + F.col("bit"),
+        )
+        .select(
+            "channel",
+            (
+                F.expr(
+                    "CASE (CASE WHEN (vs.mask & 1) > 0 THEN 1 ELSE 0 END)"
+                    " + (CASE WHEN (vs.mask & 2) > 0 THEN 1 ELSE 0 END)"
+                    " + (CASE WHEN (vs.mask & 4) > 0 THEN 1 ELSE 0 END)"
+                    " + (CASE WHEN (vs.mask & 8) > 0 THEN 1 ELSE 0 END)"
+                    " WHEN 0 THEN CAST(0.25 AS DOUBLE)"
+                    " WHEN 3 THEN CAST(0.25 AS DOUBLE)"
+                    " ELSE CAST(1 AS DOUBLE) / 12 END"
+                )
+                * (F.col("vi.v") - F.col("vs.v"))
+            ).alias("term"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("shapley")
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -518,6 +518,9 @@ def test_r9_additions_plan_posture(plans):
         # Fellegi-Sunter: blocked self-join stays shuffle-hash (hinted),
         # top-50 collapses to TakeOrderedAndProject
         "customer_er_match_scores",
+        # Shapley: one (user, day) hash agg; the power-set algebra runs
+        # on 16-row broadcast tables
+        "channel_shapley_attribution",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

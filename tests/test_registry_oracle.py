@@ -380,6 +380,8 @@ R10_PENDING = frozenset({
     "event_value_ols2",
     "order_conformal_interval",
     "customer_er_match_scores",
+    # exact power-set Shapley attribution over (user, day) journeys
+    "channel_shapley_attribution",
 })
 
 

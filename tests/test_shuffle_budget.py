@@ -2,7 +2,7 @@
 
 scripts/shuffle_audit.py turned shuffle volume from an argument into a
 number; this test turns the number into CI. It runs the audit's
-measurement core over a fixed 22-query headline sample at sf0.01 and
+measurement core over a fixed 27-query headline sample at sf0.01 and
 asserts, per query, (a) ZERO spill bytes and (b) a shuffle-amplification
 ceiling (shuffle_write / pruned_input) pinned from the round-9 measured
 values x 1.5 — so a lost filter pushdown, a broadcast that silently
@@ -60,6 +60,18 @@ MEASURED_RATIO = {
     "min_cost_region_supplier": 4.803,
     "small_part_hoarding_suppliers": 3.445,
     "top_revenue_supplier": 0.227,
+    # second r9 batch (measured at birth, same session shape):
+    # skyline's ratio is the tiny distinct-price agg + frontier
+    # broadcast over a 2-column scan; ER's is the blocked pair
+    # fan-out (structural, bounded by block sizes); OLS and the
+    # conformal selection are near-zero by design (moments + bands)
+    "part_price_size_skyline": 3.619,
+    "event_value_ols2": 0.04,
+    "order_conformal_interval": 0.206,
+    "customer_er_match_scores": 15.758,
+    # (user, day) journey agg on a 2-column scan; ratio is the tiny
+    # mask/coalition tables, absolute bytes 0.07 MB
+    "channel_shapley_attribution": 21.648,
 }
 
 HEADROOM = 1.5
