@@ -834,3 +834,72 @@ def skyline_2d(
             | (F.col(gx) > F.col(y))
         )
     ).drop(gx, hi)
+
+
+def skyline_2d_banded(
+    df: DataFrame,
+    x: str,
+    y: str,
+    band_width: float = 1.0,
+) -> DataFrame:
+    """Global 2-D Pareto frontier MINIMIZING ``x`` and MAXIMIZING ``y``,
+    with the distinct-x prefix-max parallelized over x-bands — the
+    "pre-thinned" realization :func:`skyline_2d`'s docstring prescribes
+    for when one group's distinct-x frame outgrows a single task.
+
+    Semantics match skyline_2d (flipped on x): keep rows for which no
+    other row has x' <= x AND y' >= y with one strict inequality;
+    duplicate (x, y) points survive together.
+
+    Three bounded frames instead of one unbounded one: (1) hash agg to
+    (distinct x -> max y); (2) an IN-BAND exclusive running max
+    windowed BY ``floor(x / band_width)`` — every band computes in
+    parallel, frame size = distinct x per band; (3) cross-band offsets
+    from a #bands-row table whose global window is driver-scale by
+    construction. A row is on the frontier iff its y equals its x's
+    max AND strictly exceeds every strictly-cheaper x's max (the
+    null-safe ``greatest`` of the two prefixes — Spark's greatest
+    ignores nulls, so the first band/first x needs no sentinel).
+    Choose ``band_width`` so #bands stays driver-scale while each band
+    holds many distinct x (both frames bounded); exactness never
+    depends on the choice.
+    """
+    bw = float(band_width)
+    m = _helper_col(df, "__sky_max_y")
+    bandc = _helper_col(df, "__sky_band")
+    pre_in = _helper_col(df, "__sky_pre_in")
+    pre_band = _helper_col(df, "__sky_pre_band")
+    ps = (
+        df.groupBy(x)
+        .agg(F.max(F.col(y)).alias(m))
+        .withColumn(bandc, F.floor(F.col(x) / F.lit(bw)).cast("bigint"))
+    )
+    bandt = ps.groupBy(bandc).agg(F.max(F.col(m)).alias(pre_band))
+    wb = Window.orderBy(bandc).rowsBetween(Window.unboundedPreceding, -1)
+    band_prefix = bandt.select(
+        bandc, F.max(F.col(pre_band)).over(wb).alias(pre_band)
+    )
+    wi = (
+        Window.partitionBy(bandc)
+        .orderBy(x)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        ps.withColumn(pre_in, F.max(F.col(m)).over(wi))
+        .join(F.broadcast(band_prefix), bandc)
+        .withColumn(pre_band, F.greatest(pre_in, pre_band))
+        .where(
+            F.col(pre_band).isNull() | (F.col(m) > F.col(pre_band))
+        )
+        .select(x, m)
+    )
+    # frontier is skyline-sized (tiny); the equi-join back onto the fact
+    # broadcasts it
+    return (
+        df.join(
+            F.broadcast(frontier),
+            (df[x] == frontier[x]) & (df[y] == frontier[m]),
+        )
+        .drop(frontier[x])
+        .drop(m)
+    )

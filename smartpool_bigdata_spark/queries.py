@@ -9425,56 +9425,36 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
     )
     """,
-    description="SKYLINE operator (Pareto frontier: minimize retail price, "
-    "maximize size — parts no other part beats on both axes). The spec is "
+    description="SKYLINE operator, banded-prefix variant (Pareto frontier: "
+    "minimize retail price, maximize size — parts no other part beats on "
+    "both axes; mixed-direction objectives, vs segment_pareto_customers' "
+    "max/max per-group skyline_2d). The spec is "
     "the NOT EXISTS dominance anti-join (and that IS the oracle), but "
     "evaluating it literally is an O(n^2) self-join — a cluster-killer on "
     "a 100 TB dim. The 2-D skyline admits an exact prefix-max rewrite: "
     "collapse rows to (distinct price -> max size) with one hash agg, then "
     "a part is on the frontier iff its size EQUALS the max at its price "
-    "and EXCEEDS the max over all strictly cheaper prices. That exclusive "
-    "prefix-max is computed two-level (same shape as the equi-depth "
+    "and EXCEEDS the max over all strictly cheaper prices. Where "
+    "ops.relational.skyline_2d runs that prefix as ONE window over the "
+    "group's whole distinct-x frame (fine when distinct x fits a task; "
+    "its docstring prescribes pre-thinning otherwise), this query IS the "
+    "pre-thinned form, realized two-level (same shape as the equi-depth "
     "histogram's distributed prefix sum): an in-band window PARTITIONED by "
     "the integer price band runs in parallel, and the cross-band offsets "
     "come from a #bands-row table whose global window is driver-scale. "
     "Frontier prices (a handful) broadcast back onto the scan. Total cost: "
     "two hash aggs + one broadcast join — never a pairwise product, never "
-    "a single-task global sort.",
+    "a single-task global sort, and no single task ever holds a full "
+    "distinct-x frame.",
 )
 def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from smartpool_bigdata_spark.ops.relational import skyline_2d_banded
 
-    part = _t(spark, sf_dir, "part")
-    ps = (
-        part.groupBy("p_retailprice")
-        .agg(F.max("p_size").alias("m"))
-        .withColumn("band", F.floor("p_retailprice").cast("bigint"))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
     )
-    bandt = ps.groupBy("band").agg(F.max("m").alias("band_max"))
-    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    bandp = bandt.select("band", F.max("band_max").over(wb).alias("pre_band"))
-    wi = (
-        Window.partitionBy("band")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = (
-        ps.withColumn("pre_in", F.max("m").over(wi))
-        .join(F.broadcast(bandp), "band")
-        .withColumn(
-            "pre",
-            F.greatest(
-                F.coalesce("pre_in", F.lit(-1)),
-                F.coalesce("pre_band", F.lit(-1)),
-            ),
-        )
-        .where(F.col("m") > F.col("pre"))
-        .select(F.col("p_retailprice").alias("sky_price"), F.col("m").alias("sky_size"))
-    )
-    return part.join(
-        F.broadcast(frontier),
-        (part["p_retailprice"] == frontier["sky_price"])
-        & (part["p_size"] == frontier["sky_size"]),
+    return skyline_2d_banded(
+        part, x="p_retailprice", y="p_size", band_width=1.0
     ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
 
 

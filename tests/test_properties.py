@@ -1105,3 +1105,111 @@ def test_densest_trajectory_matches_model(spark, edge_list):
         want.append((i, n, m2, m2 / (2.0 * n)))
         nodes = {u for u, d in degs.items() if 2 * 10 * d * n > 22 * m2}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-6, 6)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.5, 2.0, 100.0]),
+)
+def test_skyline_2d_banded_matches_brute_force(spark, rows, band_width):
+    """ops.relational.skyline_2d_banded (min x / max y, banded prefix)
+    == brute-force dominance filter for EVERY band width — single-band,
+    multi-band, and one-x-per-band layouts; exactness must never depend
+    on the banding choice. Duplicate points survive together; negative
+    y exercises the null-safe prefix (no -1 sentinel)."""
+    from smartpool_bigdata_spark.ops.relational import skyline_2d_banded
+
+    tagged = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(tagged, ["rid", "x", "y"])
+    got = sorted(
+        r["rid"]
+        for r in skyline_2d_banded(
+            df, x="x", y="y", band_width=band_width
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i, x, y in tagged
+        if not any(
+            x2 <= x and y2 >= y and (x2 < x or y2 > y)
+            for _, x2, y2 in tagged
+        )
+    )
+    assert got == want
+
+
+def test_shapley_efficiency_axiom(spark):
+    """channel_shapley_attribution satisfies the EFFICIENCY axiom on the
+    real testdata: the credits sum to v(full coalition) - v(empty) —
+    with v({}) pinned at 0 by the touchpoint filter, sum(shapley) must
+    equal the observed conversion rate of all-four-channel journeys
+    (recomputed here independently, driver-side)."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["channel"]: r["shapley"]
+        for r in REGISTRY["channel_shapley_attribution"]
+        .build(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == {"view", "click", "signup", "error"}
+
+    from smartpool_bigdata_spark.catalog import load_table
+
+    bit = {"view": 1, "click": 2, "signup": 4, "error": 8}
+    days: dict[tuple, list] = {}
+    for row in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"), "event_type")
+        .collect()
+    ):
+        days.setdefault((row["user_id"], row["day"]), []).append(
+            row["event_type"]
+        )
+    full = [
+        1 if "purchase" in types else 0
+        for types in days.values()
+        if sum(bit.get(t, 0) for t in set(types)) == 15
+    ]
+    v_full = sum(full) / len(full) if full else 0.0
+    assert abs(sum(got.values()) - v_full) < 5e-6  # 4 x round(.,6) slack
+
+
+def test_conformal_threshold_is_exact_order_statistic(spark):
+    """order_conformal_interval's banded k-th-element selection returns
+    EXACTLY the ceil(0.9(n+1))-th smallest calibration residual — the
+    band histogram + in-band sort must agree with a driver-side full
+    sort of the residuals (ties broken by orderkey, same as the query)."""
+    from smartpool_bigdata_spark.catalog import load_table
+    from smartpool_bigdata_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    row = (
+        REGISTRY["order_conformal_interval"].build(spark, SF_DIR).collect()[0]
+    )
+
+    orders = [
+        (r["o_orderkey"], r["o_orderpriority"], round(r["o_totalprice"] * 100))
+        for r in load_table(spark, SF_DIR, "orders").collect()
+    ]
+    pred_sum: dict[str, list] = {}
+    for k, p, cents in orders:
+        if k % 10 < 6:
+            s, n = pred_sum.get(p, (0, 0))
+            pred_sum[p] = (s + cents, n + 1)
+    pred = {p: s / n for p, (s, n) in pred_sum.items()}
+    cal = sorted(
+        (abs(cents - pred[p]), k)
+        for k, p, cents in orders
+        if k % 10 in (6, 7) and p in pred
+    )
+    n_cal = len(cal)
+    kth = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    assert row["n_cal"] == n_cal and row["k"] == kth
+    assert row["q_hat"] == round(cal[kth - 1][0] / 100, 4)
