@@ -9884,6 +9884,145 @@ def channel_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sided normal-tail p-value from a z column, via the Abramowitz &
+# Stegun 7.1.26 erfc approximation (max abs error 1.5e-7 — far inside the
+# round(.,6) the outputs carry): p = erfc(|z|/sqrt(2)). Written ONCE as SQL
+# text and interpolated into BOTH engines so the double arithmetic is
+# structurally identical (same discipline as _OLS_D*). Spark has no erf
+# built-in; this IS the closed form, not a stand-in.
+_AS_ERFC_P = (
+    "((0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))))"
+    " + -0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))), 2)"
+    " + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))), 3)"
+    " + -1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))), 4)"
+    " + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))), 5))"
+    " * exp(-((abs(z) / sqrt(CAST(2 AS DOUBLE))) * (abs(z) / sqrt(CAST(2 AS DOUBLE)))))"
+    ")"
+)
+
+
+@query(
+    "hourly_value_bh_fdr",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_c,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_c
+        FROM events GROUP BY event_type, hr
+    ),
+    gprof AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_g,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sumsq_g
+        FROM events
+    ),
+    zt AS (
+        SELECT event_type, hr, n_c,
+               (CAST(sum_c AS DOUBLE) / n_c - CAST(sum_g AS DOUBLE) / n_g)
+               / sqrt((CAST(sumsq_g AS DOUBLE) / n_g
+                       - (CAST(sum_g AS DOUBLE) / n_g)
+                         * (CAST(sum_g AS DOUBLE) / n_g)) / n_c) AS z
+        FROM cells CROSS JOIN gprof
+    ),
+    pt AS (
+        SELECT event_type, hr, n_c, z, {_AS_ERFC_P} AS p,
+               count(*) OVER () AS m
+        FROM zt
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY p, event_type, hr) AS rnk
+        FROM pt
+    ),
+    cut AS (
+        SELECT *, max(CASE WHEN p <= rnk * CAST(0.1 AS DOUBLE) / m
+                           THEN rnk ELSE 0 END)
+                      OVER () AS k_star
+        FROM ranked
+    )
+    SELECT event_type, hr, n_c,
+           round(z, 4) AS z_score, round(p, 6) AS p_value,
+           CAST(rnk AS BIGINT) AS bh_rank,
+           CASE WHEN rnk <= k_star THEN 1 ELSE 0 END AS discovery
+    FROM cut
+    """,
+    description="BENJAMINI-HOCHBERG FDR control over a 120-hypothesis "
+    "family — per-(event_type, hour-of-day) z-tests of mean event value "
+    "vs the global mean (the 'which cells are really anomalous' "
+    "question that per-test alpha=0.05 answers wrongly 6 times per 120 "
+    "cells): exact cent-integer cell/global moments feed the z, the "
+    "two-sided normal tail comes from the Abramowitz-Stegun 7.1.26 "
+    "erfc closed form (Spark has no erf builtin; the SAME formula text "
+    "runs on both engines, error 1.5e-7 << the rounding), p-values are "
+    "BH-stepped-up at q=0.1 (rank window + running max over the "
+    "m-row family — tiny by construction) and every cell reports its "
+    "rank and discovery flag. Scale: the corpus pass is ONE hash agg "
+    "to 120 cells + a 1-row global profile broadcast; the entire "
+    "multiple-testing machinery runs on the m-row frame. The "
+    "experimentation-stack completion: ztest (single test) -> CUPED/"
+    "DiD (variance reduction / causal) -> BH (family-wise honesty).",
+)
+def hourly_value_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(cents).cast("bigint").alias("sum_c"),
+    )
+    glob = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(cents).cast("bigint").alias("sum_g"),
+        F.sum(cents * cents).cast("bigint").alias("sumsq_g"),
+    )
+    mean_g = F.col("sum_g").cast("double") / F.col("n_g")
+    var_g = F.col("sumsq_g").cast("double") / F.col("n_g") - mean_g * mean_g
+    zt = cells.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "hr",
+        "n_c",
+        (
+            (F.col("sum_c").cast("double") / F.col("n_c") - mean_g)
+            / F.sqrt(var_g / F.col("n_c"))
+        ).alias("z"),
+    )
+    # everything below runs on the m-row hypothesis family (120 cells);
+    # the unpartitioned windows are family-scale, not corpus-scale
+    pt = zt.withColumn("p", F.expr(_AS_ERFC_P)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    ranked = pt.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("p", "event_type", "hr"))
+    )
+    cut = ranked.withColumn(
+        "k_star",
+        F.max(
+            F.when(
+                F.col("p")
+                <= F.col("rnk") * F.expr("CAST(0.1 AS DOUBLE)") / F.col("m"),
+                F.col("rnk"),
+            ).otherwise(F.lit(0))
+        ).over(Window.partitionBy()),
+    )
+    return cut.select(
+        "event_type",
+        "hr",
+        "n_c",
+        F.round("z", 4).alias("z_score"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("bh_rank"),
+        F.when(F.col("rnk") <= F.col("k_star"), 1).otherwise(0).alias(
+            "discovery"
+        ),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

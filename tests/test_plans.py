@@ -521,6 +521,9 @@ def test_r9_additions_plan_posture(plans):
         # Shapley: one (user, day) hash agg; the power-set algebra runs
         # on 16-row broadcast tables
         "channel_shapley_attribution",
+        # BH-FDR: one cell hash agg + 1-row global broadcast; the
+        # rank/step-up windows run on the 120-row hypothesis family
+        "hourly_value_bh_fdr",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

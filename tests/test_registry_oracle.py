@@ -382,6 +382,8 @@ R10_PENDING = frozenset({
     "customer_er_match_scores",
     # exact power-set Shapley attribution over (user, day) journeys
     "channel_shapley_attribution",
+    # Benjamini-Hochberg FDR over the 120-cell z-test family
+    "hourly_value_bh_fdr",
 })
 
 
