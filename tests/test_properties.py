@@ -1213,3 +1213,58 @@ def test_conformal_threshold_is_exact_order_statistic(spark):
     kth = min((9 * (n_cal + 1) + 9) // 10, n_cal)
     assert row["n_cal"] == n_cal and row["k"] == kth
     assert row["q_hat"] == round(cal[kth - 1][0] / 100, 4)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(-6.0, 6.0), min_size=1, max_size=20))
+def test_as_erfc_formula_accurate(zs):
+    """The shared A&S 7.1.26 SQL text (_AS_ERFC_P) evaluates within its
+    documented 1.5e-7 of math.erfc's two-sided tail — checked through
+    DuckDB so the test covers the exact SQL string both engines run."""
+    import math
+
+    import duckdb
+
+    from smartpool_bigdata_spark.queries import _AS_ERFC_P
+
+    con = duckdb.connect()
+    for z in zs:
+        got = con.execute(
+            f"SELECT {_AS_ERFC_P} FROM (SELECT CAST(? AS DOUBLE) AS z)",
+            [z],
+        ).fetchone()[0]
+        want = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(got - want) < 1.6e-7, (z, got, want)
+    con.close()
+
+
+def test_bh_fdr_stepup_consistent(spark):
+    """hourly_value_bh_fdr's output satisfies the BH invariants on the
+    real testdata: ranks are a permutation of 1..m ordered by
+    (p, event_type, hr); discoveries are exactly a rank-prefix; and the
+    prefix boundary obeys the step-up rule p_(k*) <= k*.q/m (checked on
+    the reported 6-digit p with matching slack)."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = (
+        REGISTRY["hourly_value_bh_fdr"].build(spark, SF_DIR).collect()
+    )
+    m = len(rows)
+    assert sorted(r["bh_rank"] for r in rows) == list(range(1, m + 1))
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    assert by_rank == sorted(
+        rows, key=lambda r: (r["p_value"], r["event_type"], r["hr"])
+    )
+    flags = [r["discovery"] for r in by_rank]
+    k_star = sum(flags)
+    assert flags == [1] * k_star + [0] * (m - k_star)
+    if k_star:
+        r = by_rank[k_star - 1]
+        assert r["p_value"] <= k_star * 0.1 / m + 5e-7
+    if k_star < m:
+        # no rank beyond the cutoff may satisfy the step-up inequality
+        assert all(
+            by_rank[j]["p_value"] > (j + 1) * 0.1 / m - 5e-7
+            for j in range(k_star, m)
+        )
