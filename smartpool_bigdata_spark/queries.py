@@ -10023,6 +10023,185 @@ def hourly_value_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter EM: the fixpoint loop as a recursive CTE over a 1-ROW
+# state relation. The loop text is shared VERBATIM between Spark and the
+# DuckDB oracle (same discipline as _REACH_BFS_CTE / _OLS_D*) — only the
+# `pat` body differs: the oracle computes the four agreement-pattern
+# counts from the blocked pair join in SQL, the Spark side inlines the
+# SAME integers as literals (one aggregate collected driver-side, the
+# watermark discipline) so the engine does not re-run the pair join once
+# per EM iteration. Identical counts + identical loop text = bit-identical
+# doubles at every iteration.
+_ER_EM_LOOP = """
+WITH RECURSIVE pat AS ({pat_body}),
+em(iter, pi, m1, u1, m2, u2) AS (
+    SELECT 0, CAST(0.1 AS DOUBLE), CAST(0.8 AS DOUBLE),
+           CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.2 AS DOUBLE)
+    UNION ALL
+    -- boundary guards are SEMANTIC, not ANSI appeasement: a pattern
+    -- with zero count drives its m/u to the boundary, after which the
+    -- responsibility is 0/0 (DuckDB would emit NaN and poison every
+    -- later iteration; ANSI Spark throws) — a zero-weight pattern's
+    -- responsibility is definitionally 0, and an empty class keeps its
+    -- previous parameters
+    SELECT iter + 1,
+           (r00*c00 + r01*c01 + r10*c10 + r11*c11) / n,
+           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               (r10*c10 + r11*c11)
+                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
+           ELSE m1 END,
+           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               ((1-r10)*c10 + (1-r11)*c11)
+                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
+           ELSE u1 END,
+           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               (r01*c01 + r11*c11)
+                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
+           ELSE m2 END,
+           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               ((1-r01)*c01 + (1-r11)*c11)
+                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
+           ELSE u2 END
+    FROM (
+        SELECT iter, m1, u1, m2, u2, c00, c01, c10, c11,
+               c00 + c01 + c10 + c11 AS n,
+               CASE WHEN pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2) > 0 THEN
+                   pi*(1-m1)*(1-m2)
+                       / (pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
+               ELSE CAST(0 AS DOUBLE) END AS r00,
+               CASE WHEN pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2 > 0 THEN
+                   pi*(1-m1)*m2
+                       / (pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2)
+               ELSE CAST(0 AS DOUBLE) END AS r01,
+               CASE WHEN pi*m1*(1-m2) + (1-pi)*u1*(1-u2) > 0 THEN
+                   pi*m1*(1-m2)
+                       / (pi*m1*(1-m2) + (1-pi)*u1*(1-u2))
+               ELSE CAST(0 AS DOUBLE) END AS r10,
+               CASE WHEN pi*m1*m2 + (1-pi)*u1*u2 > 0 THEN
+                   pi*m1*m2
+                       / (pi*m1*m2 + (1-pi)*u1*u2)
+               ELSE CAST(0 AS DOUBLE) END AS r11
+        FROM em CROSS JOIN pat WHERE iter < 10
+    )
+)
+SELECT CAST(iter AS BIGINT) AS iter,
+       round(pi, 6) AS pi,
+       round(m1, 6) AS m_name3, round(u1, 6) AS u_name3,
+       round(m2, 6) AS m_bal, round(u2, 6) AS u_bal,
+       CAST(c00 + c01 + c10 + c11 AS BIGINT) AS n_pairs,
+       round(  CASE WHEN c00 > 0 THEN
+                   c00 * ln(pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
+               ELSE 0 END
+             + CASE WHEN c01 > 0 THEN
+                   c01 * ln(pi*(1-m1)*m2     + (1-pi)*(1-u1)*u2)
+               ELSE 0 END
+             + CASE WHEN c10 > 0 THEN
+                   c10 * ln(pi*m1*(1-m2)     + (1-pi)*u1*(1-u2))
+               ELSE 0 END
+             + CASE WHEN c11 > 0 THEN
+                   c11 * ln(pi*m1*m2         + (1-pi)*u1*u2)
+               ELSE 0 END, 4) AS loglik
+FROM em CROSS JOIN pat
+WHERE iter = 10
+"""
+
+_ER_EM_PAT_SQL = """
+    SELECT CAST(sum(CASE WHEN NOT (a.name3 = b.name3)
+                          AND NOT (abs(a.bal_cents - b.bal_cents) < 10000)
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS c00,
+           CAST(sum(CASE WHEN NOT (a.name3 = b.name3)
+                          AND (abs(a.bal_cents - b.bal_cents) < 10000)
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS c01,
+           CAST(sum(CASE WHEN (a.name3 = b.name3)
+                          AND NOT (abs(a.bal_cents - b.bal_cents) < 10000)
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS c10,
+           CAST(sum(CASE WHEN (a.name3 = b.name3)
+                          AND (abs(a.bal_cents - b.bal_cents) < 10000)
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS c11
+    FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                 right(c_name, 3) AS name3,
+                 CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                            / 100000.0) AS BIGINT) AS balk
+          FROM customer) a
+    JOIN (SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                 right(c_name, 3) AS name3,
+                 CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                            / 100000.0) AS BIGINT) AS balk
+          FROM customer) b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.balk = b.balk
+     AND a.c_custkey < b.c_custkey
+"""
+
+
+@query(
+    "customer_er_em_params",
+    oracle=_ER_EM_LOOP.format(pat_body=_ER_EM_PAT_SQL),
+    description="EM parameter ESTIMATION for Fellegi-Sunter record "
+    "linkage (Winkler's unsupervised m/u fitting), with the fixpoint "
+    "loop expressed as a RECURSIVE CTE over a 1-row state relation — "
+    "the engine owns the iteration, no driver loop: because the two "
+    "comparison fields are binary, the E-step collapses from "
+    "per-pair responsibilities to per-PATTERN responsibilities over a "
+    "4-cell contingency table (c00..c11), so each EM iteration is pure "
+    "scalar algebra on one row and 10 iterations append 10 state rows. "
+    "The loop SQL text runs VERBATIM on both engines; the pattern "
+    "counts come from the same composite-blocked pair join as "
+    "customer_er_match_scores — computed ONCE (the Spark side collects "
+    "the four integers as driver scalars and inlines them, so the "
+    "recursion never re-executes the pair join; the oracle computes "
+    "them in its pat CTE — same integers, same doubles). Outputs the "
+    "converged class prior, per-field m/u probabilities, and the "
+    "mixture log-likelihood. On this synthetic-no-duplicates testbed "
+    "EM drives m_name3 to the boundary (no latent match class uses "
+    "the name field) and discovers the close-balance class as the "
+    "~2.5% mixture component — the honest fit. Scale: one blocked "
+    "pair-count aggregate at corpus cost, then O(iterations) 1-row "
+    "algebra.",
+)
+def customer_er_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    feat = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.expr("right(c_name, 3)").alias("name3"),
+    ).withColumn(
+        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    name_eq = F.col("a.name3") == F.col("b.name3")
+    bal_close = F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000
+    counts = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.balk") == F.col("b.balk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .agg(
+            F.sum(F.when(~name_eq & ~bal_close, 1).otherwise(0)).alias("c00"),
+            F.sum(F.when(~name_eq & bal_close, 1).otherwise(0)).alias("c01"),
+            F.sum(F.when(name_eq & ~bal_close, 1).otherwise(0)).alias("c10"),
+            F.sum(F.when(name_eq & bal_close, 1).otherwise(0)).alias("c11"),
+        )
+        .collect()[0]
+    )
+    pat_body = (
+        f"SELECT CAST({int(counts['c00'])} AS DOUBLE) AS c00, "
+        f"CAST({int(counts['c01'])} AS DOUBLE) AS c01, "
+        f"CAST({int(counts['c10'])} AS DOUBLE) AS c10, "
+        f"CAST({int(counts['c11'])} AS DOUBLE) AS c11"
+    )
+    return spark.sql(_ER_EM_LOOP.format(pat_body=pat_body))
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

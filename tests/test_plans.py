@@ -524,6 +524,9 @@ def test_r9_additions_plan_posture(plans):
         # BH-FDR: one cell hash agg + 1-row global broadcast; the
         # rank/step-up windows run on the 120-row hypothesis family
         "hourly_value_bh_fdr",
+        # ER-EM: one blocked pair-count agg; the recursive-CTE fixpoint
+        # iterates a 1-row state relation (UnionLoop, no driver loop)
+        "customer_er_em_params",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -384,6 +384,8 @@ R10_PENDING = frozenset({
     "channel_shapley_attribution",
     # Benjamini-Hochberg FDR over the 120-cell z-test family
     "hourly_value_bh_fdr",
+    # Fellegi-Sunter EM fit as a recursive-CTE fixpoint
+    "customer_er_em_params",
 })
 
 

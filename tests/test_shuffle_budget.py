@@ -2,7 +2,7 @@
 
 scripts/shuffle_audit.py turned shuffle volume from an argument into a
 number; this test turns the number into CI. It runs the audit's
-measurement core over a fixed 28-query headline sample at sf0.01 and
+measurement core over a fixed 29-query headline sample at sf0.01 and
 asserts, per query, (a) ZERO spill bytes and (b) a shuffle-amplification
 ceiling (shuffle_write / pruned_input) pinned from the round-9 measured
 values x 1.5 — so a lost filter pushdown, a broadcast that silently
@@ -74,6 +74,8 @@ MEASURED_RATIO = {
     "channel_shapley_attribution": 21.648,
     # one cell agg + 120-row family windows, absolute bytes 0.01 MB
     "hourly_value_bh_fdr": 1.1,
+    # same blocked pair join as the scorer, then 1-row recursion
+    "customer_er_em_params": 16.105,
 }
 
 HEADROOM = 1.5
