@@ -10202,6 +10202,114 @@ def customer_er_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ER_EM_LOOP.format(pat_body=pat_body))
 
 
+@query(
+    "customer_er_entity_clusters",
+    oracle="""
+    WITH RECURSIVE feat AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               right(c_name, 3) AS name3,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS balk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS pa, b.c_custkey AS pb
+        FROM feat a JOIN feat b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.balk = b.balk
+         AND a.c_custkey < b.c_custkey
+        WHERE (CASE WHEN a.name3 = b.name3 THEN 6.5 ELSE -4.3 END
+               + CASE WHEN abs(a.bal_cents - b.bal_cents) < 10000
+                      THEN 2.0 ELSE -1.5 END) > 4.5
+    ),
+    edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION
+        SELECT pb AS a, pa AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN edges e
+          ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS entity FROM reach GROUP BY node)
+    SELECT comp.entity, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(f.bal_cents) - min(f.bal_cents) AS BIGINT)
+               AS bal_spread_cents
+    FROM comp JOIN feat f ON f.c_custkey = comp.node
+    GROUP BY comp.entity
+    """,
+    description="Entity RESOLUTION, final stage: transitive closure of "
+    "the above-threshold match pairs into entity clusters — block -> "
+    "score (customer_er_match_scores) -> fit (customer_er_em_params) "
+    "-> CLUSTER, the full record-linkage pipeline. Match = Fellegi-"
+    "Sunter score > 4.5 (name-suffix agreement required), edges "
+    "symmetrized, components via ops.graph.connected_components_"
+    "two_phase (large-star/small-star, O(log^2 n) rounds — transitive "
+    "closure is exactly where naive pairwise linkage breaks: two pairs "
+    "(a,b),(b,c) must land in ONE entity even when (a,c) was never "
+    "compared, and at 100 TB the closure must contract geometrically, "
+    "never chain-walk). Per-entity output: canonical id (min member), "
+    "member count, and balance spread in exact cents (the merge-review "
+    "signal). Oracle: the same closure as a recursive reachability CTE "
+    "+ min-label, the pattern proven on the dup-cluster family.",
+)
+def customer_er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.graph import (
+        connected_components_two_phase,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    feat = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.expr("right(c_name, 3)").alias("name3"),
+    ).withColumn(
+        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    score = F.when(
+        F.col("a.name3") == F.col("b.name3"), F.lit(6.5)
+    ).otherwise(F.lit(-4.3)) + F.when(
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000,
+        F.lit(2.0),
+    ).otherwise(F.lit(-1.5))
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.balk") == F.col("b.balk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(score > 4.5)
+        .select(
+            F.col("a.c_custkey").alias("src"),
+            F.col("b.c_custkey").alias("dst"),
+        )
+    )
+    comp = connected_components_two_phase(pairs, "src", "dst")
+    return (
+        comp.join(
+            feat.select("c_custkey", "bal_cents"),
+            comp["node"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("component").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (F.max("bal_cents") - F.min("bal_cents"))
+            .cast("bigint")
+            .alias("bal_spread_cents"),
+        )
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -527,6 +527,8 @@ def test_r9_additions_plan_posture(plans):
         # ER-EM: one blocked pair-count agg; the recursive-CTE fixpoint
         # iterates a 1-row state relation (UnionLoop, no driver loop)
         "customer_er_em_params",
+        # ER closure: blocked pair join + large-star/small-star CC
+        "customer_er_entity_clusters",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

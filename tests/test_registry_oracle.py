@@ -386,6 +386,8 @@ R10_PENDING = frozenset({
     "hourly_value_bh_fdr",
     # Fellegi-Sunter EM fit as a recursive-CTE fixpoint
     "customer_er_em_params",
+    # transitive closure of match pairs into entity clusters
+    "customer_er_entity_clusters",
 })
 
 
