@@ -529,6 +529,9 @@ def test_r9_additions_plan_posture(plans):
         "customer_er_em_params",
         # ER closure: blocked pair join + large-star/small-star CC
         "customer_er_entity_clusters",
+        # Markov MTA: one journey window pass + transition agg; the
+        # Cramer algebra evaluates on a 5-row scenario frame
+        "channel_markov_attribution",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -388,6 +388,8 @@ R10_PENDING = frozenset({
     "customer_er_em_params",
     # transitive closure of match pairs into entity clusters
     "customer_er_entity_clusters",
+    # Markov removal-effect attribution (Cramer closed form)
+    "channel_markov_attribution",
 })
 
 

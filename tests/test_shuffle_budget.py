@@ -2,7 +2,7 @@
 
 scripts/shuffle_audit.py turned shuffle volume from an argument into a
 number; this test turns the number into CI. It runs the audit's
-measurement core over a fixed 30-query headline sample at sf0.01 and
+measurement core over a fixed 31-query headline sample at sf0.01 and
 asserts, per query, (a) ZERO spill bytes and (b) a shuffle-amplification
 ceiling (shuffle_write / pruned_input) pinned from the round-9 measured
 values x 1.5 — so a lost filter pushdown, a broadcast that silently
@@ -78,6 +78,8 @@ MEASURED_RATIO = {
     "customer_er_em_params": 16.105,
     # blocked pair join + star-contraction CC rounds, 0.1 MB absolute
     "customer_er_entity_clusters": 8.31,
+    # journey window pass + transition agg, 0.56 MB absolute
+    "channel_markov_attribution": 7.908,
 }
 
 HEADROOM = 1.5
