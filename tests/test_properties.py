@@ -1268,3 +1268,85 @@ def test_bh_fdr_stepup_consistent(spark):
             by_rank[j]["p_value"] > (j + 1) * 0.1 / m - 5e-7
             for j in range(k_star, m)
         )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["start", "view", "click", "signup", "error"]),
+            st.sampled_from(["view", "click", "signup", "error", "conv",
+                             "null"]),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda tc: any(s == "start" for s, _, _ in tc))
+)
+def test_markov_cramer_matches_numpy_solve(tc):
+    """The symbolically generated 120-term Cramer determinants in
+    _mc_loop_sql agree with numpy.linalg.solve on random transition
+    tables, for the base chain AND all four removal scenarios —
+    evaluated through DuckDB so the exact shared SQL text is what's
+    checked. Guards degenerate draws where a removal disconnects START
+    entirely (numpy solve still defined; SQL must match it)."""
+    import numpy as np
+
+    import duckdb
+
+    from smartpool_bigdata_spark.queries import (
+        _MC_CHANNELS,
+        _MC_SRCS,
+        _mc_loop_sql,
+    )
+
+    # aggregate duplicate (src, dst) draws like the real count agg would
+    agg: dict[tuple, int] = {}
+    for s, d, c in tc:
+        agg[(s, d)] = agg.get((s, d), 0) + c
+    # real journeys always END with an absorbing transition, so every
+    # src state has absorbing mass and I - Q is nonsingular; random
+    # draws can violate that (e.g. a pure self-loop) — restore the
+    # invariant the real pipeline guarantees
+    for s in {s for s, _ in agg}:
+        agg[(s, "null")] = agg.get((s, "null"), 0) + 1
+    rows = ", ".join(f"('{s}', '{d}', {c})" for (s, d), c in agg.items())
+    tc_body = (
+        f"SELECT src, dst, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM (VALUES {rows}) t(src, dst, cnt)"
+    )
+    sql = _mc_loop_sql().format(tc_body=tc_body)
+    con = duckdb.connect()
+    got = {
+        r[0]: (r[1], r[3])  # channel -> (removal_effect, p_convert)
+        for r in con.execute(sql).fetchall()
+    }
+    con.close()
+
+    out = {s: sum(c for (s2, _), c in agg.items() if s2 == s)
+           for s in _MC_SRCS}
+
+    def p(s, d, removed):
+        if removed in (s, d):
+            return 0.0
+        return agg.get((s, d), 0) / max(out.get(s, 0), 1)
+
+    def a_start(removed):
+        n = len(_MC_SRCS)
+        A = np.eye(n)
+        R = np.zeros(n)
+        for i, s in enumerate(_MC_SRCS):
+            for j, d in enumerate(_MC_SRCS):
+                if j > 0:  # 'start' is never a destination
+                    A[i, j] -= p(s, d, removed)
+            R[i] = p(s, "conv", removed)
+        return float(np.linalg.solve(A, R)[0])
+
+    v0 = a_start("none")
+    if v0 <= 0:
+        assert got == {} or all(g[1] == 0.0 for g in got.values())
+        return
+    res = {c: (v0 - a_start(c)) / v0 for c in _MC_CHANNELS}
+    for c in _MC_CHANNELS:
+        assert abs(got[c][0] - round(res[c], 6)) < 2e-6, (c, got[c], res[c])
+        assert got[c][1] == round(v0, 6)
