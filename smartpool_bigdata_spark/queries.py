@@ -9671,6 +9671,43 @@ def order_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate generation for the ER family (scorer / EM fit /
+    entity clusters): customer features (cent-exact balance, name
+    suffix, $1000 balance band) self-joined on the composite block
+    (nation, segment, balance band) with a shuffle-hash hint — pair
+    count bounded by sum of block sizes squared, never corpus^2. The
+    agreement predicates live on the returned a.*/b.* columns:
+    name-suffix equality and balance-within-$100."""
+    cust = _t(spark, sf_dir, "customer")
+    feat = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.expr("right(c_name, 3)").alias("name3"),
+    ).withColumn(
+        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    return a.hint("shuffle_hash").join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.balk") == F.col("b.balk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+
+
+def _er_predicates():
+    """(name-suffix equality, balance-within-$100) over _er_blocked_pairs
+    columns — built lazily because Column construction needs the JVM."""
+    return (
+        F.col("a.name3") == F.col("b.name3"),
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000,
+    )
+
+
 @query(
     "customer_er_match_scores",
     oracle="""
@@ -9715,26 +9752,8 @@ def order_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject — no global sort materializes.",
 )
 def customer_er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    feat = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
-        F.expr("right(c_name, 3)").alias("name3"),
-    ).withColumn(
-        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
-    )
-    a, b = feat.alias("a"), feat.alias("b")
-    pairs = a.hint("shuffle_hash").join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.balk") == F.col("b.balk"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    )
-    name3_agree = F.col("a.name3") == F.col("b.name3")
-    bal_close = F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000
+    pairs = _er_blocked_pairs(spark, sf_dir)
+    name3_agree, bal_close = _er_predicates()
     scored = pairs.select(
         F.col("a.c_custkey").alias("a_custkey"),
         F.col("b.c_custkey").alias("b_custkey"),
@@ -10163,28 +10182,9 @@ _ER_EM_PAT_SQL = """
     "algebra.",
 )
 def customer_er_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    feat = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
-        F.expr("right(c_name, 3)").alias("name3"),
-    ).withColumn(
-        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
-    )
-    a, b = feat.alias("a"), feat.alias("b")
-    name_eq = F.col("a.name3") == F.col("b.name3")
-    bal_close = F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000
+    name_eq, bal_close = _er_predicates()
     counts = (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.balk") == F.col("b.balk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
+        _er_blocked_pairs(spark, sf_dir)
         .agg(
             F.sum(F.when(~name_eq & ~bal_close, 1).otherwise(0)).alias("c00"),
             F.sum(F.when(~name_eq & bal_close, 1).otherwise(0)).alias("c01"),
@@ -10262,32 +10262,12 @@ def customer_er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_two_phase,
     )
 
-    cust = _t(spark, sf_dir, "customer")
-    feat = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
-        F.expr("right(c_name, 3)").alias("name3"),
-    ).withColumn(
-        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
-    )
-    a, b = feat.alias("a"), feat.alias("b")
-    score = F.when(
-        F.col("a.name3") == F.col("b.name3"), F.lit(6.5)
-    ).otherwise(F.lit(-4.3)) + F.when(
-        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) < 10000,
-        F.lit(2.0),
+    name_eq, bal_close = _er_predicates()
+    score = F.when(name_eq, F.lit(6.5)).otherwise(F.lit(-4.3)) + F.when(
+        bal_close, F.lit(2.0)
     ).otherwise(F.lit(-1.5))
     pairs = (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.balk") == F.col("b.balk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
+        _er_blocked_pairs(spark, sf_dir)
         .where(score > 4.5)
         .select(
             F.col("a.c_custkey").alias("src"),
@@ -10295,9 +10275,13 @@ def customer_er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     comp = connected_components_two_phase(pairs, "src", "dst")
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
     return (
         comp.join(
-            feat.select("c_custkey", "bal_cents"),
+            bal,
             comp["node"] == F.col("c_custkey"),
         )
         .groupBy(F.col("component").alias("entity"))
