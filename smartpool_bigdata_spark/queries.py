@@ -9671,14 +9671,29 @@ def order_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _er_blocked_pairs(
+    spark: SparkSession, sf_dir: str, bal_band_cents: int = 100_000
+) -> DataFrame:
     """Shared candidate generation for the ER family (scorer / EM fit /
     entity clusters): customer features (cent-exact balance, name
     suffix, $1000 balance band) self-joined on the composite block
     (nation, segment, balance band) with a shuffle-hash hint — pair
     count bounded by sum of block sizes squared, never corpus^2. The
     agreement predicates live on the returned a.*/b.* columns:
-    name-suffix equality and balance-within-$100."""
+    name-suffix equality and balance-within-$100.
+
+    ``bal_band_cents`` is the SCALE DIAL: block count is fixed
+    (nations x segments x bands), so per-block size — and pair count —
+    grows quadratically with corpus size (measured: 846 -> 82k -> 8.2M
+    pairs across sf0.01/0.1/1, ~100x per 10x customers). Dividing the
+    band width by k multiplies block count by k and divides pair cost
+    by ~k, at the standard blocking-recall price: measured at sf1,
+    $100 bands cut pairs 9.9x and retain 52% of the above-threshold
+    matches — exactly the band-edge straddle (a pair within $100 lands
+    in the same $100 band ~half the time); recover it with two-bucket
+    emission (block on band AND band+1, the sorted-neighborhood
+    overlap trick) at 2x pair cost. The registry queries pin the $1000
+    default so their oracles stay closed-form."""
     cust = _t(spark, sf_dir, "customer")
     feat = cust.select(
         "c_custkey",
@@ -9687,7 +9702,10 @@ def _er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
         F.expr("right(c_name, 3)").alias("name3"),
     ).withColumn(
-        "balk", F.floor(F.col("bal_cents") / 100000.0).cast("bigint")
+        "balk",
+        F.floor(F.col("bal_cents") / F.lit(float(bal_band_cents))).cast(
+            "bigint"
+        ),
     )
     a, b = feat.alias("a"), feat.alias("b")
     return a.hint("shuffle_hash").join(
