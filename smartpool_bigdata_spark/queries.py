@@ -9530,8 +9530,11 @@ def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("bigint").alias("x2"),
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
     )
-    base.createOrReplaceTempView("__ols2_base")
-    sums = ev.sparkSession.sql(f"{_OLS_SUMS_SQL} FROM __ols2_base")
+    import uuid as _uuid
+
+    view = f"__ols2_base_{_uuid.uuid4().hex}"
+    base.createOrReplaceTempView(view)
+    sums = ev.sparkSession.sql(f"{_OLS_SUMS_SQL} FROM {view}")
     return sums.selectExpr(
         "n_rows",
         f"round(({_OLS_D0})/({_OLS_D})/100, 6) AS beta0",
