@@ -10541,6 +10541,117 @@ def channel_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mc_loop_sql().format(tc_body=tc_body))
 
 
+@query(
+    "daily_value_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY day
+    ),
+    idx AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        FROM idx
+    ),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+    cross_mom AS (
+        SELECT l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(a.x AS DECIMAL(38,0))
+                        * CAST(b.x AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+               CAST(sum(a.x) AS DOUBLE) AS sa,
+               CAST(sum(b.x) AS DOUBLE) AS sb
+        FROM lags l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.t = a.t + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, n_pairs,
+           round((sab - (sx / n) * sa - (sx / n) * sb
+                  + n_pairs * (sx / n) * (sx / n))
+                 / (sxx - n * (sx / n) * (sx / n)), 6) AS acf
+    FROM cross_mom CROSS JOIN mom
+    """,
+    description="Exact AUTOCORRELATION function of the daily event-value "
+    "series, lags 1..7 (the time-series diagnostic behind seasonality "
+    "detection and residual whiteness checks — completes the family: "
+    "seasonal residuals, Theil-Sen trend, CUSUM/EWMA, forecast "
+    "backtest): the day series is exact cent integers, every moment "
+    "(sum, sum-of-squares, per-lag cross products in decimal(38,0) — "
+    "a year of sf1 daily totals squared overflows int64) is exact, "
+    "and the mean-centered numerator expands to moment algebra "
+    "(sab - m*sa - m*sb + k*m^2) so the only doubles are one fixed "
+    "expression evaluated identically in both engines. Scale: ONE "
+    "corpus hash agg collapses events to #days rows; the lag join and "
+    "everything after run on the day-count frame (365 rows/year — "
+    "driver-scale by construction, like the BH family table).",
+)
+def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    # #days rows: the unpartitioned row_number window is day-scale
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cross = (
+        lags.join(F.broadcast(a), F.lit(True))
+        .join(
+            F.broadcast(b),
+            F.col("b.t") == F.col("a.t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.col("a.x").cast("decimal(38,0)")
+                * F.col("b.x").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("sab"),
+            F.sum("a.x").cast("double").alias("sa"),
+            F.sum("b.x").cast("double").alias("sb"),
+        )
+    )
+    m = F.col("sx") / F.col("n")
+    return cross.crossJoin(F.broadcast(mom)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            (
+                F.col("sab")
+                - m * F.col("sa")
+                - m * F.col("sb")
+                + F.col("n_pairs") * m * m
+            )
+            / (F.col("sxx") - F.col("n") * m * m),
+            6,
+        ).alias("acf"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -532,6 +532,8 @@ def test_r9_additions_plan_posture(plans):
         # Markov MTA: one journey window pass + transition agg; the
         # Cramer algebra evaluates on a 5-row scenario frame
         "channel_markov_attribution",
+        # ACF: one day hash agg; lag joins run on the #days frame
+        "daily_value_acf",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -390,6 +390,8 @@ R10_PENDING = frozenset({
     "customer_er_entity_clusters",
     # Markov removal-effect attribution (Cramer closed form)
     "channel_markov_attribution",
+    # exact ACF of the daily value series (lags 1..7)
+    "daily_value_acf",
 })
 
 
