@@ -9544,6 +9544,72 @@ def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conformal_fit(spark: SparkSession, sf_dir: str):
+    """Shared split-conformal fit over orders (used by the batch gate
+    and the streaming quarantine twin): hash-split 60/20 train/cal on
+    o_orderkey % 10, group-mean model per priority, and the exact
+    ceil(0.9(n+1))-th calibration residual selected by banded
+    k-th-element. Returns (base, model, n_cal, k, q_hat) — model is a
+    broadcastable DataFrame, the rest driver scalars."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("tp_cents"),
+        (F.col("o_orderkey") % 10).alias("b"),
+    )
+    model = (
+        base.where("b < 6")
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum("tp_cents").cast("double") / F.count(F.lit(1))).alias(
+                "pred"
+            )
+        )
+    )
+    cal = (
+        base.where("b IN (6, 7)")
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.abs(F.col("tp_cents") - F.col("pred")).alias("r"),
+        )
+    )
+    band = F.floor(F.col("r") / 100000.0).cast("bigint")
+    # Tiny per-band histogram: #bands ~ (price range)/$1000, a driver-scale
+    # scalar read like a watermark — NOT a corpus collect.
+    hist = sorted(
+        cal.groupBy(band.alias("band")).count().collect(),
+        key=lambda row: row["band"],
+    )
+    n_cal = sum(row["count"] for row in hist)
+    # ceil(0.9*(n+1)) in pure int math, clamped to n — mirrors the oracle
+    # exactly (binary-float 0.9*(n+1) can land on the wrong side of an
+    # integer; DuckDB's DECIMAL product never does).
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    cum = 0
+    sel_band, k_in = hist[-1]["band"], n_cal - sum(
+        row["count"] for row in hist[:-1]
+    )
+    for row in hist:
+        if cum + row["count"] >= k:
+            sel_band, k_in = row["band"], k - cum
+            break
+        cum += row["count"]
+    w = Window.orderBy("r", "o_orderkey")  # band-local rows only: bounded
+    q_hat = (
+        cal.where(band == F.lit(sel_band))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k_in)
+        .select("r")
+        .collect()[0]["r"]
+    )
+    return base, model, n_cal, k, q_hat
+
+
+
 @query(
     "order_conformal_interval",
     oracle="""
@@ -9603,61 +9669,7 @@ def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double, identically on both engines.",
 )
 def order_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("tp_cents"),
-        (F.col("o_orderkey") % 10).alias("b"),
-    )
-    model = (
-        base.where("b < 6")
-        .groupBy("o_orderpriority")
-        .agg(
-            (F.sum("tp_cents").cast("double") / F.count(F.lit(1))).alias(
-                "pred"
-            )
-        )
-    )
-    cal = (
-        base.where("b IN (6, 7)")
-        .join(F.broadcast(model), "o_orderpriority")
-        .select(
-            "o_orderkey",
-            F.abs(F.col("tp_cents") - F.col("pred")).alias("r"),
-        )
-    )
-    band = F.floor(F.col("r") / 100000.0).cast("bigint")
-    # Tiny per-band histogram: #bands ~ (price range)/$1000, a driver-scale
-    # scalar read like a watermark — NOT a corpus collect.
-    hist = sorted(
-        cal.groupBy(band.alias("band")).count().collect(),
-        key=lambda row: row["band"],
-    )
-    n_cal = sum(row["count"] for row in hist)
-    # ceil(0.9*(n+1)) in pure int math, clamped to n — mirrors the oracle
-    # exactly (binary-float 0.9*(n+1) can land on the wrong side of an
-    # integer; DuckDB's DECIMAL product never does).
-    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
-    cum = 0
-    sel_band, k_in = hist[-1]["band"], n_cal - sum(
-        row["count"] for row in hist[:-1]
-    )
-    for row in hist:
-        if cum + row["count"] >= k:
-            sel_band, k_in = row["band"], k - cum
-            break
-        cum += row["count"]
-    w = Window.orderBy("r", "o_orderkey")  # band-local rows only: bounded
-    q_hat = (
-        cal.where(band == F.lit(sel_band))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == k_in)
-        .select("r")
-        .collect()[0]["r"]
-    )
+    base, model, n_cal, k, q_hat = _conformal_fit(spark, sf_dir)
     test = (
         base.where("b >= 8")
         .join(F.broadcast(model), "o_orderpriority")

@@ -1385,4 +1385,121 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+
+@query(
+    "stream_conformal_quarantine",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents,
+               o_orderkey % 10 AS b
+        FROM orders
+    ),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(sum(tp_cents) AS DOUBLE) / count(*) AS pred
+        FROM base WHERE b < 6 GROUP BY o_orderpriority
+    ),
+    cal AS (
+        SELECT abs(base.tp_cents - model.pred) AS r, base.o_orderkey
+        FROM base JOIN model USING (o_orderpriority) WHERE b IN (6, 7)
+    ),
+    stats AS (
+        SELECT CAST(least((9 * (count(*) + 1) + 9) // 10, count(*))
+                    AS BIGINT) AS k
+        FROM cal
+    ),
+    ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r, o_orderkey) AS rn FROM cal
+    ),
+    q AS (SELECT r AS q_hat FROM ranked, stats WHERE rn = k),
+    test AS (
+        SELECT base.o_orderkey, base.tp_cents,
+               abs(base.tp_cents - model.pred) AS r
+        FROM base JOIN model USING (o_orderpriority) WHERE b >= 8
+    )
+    SELECT CASE WHEN test.r > q.q_hat THEN 'oob' ELSE 'clean' END
+               AS disposition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(tp_cents) AS BIGINT) AS total_cents
+    FROM test CROSS JOIN q
+    GROUP BY 1
+    """,
+    description="FIT-BATCH / ENFORCE-STREAM conformal monitoring — the "
+    "model-driven twin of stream_dq_quarantine's rule-driven routing: "
+    "the split-conformal interval is fitted ONCE on the batch side "
+    "(order_conformal_interval's shared _conformal_fit: group-mean "
+    "model + exact ceil(0.9(n+1))-th calibration residual), then the "
+    "held-out orders arrive AS A STREAM, join the broadcast model "
+    "stream-static, and route through foreachBatch quarantine with "
+    "ONE learned rule: |price - pred| > q_hat. Out-of-interval orders "
+    "land in the quarantine table with a reason, in-interval orders "
+    "MERGE into the clean table, both keyed so micro-batch replays "
+    "are idempotent; by the conformal guarantee the quarantine rate "
+    "tracks ~10% regardless of the price distribution. The oracle "
+    "re-derives the fit AND the routing in SQL over the same corpus — "
+    "green proves the learned threshold survived the batch->stream "
+    "handoff bit-exactly and no row was lost or mis-routed across "
+    "micro-batches. Scale: the fit is the batch gate's cost; the "
+    "stream side is a broadcast join + filter per micro-batch with "
+    "O(1) state.",
+    skip_bench=True,  # staging write + stream startup dominates
+)
+def stream_conformal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.queries import _conformal_fit
+    from smartpool_bigdata_spark.streaming.runner import (
+        start_foreach_batch_quarantine,
+    )
+
+    base, model, _n_cal, _k, q_hat = _conformal_fit(spark, sf_dir)
+    test = base.where("b >= 8").select(
+        "o_orderkey", "o_orderpriority", "tp_cents"
+    )
+    stage = tempfile.mkdtemp(prefix="spark_conformal_stream_")
+    src = os.path.join(stage, "src")
+    clean = os.path.join(stage, "clean")
+    quar = os.path.join(stage, "quarantine")
+    ckpt = os.path.join(stage, "ckpt")
+    test.repartition(4).write.parquet(src)
+    try:
+        stream = file_stream(
+            spark, src, test.schema, max_files_per_trigger=1
+        ).join(F.broadcast(model), "o_orderpriority")
+        q = start_foreach_batch_quarantine(
+            stream,
+            clean,
+            quar,
+            rules=[
+                (
+                    "oob",
+                    F.abs(F.col("tp_cents") - F.col("pred"))
+                    > F.lit(q_hat),
+                )
+            ],
+            keys=["o_orderkey"],
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+            query_name="conformal_quarantine",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+        clean_df = spark.read.parquet(clean).select(
+            F.lit("clean").alias("disposition"), "tp_cents"
+        )
+        quar_df = spark.read.parquet(quar).select(
+            F.col("dq_reason").alias("disposition"), "tp_cents"
+        )
+        out = (
+            clean_df.unionByName(quar_df)
+            .groupBy("disposition")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("tp_cents").cast("bigint").alias("total_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 __reorder()

@@ -392,6 +392,8 @@ R10_PENDING = frozenset({
     "channel_markov_attribution",
     # exact ACF of the daily value series (lags 1..7)
     "daily_value_acf",
+    # fit-batch / enforce-stream conformal quarantine
+    "stream_conformal_quarantine",
 })
 
 
