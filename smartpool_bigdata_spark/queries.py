@@ -10664,6 +10664,193 @@ def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_total_ht_estimate",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+               ('0x'||substr(md5('ht|'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+                   % 10 = 0 AS in_sample
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample,
+               CAST(sum(y) AS BIGINT) AS true_total_cents,
+               CAST(10 * sum(CASE WHEN in_sample THEN y ELSE 0 END)
+                    AS BIGINT) AS ht_total_cents,
+               CAST(sum(CASE WHEN in_sample
+                             THEN 90 * CAST(y AS DECIMAL(38,0))
+                                  * CAST(y AS DECIMAL(38,0))
+                             ELSE CAST(0 AS DECIMAL(38,0)) END)
+                    AS DOUBLE) AS var_est
+        FROM base
+    )
+    SELECT n_pop, n_sample, true_total_cents, ht_total_cents,
+           round((CAST(ht_total_cents AS DOUBLE) - true_total_cents)
+                 / true_total_cents, 6) AS rel_error,
+           round(sqrt(var_est) / 100, 2) AS se_dollars,
+           abs(CAST(ht_total_cents AS DOUBLE) - true_total_cents)
+               <= 2 * sqrt(var_est) AS within_2se
+    FROM agg
+    """,
+    description="HORVITZ-THOMPSON total estimation under deterministic "
+    "hash-systematic sampling (the survey-sampling primitive behind "
+    "'estimate the corpus total from a 10% scan'): inclusion is "
+    "md5-hash-bucket membership (pi = 1/10 by construction, portable "
+    "across engines — the doc_train_split mechanism), the HT estimator "
+    "sum(y_i/pi) collapses to 10x the sample sum (EXACT integer "
+    "arithmetic — no float until the error analysis), and the "
+    "Poisson-sampling variance estimator sum(y_i^2 (1-pi)/pi^2) = "
+    "90 * sum(y_i^2) accumulates in decimal(38,0). Reports the "
+    "realized relative error and whether the truth landed within 2 "
+    "standard errors — the estimator auditing ITSELF against the full "
+    "scan it is meant to replace. Scale: ONE conditional aggregate "
+    "pass; at 100 TB the sample-only variant (filter first, never "
+    "scan y for unsampled rows after partition pruning) is the "
+    "production form, and pi becomes the cost dial.",
+)
+def order_total_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        (
+            F.expr(T.spark_hash64("'ht|'||CAST(o_orderkey AS STRING)")) % 10
+            == 0
+        ).alias("in_sample"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sample"),
+        F.sum("y").cast("bigint").alias("true_total_cents"),
+        (F.lit(10) * F.sum(F.when(F.col("in_sample"), F.col("y")).otherwise(0)))
+        .cast("bigint")
+        .alias("ht_total_cents"),
+        F.sum(
+            F.when(
+                F.col("in_sample"),
+                F.lit(90)
+                * F.col("y").cast("decimal(38,0)")
+                * F.col("y").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("var_est"),
+    )
+    return agg.select(
+        "n_pop",
+        "n_sample",
+        "true_total_cents",
+        "ht_total_cents",
+        F.round(
+            (
+                F.col("ht_total_cents").cast("double")
+                - F.col("true_total_cents")
+            )
+            / F.col("true_total_cents"),
+            6,
+        ).alias("rel_error"),
+        F.round(F.sqrt(F.col("var_est")) / 100, 2).alias("se_dollars"),
+        (
+            F.abs(
+                F.col("ht_total_cents").cast("double")
+                - F.col("true_total_cents")
+            )
+            <= 2 * F.sqrt(F.col("var_est"))
+        ).alias("within_2se"),
+    )
+
+
+@query(
+    "order_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS s1,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                        * CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS s2
+        FROM orders GROUP BY stratum
+    ),
+    sd AS (
+        SELECT stratum, n_h,
+               sqrt(s2 / n_h - (s1 / n_h) * (s1 / n_h)) AS sd_h
+        FROM strata
+    ),
+    tot AS (
+        SELECT CAST(sum(n_h) AS BIGINT) AS n_pop,
+               CAST(sum(CAST(n_h * sd_h AS DECIMAL(38,10))) AS DOUBLE)
+                   AS sum_ns
+        FROM sd
+    )
+    SELECT stratum, n_h,
+           round(sd_h / 100, 4) AS sd_dollars,
+           round(1000 * (n_h * sd_h) / sum_ns, 2) AS neyman_n,
+           round(1000 * CAST(n_h AS DOUBLE) / n_pop, 2) AS proportional_n
+    FROM sd CROSS JOIN tot
+    """,
+    description="NEYMAN optimal allocation for stratified sampling "
+    "(n_h proportional to N_h * S_h — put the budget where the "
+    "variance is): per order-priority stratum, the population size and "
+    "standard deviation come from exact cent-integer moments in ONE "
+    "hash aggregate, and a fixed 1000-row sampling budget splits "
+    "Neyman-optimally vs proportionally for comparison. The "
+    "cross-stratum normalizer sum(N_h * S_h) goes through the decimal "
+    "stable-sum (5 doubles, order-proof). Completes the sampling "
+    "family: design (this), estimation (order_total_ht_estimate), "
+    "deterministic assignment (doc_train_split / weighted samples). "
+    "Scale: one aggregate pass to #strata rows; everything after is "
+    "stratum-count algebra.",
+)
+def order_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    strata = orders.groupBy(
+        F.col("o_orderpriority").alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(cents).cast("double").alias("s1"),
+        # cents^2 sums pass 2^63 at sf0.1 — accumulate decimal(38,0)
+        # (DuckDB's sum(BIGINT) widens to HUGEINT by itself; same exact
+        # value, same double after the cast)
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = strata.select(
+        "stratum",
+        "n_h",
+        F.sqrt(
+            F.col("s2") / F.col("n_h")
+            - (F.col("s1") / F.col("n_h")) * (F.col("s1") / F.col("n_h"))
+        ).alias("sd_h"),
+    )
+    tot = sd.agg(
+        F.sum("n_h").cast("bigint").alias("n_pop"),
+        F.sum((F.col("n_h") * F.col("sd_h")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sum_ns"),
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        F.round(F.col("sd_h") / 100, 4).alias("sd_dollars"),
+        F.round(
+            1000 * (F.col("n_h") * F.col("sd_h")) / F.col("sum_ns"), 2
+        ).alias("neyman_n"),
+        F.round(
+            1000 * F.col("n_h").cast("double") / F.col("n_pop"), 2
+        ).alias("proportional_n"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

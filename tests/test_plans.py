@@ -534,6 +534,10 @@ def test_r9_additions_plan_posture(plans):
         "channel_markov_attribution",
         # ACF: one day hash agg; lag joins run on the #days frame
         "daily_value_acf",
+        # HT estimation: ONE conditional aggregate, no join
+        "order_total_ht_estimate",
+        # Neyman: one stratum agg + 5-row allocation algebra
+        "order_neyman_allocation",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -394,6 +394,9 @@ R10_PENDING = frozenset({
     "daily_value_acf",
     # fit-batch / enforce-stream conformal quarantine
     "stream_conformal_quarantine",
+    # survey sampling: HT estimation + Neyman allocation
+    "order_total_ht_estimate",
+    "order_neyman_allocation",
 })
 
 
