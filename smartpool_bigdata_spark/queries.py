@@ -10851,6 +10851,101 @@ def order_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_capture_recapture",
+    oracle="""
+    WITH base AS (
+        SELECT ('0x'||substr(md5('cr1|'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+                   % 10 = 0 AS s1,
+               ('0x'||substr(md5('cr2|'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+                   % 10 = 0 AS s2
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m
+        FROM base
+    )
+    SELECT n_true, n1, n2, m,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 2)
+               AS n_chapman,
+           round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+                       * (n2 - m))
+                      / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2))),
+                 2) AS se_chapman,
+           abs((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1 - n_true)
+               <= 2 * sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+                            * (n2 - m))
+                           / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2)))
+               AS within_2se
+    FROM agg
+    """,
+    description="CAPTURE-RECAPTURE population estimation (Chapman's "
+    "bias-corrected Lincoln-Petersen — 'how many rows exist that "
+    "neither sample saw', the estimator behind dedup-rate and "
+    "missing-mass auditing when a full scan is off the table): two "
+    "INDEPENDENT deterministic hash samples (different md5 salts, "
+    "pi = 1/10 each), overlap m, N-hat = (n1+1)(n2+1)/(m+1) - 1 with "
+    "Chapman's variance, and the self-audit columns against the true "
+    "count. All counts exact integers from ONE conditional aggregate; "
+    "the estimate/SE are one fixed double expression. Completes the "
+    "estimation-from-samples family with HT (known-pi totals) and "
+    "Neyman (budget design). Scale: at 100 TB the two samples are the "
+    "only thing scanned (hash-bucket partition pruning) and the "
+    "overlap join is sample-sized.",
+)
+def order_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops import text as T
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        (
+            F.expr(T.spark_hash64("'cr1|'||CAST(o_orderkey AS STRING)")) % 10
+            == 0
+        ).alias("s1"),
+        (
+            F.expr(T.spark_hash64("'cr2|'||CAST(o_orderkey AS STRING)")) % 10
+            == 0
+        ).alias("s2"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("s1") & F.col("s2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+    )
+    nhat = ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)) / (
+        F.col("m") + 1
+    ) - 1
+    se = F.sqrt(
+        (
+            (F.col("n1") + 1).cast("double")
+            * (F.col("n2") + 1)
+            * (F.col("n1") - F.col("m"))
+            * (F.col("n2") - F.col("m"))
+        )
+        / (
+            (F.col("m") + 1).cast("double")
+            * (F.col("m") + 1)
+            * (F.col("m") + 2)
+        )
+    )
+    return agg.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.round(nhat, 2).alias("n_chapman"),
+        F.round(se, 2).alias("se_chapman"),
+        (F.abs(nhat - F.col("n_true")) <= 2 * se).alias("within_2se"),
+    )
+
+
 # Register the document-pipeline and similarity-search query families into
 # the same REGISTRY (import side effect; kept at the bottom so the decorator
 # and helpers above are defined).

@@ -538,6 +538,8 @@ def test_r9_additions_plan_posture(plans):
         "order_total_ht_estimate",
         # Neyman: one stratum agg + 5-row allocation algebra
         "order_neyman_allocation",
+        # capture-recapture: ONE conditional aggregate, no join
+        "order_capture_recapture",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

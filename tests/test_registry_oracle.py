@@ -397,6 +397,8 @@ R10_PENDING = frozenset({
     # survey sampling: HT estimation + Neyman allocation
     "order_total_ht_estimate",
     "order_neyman_allocation",
+    # Chapman capture-recapture population estimation
+    "order_capture_recapture",
 })
 
 
