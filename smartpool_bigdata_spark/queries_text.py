@@ -6284,4 +6284,107 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "vocab_good_turing",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tok AS (
+        SELECT unnest(CASE WHEN len(t) >= 5
+                      THEN list_transform(range(1, len(t)-5+2),
+                           i -> array_to_string(t[i:i+4], ' '))
+                      ELSE [] END) AS w
+        FROM toks
+    ),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY w),
+    freqfreq AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r
+    ),
+    tot AS (
+        SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(sum(n_r) AS BIGINT) AS vocab
+        FROM freqfreq
+    )
+    SELECT f.r,
+           f.n_r,
+           round(CAST(f.r AS DOUBLE) * f.n_r / tot.n_tokens, 6)
+               AS prob_mass,
+           round(CAST(f.r + 1 AS DOUBLE)
+                 * coalesce(nx.n_r, 0) / f.n_r, 6) AS gt_adjusted_count,
+           round(CAST((SELECT n_r FROM freqfreq WHERE r = 1) AS DOUBLE)
+                 / tot.n_tokens, 6) AS missing_mass,
+           tot.n_tokens, tot.vocab
+    FROM freqfreq f
+    LEFT JOIN freqfreq nx ON nx.r = f.r + 1
+    CROSS JOIN tot
+    WHERE f.r <= 5
+    """,
+    description="GOOD-TURING frequency estimation over the corpus "
+    "5-GRAM distribution (Good 1953 — the unseen-mass primitive behind "
+    "n-gram LM smoothing and 'how much of the language have we not "
+    "crawled yet'; 5-grams, not words, because the testbed's 30-word "
+    "vocabulary has no rare words while its 5-gram space has a real "
+    "singleton tail at every SF): shingles collapse to (gram -> count "
+    "r), counts collapse to "
+    "the frequency-of-frequencies table N_r, and the estimator reads "
+    "straight off it — P(next token is UNSEEN) = N_1/N (the missing "
+    "mass), and the adjusted count r* = (r+1) N_{r+1}/N_r for the low "
+    "frequencies where raw ML estimates are most biased (reported for "
+    "r <= 5, where smoothing matters; the raw per-rank probability "
+    "mass rides alongside). All counts exact integers; the only "
+    "doubles are fixed ratios. Scale: two hash aggs — corpus -> vocab "
+    "-> #distinct-frequencies (a few hundred rows by Zipf) — then "
+    "everything runs on the N_r frame; the same Heaps-sublinear "
+    "collapse as the Zipf-slope and coverage gates.",
+)
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.expr(T.spark_word_shingles(T.spark_tokens("text"), 5))
+        ).alias("w")
+    )
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    ff = tf.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("vocab"),
+    )
+    n1 = ff.where(F.col("r") == 1).select(
+        F.col("n_r").alias("n1_singletons")
+    )
+    nx = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        ff.where(F.col("r") <= 5)
+        .join(F.broadcast(nx), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                F.col("r").cast("double")
+                * F.col("n_r")
+                / F.col("n_tokens"),
+                6,
+            ).alias("prob_mass"),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("n_r_next"), F.lit(0))
+                / F.col("n_r"),
+                6,
+            ).alias("gt_adjusted_count"),
+            F.round(
+                F.col("n1_singletons").cast("double") / F.col("n_tokens"), 6
+            ).alias("missing_mass"),
+            "n_tokens",
+            "vocab",
+        )
+    )
+
+
 __reorder()

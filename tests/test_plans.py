@@ -540,6 +540,8 @@ def test_r9_additions_plan_posture(plans):
         "order_neyman_allocation",
         # capture-recapture: ONE conditional aggregate, no join
         "order_capture_recapture",
+        # Good-Turing: two hash aggs collapse corpus -> vocab -> N_r
+        "vocab_good_turing",
     ):
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]

@@ -399,6 +399,8 @@ R10_PENDING = frozenset({
     "order_neyman_allocation",
     # Chapman capture-recapture population estimation
     "order_capture_recapture",
+    # Good-Turing unseen-mass estimation over the 5-gram space
+    "vocab_good_turing",
 })
 
 

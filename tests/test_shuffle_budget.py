@@ -2,7 +2,7 @@
 
 scripts/shuffle_audit.py turned shuffle volume from an argument into a
 number; this test turns the number into CI. It runs the audit's
-measurement core over a fixed 35-query headline sample at sf0.01 and
+measurement core over a fixed 36-query headline sample at sf0.01 and
 asserts, per query, (a) ZERO spill bytes and (b) a shuffle-amplification
 ceiling (shuffle_write / pruned_input) pinned from the round-9 measured
 values x 1.5 — so a lost filter pushdown, a broadcast that silently
@@ -86,6 +86,9 @@ MEASURED_RATIO = {
     "order_total_ht_estimate": 0.03,
     "order_neyman_allocation": 0.176,
     "order_capture_recapture": 0.021,
+    # the 5-gram explode IS the shuffle (vocab agg of exploded grams
+    # over a 0.003 MB pruned text scan); absolute bytes 0.63 MB
+    "vocab_good_turing": 184.299,
 }
 
 HEADROOM = 1.5
