@@ -8638,9 +8638,8 @@ FROM chain GROUP BY depth
     "count is bounded and each level shrinks.",
 )
 def order_ancestor_chain_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
-    view = f"orders_cte_{_uuid.uuid4().hex}"
+    # fixed name + createOrReplaceTempView: no per-call catalog leak
+    view = "__orders_ancestor_cte"
     _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(_ANCESTOR_CHAIN_CTE.format(orders=view))
 
@@ -8934,12 +8933,10 @@ FROM dist GROUP BY hop
     "round-trips, one job).",
 )
 def segment_reach_bfs_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
-    sfx = _uuid.uuid4().hex
+    # fixed names + createOrReplaceTempView: no per-call catalog leak
     names = {}
     for t in ("lineitem", "orders", "customer"):
-        names[t] = f"{t}_bfscte_{sfx}"
+        names[t] = f"__{t}_bfscte"
         _t(spark, sf_dir, t).createOrReplaceTempView(names[t])
     return spark.sql(_REACH_BFS_CTE.format(**names))
 
@@ -9530,9 +9527,9 @@ def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("bigint").alias("x2"),
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
     )
-    import uuid as _uuid
-
-    view = f"__ols2_base_{_uuid.uuid4().hex}"
+    # fixed view name (createOrReplaceTempView) so repeated invocations
+    # reuse one catalog entry instead of leaking a uuid-named view per call
+    view = "__ols2_base"
     base.createOrReplaceTempView(view)
     sums = ev.sparkSession.sql(f"{_OLS_SUMS_SQL} FROM {view}")
     return sums.selectExpr(
@@ -9584,15 +9581,18 @@ def _conformal_fit(spark: SparkSession, sf_dir: str):
         cal.groupBy(band.alias("band")).count().collect(),
         key=lambda row: row["band"],
     )
+    if not hist:
+        raise ValueError(
+            "conformal calibration split is empty: no orders landed in "
+            "buckets 6-7 — cannot fit a quantile band"
+        )
     n_cal = sum(row["count"] for row in hist)
     # ceil(0.9*(n+1)) in pure int math, clamped to n — mirrors the oracle
     # exactly (binary-float 0.9*(n+1) can land on the wrong side of an
     # integer; DuckDB's DECIMAL product never does).
     k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    # k <= n_cal guarantees the cumulative scan always selects a band
     cum = 0
-    sel_band, k_in = hist[-1]["band"], n_cal - sum(
-        row["count"] for row in hist[:-1]
-    )
     for row in hist:
         if cum + row["count"] >= k:
             sel_band, k_in = row["band"], k - cum
@@ -9968,14 +9968,14 @@ _AS_ERFC_P = (
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS sum_g,
                CAST(sum(CAST(round(value * 100) AS BIGINT)
-                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                    AS sumsq_g
         FROM events
     ),
     zt AS (
         SELECT event_type, hr, n_c,
                (CAST(sum_c AS DOUBLE) / n_c - CAST(sum_g AS DOUBLE) / n_g)
-               / sqrt((CAST(sumsq_g AS DOUBLE) / n_g
+               / sqrt((sumsq_g / n_g
                        - (CAST(sum_g AS DOUBLE) / n_g)
                          * (CAST(sum_g AS DOUBLE) / n_g)) / n_c) AS z
         FROM cells CROSS JOIN gprof
@@ -10031,10 +10031,16 @@ def hourly_value_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = ev.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum(cents).cast("bigint").alias("sum_g"),
-        F.sum(cents * cents).cast("bigint").alias("sumsq_g"),
+        # cents^2 sums pass 2^63 at corpus scale — accumulate
+        # decimal(38,0) exactly, then one cast to double (the same
+        # discipline as order_neyman_allocation / daily_value_acf;
+        # DuckDB's sum(BIGINT) widens to HUGEINT by itself)
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sumsq_g"),
     )
     mean_g = F.col("sum_g").cast("double") / F.col("n_g")
-    var_g = F.col("sumsq_g").cast("double") / F.col("n_g") - mean_g * mean_g
+    var_g = F.col("sumsq_g") / F.col("n_g") - mean_g * mean_g
     zt = cells.crossJoin(F.broadcast(glob)).select(
         "event_type",
         "hr",

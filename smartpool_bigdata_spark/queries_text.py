@@ -6352,8 +6352,12 @@ def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
         F.sum("n_r").cast("bigint").alias("vocab"),
     )
-    n1 = ff.where(F.col("r") == 1).select(
-        F.col("n_r").alias("n1_singletons")
+    # aggregate (not filter) so n1 is ALWAYS exactly one row: a corpus
+    # with no 5-gram singletons must yield NULL missing_mass like the
+    # oracle's scalar subquery, not an empty cross-join that erases the
+    # whole result frame
+    n1 = ff.agg(
+        F.max(F.when(F.col("r") == 1, F.col("n_r"))).alias("n1_singletons")
     )
     nx = ff.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
