@@ -2812,70 +2812,78 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_FULL.json (all queries, three SFs), so rotation trades
 # which slice gets the driver's hard signal, never which slice is
 # checked. tests/test_registry_oracle.py pins the first-50 set.
+# * r9 window: all 14 R9_PENDING post-r8 additions + the 4 new-in-r9
+#   operators + 32 r4-stale re-confirmations — all 50 green in
+#   CORRECTNESS_r09.json; the r1-r9 driver union covered 266/287 (the
+#   21 post-window r9 additions were judge-verified at sf0.01 and
+#   pinned as R10_PENDING).
 GATE_PRIORITY: list[str] = [
-    # --- r9 window: the r8-verdict #1 ask. ALL 14 R9_PENDING queries
-    # (the post-r8-window additions — the only slice whose driver row
-    # is missing; judge-verified at sf0.01 in r8), the 4 genuinely-new
-    # r9 operators (gated the round they are born), and 32
-    # re-confirmation slots refreshing the OLDEST driver rows (the
-    # r4-era greens — all 48 tie at newest=r4, so the first 32 in
-    # name order take the slots; the alphabetical tail of 16 is first
-    # in line for r10 re-confirmation, pinned as R10_RECONFIRM in
-    # tests/test_registry_oracle.py). After this round the driver
-    # union covers the whole registry: 266/266.
-    # -- the 14 R9_PENDING (post-r8-window additions) --
-    "customer_order_count_distribution",
-    "local_supplier_revenue",
-    "user_event_bag_diff",
-    "user_value_rolling_7d",
-    "stream_update_mode_counts",
-    "stream_complete_topk",
-    "sole_late_supplier_waitlist",
-    "rich_nonurgent_customers",
-    "ledger_vacuum_stats",
-    "stream_checkpoint_recovery",
-    "classifier_auc_eval",
-    "order_ancestor_chain_cte",
-    "user_daily_twap",
-    "event_value_equidepth_hist",
-    # -- new in r9 (gated immediately) --
-    "min_cost_region_supplier",
-    "small_part_hoarding_suppliers",
-    "top_revenue_supplier",
-    "segment_reach_bfs_cte",
-    # -- r4-stale re-confirmations (first 32 of 48 in name order) --
-    "active_without_purchase_last_day",
-    "brand_small_qty_revenue",
-    "clustered_time_slice",
-    "conversion_funnel",
-    "daily_activity_reconciliation",
-    "daily_event_anomalies",
-    "daily_purchase_spine",
-    "doc_char_jaccard_pairs",
-    "doc_embedding_profile",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_classes",
-    "doc_token_percentiles_approx",
-    "doc_winnow_fingerprint_overlap",
-    "embedding_dedup_survivors",
-    "event_grouping_sets",
-    "event_props_parsed",
-    "event_transition_matrix",
-    "event_type_hour_cube",
-    "event_type_rollup",
-    "event_user_skew_profile",
-    "event_value_dispersion",
-    "event_value_histogram",
-    "event_value_winsorized",
-    "events_asof_reference_value",
-    "knn_ivf_kmeans",
-    "knn_pq_adc",
-    "lineitem_measures_unpivot",
-    "llm_corpus_pipeline",
-    "multimodal_frame_index",
-    "order_value_window_stats",
-    "orders_with_late_shipments",
+    # --- r10 window: the r9-verdict #1 ask. ALL 21 R10_PENDING queries
+    # (the post-r9-window additions — the ER pipeline, both MTA models,
+    # the sampling family, conformal/BH-FDR/ACF/OLS/skyline,
+    # Good-Turing, and the six TPC-H Q7/Q8/Q9/Q11/Q16/Q19 shapes; the
+    # only slice with no driver row, judge-verified at sf0.01 in r9),
+    # the full 16-query R10_RECONFIRM_BACKLOG (the alphabetical tail of
+    # the r4-stale set the r9 window couldn't fit — the OLDEST driver
+    # rows in the registry), and 13 slots refreshing the oldest
+    # remaining rows (the r5-era greens, first 13 in name order; the
+    # other 37 r5-stale queries are pinned as R11_RECONFIRM_BACKLOG in
+    # tests/test_registry_oracle.py). After this round the driver union
+    # covers the whole registry 287/287 with no judge assist, and no
+    # driver row predates r5.
+    # -- the 21 R10_PENDING (post-r9-window additions) --
+    "bilateral_shipping_volume",
+    "region_market_share",
+    "supplier_nation_margin",
+    "important_part_values",
+    "supplier_diversity_counts",
+    "brand_bracket_revenue",
+    "part_price_size_skyline",
+    "event_value_ols2",
+    "order_conformal_interval",
+    "customer_er_match_scores",
+    "channel_shapley_attribution",
+    "hourly_value_bh_fdr",
+    "customer_er_em_params",
+    "customer_er_entity_clusters",
+    "channel_markov_attribution",
+    "daily_value_acf",
+    "stream_conformal_quarantine",
+    "order_total_ht_estimate",
+    "order_neyman_allocation",
+    "order_capture_recapture",
+    "vocab_good_turing",
+    # -- the 16 r4-stale re-confirmations (R10_RECONFIRM_BACKLOG) --
+    "priority_revenue_salted_join",
+    "purchase_running_total",
+    "repeat_purchasers_first_last_day",
+    "sensor_feed_stats",
+    "stream_merge_upsert_roundtrip",
+    "stream_session_windows",
+    "stream_view_purchase_join",
+    "user_daily_value_interpolated",
+    "user_distinct_hll",
+    "user_distinct_kmv",
+    "user_event_type_profile",
+    "user_first_last_events",
+    "user_retention_cohorts",
+    "user_session_windows",
+    "user_sessions",
+    "views_before_purchase",
+    # -- r5-stale re-confirmations (first 13 of 50 in name order) --
+    "chunk_dedup_stats",
+    "chunk_packing",
+    "corpus_language_mixing",
+    "corpus_token_budget_selection",
+    "csv_landing_daily_stats",
+    "customer_order_summary",
+    "daily_event_stats",
+    "doc_bigram_logprob",
+    "doc_decontamination",
+    "doc_dedup_best_quality",
+    "doc_dsir_weights",
+    "doc_dup_clusters_twophase",
+    "doc_fingerprint_dedup",
 ]
 
 

@@ -403,16 +403,83 @@ R10_PENDING = frozenset({
     "vocab_good_turing",
 })
 
+# The full r9 driver window (all 50 green in CORRECTNESS_r09.json).
+R9_WINDOW = R9_PENDING | R9_NEW | R9_RECONFIRM
+
+# The 13 r10 re-confirmation slots left after the 21 pending + 16
+# r4-stale backlog: of the 50 queries whose NEWEST driver row is r5
+# (the oldest rows once the r4 backlog is refreshed), the first 13 in
+# name order.
+R10_RECONFIRM_R5 = frozenset({
+    "chunk_dedup_stats",
+    "chunk_packing",
+    "corpus_language_mixing",
+    "corpus_token_budget_selection",
+    "csv_landing_daily_stats",
+    "customer_order_summary",
+    "daily_event_stats",
+    "doc_bigram_logprob",
+    "doc_decontamination",
+    "doc_dedup_best_quality",
+    "doc_dsir_weights",
+    "doc_dup_clusters_twophase",
+    "doc_fingerprint_dedup",
+})
+
+# The alphabetical tail of the 50 r5-stale queries (the 37 that did
+# not fit the r10 window) — first in line for r11 re-confirmation.
+R11_RECONFIRM_BACKLOG = frozenset({
+    "doc_incremental_dup_clusters",
+    "doc_incremental_near_dup",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_filter",
+    "doc_repetition_signals",
+    "doc_unigram_logprob",
+    "doc_weighted_sample",
+    "embedding_covariance",
+    "embedding_covariance_partial",
+    "embedding_near_dup",
+    "embedding_pca_whitened",
+    "embedding_semdedup",
+    "event_orphan_users",
+    "event_props_variant",
+    "incremental_keyset_roundtrip",
+    "ingest_watermark",
+    "json_landing_stats",
+    "knn_ivf_multiprobe",
+    "latest_order_per_customer",
+    "ledger_roundtrip_stats",
+    "llm_corpus_pipeline_v2",
+    "medallion_gold_daily",
+    "multimodal_byte_features",
+    "orc_roundtrip_stats",
+    "order_priority_pivot_native",
+    "pricing_summary",
+    "segment_fee_model",
+    "sensor_feed_stream_stats",
+    "stream_dedup_events",
+    "stream_dq_quarantine",
+    "stream_event_hourly_window",
+    "stream_incremental_dup_clusters",
+    "stream_incremental_near_dup",
+    "stream_static_segment_counts",
+    "top_orders_per_priority",
+    "zorder_time_user_slice",
+})
+
 
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r9 set: ALL 14
-    R9_PENDING queries (the only slice without a driver row — the r8
-    verdict's #1 ask), the 4 new-in-r9 operators (gated at birth), and
-    32 r4-stale re-confirmations. After this round the driver union
-    covers the whole registry. A refactor that reorders registration
-    (round 2 silently pushed embedding_near_dup and all of §2.7 out of
-    the window) must fail HERE, not at the gate."""
+    registry entries in iteration order. Pin the ROTATED r10 set: ALL 21
+    R10_PENDING queries (the only slice without a driver row — the r9
+    verdict's #1 ask), the full 16-query R10_RECONFIRM_BACKLOG (the
+    r4-stale tail, the oldest driver rows anywhere), and the first 13
+    r5-stale re-confirmations. After this round the driver union covers
+    the whole registry 287/287 and no driver row predates r5. A refactor
+    that reorders registration (round 2 silently pushed
+    embedding_near_dup and all of §2.7 out of the window) must fail
+    HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
 
     names = list(REGISTRY)
@@ -422,32 +489,41 @@ def test_gate_window_pinned():
     gated = set(GATE_PRIORITY)
     # prior-window greens stay registered and oracle-checked by this suite
     prior = (
-        R3_WINDOW | R4_WINDOW | R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW
+        R3_WINDOW
+        | R4_WINDOW
+        | R5_WINDOW
+        | R6_WINDOW
+        | R7_WINDOW
+        | R8_WINDOW
+        | R9_WINDOW
     )
     missing = prior - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
     # FULL coverage: after this window, every registry query has a
-    # driver row from some round, except declared post-window r9
-    # additions pinned in R10_PENDING (first in line for the r10 window)
-    uncovered = set(names) - (gated | prior | R10_PENDING)
+    # driver row from some round; new queries registered THIS round
+    # must be added to the window (gated at birth) or to a declared
+    # R11_PENDING set — silence is not an option
+    uncovered = set(names) - (gated | prior)
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
     # R10_PENDING must not rot: only for queries genuinely without a
-    # driver row
-    stale_pending = R10_PENDING & (gated | prior)
+    # prior driver row, and ALL of them must be in this window
+    stale_pending = R10_PENDING & prior
     assert not stale_pending, f"R10_PENDING entries already gated: {stale_pending}"
-    # the window is EXACTLY: the whole pending backlog + the new r9
-    # operators + the 32 declared re-confirmations
-    assert R9_PENDING <= gated, f"pending dropped: {R9_PENDING - gated}"
-    assert gated - R9_PENDING == R9_NEW | R9_RECONFIRM
-    # R9_NEW must be genuinely new (no prior window); the
-    # re-confirmations genuinely stale (r4 was their newest row) and
-    # disjoint from everything refreshed since
-    assert not R9_NEW & prior
-    assert R9_RECONFIRM <= R4_WINDOW
-    assert not R9_RECONFIRM & (
-        R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW
+    assert R10_PENDING <= gated, f"pending dropped: {R10_PENDING - gated}"
+    # the window is EXACTLY: the pending set + both re-confirmation
+    # slices
+    assert gated - R10_PENDING == R10_RECONFIRM_BACKLOG | R10_RECONFIRM_R5
+    # the r4-stale backlog is genuinely r4-stale (newest row = r4,
+    # nothing refreshed it since), the r5 slice genuinely r5-stale
+    assert R10_RECONFIRM_BACKLOG <= R4_WINDOW
+    assert not R10_RECONFIRM_BACKLOG & (
+        R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW
     )
-    # the declared backlog is exactly the rest of the r4-stale set
-    stale48 = (R4_WINDOW - (R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW))
-    assert R9_RECONFIRM | R10_RECONFIRM_BACKLOG == stale48
-    assert not R9_RECONFIRM & R10_RECONFIRM_BACKLOG
+    assert R10_RECONFIRM_R5 <= R5_WINDOW
+    assert not R10_RECONFIRM_R5 & (
+        R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW
+    )
+    # the declared r11 backlog is exactly the rest of the r5-stale set
+    stale_r5 = R5_WINDOW - (R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW)
+    assert R10_RECONFIRM_R5 | R11_RECONFIRM_BACKLOG == stale_r5
+    assert not R10_RECONFIRM_R5 & R11_RECONFIRM_BACKLOG
