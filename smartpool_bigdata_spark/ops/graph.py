@@ -198,8 +198,11 @@ def connected_components_two_phase(
     mapped = cur.select(
         F.col("a").alias("node"), F.col("b").alias("component")
     ).union(roots)
+    # both sides are post-checkpoint (no size stats), so without a hint
+    # Catalyst falls back to SortMergeJoin — pin the repo's
+    # post-checkpoint convention: shuffle-hash, no sort
     singletons = all_nodes.join(
-        mapped.select("node"), "node", "left_anti"
+        mapped.select("node").hint("shuffle_hash"), "node", "left_anti"
     ).withColumn("component", F.col("node"))
     return mapped.union(singletons)
 

@@ -10327,8 +10327,11 @@ def customer_er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
     )
     return (
+        # comp is post-checkpoint (CC truncates lineage), so Catalyst
+        # has no size stats and would fall back to SMJ — pin the
+        # repo's post-checkpoint convention: shuffle-hash, no sort
         comp.join(
-            bal,
+            bal.hint("shuffle_hash"),
             comp["node"] == F.col("c_custkey"),
         )
         .groupBy(F.col("component").alias("entity"))

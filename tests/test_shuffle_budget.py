@@ -76,8 +76,10 @@ MEASURED_RATIO = {
     "hourly_value_bh_fdr": 1.1,
     # same blocked pair join as the scorer, then 1-row recursion
     "customer_er_em_params": 16.105,
-    # blocked pair join + star-contraction CC rounds, 0.1 MB absolute
-    "customer_er_entity_clusters": 8.31,
+    # blocked pair join + star-contraction CC rounds, 0.12 MB absolute
+    # (re-measured r10 after pinning the post-checkpoint joins to
+    # shuffle-hash — the broadcast they replace was a test-SF artifact)
+    "customer_er_entity_clusters": 10.745,
     # journey window pass + transition agg, 0.56 MB absolute
     "channel_markov_attribution": 7.908,
     # one day agg, then #days-frame lag joins — near-zero bytes
