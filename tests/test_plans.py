@@ -631,3 +631,76 @@ def test_zorder_read_pushes_both_keys(spark, tmp_path):
     assert "GreaterThanOrEqual(user_id,3)" in pushed
     assert "LessThanOrEqual(user_id,9)" in pushed
     assert "GreaterThanOrEqual(ts," in pushed
+
+
+def _global_window_input_rows(spark, name: str, sf_dir: str) -> list[int]:
+    """MEASURED input row count of every single-partition window in the
+    query's executed plan: with AQE off, the records-written metric of
+    the SinglePartition Exchange feeding each WindowExec chain is the
+    exact number of rows the unpartitioned window sorts. (AQE must be
+    off because the adaptive final plan re-wraps exchanges in query
+    stages whose metric objects the driver-side tree no longer sees;
+    collect(), not a noop write, because writes execute a separate
+    QueryExecution and leave this one's metrics at zero.)"""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    found: list[int] = []
+
+    def _metric(node, key):
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == key:
+                return kv._2().value()
+        return None
+
+    def _walk(node, under_window):
+        nm = node.nodeName()
+        if nm == "Exchange" and under_window:
+            if "SinglePartition" in node.toString().splitlines()[0]:
+                found.append(_metric(node, "shuffleRecordsWritten"))
+            under_window = False
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i), under_window or "Window" in nm)
+
+    _walk(plan, False)
+    return found
+
+
+def test_global_window_inputs_bounded_at_sf01(spark):
+    """The driver-scale GLOBAL windows (unpartitioned WindowExec — the
+    known 'No Partition Defined' WARN) are safe only because their
+    input frames are aggregate-collapsed far below corpus scale. Lock
+    that as MEASURED row counts at sf0.1 via the single-partition
+    exchange metric, so a refactor that silently widens a frame (e.g.
+    ranking per-event rows instead of the per-day aggregate) fails here
+    as a number, not as a perf cliff at 100 TB. Bounds are structural:
+    the testdata spans 31 days at every SF (rows grow, days don't), the
+    replica spine is a 64-row literal, the BH family is #types x 24
+    cells, and the synthetic vocabulary is 30 words + markers (on a
+    real corpus the vocab rank would move to the distributed
+    prefix-sum like corpus_zipf_slope if it outgrew one partition)."""
+    sf_dir = "/root/testdata/sf0.1"
+    bounds = {
+        # life table: one row per distinct conversion/censor duration
+        "user_conversion_life_table": 40,
+        # DiD bootstrap: the 64-row replica-spine rank window
+        "segment_did_bootstrap": 64,
+        # BH-FDR: the (event_type x hour-of-day) hypothesis family
+        "hourly_value_bh_fdr": 240,
+        # vocab rank: train-fold vocabulary (30-word synthetic vocab)
+        "vocab_coverage_eval": 64,
+    }
+    for name, bound in bounds.items():
+        rows = _global_window_input_rows(spark, name, sf_dir)
+        assert rows, f"{name}: expected a single-partition window exchange"
+        assert max(rows) <= bound, (name, rows, bound)
