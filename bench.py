@@ -26,6 +26,7 @@ def compact_line(
     timings = full["queries"]
     compact = dict(full)
     compact.pop("queries_first_run", None)
+    compact.pop("queries_normalized", None)
     compact["queries"] = {}
     compact["queries_omitted"] = len(timings)
     compact["full_results"] = full_results
@@ -363,6 +364,16 @@ def main() -> int:
         "value_r7_headline_subset_normalized": round(
             value_r7_headline_subset / host_factor_jvm, 3
         ),
+        # per-query canary normalization (r9 verdict #2): the same
+        # divide-by-host_factor rule the subset trend lines apply,
+        # applied per query in the FULL record — so a single query's
+        # cross-round trajectory (e.g. the r9 contrastive_inbatch_pairs
+        # scare) can be read against the r8 reference host without a
+        # human re-deriving the division. Subsecond queries still
+        # wobble beyond the canary band; compare trends, not singles.
+        "queries_normalized": {
+            k: round(v / host_factor_jvm, 3) for k, v in timings.items()
+        },
         "n_queries": len(timings),
         "sf": sf,
         **canaries,
