@@ -704,3 +704,69 @@ def test_global_window_inputs_bounded_at_sf01(spark):
         rows = _global_window_input_rows(spark, name, sf_dir)
         assert rows, f"{name}: expected a single-partition window exchange"
         assert max(rows) <= bound, (name, rows, bound)
+
+
+def test_global_window_allowlist_swept_repo_wide(spark):
+    """EVERY unpartitioned window in EVERY batch registry query must be
+    on this allowlist — the repo-wide closure of the bounded-frame audit
+    (the four highest-risk members additionally have MEASURED row bounds
+    in test_global_window_inputs_bounded_at_sf01). A global window is
+    the one plan shape that silently serializes at corpus scale, so a
+    NEW query (or a refactor of an old one) that introduces one must
+    consciously register here, with the same justification discipline
+    as the existing 18: either the frame is aggregate-collapsed to
+    driver scale (cells/replicas/days/deciles/buckets), or it is the
+    #buckets x #groups offsets window inside ops.relational.
+    global_running_sum's distributed prefix-sum (zipf, sorted
+    neighborhood, mixture plan, equi-depth, AUC, quantile family)."""
+    allowed = {
+        # driver-scale aggregate frames (see the docstrings in place)
+        "part_price_size_skyline",      # distinct (price, size) frontier
+        "hourly_value_bh_fdr",          # 120-cell hypothesis family
+        "daily_value_acf",              # #days series frame
+        "doc_dsir_weights",             # #buckets importance table
+        "user_conversion_life_table",   # distinct-durations frame
+        "customer_revenue_gini",        # per-customer rank via prefix sum offsets
+        "customer_rfm_segments",        # NTILE quantile cut frames
+        "join_size_ams_estimate",       # 64-sketch-row medians
+        "uplift_decile_curve",          # 10-decile frame
+        "segment_did_bootstrap",        # 64-row replica spine
+        "incident_concurrency_profile", # incident boundary events
+        "event_value_equidepth_hist",   # distinct-value prefix sums
+        "corpus_zipf_slope",            # prefix-sum offsets window
+        "doc_weighted_quality_quantiles",  # weighted-quantile offsets
+        "doc_sorted_neighborhood_pairs",   # prefix-sum rank offsets
+        "corpus_mixture_plan",          # per-language mixture table
+        "vocab_coverage_eval",          # train-fold vocabulary ranks
+        "classifier_auc_eval",          # distinct-score prefix sums
+    }
+
+    def global_window_count(df) -> int:
+        hits = 0
+
+        def walk(node):
+            nonlocal hits
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                hits += 1
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return hits
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if getattr(q, "skip_bench", False):
+            continue  # streaming gates run real streams; audited separately
+        n = global_window_count(q.build(spark, SF_DIR))
+        if n and name not in allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"unregistered GLOBAL windows (one-task sort at corpus scale): "
+        f"{offenders} — collapse the frame to driver scale, use "
+        f"global_running_sum, or consciously add to the allowlist"
+    )
