@@ -6800,22 +6800,31 @@ def event_type_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT type_a, type_b, lag,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
+               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
         FROM lagged GROUP BY 1, 2, 3
     ),
     scored AS (
         SELECT type_a, type_b, CAST(lag AS INT) AS lag,
-               CASE WHEN (n * sxx - sx * sx) > 0
-                     AND (n * syy - sy * sy) > 0
-                    THEN (CAST(n * sxy - sx * sy AS DOUBLE)
-                          * CAST(n * sxy - sx * sy AS DOUBLE))
-                         / (CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE))
+               CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx
+                          - CAST(sx AS DECIMAL(38,0)) * sx) > 0
+                     AND (CAST(n AS DECIMAL(38,0)) * syy
+                          - CAST(sy AS DECIMAL(38,0)) * sy) > 0
+                    THEN (CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                               - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                          * CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                                 - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE))
+                         / (CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                                 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                            * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                                   - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
                     ELSE 0.0 END AS r2,
-               CASE WHEN n * sxy - sx * sy > 0 THEN 1
-                    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END
+               CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                         - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1
+                    WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                         - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
+                    ELSE 0 END
                    AS direction
         FROM mom
     ),
@@ -6865,17 +6874,30 @@ def event_type_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("type_b") != F.col("type_a"))
         & (F.col("db") == F.expr("date_add(da, lag)")),
     )
+    # second moments and their algebra accumulate in decimal(38,0):
+    # daily counts squared pass 2^63 at corpus scale (1e10 events/day/
+    # type squares to 1e20), where Spark's non-ANSI int64 sum would
+    # wrap silently while DuckDB's HUGEINT-to-BIGINT cast errors —
+    # the same discipline as order_neyman_allocation / hourly_value_
+    # bh_fdr; exact integers either way, so the doubles are identical
+    dec = "decimal(38,0)"
     mom = lagged.groupBy("type_a", "type_b", "lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
     )
-    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_n = F.col("n").cast(dec) * F.col("sxy") - F.col("sx").cast(
+        dec
+    ) * F.col("sy")
+    var_x = F.col("n").cast(dec) * F.col("sxx") - F.col("sx").cast(
+        dec
+    ) * F.col("sx")
+    var_y = F.col("n").cast(dec) * F.col("syy") - F.col("sy").cast(
+        dec
+    ) * F.col("sy")
     scored = mom.select(
         "type_a",
         "type_b",

@@ -91,6 +91,18 @@ MEASURED_RATIO = {
     # the 5-gram explode IS the shuffle (vocab agg of exploded grams
     # over a 0.003 MB pruned text scan); absolute bytes 0.63 MB
     "vocab_good_turing": 184.299,
+    # r10: the recursive-CTE fixpoint shapes, pinned so a recursion
+    # regression (a frontier that stops shrinking, a lost per-level
+    # DISTINCT) fails as bytes. The CTE BFS's 72x is per-level frontier
+    # re-shuffles over a 0.13 MB pruned scan (9.7 MB absolute — the
+    # declarative-fixpoint cost the hand-rolled twin's checkpoint scans
+    # avoid, see SCALE.md r10 probe); the hand-rolled twin's 0.107 is
+    # the same traversal with checkpoint re-scans counted as input
+    "segment_reach_bfs_cte": 72.057,
+    "segment_reach_bfs": 0.107,
+    # log2(key)-level ancestor chain: each level joins a shrinking
+    # frontier against broadcast orders; 0.31 MB absolute
+    "order_ancestor_chain_cte": 2.881,
 }
 
 HEADROOM = 1.5
