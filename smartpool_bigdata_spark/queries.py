@@ -5294,30 +5294,81 @@ def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="RFM customer segmentation (recency / frequency / "
     "monetary quartiles -> named segments) — the classic warehouse "
-    "cohorting op: one per-customer aggregate, three ntile(4) scores "
-    "with deterministic id tie-breaks, 4x4x4 cell counts with the "
-    "champion/at-risk/promising labeling rule. Monetary accumulates in "
-    "DECIMAL so quartile boundaries can't flip on float summation "
-    "order. Scale note: the three global ntiles are single-task windows "
-    "over the PER-CUSTOMER aggregate (O(customers), not O(orders)); at "
-    "100 TB swap them for approx_percentile quartile bounds (the "
-    "doc_token_percentiles_approx pattern) — same output, two-pass "
-    "distributed.",
+    "cohorting op: one per-customer aggregate, three EXACT ntile(4) "
+    "scores with deterministic id tie-breaks, 4x4x4 cell counts with "
+    "the champion/at-risk/promising labeling rule. Monetary "
+    "accumulates in DECIMAL so quartile boundaries can't flip on float "
+    "summation order. Scale: the naive form is three single-task "
+    "ntile windows over the per-customer frame — O(customers) through "
+    "ONE core, the exact shape the global-window sweep forbids at "
+    "corpus scale. Instead each score is an exact rank from the "
+    "distributed prefix-sum (ops.relational.global_running_sum — one "
+    "range shuffle per score, every partition in parallel) and ntile "
+    "is recovered closed-form from (rank, n): the first n%4 buckets "
+    "take ceil(n/4) rows, the rest floor(n/4) — bit-identical to the "
+    "oracle's ntile() at every n (remainder classes property-tested "
+    "against DuckDB). The oracle keeps the idiomatic ntile() text; "
+    "Spark pays three range exchanges of the already-aggregated "
+    "customer frame instead of three serial sorts.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
+    from smartpool_bigdata_spark.ops.relational import global_running_sum
 
     orders = _t(spark, sf_dir, "orders")
-    rfm = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("monetary"),
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias(
+                "monetary"
+            ),
+        )
+        # numeric twins for the range-partitioned ranks: epoch-day for
+        # the date, exact integral cents for the decimal (totalprice
+        # has 2 decimals, so *100 is exact) — same total order as the
+        # originals, approxQuantile-compatible first key
+        .withColumn(
+            "rec_days",
+            F.datediff("last_order", F.lit("1970-01-01")).cast("bigint"),
+        )
+        .withColumn(
+            "mon_cents", (F.col("monetary") * 100).cast("bigint")
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
     )
-    scored = rfm.select(
+    ranked = global_running_sum(
+        rfm, order_by=["rec_days", "o_custkey"], value_col="one",
+        out_col="rank_r",
+    )
+    ranked = global_running_sum(
+        ranked, order_by=["frequency", "o_custkey"], value_col="one",
+        out_col="rank_f",
+    )
+    ranked = global_running_sum(
+        ranked, order_by=["mon_cents", "o_custkey"], value_col="one",
+        out_col="rank_m",
+    )
+    tot = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def _ntile4(rank_col: str):
+        # exact ntile(4) from the 1-indexed rank: 0-indexed i = rank-1;
+        # first n%4 buckets take q+1 = n//4+1 rows, the rest q
+        i = F.col(rank_col) - 1
+        q = F.floor(F.col("n") / 4)
+        r = F.col("n") % 4
+        big = r * (q + 1)
+        return (
+            F.when(i < big, F.floor(i / (q + 1)))
+            .otherwise(r + F.floor((i - big) / q))
+            + 1
+        ).cast("int")
+
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
-        F.ntile(4).over(_W.orderBy(F.col("last_order").asc(), F.col("o_custkey").asc())).alias("r"),
-        F.ntile(4).over(_W.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())).alias("f"),
-        F.ntile(4).over(_W.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())).alias("m"),
+        _ntile4("rank_r").alias("r"),
+        _ntile4("rank_f").alias("f"),
+        _ntile4("rank_m").alias("m"),
     )
     seg = (
         F.when((F.col("r") == 4) & (F.col("f") == 4) & (F.col("m") == 4), "champion")

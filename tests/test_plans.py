@@ -690,6 +690,11 @@ def test_global_window_inputs_bounded_at_sf01(spark):
     real corpus the vocab rank would move to the distributed
     prefix-sum like corpus_zipf_slope if it outgrew one partition)."""
     sf_dir = "/root/testdata/sf0.1"
+    # offsets-class windows (the #buckets x #groups frame inside
+    # global_running_sum's distributed prefix-sum) scale with the
+    # shuffle-partition CONFIG, not the data — bound those relative to
+    # the session's setting
+    P = int(spark.conf.get("spark.sql.shuffle.partitions")) + 8
     bounds = {
         # life table: one row per distinct conversion/censor duration
         "user_conversion_life_table": 40,
@@ -699,6 +704,26 @@ def test_global_window_inputs_bounded_at_sf01(spark):
         "hourly_value_bh_fdr": 240,
         # vocab rank: train-fold vocabulary (30-word synthetic vocab)
         "vocab_coverage_eval": 64,
+        # skyline: the distinct (price-bracket, size) frontier frame
+        "part_price_size_skyline": 256,
+        # ACF: the #days series frame
+        "daily_value_acf": 40,
+        # AMS: the fixed 8-sketch median frame
+        "join_size_ams_estimate": 16,
+        # mixture plan: the #languages frame
+        "corpus_mixture_plan": 8,
+        # decile curve: 10 deciles + a prefix-sum offsets window
+        "uplift_decile_curve": max(16, P),
+        # prefix-sum offsets windows (#buckets rows by construction)
+        "doc_dsir_weights": P,
+        "customer_revenue_gini": P,
+        "customer_rfm_segments": P,  # r10: exact distributed ntile
+        "incident_concurrency_profile": P,
+        "event_value_equidepth_hist": P,
+        "corpus_zipf_slope": P,
+        "doc_weighted_quality_quantiles": P,
+        "doc_sorted_neighborhood_pairs": P,
+        "classifier_auc_eval": P,
     }
     for name, bound in bounds.items():
         rows = _global_window_input_rows(spark, name, sf_dir)
@@ -727,7 +752,7 @@ def test_global_window_allowlist_swept_repo_wide(spark):
         "doc_dsir_weights",             # #buckets importance table
         "user_conversion_life_table",   # distinct-durations frame
         "customer_revenue_gini",        # per-customer rank via prefix sum offsets
-        "customer_rfm_segments",        # NTILE quantile cut frames
+        "customer_rfm_segments",        # prefix-sum rank offsets (r10: exact distributed ntile)
         "join_size_ams_estimate",       # 64-sketch-row medians
         "uplift_decile_curve",          # 10-decile frame
         "segment_did_bootstrap",        # 64-row replica spine
