@@ -421,8 +421,11 @@ def segment_fee_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         default=120.0,
     )
+    # customer grows with SF (r10 broadcast audit: 1.5k -> 15k rows at
+    # 10x) — leave the strategy to Catalyst's scan-stat threshold:
+    # broadcast below it, shuffle join at cluster scale, no forced OOM
     joined = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == cust["c_custkey"],
         "inner",
     )
@@ -446,7 +449,8 @@ def segment_fee_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
-    orphans = orphan_rows(ev, F.broadcast(cust.select("c_custkey")), "user_id", "c_custkey")
+    # size-owned join strategy: customer grows with SF (r10 audit)
+    orphans = orphan_rows(ev, cust.select("c_custkey"), "user_id", "c_custkey")
     return orphans.groupBy("event_type").agg(F.count(F.lit(1)).alias("orphan_events"))
 
 
@@ -465,8 +469,9 @@ def event_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
+    # size-owned join strategy: customer grows with SF (r10 audit)
     kept = ev.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         ev["user_id"] == F.col("c_custkey"),
         "left_semi",
     )
@@ -5220,7 +5225,8 @@ def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     seg = (
-        u.join(F.broadcast(cust), u.user_id == cust.c_custkey)
+        # size-owned join strategy: customer grows with SF (r10 audit)
+        u.join(cust, u.user_id == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n1"),
@@ -6255,7 +6261,11 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
         )
-        .join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
+        # dim is customer-scale (r10 audit) so a forced broadcast OOMs
+        # at cluster scale — but it is also a JOIN output, whose
+        # inflated size estimate flips Catalyst to SMJ; shuffle-hash is
+        # the strategy that is right at every scale (no sort, no OOM)
+        .join(dim.hint("shuffle_hash"), orders["o_custkey"] == dim["c_custkey"])
         .groupBy("c_custkey", "c_name", "nation")
         .agg(
             F.sum(
@@ -6309,7 +6319,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # size-owned join strategy: part grows with SF (r10 audit)
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(
             F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
         )
@@ -6375,7 +6386,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(
             orders.hint("shuffle_hash"), big["l_orderkey"] == orders["o_orderkey"]
         )
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # size-owned join strategy: customer grows with SF (r10 audit)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
@@ -6536,7 +6548,8 @@ def segment_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum("o_totalprice", 2).alias("spend"),
             F.max("o_orderdate").alias("last_order"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # size-owned join strategy: customer grows with SF (r10 audit)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.col("c_custkey").alias("custkey"),
