@@ -81,6 +81,12 @@ def stream_static_enrich(
     reference-documented staleness semantic (SURVEY §7.4.5): the dim
     snapshot is re-resolved per micro-batch from its source, not frozen at
     query start.
+
+    ``broadcast_dim=False`` is the cluster setting for dims that GROW
+    with the corpus (customer-class — see SCALE.md's r10 broadcast
+    ledger): per-micro-batch the join then plans off the dim's scan
+    stats, broadcasting below the threshold and shuffling above it,
+    instead of forcing an executor-memory copy of an unbounded frame.
     """
     dim = F.broadcast(dim_df) if broadcast_dim else dim_df
     return stream_df.join(dim, on=on, how=how)
