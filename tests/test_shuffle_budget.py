@@ -103,6 +103,13 @@ MEASURED_RATIO = {
     # log2(key)-level ancestor chain: each level joins a shrinking
     # frontier against broadcast orders; 0.31 MB absolute
     "order_ancestor_chain_cte": 2.881,
+    # r10 reshapes, pinned at birth: RFM's three distributed prefix-sum
+    # rank passes (range exchange each) over the per-customer frame,
+    # 0.39 MB absolute; returned_item_losses' dim join now shuffle-hash
+    # (the forced customer broadcast was the 100 TB OOM the broadcast
+    # audit removed), 0.73 MB absolute
+    "customer_rfm_segments": 10.971,
+    "returned_item_losses": 9.132,
 }
 
 HEADROOM = 1.5
