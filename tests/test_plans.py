@@ -795,3 +795,78 @@ def test_global_window_allowlist_swept_repo_wide(spark):
         f"{offenders} — collapse the frame to driver scale, use "
         f"global_running_sum, or consciously add to the allowlist"
     )
+
+
+def test_no_forced_linear_broadcasts(spark):
+    """With auto-broadcast disabled, any BroadcastExchange left in the
+    plan is an EXPLICIT hint — the only kind that can OOM at cluster
+    scale (Catalyst's own threshold choices self-revert to shuffle
+    joins). The r10 broadcast audit (scripts/broadcast_audit.py) found
+    10 forced broadcasts of raw customer/part scans and removed them;
+    this test re-runs the forced-only measurement on the audited set at
+    sf0.01 and asserts every remaining forced broadcast is a bounded
+    frame (fixed dims, aggregate profiles, capped spines — all well
+    under the corpus coefficient), so a hint on a linear frame cannot
+    quietly return."""
+    from smartpool_bigdata_spark.queries import REGISTRY
+
+    AUDITED = [
+        "segment_fee_model",
+        "event_orphan_users",
+        "events_from_customers",
+        "segment_conversion_ztest",
+        "returned_item_losses",
+        "promo_revenue_share",
+        "large_volume_customers",
+        "segment_pareto_customers",
+        # keepers with disclosed small coefficients (SCALE.md ledger)
+        "bilateral_shipping_volume",
+        "supplier_nation_margin",
+        "local_supplier_revenue",
+        "sole_late_supplier_waitlist",
+    ]
+    BOUND = 5000  # rows at sf0.01; raw customer is 1500, part 2000 —
+    # a forced broadcast of either (or anything fact-derived) blows this
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    offenders = {}
+    try:
+        for name in AUDITED:
+            df = REGISTRY[name].build(spark, "/root/testdata/sf0.01")
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan()
+            rows = []
+
+            def _metric(node):
+                m = node.metrics()
+                it = m.iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        return kv._2().value()
+                return None
+
+            def _walk(node):
+                if node.nodeName() == "BroadcastExchange":
+                    v = _metric(node)
+                    if v is not None:
+                        rows.append(int(v))
+                ch = node.children()
+                for i in range(ch.size()):
+                    _walk(ch.apply(i))
+
+            _walk(plan)
+            big = [r for r in rows if r > BOUND]
+            if big:
+                offenders[name] = big
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    assert not offenders, (
+        f"forced broadcast of a corpus-growing frame: {offenders} — "
+        "drop the hint (let the size threshold own it) or pin "
+        "shuffle_hash; see SCALE.md's r10 broadcast ledger"
+    )
