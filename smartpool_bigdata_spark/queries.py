@@ -125,6 +125,28 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _view(spark, sf_dir, base: str, df=None) -> str:
+    """Register ``df`` (default: the table ``base`` names) as a temp view
+    whose name is derived from ``sf_dir`` and return the name.
+
+    SQL-text queries need a catalog name; a FIXED name avoids the
+    per-call uuid leak but bakes one sf_dir's data into a session-global
+    slot — two threads sharing a SparkSession could interleave
+    create/sql and read the wrong scale factor (r10 ADVICE). Keying the
+    name on sf_dir makes concurrent runners at different SFs safe (the
+    residual race — two threads on the SAME sf_dir — is benign: both
+    register identical frames) while keeping the catalog bounded at one
+    view per (query, sf_dir)."""
+    import re as _re
+
+    suffix = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    name = f"__{base}_{suffix}"
+    (df if df is not None else _t(spark, sf_dir, base)).createOrReplaceTempView(
+        name
+    )
+    return name
+
+
 def _ts(spark, sf_dir, name):
     """Spread variant for CPU-heavy map pipelines (text hashing, vector
     math): re-splits an under-split scan (the testdata is single-row-group
@@ -1237,13 +1259,13 @@ def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _ts(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    cust.createOrReplaceTempView("v_lateral_customer")
-    orders.createOrReplaceTempView("v_lateral_orders")
+    vc = _view(spark, sf_dir, "lateral_customer", cust)
+    vo = _view(spark, sf_dir, "lateral_orders", orders)
     return spark.sql(
-        """
+        f"""
         SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
-        FROM v_lateral_customer c, LATERAL (
-            SELECT o_orderkey, o_totalprice FROM v_lateral_orders
+        FROM {vc} c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM {vo}
             WHERE o_custkey = c.c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
         ) o
@@ -1596,14 +1618,14 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's surface (SURVEY §2.3 covers only explicit joins).",
 )
 def orders_with_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("q_ex_orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_ex_lineitem")
+    vo = _view(spark, sf_dir, "q_ex_orders", _t(spark, sf_dir, "orders"))
+    vl = _view(spark, sf_dir, "q_ex_lineitem", _t(spark, sf_dir, "lineitem"))
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-        FROM q_ex_orders o
+        FROM {vo} o
         WHERE EXISTS (
-            SELECT 1 FROM q_ex_lineitem l
+            SELECT 1 FROM {vl} l
             WHERE l.l_orderkey = o.o_orderkey
               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
         )
@@ -1634,17 +1656,17 @@ def orders_with_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum. Beyond the reference's surface.",
 )
 def brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_sc_lineitem")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("q_sc_part")
+    vl = _view(spark, sf_dir, "q_sc_lineitem", _t(spark, sf_dir, "lineitem"))
+    vp = _view(spark, sf_dir, "q_sc_part", _t(spark, sf_dir, "part"))
     return spark.sql(
-        """
+        f"""
         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
                           AS DOUBLE) / 7.0, 2) AS avg_yearly
-        FROM q_sc_lineitem, q_sc_part
+        FROM {vl}, {vp}
         WHERE p_partkey = l_partkey
           AND p_brand = 'Brand#23'
           AND l_quantity < (
-              SELECT 0.2 * avg(l2.l_quantity) FROM q_sc_lineitem l2
+              SELECT 0.2 * avg(l2.l_quantity) FROM {vl} l2
               WHERE l2.l_partkey = p_partkey
           )
         """
@@ -2119,17 +2141,22 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    ev.select(
-        "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
-    ).createOrReplaceTempView("q_gs_events")
+    v = _view(
+        spark,
+        sf_dir,
+        "q_gs_events",
+        ev.select(
+            "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
+        ),
+    )
     return spark.sql(
-        """
+        f"""
         SELECT event_type, hour_of_day,
                CAST(grouping_id(event_type, hour_of_day) AS BIGINT) AS gid,
                count(*) AS n_events,
                round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
                    AS total_value
-        FROM q_gs_events GROUP BY GROUPING SETS ((event_type), (hour_of_day))
+        FROM {v} GROUP BY GROUPING SETS ((event_type), (hour_of_day))
         """
     )
 
@@ -5359,14 +5386,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _ntile4(rank_col: str):
         # exact ntile(4) from the 1-indexed rank: 0-indexed i = rank-1;
-        # first n%4 buckets take q+1 = n//4+1 rows, the rest q
+        # first n%4 buckets take q+1 = n//4+1 rows, the rest q. When
+        # n<4 (q=0) every row satisfies i<big, but the otherwise-branch
+        # is still evaluated eagerly — keep its divisor total.
         i = F.col(rank_col) - 1
         q = F.floor(F.col("n") / 4)
         r = F.col("n") % 4
         big = r * (q + 1)
         return (
             F.when(i < big, F.floor(i / (q + 1)))
-            .otherwise(r + F.floor((i - big) / q))
+            .otherwise(r + F.floor((i - big) / F.greatest(q, F.lit(1))))
             + 1
         ).cast("int")
 
@@ -6864,9 +6893,9 @@ def event_type_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT type_a, type_b, lag,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
-               CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
-               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+               sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
         FROM lagged GROUP BY 1, 2, 3
     ),
     scored AS (
@@ -8732,9 +8761,7 @@ FROM chain GROUP BY depth
     "count is bounded and each level shrinks.",
 )
 def order_ancestor_chain_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fixed name + createOrReplaceTempView: no per-call catalog leak
-    view = "__orders_ancestor_cte"
-    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    view = _view(spark, sf_dir, "orders_ancestor_cte", _t(spark, sf_dir, "orders"))
     return spark.sql(_ANCESTOR_CHAIN_CTE.format(orders=view))
 
 
@@ -9027,11 +9054,10 @@ FROM dist GROUP BY hop
     "round-trips, one job).",
 )
 def segment_reach_bfs_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fixed names + createOrReplaceTempView: no per-call catalog leak
-    names = {}
-    for t in ("lineitem", "orders", "customer"):
-        names[t] = f"__{t}_bfscte"
-        _t(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    names = {
+        t: _view(spark, sf_dir, f"{t}_bfscte", _t(spark, sf_dir, t))
+        for t in ("lineitem", "orders", "customer")
+    }
     return spark.sql(_REACH_BFS_CTE.format(**names))
 
 
@@ -9621,10 +9647,7 @@ def event_value_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("bigint").alias("x2"),
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
     )
-    # fixed view name (createOrReplaceTempView) so repeated invocations
-    # reuse one catalog entry instead of leaking a uuid-named view per call
-    view = "__ols2_base"
-    base.createOrReplaceTempView(view)
+    view = _view(spark, sf_dir, "ols2_base", base)
     sums = ev.sparkSession.sql(f"{_OLS_SUMS_SQL} FROM {view}")
     return sums.selectExpr(
         "n_rows",

@@ -61,9 +61,14 @@ def test_environment_probes_logged(capsys):
     # find_spec condition); this assertion documents the linkage
     assert probes["google_protobuf"] == _protobuf_available()
     # delta/kafka have no automatic un-skip — a True here is an action
-    # item (flip Catalog.fmt / wire kafka_json_reader), so surface it
+    # item (flip Catalog.fmt / wire kafka_json_reader). Surface it as a
+    # WARNING, not a failure: an unrelated local service on :9092 or a
+    # transitive jar is environment drift, not a product regression.
     if probes["delta_on_classpath"] or probes["kafka_broker_9092"]:
-        raise AssertionError(
+        import warnings
+
+        warnings.warn(
             "environment capability appeared — arm the gated tests: "
-            f"{probes} (see SCALE.md §7 / streaming/sources.py)"
+            f"{probes} (see SCALE.md §7 / streaming/sources.py)",
+            stacklevel=1,
         )
