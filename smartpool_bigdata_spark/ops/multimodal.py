@@ -7,12 +7,13 @@ inspects raw bytes runs as Arrow-batched ``mapInPandas`` — vectorized
 transfer, ~10-100× over row-at-a-time Python UDFs — and every function
 declares its output schema explicitly so the plan stays statically typed.
 
-The decode/resize/frame-sample steps require codec libraries (PIL/ffmpeg)
-that are NOT in this environment, so those are stubbed: the Spark-side
-plumbing (schema, batching, partitioning) is real and tested, and the
-pixel work raises ``NotImplementedError`` unless given
-``deterministic_fake=True``, which produces schema-correct fake outputs so
-pipelines remain end-to-end testable.
+PNG is decoded/encoded REAL with the stdlib only (zlib inflate + the five
+scanline unfilters — see ``png_decode``/``png_encode``): no codec library
+needed, so image dims/pixel-stat/resize paths run end-to-end in any
+environment. Other compressed formats (JPEG) still need PIL and video
+needs ffmpeg — those remain stubbed behind import probes, with
+``deterministic_fake=True`` as a TEST-ONLY flag producing schema-correct
+fake outputs so the non-PNG plumbing stays testable.
 
 Scale: byte-feature extraction is scan-only map work (no shuffle). Media
 rows are large — pair these ops with ``spark.sql.files.maxPartitionBytes``
@@ -31,6 +32,277 @@ from pyspark.sql import functions as F
 META_SCHEMA = (
     "mime STRING, width INT, height INT, duration_ms INT"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    a+b-c, ties resolved left, then up, then up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode(pixels) -> bytes:
+    """REAL stdlib-only PNG encoder: 8-bit RGB (color type 2), one IDAT.
+
+    ``pixels`` is an HxWx3 uint8 ndarray. Scanline filters CYCLE through
+    all five types (y % 5 → None/Sub/Up/Average/Paeth) so any decoder of
+    this output must implement the full filter set — the encode/decode
+    pair is a real codec round-trip, not a fixed-filter shortcut. CRCs
+    and chunk framing follow the PNG spec (zlib.crc32 over tag+body)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int32)
+    h, w, ch = px.shape
+    assert ch == 3, "png_encode emits 8-bit RGB (3 channels)"
+    raw = bytearray()
+    zero = np.zeros((1, 3), dtype=np.int32)
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = px[y]
+        left = np.vstack([zero, row[:-1]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub: raw - raw_left (bpp=3 → same channel, prev px)
+            filt = row - left
+        elif f == 2:  # Up: raw - raw_up
+            filt = row - prev
+        elif f == 3:  # Average: raw - floor((left + up) / 2)
+            filt = row - (left + prev) // 2
+        else:  # Paeth: raw - paeth(left, up, up-left)
+            upleft = np.vstack([zero, prev[:-1]])
+            pred = np.zeros_like(row)
+            for x in range(w):
+                for c in range(3):
+                    pred[x, c] = _paeth(
+                        int(left[x, c]), int(prev[x, c]), int(upleft[x, c])
+                    )
+            filt = row - pred
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """REAL stdlib-only PNG decoder for 8-bit RGB/RGBA: chunk walk with
+    CRC verification, IDAT concat + zlib inflate, and all FIVE scanline
+    unfilters (None/Sub/Up/Average/Paeth). Returns (width, height,
+    n_channels, pixels HxWxC uint8 ndarray).
+
+    Sub/Up/None unfilter vectorized (Sub is a per-channel running sum —
+    cumsum mod 256); Average/Paeth recurse on the reconstructed left
+    byte, so those rows walk pixels in Python — bounded by the row
+    width, and the filter cycle caps them at 2/5 of scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bitdepth, colortype, _comp, _filt, interlace = ihdr
+    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={bitdepth} color={colortype} "
+            f"interlace={interlace} (8-bit RGB/RGBA non-interlaced only)"
+        )
+    ch = 3 if colortype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 1:  # Sub: recon[i] = filt[i] + recon[i-ch]
+            recon = line.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 3:  # Average
+            recon = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            recon = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                upleft = int(prev[i - ch]) if i >= ch else 0
+                recon[i] = (line[i] + _paeth(left, int(prev[i]), upleft)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = recon
+        prev = recon
+    return w, h, ch, out.reshape(h, w, ch).astype(np.uint8)
+
+
+# Deterministic test-image definition shared by the synthesizer and the
+# SQL oracles (regenerate-don't-parse, like synthesize_pcm): for id d,
+#   width  = 8 + d % 13           (8..20)
+#   height = 8 + (d * 7) % 11     (8..18)
+#   pixel(y, x, c) = (d*31 + y*17 + x*5 + c*11) % 256
+# Every pixel is a pure arithmetic function of (id, y, x, c), so a SQL
+# oracle can recompute any decoded statistic WITHOUT parsing bytes —
+# a hash match therefore proves the PNG encode→decode round-trip exact.
+def _det_image(d: int):
+    import numpy as np
+
+    w = 8 + d % 13
+    h = 8 + (d * 7) % 11
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((d * 31 + y * 17 + x * 5 + c * 11) % 256).astype(np.uint8)
+
+
+def synthesize_png(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per id, encode the deterministic test image as REAL PNG bytes
+    (``png_encode`` — filters cycling all five types). The image twin of
+    ``synthesize_pcm``: payload bytes a downstream decoder must actually
+    decompress and unfilter, with every derived stat independently
+    recomputable from the (id, y, x, c) arithmetic.
+
+    ``carry`` maps extra input columns to their Spark type strings;
+    they pass through the map unchanged, so downstream group-bys need
+    no join back to the source table (map stages stay shuffle-free)."""
+    carry = carry or {}
+    schema = f"{id_col} long, {out_col} binary" + "".join(
+        f", {c} {t}" for c, t in carry.items()
+    )
+
+    def gen(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            out = {
+                id_col: ids,
+                out_col: [png_encode(_det_image(int(d))) for d in ids],
+            }
+            for c in carry:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *carry).mapInPandas(gen, schema=schema)
+
+
+def png_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decode each PNG payload (REAL stdlib decode) and emit exact
+    integer pixel statistics: dimensions, channel count, and the sum /
+    min / max over every channel byte. Row-local map work, no shuffle;
+    the stats are intentionally exact integers so a SQL oracle can
+    value-lock the decode. ``carry`` columns pass through (see
+    ``synthesize_png``)."""
+    carry = carry or {}
+    out_schema = (
+        f"{id_col} BIGINT, width INT, height INT, n_channels INT, "
+        "px_sum BIGINT, px_min INT, px_max INT"
+        + "".join(f", {c} {t}" for c, t in carry.items())
+    )
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, (d, b) in enumerate(zip(pdf[id_col], pdf[payload_col])):
+                if b is None:
+                    continue
+                w, h, ch, px = png_decode(bytes(b))
+                flat = px.astype("int64")
+                rows.append(
+                    (
+                        d,
+                        w,
+                        h,
+                        ch,
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                    + tuple(pdf[c].iloc[i] for c in carry)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "width",
+                    "height",
+                    "n_channels",
+                    "px_sum",
+                    "px_min",
+                    "px_max",
+                    *carry,
+                ],
+            )
+
+    return df.select(id_col, payload_col, *carry).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def with_binary_payload(
@@ -164,11 +436,11 @@ def decode_images(
 ) -> DataFrame:
     """Decode image payloads to (width, height, n_channels).
 
-    STUB for the pixel work: requires an image codec (PIL), absent here.
-    With ``deterministic_fake=True`` emits schema-correct fake dimensions
-    derived from byte length, so downstream plumbing is testable. The
-    mapInPandas structure (schema declaration, Arrow batching) is exactly
-    what a real decoder drops into.
+    PNG payloads (magic-sniffed) decode REAL via the stdlib
+    ``png_decode`` — no codec library needed. Other formats (JPEG/...)
+    need PIL; without it, non-PNG payloads raise unless
+    ``deterministic_fake=True`` (TEST-ONLY flag: schema-correct fake
+    dims derived from byte length, keeping non-PNG plumbing testable).
     """
     out_schema = f"{id_col} BIGINT, width INT, height INT, n_channels INT"
 
@@ -179,31 +451,35 @@ def decode_images(
     except ImportError:
         have_pil = False
 
-    if not have_pil and not deterministic_fake:
-        raise NotImplementedError(
-            "image decode needs PIL (not installed); pass "
-            "deterministic_fake=True for schema-correct fake decode"
-        )
-
     def batches(it: Iterator):
         import io as _io
 
         for pdf in it:
             res = pdf[[id_col]].copy()
-            if have_pil:  # pragma: no cover
-                from PIL import Image
+            widths, heights, chans = [], [], []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                if b[:8] == _PNG_SIG:
+                    w, h, ch, _px = png_decode(b)
+                elif have_pil:  # pragma: no cover
+                    from PIL import Image
 
-                dims = pdf[payload_col].map(
-                    lambda b: Image.open(_io.BytesIO(b)).size
-                )
-                res["width"] = dims.map(lambda wh: wh[0])
-                res["height"] = dims.map(lambda wh: wh[1])
-                res["n_channels"] = 3
-            else:
-                n = pdf[payload_col].map(lambda b: len(b) if b is not None else 0)
-                res["width"] = (n % 640).astype("int32")
-                res["height"] = (n % 480).astype("int32")
-                res["n_channels"] = 3
+                    img = Image.open(_io.BytesIO(b))
+                    w, h = img.size
+                    ch = len(img.getbands())
+                elif deterministic_fake:
+                    w, h, ch = len(b) % 640, len(b) % 480, 3
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image decode needs PIL (not installed); "
+                        "PNG decodes real via the stdlib path"
+                    )
+                widths.append(w)
+                heights.append(h)
+                chans.append(ch)
+            res["width"] = widths
+            res["height"] = heights
+            res["n_channels"] = chans
             yield res
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
@@ -216,17 +492,24 @@ def resize_images(
     target_w: int = 64,
     target_h: int = 64,
     deterministic_fake: bool = False,
+    carry: dict[str, str] | None = None,
 ) -> DataFrame:
     """Resize image payloads to (target_w, target_h), emitting a NEW
     binary payload — the N-bytes-in/M-bytes-out transform shape every
     media pipeline stage (resize, re-encode, crop) shares.
 
-    STUB for the pixel work (PIL absent): the fake emits a deterministic
-    byte payload of exactly ``target_w*target_h*3`` bytes cycled from the
-    source payload, so downstream stages see correctly-sized binaries and
-    the schema/batching contract is fully exercised.
+    PNG payloads resize REAL: stdlib decode → nearest-neighbor sample
+    (source index = floor(target_index * src_dim / target_dim), the
+    classic NN mapping — pure integer arithmetic so SQL oracles can
+    recompute every output pixel) → stdlib re-encode. Non-PNG needs PIL;
+    ``deterministic_fake=True`` is the TEST-ONLY fallback emitting a
+    size-correct cycled byte payload.
     """
-    out_schema = f"{id_col} BIGINT, payload BINARY, width INT, height INT"
+    carry = carry or {}
+    out_schema = (
+        f"{id_col} BIGINT, payload BINARY, width INT, height INT"
+        + "".join(f", {c} {t}" for c, t in carry.items())
+    )
 
     try:  # pragma: no cover - not installed in this environment
         from PIL import Image  # noqa: F401
@@ -235,38 +518,53 @@ def resize_images(
     except ImportError:
         have_pil = False
 
-    if not have_pil and not deterministic_fake:
-        raise NotImplementedError(
-            "image resize needs PIL (not installed); pass "
-            "deterministic_fake=True for schema-correct fake resize"
-        )
-
     n_out = target_w * target_h * 3
 
     def batches(it: Iterator):
         import io as _io
 
+        import numpy as np
+
         for pdf in it:
             res = pdf[[id_col]].copy()
-            if have_pil:  # pragma: no cover
-                from PIL import Image
+            payloads = []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                if b[:8] == _PNG_SIG:
+                    w, h, ch, px = png_decode(b)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    small = px[ys][:, xs][:, :, :3]
+                    payloads.append(png_encode(small))
+                elif have_pil:  # pragma: no cover
+                    from PIL import Image
 
-                def _resize(b):
-                    img = Image.open(_io.BytesIO(b)).resize((target_w, target_h))
+                    img = Image.open(_io.BytesIO(b)).resize(
+                        (target_w, target_h)
+                    )
                     buf = _io.BytesIO()
                     img.save(buf, format="PNG")
-                    return buf.getvalue()
-
-                res["payload"] = pdf[payload_col].map(_resize)
-            else:
-                res["payload"] = pdf[payload_col].map(
-                    lambda b: ((b or b"\x00") * (n_out // max(len(b or b"\x00"), 1) + 1))[:n_out]
-                )
+                    payloads.append(buf.getvalue())
+                elif deterministic_fake:
+                    src = b or b"\x00"
+                    payloads.append(
+                        (src * (n_out // max(len(src), 1) + 1))[:n_out]
+                    )
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image resize needs PIL (not installed); "
+                        "PNG resizes real via the stdlib path"
+                    )
+            res["payload"] = payloads
             res["width"] = target_w
             res["height"] = target_h
+            for c in carry:
+                res[c] = pdf[c].tolist()
             yield res
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    return df.select(id_col, payload_col, *carry).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def sample_frames(

@@ -2850,72 +2850,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   21 post-window r9 additions were judge-verified at sf0.01 and
 #   pinned as R10_PENDING).
 GATE_PRIORITY: list[str] = [
-    # --- r10 window: the r9-verdict #1 ask. ALL 21 R10_PENDING queries
-    # (the post-r9-window additions — the ER pipeline, both MTA models,
-    # the sampling family, conformal/BH-FDR/ACF/OLS/skyline,
-    # Good-Turing, and the six TPC-H Q7/Q8/Q9/Q11/Q16/Q19 shapes; the
-    # only slice with no driver row, judge-verified at sf0.01 in r9),
-    # the full 16-query R10_RECONFIRM_BACKLOG (the alphabetical tail of
-    # the r4-stale set the r9 window couldn't fit — the OLDEST driver
-    # rows in the registry), and 13 slots refreshing the oldest
-    # remaining rows (the r5-era greens, first 13 in name order; the
-    # other 37 r5-stale queries are pinned as R11_RECONFIRM_BACKLOG in
-    # tests/test_registry_oracle.py). After this round the driver union
-    # covers the whole registry 287/287 with no judge assist, and no
-    # driver row predates r5.
-    # -- the 21 R10_PENDING (post-r9-window additions) --
-    "bilateral_shipping_volume",
-    "region_market_share",
-    "supplier_nation_margin",
-    "important_part_values",
-    "supplier_diversity_counts",
-    "brand_bracket_revenue",
-    "part_price_size_skyline",
-    "event_value_ols2",
-    "order_conformal_interval",
-    "customer_er_match_scores",
-    "channel_shapley_attribution",
-    "hourly_value_bh_fdr",
-    "customer_er_em_params",
-    "customer_er_entity_clusters",
-    "channel_markov_attribution",
-    "daily_value_acf",
-    "stream_conformal_quarantine",
-    "order_total_ht_estimate",
-    "order_neyman_allocation",
-    "order_capture_recapture",
-    "vocab_good_turing",
-    # -- the 16 r4-stale re-confirmations (R10_RECONFIRM_BACKLOG) --
-    "priority_revenue_salted_join",
-    "purchase_running_total",
-    "repeat_purchasers_first_last_day",
-    "sensor_feed_stats",
-    "stream_merge_upsert_roundtrip",
-    "stream_session_windows",
-    "stream_view_purchase_join",
-    "user_daily_value_interpolated",
-    "user_distinct_hll",
-    "user_distinct_kmv",
-    "user_event_type_profile",
-    "user_first_last_events",
-    "user_retention_cohorts",
-    "user_session_windows",
-    "user_sessions",
-    "views_before_purchase",
-    # -- r5-stale re-confirmations (first 13 of 50 in name order) --
-    "chunk_dedup_stats",
-    "chunk_packing",
-    "corpus_language_mixing",
-    "corpus_token_budget_selection",
-    "csv_landing_daily_stats",
-    "customer_order_summary",
-    "daily_event_stats",
-    "doc_bigram_logprob",
-    "doc_decontamination",
-    "doc_dedup_best_quality",
-    "doc_dsir_weights",
-    "doc_dup_clusters_twophase",
-    "doc_fingerprint_dedup",
+    # --- r11 window: freshness rotation (the r10-verdict #2 ask — every
+    # registry query already has a driver row, so the window's job is
+    # re-confirming the STALEST rows) plus the round's two new queries
+    # gated at birth. Contents: the 2 R11_NEW image-codec queries (the
+    # r10-verdict #3 ask — real stdlib PNG decode), the full 37-query
+    # R11_RECONFIRM_BACKLOG (the alphabetical tail of the r5-stale set,
+    # pinned last round — after these, no driver row predates r6), and
+    # 11 slots refreshing the oldest remaining rows (the 50 r6-stale
+    # greens, first 11 in name order; the other 39 are pinned as
+    # R12_RECONFIRM_BACKLOG in tests/test_registry_oracle.py).
+    # -- the 2 R11_NEW (real PNG pixel decode, gated at birth) --
+    "image_pixel_stats",
+    "image_resize_stats",
+    # -- the 37 r5-stale re-confirmations (R11_RECONFIRM_BACKLOG) --
+    "doc_incremental_dup_clusters",
+    "doc_incremental_near_dup",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_filter",
+    "doc_repetition_signals",
+    "doc_unigram_logprob",
+    "doc_weighted_sample",
+    "embedding_covariance",
+    "embedding_covariance_partial",
+    "embedding_near_dup",
+    "embedding_pca_whitened",
+    "embedding_semdedup",
+    "event_orphan_users",
+    "event_props_variant",
+    "incremental_keyset_roundtrip",
+    "ingest_watermark",
+    "json_landing_stats",
+    "knn_ivf_multiprobe",
+    "latest_order_per_customer",
+    "ledger_roundtrip_stats",
+    "llm_corpus_pipeline_v2",
+    "medallion_gold_daily",
+    "multimodal_byte_features",
+    "orc_roundtrip_stats",
+    "order_priority_pivot_native",
+    "pricing_summary",
+    "segment_fee_model",
+    "sensor_feed_stream_stats",
+    "stream_dedup_events",
+    "stream_dq_quarantine",
+    "stream_event_hourly_window",
+    "stream_incremental_dup_clusters",
+    "stream_incremental_near_dup",
+    "stream_static_segment_counts",
+    "top_orders_per_priority",
+    "zorder_time_user_slice",
+    # -- r6-stale re-confirmations (first 11 of 50 in name order) --
+    "active_ids_union",
+    "allowed_event_types",
+    "audio_pcm_chunk_stats",
+    "bootstrap_partitioned_roundtrip",
+    "compact_maintenance_stats",
+    "corpus_packing_manifest",
+    "customer_top_orders_lateral",
+    "doc_chunks",
+    "doc_dedup_survivors",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
 ]
 
 

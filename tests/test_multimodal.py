@@ -1,5 +1,7 @@
-"""Multimodal binary-column plumbing: Arrow-batched byte features, stubbed
-decode with schema-correct fakes, frame-sampling fan-out."""
+"""Multimodal binary-column plumbing: Arrow-batched byte features, REAL
+stdlib PNG encode/decode (spec vectors hand-filtered independently of the
+encoder), frame-sampling fan-out, and the test-only fake paths for the
+formats that genuinely need absent codecs (JPEG/video)."""
 
 from __future__ import annotations
 
@@ -34,15 +36,20 @@ def test_byte_features(media):
     assert feats[3]["n_bytes"] == 0 and feats[3]["first_byte"] == -1
 
 
-def test_decode_stub_raises_without_fake(media):
+def test_decode_stub_raises_without_fake_for_non_png(media):
+    # the media fixture's payloads are text/plain — NOT PNG — so without
+    # PIL the only honest answers are the fake (opt-in) or an error
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL installed; stub path not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        decode_images(media)
+    # the guard now fires per-payload inside the Python worker (PNG
+    # payloads decode real regardless of PIL), so Spark surfaces it as a
+    # PythonException wrapping the NotImplementedError
+    with pytest.raises(Exception, match="needs PIL"):
+        decode_images(media).collect()
 
 
 def test_decode_fake_is_schema_correct(media):
@@ -74,7 +81,7 @@ def test_resize_stub_raises_without_fake(media):
 
     if importlib.util.find_spec("PIL") is not None:
         _pytest.skip("Pillow installed — the decode path is real, not a stub")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(Exception, match="needs PIL"):
         resize_images(media).collect()
 
 
@@ -95,6 +102,160 @@ def test_resize_fake_emits_target_sized_payloads(media):
     assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == {
         r["doc_id"]: bytes(r["payload"]) for r in again
     }
+
+
+def test_paeth_predictor_spec_cases():
+    """Hand-worked PNG-spec §9.4 cases, including the left/up/up-left
+    tie-break order — computed from the spec text, not from the code."""
+    from smartpool_bigdata_spark.ops.multimodal import _paeth
+
+    assert _paeth(3, 9, 8) == 3      # p=4: pa=1 < pb=5, pc=4 -> left
+    assert _paeth(10, 10, 10) == 10  # all distances 0 -> tie -> left
+    assert _paeth(0, 50, 25) == 25   # p=25: pa=pb=25 > pc=0 -> up-left
+    assert _paeth(5, 5, 0) == 5      # p=10: pa=pb=5, pc=10 -> tie -> left
+    assert _paeth(0, 7, 3) == 3      # p=4: pa=4, pb=3, pc=1 -> up-left
+
+
+def test_png_decode_hand_filtered_spec_vector():
+    """Decode a PNG whose scanlines were filtered BY HAND from the spec
+    (one scanline per filter type 0-4), assembled with struct/zlib only
+    — independent of png_encode, so a symmetric encoder/decoder bug
+    (e.g. a shared wrong predictor, which any matched pair would
+    round-trip) fails here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import png_decode
+
+    # raw 5x2 RGB image (rows of pixel triples)
+    want = np.array(
+        [
+            [[10, 20, 30], [40, 50, 60]],
+            [[7, 8, 9], [17, 28, 39]],
+            [[100, 110, 120], [130, 140, 150]],
+            [[50, 60, 70], [80, 90, 100]],
+            [[60, 70, 80], [90, 100, 110]],
+        ],
+        dtype=np.uint8,
+    )
+    # hand-filtered scanlines (filter byte + 6 filtered bytes each):
+    scanlines = bytes(
+        [0, 10, 20, 30, 40, 50, 60]          # None
+        + [1, 7, 8, 9, 10, 20, 30]           # Sub: raw - left(bpp=3)
+        + [2, 93, 102, 111, 113, 112, 111]   # Up: raw - prev raw row
+        + [3, 0, 5, 10, 246, 246, 246]       # Average (mod-256 wraps)
+        + [4, 10, 10, 10, 10, 10, 10]        # Paeth
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = png_decode(data)
+    assert (w, h, ch) == (2, 5, 3)
+    assert np.array_equal(px, want)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_image,
+        png_decode,
+        png_encode,
+    )
+
+    good = png_encode(_det_image(11))
+    with _pytest.raises(ValueError, match="signature"):
+        png_decode(b"JFIF" + good)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip a byte inside IHDR body -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+
+
+def test_png_roundtrip_random_images():
+    """encode->decode is the identity over random images whose heights
+    exercise every filter in the y%5 cycle, including 1-pixel edges."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (1, 7), (6, 1), (5, 5), (13, 9), (8, 20)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ww, hh, ch, back = png_decode(png_encode(img))
+        assert (ww, hh, ch) == (w, h, 3)
+        assert np.array_equal(back, img)
+
+
+def test_synthesize_png_decodes_to_formula_and_real_dims(spark):
+    """Spark-side loop: synthesize_png emits REAL PNG bytes whose decode
+    (decode_images with no fake flag, PIL absent) recovers the formula
+    dims; png_pixel_stats matches a pure-numpy recomputation."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_image,
+        png_pixel_stats,
+        synthesize_png,
+    )
+
+    ids = spark.createDataFrame([(0,), (7,), (123,)], ["doc_id"])
+    imgs = synthesize_png(ids)
+    dims = {
+        r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+        for r in decode_images(imgs).collect()
+    }
+    stats = {
+        r["doc_id"]: (r["px_sum"], r["px_min"], r["px_max"])
+        for r in png_pixel_stats(imgs).collect()
+    }
+    for d in (0, 7, 123):
+        img = _det_image(d).astype(np.int64)
+        assert dims[d] == (8 + d % 13, 8 + (d * 7) % 11, 3)
+        assert stats[d] == (int(img.sum()), int(img.min()), int(img.max()))
+
+
+def test_resize_png_nearest_neighbor_exact(spark):
+    """resize_images on PNG payloads = decode -> NN sample -> re-encode;
+    decoding the output must equal numpy fancy-indexing of the source."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_image,
+        png_decode,
+        synthesize_png,
+        resize_images,
+    )
+
+    ids = spark.createDataFrame([(4,), (99,)], ["doc_id"])
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_images(
+            synthesize_png(ids), target_w=8, target_h=6
+        ).collect()
+    }
+    for d in (4, 99):
+        src = _det_image(d)
+        h, w, _ = src.shape
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(8) * w) // 8
+        ww, hh, ch, px = png_decode(out[d])
+        assert (ww, hh, ch) == (8, 6, 3)
+        assert np.array_equal(px, src[ys][:, xs])
 
 
 def test_pcm_roundtrip_and_chunk_features(spark):

@@ -426,8 +426,11 @@ R10_RECONFIRM_R5 = frozenset({
     "doc_fingerprint_dedup",
 })
 
+# The full r10 driver window (all 50 green in CORRECTNESS_r10.json).
+R10_WINDOW = R10_PENDING | R10_RECONFIRM_BACKLOG | R10_RECONFIRM_R5
+
 # The alphabetical tail of the 50 r5-stale queries (the 37 that did
-# not fit the r10 window) — first in line for r11 re-confirmation.
+# not fit the r10 window) — the r11 window's re-confirmation core.
 R11_RECONFIRM_BACKLOG = frozenset({
     "doc_incremental_dup_clusters",
     "doc_incremental_near_dup",
@@ -469,17 +472,84 @@ R11_RECONFIRM_BACKLOG = frozenset({
 })
 
 
+# New in round 11, gated at birth: the REAL stdlib PNG codec queries
+# (the r10 verdict's #3 ask — pixel decode computed, not simulated).
+R11_NEW = frozenset({
+    "image_pixel_stats",
+    "image_resize_stats",
+})
+
+# The 11 r11 re-confirmation slots left after the 2 new + 37 backlog:
+# of the 50 queries whose NEWEST driver row is r6 (the oldest rows once
+# the r5 backlog is refreshed), the first 11 in name order.
+R11_RECONFIRM_R6 = frozenset({
+    "active_ids_union",
+    "allowed_event_types",
+    "audio_pcm_chunk_stats",
+    "bootstrap_partitioned_roundtrip",
+    "compact_maintenance_stats",
+    "corpus_packing_manifest",
+    "customer_top_orders_lateral",
+    "doc_chunks",
+    "doc_dedup_survivors",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
+})
+
+# The alphabetical tail of the 50 r6-stale queries (the 39 that did
+# not fit the r11 window) — first in line for r12 re-confirmation.
+R12_RECONFIRM_BACKLOG = frozenset({
+    "doc_language_guess",
+    "doc_near_dup_pairs",
+    "doc_prefix_filter_pairs",
+    "doc_signature_table_pairs",
+    "doc_signatures",
+    "doc_simhash_near_dup",
+    "doc_text_quality",
+    "doc_token_percentiles",
+    "doc_train_split",
+    "embedding_dup_clusters",
+    "event_audience_overlap_kmv",
+    "event_cost_model",
+    "event_heavy_hitters_cms",
+    "event_hourly_window",
+    "event_null_profile",
+    "event_projection_normalize",
+    "event_range_flags",
+    "events_asof_tolerance",
+    "events_from_customers",
+    "hourly_value_deviation",
+    "jdbc_live_roundtrip",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_ivfpq_adc",
+    "llm_corpus_pipeline_v3",
+    "order_dup_check",
+    "order_priority_pivot",
+    "orders_bloom_prefilter",
+    "peak_event_hours",
+    "purchase_graph_pagerank",
+    "regional_supplier_revenue",
+    "schema_merge_landing_stats",
+    "stream_event_sliding_window",
+    "stream_ivf_assignments",
+    "stream_multihop_topology",
+    "stream_pq_codes",
+    "stream_user_sessions",
+    "top_value_orders",
+    "urgent_open_orders",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r10 set: ALL 21
-    R10_PENDING queries (the only slice without a driver row — the r9
-    verdict's #1 ask), the full 16-query R10_RECONFIRM_BACKLOG (the
-    r4-stale tail, the oldest driver rows anywhere), and the first 13
-    r5-stale re-confirmations. After this round the driver union covers
-    the whole registry 287/287 and no driver row predates r5. A refactor
-    that reorders registration (round 2 silently pushed
-    embedding_near_dup and all of §2.7 out of the window) must fail
-    HERE, not at the gate."""
+    registry entries in iteration order. Pin the ROTATED r11 set: the 2
+    R11_NEW image-codec queries (gated at birth), the full 37-query
+    R11_RECONFIRM_BACKLOG (the r5-stale tail — the oldest driver rows
+    anywhere), and the first 11 r6-stale re-confirmations. After this
+    round no driver row predates r6. A refactor that reorders
+    registration (round 2 silently pushed embedding_near_dup and all of
+    §2.7 out of the window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
 
     names = list(REGISTRY)
@@ -496,34 +566,34 @@ def test_gate_window_pinned():
         | R7_WINDOW
         | R8_WINDOW
         | R9_WINDOW
+        | R10_WINDOW
     )
     missing = prior - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
-    # FULL coverage: after this window, every registry query has a
-    # driver row from some round; new queries registered THIS round
+    # FULL coverage: every registry query has a driver row from some
+    # round or is in this window; new queries registered THIS round
     # must be added to the window (gated at birth) or to a declared
-    # R11_PENDING set — silence is not an option
+    # R12_PENDING set — silence is not an option
     uncovered = set(names) - (gated | prior)
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # R10_PENDING must not rot: only for queries genuinely without a
-    # prior driver row, and ALL of them must be in this window
-    stale_pending = R10_PENDING & prior
-    assert not stale_pending, f"R10_PENDING entries already gated: {stale_pending}"
-    assert R10_PENDING <= gated, f"pending dropped: {R10_PENDING - gated}"
-    # the window is EXACTLY: the pending set + both re-confirmation
-    # slices
-    assert gated - R10_PENDING == R10_RECONFIRM_BACKLOG | R10_RECONFIRM_R5
-    # the r4-stale backlog is genuinely r4-stale (newest row = r4,
-    # nothing refreshed it since), the r5 slice genuinely r5-stale
-    assert R10_RECONFIRM_BACKLOG <= R4_WINDOW
-    assert not R10_RECONFIRM_BACKLOG & (
-        R5_WINDOW | R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW
+    # R11_NEW really is new (no prior driver row) and fully gated
+    assert not R11_NEW & prior, f"R11_NEW entries already gated: {R11_NEW & prior}"
+    assert R11_NEW <= gated, f"new queries dropped: {R11_NEW - gated}"
+    # the window is EXACTLY: the new pair + both re-confirmation slices
+    assert gated - R11_NEW == R11_RECONFIRM_BACKLOG | R11_RECONFIRM_R6
+    # the r5-stale backlog is genuinely r5-stale (newest row = r5,
+    # nothing refreshed it since), the r6 slice genuinely r6-stale
+    assert R11_RECONFIRM_BACKLOG <= R5_WINDOW
+    assert not R11_RECONFIRM_BACKLOG & (
+        R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
     )
-    assert R10_RECONFIRM_R5 <= R5_WINDOW
-    assert not R10_RECONFIRM_R5 & (
-        R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW
+    assert R11_RECONFIRM_R6 <= R6_WINDOW
+    assert not R11_RECONFIRM_R6 & (
+        R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
     )
-    # the declared r11 backlog is exactly the rest of the r5-stale set
-    stale_r5 = R5_WINDOW - (R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW)
-    assert R10_RECONFIRM_R5 | R11_RECONFIRM_BACKLOG == stale_r5
-    assert not R10_RECONFIRM_R5 & R11_RECONFIRM_BACKLOG
+    # the declared r12 backlog is exactly the rest of the r6-stale set
+    stale_r6 = R6_WINDOW - (
+        R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
+    )
+    assert R11_RECONFIRM_R6 | R12_RECONFIRM_BACKLOG == stale_r6
+    assert not R11_RECONFIRM_R6 & R12_RECONFIRM_BACKLOG
