@@ -27,6 +27,9 @@ def compact_line(
     compact = dict(full)
     compact.pop("queries_first_run", None)
     compact.pop("queries_normalized", None)
+    compact.pop("queries_n_runs", None)  # full map in BENCH_FULL.json;
+    # the compact line keeps stall_retried / still_above_prior (small,
+    # and the disclosure a perf reader needs in the hard signal)
     compact["queries"] = {}
     compact["queries_omitted"] = len(timings)
     compact["full_results"] = full_results
@@ -38,6 +41,21 @@ def compact_line(
             break
         compact = candidate
     return json.dumps(compact, separators=(",", ":"))
+
+
+def needs_retry(
+    best: float, prior: float | None, runs: int, max_runs: int = 4
+) -> bool:
+    """Stall-proofing predicate (r10 verdict #1): a reading that exceeds
+    1.5x its prior steady-state value by more than an absolute 0.1 s is
+    presumed a host stall and earns another materialization, up to
+    ``max_runs`` total. No prior (new query / SF mismatch) → no retry."""
+    return (
+        prior is not None
+        and runs < max_runs
+        and best > prior * 1.5
+        and best - prior > 0.1
+    )
 
 
 def main() -> int:
@@ -129,8 +147,33 @@ def main() -> int:
 
     headline = [name for name in REGISTRY if not REGISTRY[name].skip_bench]
 
+    # Stall-proofing (r10 verdict #1): the driver's container
+    # intermittently stalls a single materialization 1.4-2.3x (four
+    # queries in BENCH_r10 needed a judge re-measure). Load the prior
+    # committed steady-state values; any query whose min-of-2 still
+    # exceeds 1.5x its prior value gets up to two MORE materializations
+    # before the number is committed, and every query records n_runs so
+    # the artifact discloses which readings needed the extra evidence.
+    # The absolute floor (+0.1 s) keeps sub-100 ms queries — whose noise
+    # band exceeds 1.5x by nature — from burning extra runs.
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prior_steady: dict[str, float] = {}
+    try:
+        with open(prior_path) as f:
+            _prior_full = json.load(f)
+        # prior values are only comparable at the SAME scale factor —
+        # a BENCH_FULL left behind by an sf0.01 iteration run must not
+        # become the retry yardstick for the driver's sf0.1 run
+        if _prior_full.get("sf") == sf:
+            prior_steady = _prior_full.get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in headline:
         q = REGISTRY[name]
         # Per-query time = min of 2 consecutive materializations
@@ -142,16 +185,27 @@ def main() -> int:
         # transient scheduler noise are excluded.
         best = None
         first = None
-        for i in range(2):
+        runs = 0
+        prior = prior_steady.get(name)
+
+        def _materialize() -> float:
             df = q.build(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        for i in range(2):
+            elapsed = _materialize()
+            runs += 1
             if i == 0:
                 first = elapsed
             best = elapsed if best is None else min(best, elapsed)
+        while needs_retry(best, prior, runs):
+            best = min(best, _materialize())
+            runs += 1
         timings[name] = round(best, 3)
         first_run[name] = round(first, 3)
+        n_runs[name] = runs
         # LSH/signature queries persist() their signature stage; each
         # build creates a fresh frame, so without this the cache grows by
         # every run's signatures for the life of the session. Draining
@@ -374,6 +428,20 @@ def main() -> int:
         "queries_normalized": {
             k: round(v / host_factor_jvm, 3) for k, v in timings.items()
         },
+        # stall-proofing disclosure: per-query materialization count
+        # (2 = clean min-of-2; 3-4 = the reading exceeded 1.5x its prior
+        # steady value and earned extra runs), plus the queries that
+        # STILL read >1.5x prior after 4 runs — genuine movers a reader
+        # should treat as real, not host stalls.
+        "queries_n_runs": n_runs,
+        "stall_retried": sorted(k for k, v in n_runs.items() if v > 2),
+        "still_above_prior": sorted(
+            k
+            for k, v in timings.items()
+            if prior_steady.get(k) is not None
+            and v > prior_steady[k] * 1.5
+            and v - prior_steady[k] > 0.1
+        ),
         "n_queries": len(timings),
         "sf": sf,
         **canaries,

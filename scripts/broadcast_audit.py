@@ -9,19 +9,28 @@ is a linear-in-corpus broadcast — it works at test SF and OOMs the
 executors at cluster scale, silently, because the plan LOOKS
 broadcast-optimal.
 
-This audit runs every batch registry query at two SFs with AQE off,
-reads the ``numOutputRows`` metric of every BroadcastExchange in the
-executed plan, pairs them by plan position, and reports per-broadcast
-growth. Growth ~1x = bounded (safe); growth ~= SF ratio = linear
-(flagged). Run:
+This audit runs every batch registry query at two or three SFs with
+AQE off (measurement shared with the CI guard —
+smartpool_bigdata_spark/plans.py), reads the ``numOutputRows`` metric
+of every BroadcastExchange in the executed plan, pairs them by plan
+position, and reports per-broadcast growth per decade. Growth ~1x =
+bounded (safe); growth ~= SF ratio = linear (flagged). Run:
 
-    python scripts/broadcast_audit.py [sf_small sf_big]
+    python scripts/broadcast_audit.py [sf_small sf_big [sf_huge]]
 
-defaults: /root/testdata/sf0.01 /root/testdata/sf0.1 (10x). Output:
-one line per query with its per-broadcast (small, big, ratio) triples,
-then a FLAGGED section listing broadcasts whose ratio exceeds half the
-SF ratio and whose big-side row count exceeds 10k (tiny frames wobble;
-a 50-row frame "growing" 5x is not a hazard).
+defaults: /root/testdata/sf0.01 /root/testdata/sf0.1 (10x). Pass the
+builder-synthesized sf1 tier (scripts/gen_probe_sf1.py, all 10 tables
+since r11) as the third argument to verify "bounded" frames stay
+bounded across TWO decades:
+
+    python scripts/broadcast_audit.py /root/testdata/sf0.01 \\
+        /root/testdata/sf0.1 /tmp/sf1_probe
+
+Output: one line per query with its per-broadcast row trajectories,
+then a FLAGGED section listing broadcasts whose LAST decade's ratio
+exceeds half the SF ratio and whose top-tier row count exceeds the
+hazard floor (10k at sf0.1; 100k at sf1 — tiny frames wobble; a
+50-row frame "growing" 5x is not a hazard).
 """
 
 from __future__ import annotations
@@ -31,47 +40,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def broadcast_rows(spark, build, sf_dir: str) -> list[int]:
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        df = build(spark, sf_dir)
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-
-    found: list[int] = []
-
-    def _metric(node, key):
-        m = node.metrics()
-        it = m.iterator()
-        while it.hasNext():
-            kv = it.next()
-            if kv._1() == key:
-                return kv._2().value()
-        return None
-
-    def _walk(node):
-        if node.nodeName() == "BroadcastExchange":
-            v = _metric(node, "numOutputRows")
-            if v is not None:
-                found.append(int(v))
-        ch = node.children()
-        for i in range(ch.size()):
-            _walk(ch.apply(i))
-
-    _walk(plan)
-    return found
+from smartpool_bigdata_spark.plans import broadcast_rows  # noqa: E402
 
 
 def main() -> int:
     from smartpool_bigdata_spark.session import get_spark
     from smartpool_bigdata_spark.queries import REGISTRY
 
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    tiers = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    assert len(tiers) >= 2, "need at least two SF dirs to measure growth"
+    # hazard floor scales with the top tier: 10k rows at sf0.1, 100k at
+    # a 10x-bigger third tier (same corpus coefficient either way)
+    floor = 10_000 * (10 ** (len(tiers) - 2))
     spark = get_spark(app_name="broadcast-audit", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -80,25 +60,31 @@ def main() -> int:
         if getattr(q, "skip_bench", False):
             continue
         try:
-            a = broadcast_rows(spark, q.build, small)
-            b = broadcast_rows(spark, q.build, big)
+            per_tier = [broadcast_rows(spark, q.build, t) for t in tiers]
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             print(f"{name:40s} ERROR {str(e)[:80]}")
             continue
-        if not b:
+        top = per_tier[-1]
+        if not top:
             continue
-        pairs = list(zip(a, b)) if len(a) == len(b) else [(None, x) for x in b]
-        desc = " ".join(
-            f"{s if s is not None else '?'}->{t}" for s, t in pairs
-        )
+        paired = all(len(rows) == len(top) for rows in per_tier)
+        if paired:
+            trajs = list(zip(*per_tier))
+            desc = " ".join("->".join(str(v) for v in tr) for tr in trajs)
+        else:
+            trajs = [(None,) * (len(tiers) - 1) + (t,) for t in top]
+            desc = "UNPAIRED " + " ".join(str(t) for t in top)
         print(f"{name:40s} {desc}")
-        for s, t in pairs:
-            if t > 10_000 and (s is None or s == 0 or t / max(s, 1) > 5.0):
-                flagged.append((name, s, t))
+        for tr in trajs:
+            s, t = tr[-2], tr[-1]
+            if t > floor and (s is None or s == 0 or t / max(s, 1) > 5.0):
+                flagged.append((name, tr))
         spark.catalog.clearCache()
-    print("\nFLAGGED (broadcast rows grow ~linearly and exceed 10k):")
-    for name, s, t in flagged:
-        print(f"  {name}: {s} -> {t}")
+    print(
+        f"\nFLAGGED (broadcast rows grow ~linearly and exceed {floor}):"
+    )
+    for name, tr in flagged:
+        print(f"  {name}: {' -> '.join(str(v) for v in tr)}")
     if not flagged:
         print("  none")
     return 0

@@ -1,14 +1,23 @@
-"""Synthesize a LOCAL sf1 probe tier (10x sf0.1) for the three
-super-unit growth queries — the r7 verdict's #3 ask.
+"""Synthesize a LOCAL sf1 probe tier (10x sf0.1) — originally (r7
+verdict #3) for the three super-unit growth queries; extended in r11
+(r10 verdict #4) to the FULL table set so the broadcast-growth audit
+can classify every query's broadcast frames across TWO decades
+(sf0.01 → sf0.1 → sf1), not one.
 
 /root/testdata is read-only and the driver generates nothing past
-sf0.1, so this builds the 100x point (vs sf0.01) of the candidate/wedge
-curves locally, for ONLY the tables those queries read:
+sf0.1, so this builds the 100x point (vs sf0.01) locally:
 
 * ``documents``  (50k rows)  — doc_prefix_filter_pairs
 * ``lineitem``   (~6M rows)  — copurchase_triangle_stats, temporal_purchase_reach
 * ``orders``     (1.5M rows) — temporal_purchase_reach
 * ``customer``   (150k rows) — temporal_purchase_reach (segment seeds)
+* ``events``     (1M rows, 15k users — linear in SF like the driver's)
+* ``part``       (200k), ``supplier`` (10k) — dim-join growth
+* ``embeddings`` (20k unit vectors, 64-d, 10 uniform labels — the
+  sf0.1 tier is geometrically unclustered random-unit (measured:
+  within-label spread 0.997 vs between-centroid 0.1, no cos>0.9
+  pairs), so random unit vectors ARE the faithful marginal)
+* ``nation``/``region`` — copied verbatim (fixed dimensions)
 
 Fidelity contract (marginals measured from /root/testdata/sf0.1 and
 matched here; DISCLOSED as builder-synthesized in SCALE.md §8):
@@ -47,6 +56,10 @@ N_CUST = 150_000
 N_PARTS = 200_000
 N_SUPP = 10_000
 N_DOCS = 50_000
+N_EVENTS = 1_000_000
+N_USERS = 15_000
+N_VECS = 20_000
+EMB_DIM = 64
 
 VOCAB = [
     "spark", "window", "merge", "table", "column", "vector", "stream",
@@ -165,6 +178,83 @@ def gen_documents(rng: np.random.Generator, out: str) -> None:
     pq.write_table(tbl, os.path.join(out, "documents.parquet"))
 
 
+def gen_events(rng: np.random.Generator, out: str) -> None:
+    # ts: the driver's 30-day window (2024-01-01..2024-01-30), densified
+    # 10x — day/hour grids identical to sf0.1 so per-day/per-hour
+    # aggregate frames stay BOUNDED while the corpus grows (exactly the
+    # distinction the broadcast-growth audit classifies)
+    span_us = 30 * 86_400 * 1_000_000
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + np.sort(rng.integers(0, span_us, N_EVENTS)).astype(
+        "timedelta64[us]"
+    )
+    tbl = pa.table(
+        {
+            "event_id": np.arange(N_EVENTS, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, N_USERS, N_EVENTS),
+            "event_type": _empirical("event_type", "events", rng, N_EVENTS),
+            "value": _empirical("value", "events", rng, N_EVENTS),
+            "props": _empirical("props", "events", rng, N_EVENTS),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "events.parquet"))
+
+
+def gen_part(rng: np.random.Generator, out: str) -> None:
+    keys = np.arange(N_PARTS, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "p_partkey": keys,
+            "p_name": _empirical("p_name", "part", rng, N_PARTS),
+            "p_brand": _empirical("p_brand", "part", rng, N_PARTS),
+            "p_type": _empirical("p_type", "part", rng, N_PARTS),
+            "p_size": _empirical("p_size", "part", rng, N_PARTS),
+            # sf0.1 pattern is exactly 900 + 0.1*key — keep the
+            # key-correlated price so selective price filters scale
+            # the same way they do in the driver's tiers
+            "p_retailprice": np.round(900.0 + 0.1 * keys, 1),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "part.parquet"))
+
+
+def gen_supplier(rng: np.random.Generator, out: str) -> None:
+    tbl = pa.table(
+        {
+            "s_suppkey": np.arange(N_SUPP, dtype=np.int64),
+            "s_name": np.array([f"Supplier#{i:09d}" for i in range(N_SUPP)]),
+            "s_nationkey": _empirical(
+                "s_nationkey", "supplier", rng, N_SUPP
+            ).astype(np.int32),
+            "s_acctbal": _empirical("s_acctbal", "supplier", rng, N_SUPP),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "supplier.parquet"))
+
+
+def gen_embeddings(rng: np.random.Generator, out: str) -> None:
+    X = rng.standard_normal((N_VECS, EMB_DIM)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(N_VECS, dtype=np.int64),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+            "label": rng.integers(0, 10, N_VECS).astype(np.int32),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+
+
+def copy_fixed_dims(out: str) -> None:
+    import shutil
+
+    for t in ("nation", "region"):
+        shutil.copy(
+            os.path.join(SF01, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
+        )
+
+
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_probe"
     os.makedirs(out, exist_ok=True)
@@ -173,6 +263,11 @@ def main() -> int:
     gen_lineitem(rng, out)
     gen_customer(rng, out)
     gen_documents(rng, out)
+    gen_events(rng, out)
+    gen_part(rng, out)
+    gen_supplier(rng, out)
+    gen_embeddings(rng, out)
+    copy_fixed_dims(out)
     for f in sorted(os.listdir(out)):
         p = os.path.join(out, f)
         print(f, os.path.getsize(p) // 1_000_000, "MB")

@@ -797,76 +797,100 @@ def test_global_window_allowlist_swept_repo_wide(spark):
     )
 
 
+def test_classify_broadcast_growth_pure():
+    """Pure-function spec of the growth classifier the repo-wide
+    broadcast guard and scripts/broadcast_audit.py share."""
+    from smartpool_bigdata_spark.plans import classify_broadcast_growth
+
+    # bounded: same rows across a decade (aggregate profile)
+    assert classify_broadcast_growth([120], [120]) == [(120, 120, "bounded")]
+    # linear: ~10x growth past the floor (raw dim scan)
+    assert classify_broadcast_growth([150], [1500]) == [(150, 1500, "linear")]
+    # tiny frames never flag, whatever the ratio (wobble floor)
+    assert classify_broadcast_growth([3], [30]) == [(3, 30, "bounded")]
+    # zero small-side rows with a big top side: unknowable denominator
+    assert classify_broadcast_growth([0], [900]) == [(0, 900, "linear")]
+    # plan shape changed between SFs -> unpaired, never silently passed
+    assert classify_broadcast_growth([5], [10, 2000]) == [
+        (None, 10, "unpaired"),
+        (None, 2000, "unpaired"),
+    ]
+    # sub-half-ratio growth is bounded (saturating frames)
+    assert classify_broadcast_growth([400], [1200]) == [(400, 1200, "bounded")]
+
+
 def test_no_forced_linear_broadcasts(spark):
-    """With auto-broadcast disabled, any BroadcastExchange left in the
-    plan is an EXPLICIT hint — the only kind that can OOM at cluster
-    scale (Catalyst's own threshold choices self-revert to shuffle
-    joins). The r10 broadcast audit (scripts/broadcast_audit.py) found
-    10 forced broadcasts of raw customer/part scans and removed them;
-    this test re-runs the forced-only measurement on the audited set at
-    sf0.01 and asserts every remaining forced broadcast is a bounded
-    frame (fixed dims, aggregate profiles, capped spines — all well
-    under the corpus coefficient), so a hint on a linear frame cannot
-    quietly return."""
+    """REPO-WIDE forced-broadcast growth guard (the r10 verdict's #5
+    ask — the r10 version covered only the 12 audited queries). With
+    auto-broadcast disabled, any BroadcastExchange left in the plan is
+    an EXPLICIT hint — the only kind that can OOM at cluster scale
+    (Catalyst's own threshold choices self-revert to shuffle joins).
+    Every batch registry query runs at sf0.001 AND sf0.01 (AQE off,
+    threshold -1); each forced broadcast's row counts are paired by
+    plan position and growth-classified (plans.classify_broadcast_
+    growth): a frame that grows ~linearly across the decade past the
+    wobble floor is a would-OOM-at-100TB hazard and fails here, so a
+    NEW query cannot reintroduce the class the r10 audit removed. The
+    bounded-frame allowlist below is the only exemption mechanism —
+    every entry needs a disclosed reason."""
+    from smartpool_bigdata_spark.plans import (
+        broadcast_rows,
+        classify_broadcast_growth,
+    )
     from smartpool_bigdata_spark.queries import REGISTRY
 
-    AUDITED = [
-        "segment_fee_model",
-        "event_orphan_users",
-        "events_from_customers",
-        "segment_conversion_ztest",
-        "returned_item_losses",
-        "promo_revenue_share",
-        "large_volume_customers",
-        "segment_pareto_customers",
-        # keepers with disclosed small coefficients (SCALE.md ledger)
-        "bilateral_shipping_volume",
-        "supplier_nation_margin",
-        "local_supplier_revenue",
-        "sole_late_supplier_waitlist",
-    ]
-    BOUND = 5000  # rows at sf0.01; raw customer is 1500, part 2000 —
-    # a forced broadcast of either (or anything fact-derived) blows this
+    # Disclosed exemptions: forced broadcasts that grow across THIS
+    # decade (sf0.001→sf0.01) but are safe at scale for one of two
+    # reasons, each priced in SCALE.md's broadcast ledger. Keep this
+    # list short and justified — it is the only exemption mechanism.
+    ALLOWED_LINEAR: dict[str, str] = {
+        # (a) saturating-by-construction sketch frames: capped at a
+        # fixed cell count, still filling at these tiny SFs
+        "orders_bloom_prefilter": "bits frame caps at _BLOOM_M=16384 "
+        "distinct positions (450 @ sf0.01); dim-keys frame is the "
+        "acctbal>9000 slice, ~10% customer coefficient (ledger)",
+        "event_heavy_hitters_cms": "d*w CMS grid caps at _CMS_D*_CMS_W "
+        "cells; 450 filled @ sf0.01, saturates by sf0.1",
+        # (b) selective-filter dim slices Catalyst cannot estimate
+        # through (SCALE.md r10 ledger: ~8-20% of a dim's coefficient;
+        # at the 100 TB point the hint yields to executor-memory
+        # sizing via session.scale_conf)
+        "bilateral_shipping_volume": "Q7 two-nation customer slice",
+        "region_market_share": "Q8 region customer + type part slices",
+        "supplier_nation_margin": "Q9 p_name-filtered part slice",
+        "supplier_diversity_counts": "Q16 brand/type/size part slice",
+        "segment_shipping_priority": "Q3 one-segment customer slice",
+        "small_part_hoarding_suppliers": "size-filtered part slice",
+    }
 
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    offenders = {}
-    try:
-        for name in AUDITED:
-            df = REGISTRY[name].build(spark, "/root/testdata/sf0.01")
-            df.collect()
-            plan = df._jdf.queryExecution().executedPlan()
-            rows = []
-
-            def _metric(node):
-                m = node.metrics()
-                it = m.iterator()
-                while it.hasNext():
-                    kv = it.next()
-                    if kv._1() == "numOutputRows":
-                        return kv._2().value()
-                return None
-
-            def _walk(node):
-                if node.nodeName() == "BroadcastExchange":
-                    v = _metric(node)
-                    if v is not None:
-                        rows.append(int(v))
-                ch = node.children()
-                for i in range(ch.size()):
-                    _walk(ch.apply(i))
-
-            _walk(plan)
-            big = [r for r in rows if r > BOUND]
-            if big:
-                offenders[name] = big
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    small_sf, big_sf = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    offenders: dict[str, list] = {}
+    unpaired: dict[str, list] = {}
+    for name, q in REGISTRY.items():
+        if getattr(q, "skip_bench", False):
+            continue  # streaming/staged gates run real streams; audited
+            # separately (their static frames ride the batch twins)
+        big = broadcast_rows(spark, q.build, big_sf, forced_only=True)
+        if not big:
+            continue  # no explicit hints anywhere in the plan
+        small = broadcast_rows(spark, q.build, small_sf, forced_only=True)
+        labels = classify_broadcast_growth(small, big)
+        linear = [(s, b) for s, b, label in labels if label == "linear"]
+        unknown = [
+            b for s, b, label in labels if label == "unpaired" and b > 100
+        ]
+        if linear and name not in ALLOWED_LINEAR:
+            offenders[name] = linear
+        if unknown:
+            unpaired[name] = unknown
+        spark.catalog.clearCache()
     assert not offenders, (
         f"forced broadcast of a corpus-growing frame: {offenders} — "
-        "drop the hint (let the size threshold own it) or pin "
-        "shuffle_hash; see SCALE.md's r10 broadcast ledger"
+        "drop the hint (let the size threshold own it), pin "
+        "shuffle_hash, or add a justified ALLOWED_LINEAR entry; see "
+        "SCALE.md's broadcast ledger"
+    )
+    assert not unpaired, (
+        f"plan shape changed between SFs, growth unknowable for: "
+        f"{unpaired} — re-audit by hand (scripts/broadcast_audit.py)"
     )

@@ -69,3 +69,30 @@ def test_bench_compact_line_bounded_at_any_registry_size():
     small = dict(full, queries={"a": 1.0, "b": 2.0}, queries_first_run={})
     d2 = json.loads(compact_line(small))
     assert d2["queries_omitted"] == 0 and len(d2["queries"]) == 2
+
+    # the per-query n_runs map stays in BENCH_FULL.json, but the small
+    # stall disclosures survive into the hard-signal line
+    noisy = dict(
+        small,
+        queries_n_runs={"a": 2, "b": 4},
+        stall_retried=["b"],
+        still_above_prior=[],
+    )
+    d3 = json.loads(compact_line(noisy))
+    assert "queries_n_runs" not in d3
+    assert d3["stall_retried"] == ["b"]
+    assert d3["still_above_prior"] == []
+
+
+def test_bench_stall_retry_predicate():
+    """Stall-proofing (r10 verdict #1): readings >1.5x their prior
+    steady value (by an absolute >0.1 s) earn extra materializations,
+    capped at 4 total; new queries and sub-noise-floor wobbles don't."""
+    from bench import needs_retry
+
+    assert needs_retry(3.0, 1.5, runs=2)          # 2x prior -> retry
+    assert not needs_retry(3.0, 1.5, runs=4)      # cap reached
+    assert not needs_retry(2.0, 1.5, runs=2)      # within 1.5x band
+    assert not needs_retry(3.0, None, runs=2)     # no prior (new query)
+    assert not needs_retry(0.09, 0.05, runs=2)    # >1.5x but sub-floor
+    assert needs_retry(0.26, 0.1, runs=3)         # 2.6x and above floor
