@@ -210,10 +210,12 @@ def gen_part(rng: np.random.Generator, out: str) -> None:
             "p_brand": _empirical("p_brand", "part", rng, N_PARTS),
             "p_type": _empirical("p_type", "part", rng, N_PARTS),
             "p_size": _empirical("p_size", "part", rng, N_PARTS),
-            # sf0.1 pattern is exactly 900 + 0.1*key — keep the
-            # key-correlated price so selective price filters scale
-            # the same way they do in the driver's tiers
-            "p_retailprice": np.round(900.0 + 0.1 * keys, 1),
+            # driver pattern (all SFs): 900 + (key % 1000)/10 — the
+            # price RANGE saturates at [900, 999.9] while keys grow,
+            # so range-derived frames (skyline bands) stay bounded;
+            # an unbounded 900+0.1*key here faked a linear band-count
+            # jump at sf1 (caught by the r11 three-tier audit)
+            "p_retailprice": np.round(900.0 + (keys % 1000) / 10.0, 1),
         }
     )
     pq.write_table(tbl, os.path.join(out, "part.parquet"))

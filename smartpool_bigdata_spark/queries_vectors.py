@@ -1316,8 +1316,13 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = semdedup_prune(assigned, threshold=0.99).withColumn(
         "is_pruned", F.lit(1)
     )
+    # the pruned-id set grows WITH the corpus (it is a fraction of all
+    # vectors), so a broadcast hint here was a linear forced broadcast
+    # (caught by the r11 three-tier audit at sf1); shuffle_hash is the
+    # strategy that is right at every scale for this growing right side
+    # (no sort, no OOM — the returned_item_losses precedent)
     return (
-        assigned.join(F.broadcast(pruned), "vec_id", "left")
+        assigned.join(pruned.hint("shuffle_hash"), "vec_id", "left")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
@@ -1784,7 +1789,14 @@ def knn_lsh_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="row_number",
         rank_col="__hrn",
     ).drop("__hrn")
-    va = corpus.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # query-vector frame RESTRICTED to the fixed-k query ids before the
+    # hint: broadcasting the full corpus aliased as va was a
+    # linear-in-corpus forced broadcast (caught by the r11 three-tier
+    # audit at sf1 — invisible at the driver SFs where the embeddings
+    # table is tiny); the semi-joined frame is bounded at N_QUERIES rows
+    va = corpus.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     vb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     verified = (
         cand.join(F.broadcast(va), "query_id")

@@ -861,19 +861,45 @@ def test_no_forced_linear_broadcasts(spark):
         "supplier_diversity_counts": "Q16 brand/type/size part slice",
         "segment_shipping_priority": "Q3 one-segment customer slice",
         "small_part_hoarding_suppliers": "size-filtered part slice",
+        # (c) fixture-growth artifacts: frames bounded BY CONSTRUCTION
+        # in production but derived from the corpus in the synthetic
+        # fixture, so they scale with SF here
+        "doc_decontamination": "benchmark n-gram frame — a real "
+        "decontamination run broadcasts a FIXED eval set; the fixture "
+        "samples bench docs from the corpus (doc_id % 40)",
+        "llm_corpus_pipeline_v2": "same bench-gram frame as "
+        "doc_decontamination (shared decontamination stage)",
     }
 
     small_sf, big_sf = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    # documents/embeddings are IDENTICAL between sf0.001 and sf0.01
+    # (500/500 docs, 500/200... the driver only grows them at sf0.1),
+    # so corpus growth is invisible to that decade for text/vector
+    # queries — they compare sf0.01 → sf0.1 instead. This blind spot
+    # hid two real linear hints until the r11 three-tier audit
+    # (embedding_semdedup's pruned set, knn_lsh_hamming's corpus va).
+    doc_big_sf = "/root/testdata/sf0.1"
     offenders: dict[str, list] = {}
     unpaired: dict[str, list] = {}
     for name, q in REGISTRY.items():
         if getattr(q, "skip_bench", False):
             continue  # streaming/staged gates run real streams; audited
             # separately (their static frames ride the batch twins)
-        big = broadcast_rows(spark, q.build, big_sf, forced_only=True)
+        df = q.build(spark, big_sf)
+        plan_txt = df._jdf.queryExecution().executedPlan().toString()
+        static_corpus = (
+            "documents" in plan_txt or "embeddings" in plan_txt
+        )
+        big = broadcast_rows(
+            spark, q.build, doc_big_sf if static_corpus else big_sf,
+            forced_only=True,
+        )
         if not big:
             continue  # no explicit hints anywhere in the plan
-        small = broadcast_rows(spark, q.build, small_sf, forced_only=True)
+        small = broadcast_rows(
+            spark, q.build, big_sf if static_corpus else small_sf,
+            forced_only=True,
+        )
         labels = classify_broadcast_growth(small, big)
         linear = [(s, b) for s, b, label in labels if label == "linear"]
         unknown = [
