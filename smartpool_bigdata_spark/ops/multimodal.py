@@ -567,6 +567,329 @@ def resize_images(
     )
 
 
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a) — REAL stdlib-only multi-frame codec, making the
+# frame-extraction path computed rather than simulated. GIF's LZW is
+# pure bit-twiddling (no zlib even needed), so like PNG it requires no
+# codec library. True video codecs (H.264 etc.) still need ffmpeg and
+# stay stubbed behind sample_frames' deterministic fake.
+
+_GIF_MIN_CODE = 8  # 256-color palette -> 8-bit LZW minimum code size
+
+
+def _gif_palette() -> bytes:
+    """Fixed deterministic 256-entry palette: index i maps to
+    RGB(i, (i*7)%256, (i*13)%256) — arithmetic a SQL oracle replays."""
+    out = bytearray()
+    for i in range(256):
+        out += bytes((i, (i * 7) % 256, (i * 13) % 256))
+    return bytes(out)
+
+
+def _lzw_encode(indices, min_code: int = _GIF_MIN_CODE) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at min_code+1,
+    CLEAR emitted first, dictionary grows to 4095 then resets via
+    CLEAR, EOI terminates (GIF89a spec appendix F)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([int(k)])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        w = bytes([int(k)])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int = _GIF_MIN_CODE) -> bytes:
+    """Inverse of ``_lzw_encode`` (also accepts any spec-conforming
+    GIF LZW stream): rebuilds the string table code-by-code, handling
+    the KwKwK case (code == next_code) and CLEAR resets."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0
+    bitbuf = 0
+    nbits = 0
+
+    def read(width: int):
+        nonlocal pos, bitbuf, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_encode(frames) -> bytes:
+    """REAL stdlib-only animated GIF89a encoder: list of HxW uint8
+    palette-index arrays (shared fixed global palette) -> GIF bytes
+    with a graphics-control extension per frame and LZW-compressed
+    image data in 255-byte sub-blocks."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8 bits/px, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _gif_palette()
+    # netscape looping extension (standard for animations)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        assert fr.shape == (h, w), "all frames share the logical screen"
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(_GIF_MIN_CODE)
+        lzw = _lzw_encode(fr.reshape(-1).tolist())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """REAL stdlib-only GIF89a decoder for the subset the encoder
+    emits plus the common spec surface: global color table, any
+    extension blocks (skipped), per-frame image descriptors with
+    full-screen non-interlaced frames. Returns (width, height,
+    palette bytes, [HxW uint8 index arrays])."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            fx, fy, fw, fh, iflags = struct.unpack(
+                "<HHHHB", data[pos : pos + 9]
+            )
+            pos += 9
+            if iflags & 0x80:  # local color table (unused by encoder)
+                pos += 3 * (2 << (iflags & 0x07))
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF frames unsupported")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+            )
+            if len(idx) != fw * fh:
+                raise ValueError("GIF frame pixel count mismatch")
+            if (fx, fy, fw, fh) != (0, 0, w, h):
+                raise ValueError("partial-screen GIF frames unsupported")
+            frames.append(idx.reshape(fh, fw))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return w, h, palette, frames
+
+
+def _det_gif_frames(d: int):
+    """Deterministic test animation for id d (the GIF twin of
+    ``_det_image``): ``2 + d % 4`` frames of ``(6 + d % 9) x
+    (6 + (d*3) % 7)`` palette indices, index(f, y, x) =
+    (d*7 + f*13 + y*5 + x*3) % 256 — pure arithmetic a SQL oracle
+    replays without parsing bytes."""
+    import numpy as np
+
+    w = 6 + d % 9
+    h = 6 + (d * 3) % 7
+    nf = 2 + d % 4
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return [
+        ((d * 7 + f * 13 + y * 5 + x * 3) % 256).astype(np.uint8)
+        for f in range(nf)
+    ]
+
+
+def synthesize_gif(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per id, encode the deterministic test animation as REAL GIF89a
+    bytes (``gif_encode`` — LZW-compressed frames a downstream decoder
+    must actually inflate). ``carry`` as in ``synthesize_png``."""
+    carry = carry or {}
+    schema = f"{id_col} long, {out_col} binary" + "".join(
+        f", {c} {t}" for c, t in carry.items()
+    )
+
+    def gen(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            out = {
+                id_col: ids,
+                out_col: [gif_encode(_det_gif_frames(int(d))) for d in ids],
+            }
+            for c in carry:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *carry).mapInPandas(gen, schema=schema)
+
+
+def gif_frame_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decode each GIF payload (REAL stdlib LZW decode) and emit ONE
+    ROW PER FRAME — the genuine row-explosion shape frame extraction
+    has — with exact integer statistics over the palette-MAPPED RGB
+    channel bytes (so the oracle locks the palette lookup too, not
+    just the index stream). Row-local map work, no shuffle."""
+    carry = carry or {}
+    out_schema = (
+        f"{id_col} BIGINT, frame_idx INT, width INT, height INT, "
+        "rgb_sum BIGINT, rgb_min INT, rgb_max INT"
+        + "".join(f", {c} {t}" for c, t in carry.items())
+    )
+
+    def batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, (d, b) in enumerate(zip(pdf[id_col], pdf[payload_col])):
+                if b is None:
+                    continue
+                w, h, palette, frames = gif_decode(bytes(b))
+                pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+                extra = tuple(pdf[c].iloc[i] for c in carry)
+                for fi, fr in enumerate(frames):
+                    rgb = pal[fr.reshape(-1)].astype("int64")
+                    rows.append(
+                        (
+                            d,
+                            fi,
+                            w,
+                            h,
+                            int(rgb.sum()),
+                            int(rgb.min()),
+                            int(rgb.max()),
+                        )
+                        + extra
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "rgb_sum",
+                    "rgb_min",
+                    "rgb_max",
+                    *carry,
+                ],
+            )
+
+    return df.select(id_col, payload_col, *carry).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

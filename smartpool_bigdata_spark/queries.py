@@ -2852,17 +2852,19 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 GATE_PRIORITY: list[str] = [
     # --- r11 window: freshness rotation (the r10-verdict #2 ask — every
     # registry query already has a driver row, so the window's job is
-    # re-confirming the STALEST rows) plus the round's two new queries
-    # gated at birth. Contents: the 2 R11_NEW image-codec queries (the
-    # r10-verdict #3 ask — real stdlib PNG decode), the full 37-query
-    # R11_RECONFIRM_BACKLOG (the alphabetical tail of the r5-stale set,
-    # pinned last round — after these, no driver row predates r6), and
-    # 11 slots refreshing the oldest remaining rows (the 50 r6-stale
-    # greens, first 11 in name order; the other 39 are pinned as
-    # R12_RECONFIRM_BACKLOG in tests/test_registry_oracle.py).
-    # -- the 2 R11_NEW (real PNG pixel decode, gated at birth) --
+    # re-confirming the STALEST rows) plus the round's three new queries
+    # gated at birth. Contents: the 3 R11_NEW media-codec queries (the
+    # r10-verdict #3 ask — real stdlib PNG decode — plus the GIF
+    # frame-extraction twin), the full 37-query R11_RECONFIRM_BACKLOG
+    # (the alphabetical tail of the r5-stale set, pinned last round —
+    # after these, no driver row predates r6), and 10 slots refreshing
+    # the oldest remaining rows (the 50 r6-stale greens, first 10 in
+    # name order; the other 40 are pinned as R12_RECONFIRM_BACKLOG in
+    # tests/test_registry_oracle.py).
+    # -- the 3 R11_NEW (real stdlib media codecs, gated at birth) --
     "image_pixel_stats",
     "image_resize_stats",
+    "animation_frame_stats",
     # -- the 37 r5-stale re-confirmations (R11_RECONFIRM_BACKLOG) --
     "doc_incremental_dup_clusters",
     "doc_incremental_near_dup",
@@ -2901,7 +2903,7 @@ GATE_PRIORITY: list[str] = [
     "stream_static_segment_counts",
     "top_orders_per_priority",
     "zorder_time_user_slice",
-    # -- r6-stale re-confirmations (first 11 of 50 in name order) --
+    # -- r6-stale re-confirmations (first 10 of 50 in name order) --
     "active_ids_union",
     "allowed_event_types",
     "audio_pcm_chunk_stats",
@@ -2912,7 +2914,6 @@ GATE_PRIORITY: list[str] = [
     "doc_chunks",
     "doc_dedup_survivors",
     "doc_dup_clusters",
-    "doc_exact_dedup",
 ]
 
 

@@ -258,6 +258,100 @@ def test_resize_png_nearest_neighbor_exact(spark):
         assert np.array_equal(px, src[ys][:, xs])
 
 
+def test_gif_lzw_hand_packed_spec_vector():
+    """Decode an LZW stream PACKED BY HAND from the GIF89a spec's
+    bit-ordering rules (LSB-first variable-width codes; min_code=2 →
+    clear=4, eoi=5, width starts at 3 and bumps to 4 when the table
+    reaches 8 entries): CLEAR,1,2,3 in 3-bit codes then 0,EOI in 4-bit
+    codes packs to 8C 06 05. Independent of _lzw_encode — a symmetric
+    encoder/decoder bug (shared wrong width timing or bit order) fails
+    here."""
+    from smartpool_bigdata_spark.ops.multimodal import _lzw_decode
+
+    assert _lzw_decode(bytes([0x8C, 0x06, 0x05]), min_code=2) == bytes(
+        [1, 2, 3, 0]
+    )
+
+
+def test_gif_lzw_roundtrip_edge_cases():
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(3)
+    cases = [
+        [0],
+        [255] * 300,           # KwKwK repetition
+        [1, 1, 1, 1, 1, 1],    # immediate KwKwK
+        rng.integers(0, 256, 255).tolist(),
+        rng.integers(0, 256, 60000).tolist(),  # forces 12-bit + CLEAR reset
+    ]
+    for s in cases:
+        assert list(_lzw_decode(_lzw_encode(s))) == s
+
+
+def test_gif_roundtrip_and_palette():
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_gif_frames,
+        _gif_palette,
+        gif_decode,
+        gif_encode,
+    )
+
+    for d in (0, 5, 17, 499):
+        frames = _det_gif_frames(d)
+        w, h, pal, back = gif_decode(gif_encode(frames))
+        assert (h, w) == frames[0].shape
+        assert len(back) == 2 + d % 4
+        assert pal == _gif_palette()
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+    # corruption: bad signature rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        gif_decode(b"NOTGIF" + gif_encode(_det_gif_frames(1)))
+
+
+def test_gif_frame_stats_match_formula(spark):
+    """Spark-side loop: synthesize_gif emits REAL GIF89a bytes whose
+    per-frame palette-mapped stats match a pure-numpy recomputation."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_gif_frames,
+        gif_frame_stats,
+        synthesize_gif,
+    )
+
+    ids = spark.createDataFrame([(0,), (7,), (123,)], ["doc_id"])
+    rows = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["width"], r["height"], r["rgb_sum"], r["rgb_min"], r["rgb_max"]
+        )
+        for r in gif_frame_stats(synthesize_gif(ids)).collect()
+    }
+    pal = np.array(
+        [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)],
+        dtype=np.int64,
+    )
+    for d in (0, 7, 123):
+        frames = _det_gif_frames(d)
+        for fi, fr in enumerate(frames):
+            rgb = pal[fr.reshape(-1)]
+            want = (
+                fr.shape[1],
+                fr.shape[0],
+                int(rgb.sum()),
+                int(rgb.min()),
+                int(rgb.max()),
+            )
+            assert rows[(d, fi)] == want
+    assert len(rows) == sum(2 + d % 4 for d in (0, 7, 123))
+
+
 def test_pcm_roundtrip_and_chunk_features(spark):
     """synthesize -> parse -> window: the PCM bytes round-trip exactly
     (frombuffer inverts tobytes), tail chunks are short, and the integer

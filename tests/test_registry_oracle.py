@@ -477,11 +477,12 @@ R11_RECONFIRM_BACKLOG = frozenset({
 R11_NEW = frozenset({
     "image_pixel_stats",
     "image_resize_stats",
+    "animation_frame_stats",
 })
 
-# The 11 r11 re-confirmation slots left after the 2 new + 37 backlog:
+# The 10 r11 re-confirmation slots left after the 3 new + 37 backlog:
 # of the 50 queries whose NEWEST driver row is r6 (the oldest rows once
-# the r5 backlog is refreshed), the first 11 in name order.
+# the r5 backlog is refreshed), the first 10 in name order.
 R11_RECONFIRM_R6 = frozenset({
     "active_ids_union",
     "allowed_event_types",
@@ -493,12 +494,12 @@ R11_RECONFIRM_R6 = frozenset({
     "doc_chunks",
     "doc_dedup_survivors",
     "doc_dup_clusters",
-    "doc_exact_dedup",
 })
 
-# The alphabetical tail of the 50 r6-stale queries (the 39 that did
+# The alphabetical tail of the 50 r6-stale queries (the 40 that did
 # not fit the r11 window) — first in line for r12 re-confirmation.
 R12_RECONFIRM_BACKLOG = frozenset({
+    "doc_exact_dedup",
     "doc_language_guess",
     "doc_near_dup_pairs",
     "doc_prefix_filter_pairs",
