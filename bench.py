@@ -160,6 +160,7 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     prior_steady: dict[str, float] = {}
+    prior_canary = None
     try:
         with open(prior_path) as f:
             _prior_full = json.load(f)
@@ -168,8 +169,17 @@ def main() -> int:
         # become the retry yardstick for the driver's sf0.1 run
         if _prior_full.get("sf") == sf:
             prior_steady = _prior_full.get("queries", {}) or {}
+            prior_canary = _prior_full.get("canary_jvm_sec")
     except (OSError, ValueError):
         pass
+    # Host-aware bar: if THIS host's canary is slower than the prior
+    # run's, every query reads uniformly high — scale the priors up by
+    # the canary ratio (clamped to [1, 3]) so retries fire on genuine
+    # per-query outliers, not on host-wide slowness. Never scale DOWN:
+    # a faster host keeps the plain 1.5x bar.
+    if prior_canary:
+        rel = min(max(canaries["canary_jvm_sec"] / prior_canary, 1.0), 3.0)
+        prior_steady = {k: v * rel for k, v in prior_steady.items()}
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
