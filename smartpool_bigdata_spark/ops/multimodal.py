@@ -135,6 +135,10 @@ def png_decode(data: bytes):
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"truncated PNG payload (chunk {tag!r} runs past end)"
+            )
         body = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -657,7 +661,13 @@ def _lzw_decode(data: bytes, min_code: int = _GIF_MIN_CODE) -> bytes:
         return code
 
     out = bytearray()
-    table: list[bytes] = []
+    # pre-initialize the string table: a spec-conforming stream may omit
+    # the leading CLEAR (the encoder here always emits one, but decode
+    # accepts any conforming stream — ADVICE r11)
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [
+        b"",
+        b"",
+    ]
     width = min_code + 1
     prev: bytes | None = None
     while True:
@@ -670,6 +680,8 @@ def _lzw_decode(data: bytes, min_code: int = _GIF_MIN_CODE) -> bytes:
             prev = None
             continue
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt LZW stream: code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -730,13 +742,33 @@ def gif_decode(data: bytes):
 
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF payload (no screen descriptor)")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     palette = b""
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GIF payload (global color table)")
         palette = data[pos : pos + 3 * n]
         pos += 3 * n
+
+    def _subblocks(p: int):
+        # walk a sub-block chain bounds-checked; ValueError, never
+        # IndexError, on payloads cut mid-chain
+        body = bytearray()
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF payload (sub-blocks)")
+            ln = data[p]
+            if ln == 0:
+                return bytes(body), p + 1
+            if p + 1 + ln > len(data):
+                raise ValueError("truncated GIF payload (sub-blocks)")
+            body += data[p + 1 : p + 1 + ln]
+            p += 1 + ln
+
     frames = []
     while pos < len(data):
         b0 = data[pos]
@@ -744,27 +776,26 @@ def gif_decode(data: bytes):
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks
-            pos += 1
-            while data[pos]:
-                pos += 1 + data[pos]
-            pos += 1
+            _, pos = _subblocks(pos + 1)
         elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise ValueError("truncated GIF payload (image descriptor)")
             fx, fy, fw, fh, iflags = struct.unpack(
                 "<HHHHB", data[pos : pos + 9]
             )
             pos += 9
-            if iflags & 0x80:  # local color table (unused by encoder)
-                pos += 3 * (2 << (iflags & 0x07))
+            if iflags & 0x80:
+                # a spec-valid frame with its own palette would silently
+                # take the WRONG colors through the fixed global palette
+                # downstream — reject loudly like the other unsupported
+                # variants instead of advancing past the table
+                raise ValueError("GIF local color tables unsupported")
             if iflags & 0x40:
                 raise ValueError("interlaced GIF frames unsupported")
+            if pos >= len(data):
+                raise ValueError("truncated GIF payload (LZW min code)")
             min_code = data[pos]
-            pos += 1
-            lzw = bytearray()
-            while data[pos]:
-                ln = data[pos]
-                lzw += data[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
+            lzw, pos = _subblocks(pos + 1)
             idx = np.frombuffer(
                 _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
             )

@@ -379,3 +379,77 @@ def test_pcm_roundtrip_and_chunk_features(spark):
             assert feats[(d, c0 // 1024)] == want
     # tail chunk of doc 3 is short: 1536+3 = 1539 -> chunks of 1024, 515
     assert feats[(3, 1)][0] == 515
+
+
+def test_codec_error_contract_on_truncated_payloads():
+    """ADVICE r11: truncated payloads must raise ValueError (the
+    documented error contract), never struct.error/IndexError leaking
+    from the chunk/sub-block walks."""
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_gif_frames,
+        _det_image,
+        gif_decode,
+        gif_encode,
+        png_decode,
+        png_encode,
+    )
+
+    png = png_encode(_det_image(9))
+    gif = gif_encode(_det_gif_frames(9))
+    # cut points chosen to land mid-chunk-header, mid-body, mid-CRC
+    for cut in (9, 14, 21, len(png) - 3):
+        # cuts inside the first chunk HEADER exit the walk early and
+        # surface as "missing IHDR"; cuts inside a body/CRC surface as
+        # "truncated" — both inside the ValueError contract
+        with _pytest.raises(ValueError, match="truncated|missing IHDR"):
+            png_decode(png[:cut])
+    for cut in (8, 14, len(gif) - 5):
+        with _pytest.raises(ValueError, match="truncated"):
+            gif_decode(gif[:cut])
+
+
+def test_gif_local_color_table_rejected():
+    """A spec-valid frame carrying a LOCAL color table would silently
+    take the wrong RGB through the fixed global palette downstream —
+    the decoder rejects it loudly like the other unsupported variants."""
+    import struct
+
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_gif_frames,
+        gif_decode,
+        gif_encode,
+    )
+
+    good = bytearray(gif_encode(_det_gif_frames(2)))
+    # first image descriptor: find the 0x2C introducer after the
+    # NETSCAPE extension, set the local-color-table flag and splice in
+    # a 4-entry (2<<1) local table
+    pos = good.index(0x2C, 13 + 768)
+    fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", good[pos + 1 : pos + 10])
+    assert iflags == 0
+    good[pos + 9] = 0x80 | 0x01  # local table present, 4 entries
+    patched = bytes(good[: pos + 10]) + b"\x00" * 12 + bytes(good[pos + 10 :])
+    with _pytest.raises(ValueError, match="local color table"):
+        gif_decode(patched)
+
+
+def test_lzw_decode_without_leading_clear():
+    """A spec-conforming LZW stream may omit the initial CLEAR; the
+    decoder's pre-initialized table must decode it, not IndexError
+    (ADVICE r11). Hand-packed: codes 1,2,3,EOI(=5) at width 3 for
+    min_code=2 pack LSB-first to 0x91 0x2E."""
+    from smartpool_bigdata_spark.ops.multimodal import _lzw_decode
+
+    # width=3 codes 1,2,3,EOI(5), LSB-first:
+    #   byte0 = 1 | 2<<3 | (3 & 0b11)<<6 = 0xD1
+    #   byte1 = 3>>2 | 5<<1            = 0x0A
+    assert _lzw_decode(bytes([0xD1, 0x0A]), min_code=2) == bytes([1, 2, 3])
+    # and a genuinely corrupt FIRST code (beyond the initial table)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corrupt LZW"):
+        _lzw_decode(bytes([0x07]), min_code=2)
