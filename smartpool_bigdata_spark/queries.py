@@ -2850,70 +2850,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   21 post-window r9 additions were judge-verified at sf0.01 and
 #   pinned as R10_PENDING).
 GATE_PRIORITY: list[str] = [
-    # --- r11 window: freshness rotation (the r10-verdict #2 ask — every
-    # registry query already has a driver row, so the window's job is
-    # re-confirming the STALEST rows) plus the round's three new queries
-    # gated at birth. Contents: the 3 R11_NEW media-codec queries (the
-    # r10-verdict #3 ask — real stdlib PNG decode — plus the GIF
-    # frame-extraction twin), the full 37-query R11_RECONFIRM_BACKLOG
-    # (the alphabetical tail of the r5-stale set, pinned last round —
-    # after these, no driver row predates r6), and 10 slots refreshing
-    # the oldest remaining rows (the 50 r6-stale greens, first 10 in
-    # name order; the other 40 are pinned as R12_RECONFIRM_BACKLOG in
-    # tests/test_registry_oracle.py).
-    # -- the 3 R11_NEW (real stdlib media codecs, gated at birth) --
-    "image_pixel_stats",
-    "image_resize_stats",
-    "animation_frame_stats",
-    # -- the 37 r5-stale re-confirmations (R11_RECONFIRM_BACKLOG) --
-    "doc_incremental_dup_clusters",
-    "doc_incremental_near_dup",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_quality_filter",
-    "doc_repetition_signals",
-    "doc_unigram_logprob",
-    "doc_weighted_sample",
-    "embedding_covariance",
-    "embedding_covariance_partial",
-    "embedding_near_dup",
-    "embedding_pca_whitened",
-    "embedding_semdedup",
-    "event_orphan_users",
-    "event_props_variant",
-    "incremental_keyset_roundtrip",
-    "ingest_watermark",
-    "json_landing_stats",
-    "knn_ivf_multiprobe",
-    "latest_order_per_customer",
-    "ledger_roundtrip_stats",
-    "llm_corpus_pipeline_v2",
-    "medallion_gold_daily",
-    "multimodal_byte_features",
-    "orc_roundtrip_stats",
-    "order_priority_pivot_native",
-    "pricing_summary",
-    "segment_fee_model",
-    "sensor_feed_stream_stats",
-    "stream_dedup_events",
-    "stream_dq_quarantine",
-    "stream_event_hourly_window",
-    "stream_incremental_dup_clusters",
-    "stream_incremental_near_dup",
-    "stream_static_segment_counts",
-    "top_orders_per_priority",
-    "zorder_time_user_slice",
-    # -- r6-stale re-confirmations (first 10 of 50 in name order) --
-    "active_ids_union",
-    "allowed_event_types",
-    "audio_pcm_chunk_stats",
-    "bootstrap_partitioned_roundtrip",
-    "compact_maintenance_stats",
-    "corpus_packing_manifest",
-    "customer_top_orders_lateral",
-    "doc_chunks",
-    "doc_dedup_survivors",
-    "doc_dup_clusters",
+    # --- r12 window: freshness rotation continues (the r11-verdict #2
+    # ask). Contents: the 1 R12_NEW query gated at birth (the real
+    # RIFF/WAV container codec — r11-verdict #5), the full 40-query
+    # R12_RECONFIRM_BACKLOG (the alphabetical tail of the r6-stale set,
+    # pinned last round — after these, no driver row predates r7), and
+    # 9 slots refreshing the oldest remaining rows (the 50 r7-stale
+    # greens, first 9 in name order; the other 41 are pinned as
+    # R13_RECONFIRM_BACKLOG in tests/test_registry_oracle.py).
+    # -- the 1 R12_NEW (real stdlib WAV container codec, gated at birth) --
+    "audio_wav_chunk_stats",
+    # -- the 40 r6-stale re-confirmations (R12_RECONFIRM_BACKLOG) --
+    "doc_exact_dedup",
+    "doc_language_guess",
+    "doc_near_dup_pairs",
+    "doc_prefix_filter_pairs",
+    "doc_signature_table_pairs",
+    "doc_signatures",
+    "doc_simhash_near_dup",
+    "doc_text_quality",
+    "doc_token_percentiles",
+    "doc_train_split",
+    "embedding_dup_clusters",
+    "event_audience_overlap_kmv",
+    "event_cost_model",
+    "event_heavy_hitters_cms",
+    "event_hourly_window",
+    "event_null_profile",
+    "event_projection_normalize",
+    "event_range_flags",
+    "events_asof_tolerance",
+    "events_from_customers",
+    "hourly_value_deviation",
+    "jdbc_live_roundtrip",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_ivfpq_adc",
+    "llm_corpus_pipeline_v3",
+    "order_dup_check",
+    "order_priority_pivot",
+    "orders_bloom_prefilter",
+    "peak_event_hours",
+    "purchase_graph_pagerank",
+    "regional_supplier_revenue",
+    "schema_merge_landing_stats",
+    "stream_event_sliding_window",
+    "stream_ivf_assignments",
+    "stream_multihop_topology",
+    "stream_pq_codes",
+    "stream_user_sessions",
+    "top_value_orders",
+    "urgent_open_orders",
+    # -- r7-stale re-confirmations (first 9 of 50 in name order; two of
+    # them, bpe_merge_candidates and contrastive_inbatch_pairs, are also
+    # the r11 bench's flagged wobbles — a fresh driver row settles both)
+    "basket_association_rules",
+    "bpe_merge_candidates",
+    "contrastive_inbatch_pairs",
+    "copurchase_triangle_stats",
+    "customer_rfm_segments",
+    "customer_similarity_topk",
+    "daily_seasonal_residuals",
+    "doc_bm25_topk",
+    "doc_char_entropy",
 ]
 
 

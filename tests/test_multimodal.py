@@ -453,3 +453,84 @@ def test_lzw_decode_without_leading_clear():
 
     with _pytest.raises(ValueError, match="corrupt LZW"):
         _lzw_decode(bytes([0x07]), min_code=2)
+
+
+def test_wav_roundtrip_and_container_shape():
+    """wav_encode emits a genuine RIFF/WAVE container (fmt + fact +
+    data, word-aligned sizes); wav_decode inverts it exactly and the
+    chunk walk skips the fact chunk generically."""
+    import struct
+
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(7)
+    for n, rate in [(1, 8000), (513, 16000), (4096, 24000)]:
+        s = rng.integers(-32768, 32768, n).astype("<i2")
+        data = wav_encode(s, rate)
+        # container shape: RIFF size covers the whole body
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        (riff,) = struct.unpack("<I", data[4:8])
+        assert 8 + riff == len(data)
+        assert b"fmt " in data and b"fact" in data and b"data" in data
+        back_rate, back = wav_decode(data)
+        assert back_rate == rate
+        assert np.array_equal(back, s)
+
+
+def test_wav_decode_error_contract():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import wav_decode, wav_encode
+
+    good = wav_encode(np.arange(100, dtype="<i2"), 8000)
+    with _pytest.raises(ValueError, match="signature"):
+        wav_decode(b"JUNK" + good[4:])
+    for cut in (10, 20, len(good) - 7):
+        with _pytest.raises(ValueError, match="truncated"):
+            wav_decode(good[:cut])
+    # stereo / non-PCM / 8-bit all reject with the variant message
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    pos = good.index(b"fmt ") + 8
+    patched = good[:pos] + bad_fmt + good[pos + 16 :]
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        wav_decode(patched)
+    # data before fmt rejected
+    with _pytest.raises(ValueError, match="data chunk before fmt"):
+        wav_decode(
+            b"RIFF" + struct.pack("<I", 4 + 8 + 2) + b"WAVE"
+            + b"data" + struct.pack("<I", 2) + b"\x01\x00"
+        )
+
+
+def test_wav_synthesize_and_chunk_features(spark):
+    """Spark-side loop: synthesize_wav -> wav_chunk_features recovers
+    the container sample_rate and exact per-chunk integer features
+    matching a pure-numpy recomputation of the waveform formula."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        synthesize_wav,
+        wav_chunk_features,
+    )
+
+    ids = spark.createDataFrame([(2,), (771,)], ["doc_id"])
+    feats = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["sample_rate"], r["n_samples"], r["peak"], r["sum_sq"]
+        )
+        for r in wav_chunk_features(synthesize_wav(ids)).collect()
+    }
+    for d in (2, 771):
+        rate = 8000 * (1 + d % 3)
+        n = 2048 + (d * 5) % 1536
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 37 + i * 11) % 65536 - 32768
+        for c0 in range(0, n, 512):
+            ch = s[c0 : c0 + 512]
+            want = (rate, len(ch), int(np.abs(ch).max()), int((ch * ch).sum()))
+            assert feats[(d, c0 // 512)] == want

@@ -542,13 +542,85 @@ R12_RECONFIRM_BACKLOG = frozenset({
 })
 
 
+# The full r11 driver window (all 50 green in CORRECTNESS_r11.json).
+R11_WINDOW = R11_NEW | R11_RECONFIRM_BACKLOG | R11_RECONFIRM_R6
+
+# New in round 12, gated at birth: the REAL stdlib RIFF/WAV container
+# codec query (the r11 verdict's #5 ask — the last synthetic-framing
+# media column converted to a genuine container parse).
+R12_NEW = frozenset({
+    "audio_wav_chunk_stats",
+})
+
+# The 9 r12 re-confirmation slots left after the 1 new + 40 backlog:
+# of the 50 queries whose NEWEST driver row is r7 (the oldest rows once
+# the r6 backlog is refreshed), the first 9 in name order.
+R12_RECONFIRM_R7 = frozenset({
+    "basket_association_rules",
+    "bpe_merge_candidates",
+    "contrastive_inbatch_pairs",
+    "copurchase_triangle_stats",
+    "customer_rfm_segments",
+    "customer_similarity_topk",
+    "daily_seasonal_residuals",
+    "doc_bm25_topk",
+    "doc_char_entropy",
+})
+
+# The alphabetical tail of the 50 r7-stale queries (the 41 that did
+# not fit the r12 window) — first in line for r13 re-confirmation.
+R13_RECONFIRM_BACKLOG = frozenset({
+    "doc_dup_span_mass",
+    "doc_groupwise_split",
+    "doc_sorted_neighborhood_pairs",
+    "doc_split_leakage",
+    "doc_token_pmi",
+    "doc_weighted_quality_quantiles",
+    "doc_weighted_sample_per_lang",
+    "embedding_cluster_quality",
+    "embedding_dim_profile",
+    "embedding_matryoshka_recall",
+    "embedding_prototype_eval",
+    "event_cusum_changepoints",
+    "event_ewma_anomalies",
+    "event_type_trend_slopes",
+    "event_value_mad_outliers",
+    "event_value_psi_drift",
+    "events_profile_summary",
+    "hybrid_rrf_retrieval",
+    "join_size_ams_estimate",
+    "knn_lsh_hamming",
+    "knn_recall_eval",
+    "landing_cardinality_check",
+    "ledger_time_travel_stats",
+    "llm_corpus_pipeline_v4",
+    "merge_change_feed_stats",
+    "pq_distortion_stats",
+    "purchase_graph_communities",
+    "scd2_enriched_event_stats",
+    "segment_conversion_ztest",
+    "snapshot_diff_stats",
+    "source_corpus_profile",
+    "source_discriminative_terms",
+    "source_dup_matrix",
+    "stream_cdf_matview",
+    "stream_cms_heavy_hitters",
+    "table_content_digest",
+    "user_conversion_life_table",
+    "user_item_negative_samples",
+    "user_rolling_distinct_kmv",
+    "user_window_funnel",
+    "vocab_editdist_pairs",
+})
+
+
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r11 set: the 2
-    R11_NEW image-codec queries (gated at birth), the full 37-query
-    R11_RECONFIRM_BACKLOG (the r5-stale tail — the oldest driver rows
-    anywhere), and the first 11 r6-stale re-confirmations. After this
-    round no driver row predates r6. A refactor that reorders
+    registry entries in iteration order. Pin the ROTATED r12 set: the 1
+    R12_NEW WAV-codec query (gated at birth), the full 40-query
+    R12_RECONFIRM_BACKLOG (the r6-stale tail — the oldest driver rows
+    anywhere), and the first 9 r7-stale re-confirmations. After this
+    round no driver row predates r7. A refactor that reorders
     registration (round 2 silently pushed embedding_near_dup and all of
     §2.7 out of the window) must fail HERE, not at the gate."""
     from smartpool_bigdata_spark.queries import GATE_PRIORITY
@@ -568,33 +640,34 @@ def test_gate_window_pinned():
         | R8_WINDOW
         | R9_WINDOW
         | R10_WINDOW
+        | R11_WINDOW
     )
     missing = prior - set(names)
     assert not missing, f"driver-green queries dropped from registry: {missing}"
     # FULL coverage: every registry query has a driver row from some
     # round or is in this window; new queries registered THIS round
     # must be added to the window (gated at birth) or to a declared
-    # R12_PENDING set — silence is not an option
+    # R13_PENDING set — silence is not an option
     uncovered = set(names) - (gated | prior)
     assert not uncovered, f"queries with no driver window ever: {uncovered}"
-    # R11_NEW really is new (no prior driver row) and fully gated
-    assert not R11_NEW & prior, f"R11_NEW entries already gated: {R11_NEW & prior}"
-    assert R11_NEW <= gated, f"new queries dropped: {R11_NEW - gated}"
-    # the window is EXACTLY: the new pair + both re-confirmation slices
-    assert gated - R11_NEW == R11_RECONFIRM_BACKLOG | R11_RECONFIRM_R6
-    # the r5-stale backlog is genuinely r5-stale (newest row = r5,
-    # nothing refreshed it since), the r6 slice genuinely r6-stale
-    assert R11_RECONFIRM_BACKLOG <= R5_WINDOW
-    assert not R11_RECONFIRM_BACKLOG & (
-        R6_WINDOW | R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
+    # R12_NEW really is new (no prior driver row) and fully gated
+    assert not R12_NEW & prior, f"R12_NEW entries already gated: {R12_NEW & prior}"
+    assert R12_NEW <= gated, f"new queries dropped: {R12_NEW - gated}"
+    # the window is EXACTLY: the new query + both re-confirmation slices
+    assert gated - R12_NEW == R12_RECONFIRM_BACKLOG | R12_RECONFIRM_R7
+    # the r6-stale backlog is genuinely r6-stale (newest row = r6,
+    # nothing refreshed it since), the r7 slice genuinely r7-stale
+    assert R12_RECONFIRM_BACKLOG <= R6_WINDOW
+    assert not R12_RECONFIRM_BACKLOG & (
+        R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW | R11_WINDOW
     )
-    assert R11_RECONFIRM_R6 <= R6_WINDOW
-    assert not R11_RECONFIRM_R6 & (
-        R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
+    assert R12_RECONFIRM_R7 <= R7_WINDOW
+    assert not R12_RECONFIRM_R7 & (
+        R8_WINDOW | R9_WINDOW | R10_WINDOW | R11_WINDOW
     )
-    # the declared r12 backlog is exactly the rest of the r6-stale set
-    stale_r6 = R6_WINDOW - (
-        R7_WINDOW | R8_WINDOW | R9_WINDOW | R10_WINDOW
+    # the declared r13 backlog is exactly the rest of the r7-stale set
+    stale_r7 = R7_WINDOW - (
+        R8_WINDOW | R9_WINDOW | R10_WINDOW | R11_WINDOW
     )
-    assert R11_RECONFIRM_R6 | R12_RECONFIRM_BACKLOG == stale_r6
-    assert not R11_RECONFIRM_R6 & R12_RECONFIRM_BACKLOG
+    assert R12_RECONFIRM_R7 | R13_RECONFIRM_BACKLOG == stale_r7
+    assert not R12_RECONFIRM_R7 & R13_RECONFIRM_BACKLOG
