@@ -96,3 +96,43 @@ def test_bench_stall_retry_predicate():
     assert not needs_retry(3.0, None, runs=2)     # no prior (new query)
     assert not needs_retry(0.09, 0.05, runs=2)    # >1.5x but sub-floor
     assert needs_retry(0.26, 0.1, runs=3)         # 2.6x and above floor
+
+
+def test_bench_python_path_classifier_and_canary_rel():
+    """r11 verdict #1: the retry yardstick keys on the canary matching
+    the query's execution path. Pure pieces: plan-string classification
+    and the clamped never-scale-down prior factor."""
+    from bench import canary_rel, is_python_path
+
+    assert is_python_path("+- MapInPandas gen(...)")
+    assert is_python_path("FlatMapGroupsInPandasWithState")
+    assert is_python_path("ArrowEvalPython [f(x)]")
+    assert not is_python_path("+- HashAggregate(keys=[k])\n+- Exchange")
+    # host 30% slower on this path -> priors scale up 1.3x
+    assert canary_rel(0.964, 0.749) == 0.964 / 0.749
+    # faster host never scales priors DOWN
+    assert canary_rel(0.5, 0.749) == 1.0
+    # clamped at 3x; missing prior -> neutral
+    assert canary_rel(9.0, 1.0) == 3.0
+    assert canary_rel(1.0, None) == 1.0
+
+
+def test_bench_python_path_classifier_against_real_plans(spark):
+    """The classifier reads ANALYZED plan strings; pin it against real
+    plans from both paths so a Spark rename of the logical node name
+    fails here, not silently in the bench."""
+    from pyspark.sql import functions as F
+
+    from bench import is_python_path
+
+    jvm_df = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
+    assert not is_python_path(
+        jvm_df._jdf.queryExecution().analyzed().toString()
+    )
+
+    arrow_df = spark.range(10).mapInPandas(
+        lambda it: it, schema="id long"
+    )
+    assert is_python_path(
+        arrow_df._jdf.queryExecution().analyzed().toString()
+    )
