@@ -136,3 +136,33 @@ def test_bench_python_path_classifier_against_real_plans(spark):
     assert is_python_path(
         arrow_df._jdf.queryExecution().analyzed().toString()
     )
+
+
+def test_bench_fresh_session_eligibility():
+    """End-of-run isolation picks up (a) the 1.3x band and (b) large
+    absolute movers >=1.25x and >=0.25 s, while exempting subsecond
+    wobble and anything without a same-SF prior."""
+    from bench import above_prior, fresh_eligible
+
+    timings = {
+        "big_30pct": 1.98,      # prior 1.50 -> 1.32x, delta .48 -> both
+        "big_27pct": 2.55,      # prior 2.00 -> 1.27x, delta .55 -> abs
+        "small_wobble": 0.46,   # prior 0.35 -> 1.31x, delta .11 -> band
+        "tiny_wobble": 0.13,    # prior 0.09 -> 1.44x, delta .04 -> floor
+        "steady": 1.00,         # prior 1.00
+        "new_query": 9.99,      # no prior
+    }
+    prior = {
+        "big_30pct": 1.50,
+        "big_27pct": 2.00,
+        "small_wobble": 0.35,
+        "tiny_wobble": 0.09,
+        "steady": 1.00,
+    }
+    assert fresh_eligible(timings, prior) == [
+        "big_27pct", "big_30pct", "small_wobble",
+    ]
+    # the disclosure bar stays 1.5x: only readings still above it after
+    # everything else report as genuine movers
+    assert above_prior(timings, prior) == []
+    assert above_prior({"x": 3.1}, {"x": 2.0}) == ["x"]
