@@ -4230,6 +4230,86 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "video_mp4_frame_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, source,
+               6 + (doc_id * 5) % 9 AS w,
+               6 + (doc_id * 3) % 7 AS h,
+               2 + doc_id % 3 AS nf
+        FROM documents
+    ),
+    frames AS (
+        SELECT d.doc_id, d.source, d.w, d.h, f.f AS f,
+               24 + (f.f % 2) * 12 AS dur
+        FROM dims d, unnest(range(0, d.nf)) AS f(f)
+    ),
+    px AS (
+        SELECT fr.doc_id, fr.source, fr.f, fr.w, fr.h, fr.dur,
+               sum((fr.doc_id * 29 + fr.f * 23 + y.y * 17 + x.x * 5
+                    + c.c * 11) % 256) AS psum,
+               min((fr.doc_id * 29 + fr.f * 23 + y.y * 17 + x.x * 5
+                    + c.c * 11) % 256) AS pmin,
+               max((fr.doc_id * 29 + fr.f * 23 + y.y * 17 + x.x * 5
+                    + c.c * 11) % 256) AS pmax
+        FROM frames fr,
+             unnest(range(0, fr.h)) AS y(y),
+             unnest(range(0, fr.w)) AS x(x),
+             unnest(range(0, 3)) AS c(c)
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(w) AS BIGINT) AS total_width,
+           CAST(sum(h) AS BIGINT) AS total_height,
+           CAST(sum(dur) AS BIGINT) AS total_ticks,
+           CAST(sum(psum) AS BIGINT) AS px_sum,
+           CAST(min(pmin) AS INT) AS px_min,
+           CAST(max(pmax) AS INT) AS px_max
+    FROM px GROUP BY source
+    """,
+    description="REAL video container demux + per-frame decode — the "
+    "modality the r1-r11 family stubbed behind the ffmpeg probe, now "
+    "computed for the intra-frame case: per document a deterministic "
+    "video encodes as a genuine ISO BMFF file (ops/multimodal.py:"
+    "mp4_encode — ftyp/mdat/moov with a FULL sample table: multi-run "
+    "stts from alternating frame durations, multi-run stsc from "
+    "2-sample chunking, absolute stco offsets) whose track carries the "
+    "registered QuickTime 'png ' codec, each sample a real PNG frame. "
+    "The decoder walks boxes bounds-checked, resolves stsc x stco x "
+    "stsz to absolute sample spans (validated inside mdat), expands "
+    "stts (validated against mdhd duration), and png_decodes every "
+    "sample — so the oracle's hash locks the demux arithmetic AND both "
+    "codec passes. The oracle regenerates pixel stats and container "
+    "timing from the (id, f, y, x, c) arithmetic WITHOUT parsing "
+    "bytes. Inter-frame codecs (H.264) still need ffmpeg and stay "
+    "stubbed (sample_frames guard). Scale: row-local mapInPandas with "
+    "frame fan-out, group-by column carried through — one scan, zero "
+    "joins, one agg shuffle.",
+)
+def video_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.multimodal import (
+        mp4_frame_stats,
+        synthesize_mp4,
+    )
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source")
+    carry = {"source": "string"}
+    stats = mp4_frame_stats(synthesize_mp4(docs, carry=carry), carry=carry)
+    return stats.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("width").cast("bigint").alias("total_width"),
+        F.sum("height").cast("bigint").alias("total_height"),
+        F.sum("frame_dur").cast("bigint").alias("total_ticks"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
 __reorder()
 
 

@@ -534,3 +534,128 @@ def test_wav_synthesize_and_chunk_features(spark):
             ch = s[c0 : c0 + 512]
             want = (rate, len(ch), int(np.abs(ch).max()), int((ch * ch).sum()))
             assert feats[(d, c0 // 512)] == want
+
+def test_mp4_roundtrip_and_container_shape():
+    """mp4_encode emits a genuine ISO BMFF file (ftyp/mdat/moov with a
+    full stsd/stts/stsc/stsz/stco sample table); mp4_decode inverts it
+    exactly — frames, per-frame durations, track dims, timescale — and
+    the sample spans really address PNG bytes inside mdat."""
+    import struct
+
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import mp4_decode, mp4_encode
+
+    rng = np.random.default_rng(11)
+    # 1 frame (single 1-sample chunk), even count (uniform pairs), odd
+    # count >1 (trailing 1-sample chunk -> multi-run stsc)
+    for nf, w, h in [(1, 6, 5), (4, 9, 7), (5, 16, 3)]:
+        frames = [
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        durs = [24 + (f % 2) * 12 for f in range(nf)]
+        data = mp4_encode(frames, durs)
+        assert data[4:8] == b"ftyp" and data[8:12] == b"qt  "
+        (ftyp_sz,) = struct.unpack(">I", data[:4])
+        assert data[ftyp_sz + 4 : ftyp_sz + 8] == b"mdat"
+        bw, bh, ts, dur, out = mp4_decode(data)
+        assert (bw, bh, ts, dur) == (w, h, 600, sum(durs))
+        assert [fd for fd, _, _, _ in out] == durs
+        for (fd, off, sz, px), fr in zip(out, frames):
+            assert np.array_equal(px, fr)
+            assert data[off : off + sz].startswith(b"\x89PNG")
+
+
+def test_mp4_decode_error_contract():
+    """ValueError — never IndexError/struct.error — on truncation,
+    unsupported variants (64-bit boxes, version-1 headers, foreign
+    codecs, multiple video tracks), and inconsistent sample tables."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_video,
+        mp4_decode,
+        mp4_encode,
+    )
+
+    good = mp4_encode(*_det_video(7))
+    # EVERY prefix must raise ValueError (the documented contract), and
+    # every single-byte flip must either still decode or raise ValueError
+    for cut in range(0, len(good), 7):
+        with _pytest.raises(ValueError):
+            mp4_decode(good[:cut])
+    for i in range(0, len(good), 11):
+        mut = bytearray(good)
+        mut[i] ^= 0xFF
+        try:
+            mp4_decode(bytes(mut))
+        except ValueError:
+            pass
+    # 64-bit largesize box
+    with _pytest.raises(ValueError, match="largesize"):
+        mp4_decode(struct.pack(">I", 1) + b"mdat" + good)
+    # version-1 header boxes
+    pos = good.index(b"mdhd") + 4
+    with _pytest.raises(ValueError, match="version-1"):
+        mp4_decode(good[:pos] + b"\x01" + good[pos + 1 :])
+    # foreign codec fourcc names the ffmpeg residue explicitly
+    pos = good.index(b"png ", good.index(b"stsd"))
+    with _pytest.raises(ValueError, match="avc1"):
+        mp4_decode(good[:pos] + b"avc1" + good[pos + 4 :])
+    # stts total vs mdhd duration: bump the first run's delta
+    pos = good.index(b"stts") + 4 + 4 + 4  # tag + fullbox hdr + count
+    (c0, d0) = struct.unpack(">II", good[pos : pos + 8])
+    patched = good[:pos] + struct.pack(">II", c0, d0 + 1) + good[pos + 8 :]
+    with _pytest.raises(ValueError, match="mdhd duration"):
+        mp4_decode(patched)
+    # a sample span pointing outside every mdat
+    pos = good.index(b"stco") + 4 + 4 + 4
+    patched = good[:pos] + struct.pack(">I", len(good)) + good[pos + 4 :]
+    with _pytest.raises(ValueError, match="outside every mdat"):
+        mp4_decode(patched)
+
+
+def test_mp4_frame_stats_match_formula(spark):
+    """Spark-side loop: synthesize_mp4 -> mp4_frame_stats emits one row
+    per frame whose container timing AND pixel stats match a pure-numpy
+    replay of the _det_video formula, with carry columns passing
+    through (no join back to the source)."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        mp4_frame_stats,
+        synthesize_mp4,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "web"), (88, "print")], ["doc_id", "source"]
+    )
+    carry = {"source": "string"}
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in mp4_frame_stats(
+            synthesize_mp4(docs, carry=carry), carry=carry
+        ).collect()
+    }
+    for d, src in [(3, "web"), (88, "print")]:
+        w = 6 + (d * 5) % 9
+        h = 6 + (d * 3) % 7
+        nf = 2 + d % 3
+        assert sum(1 for k in rows if k[0] == d) == nf
+        for f in range(nf):
+            r = rows[(d, f)]
+            y = np.arange(h)[:, None, None]
+            x = np.arange(w)[None, :, None]
+            c = np.arange(3)[None, None, :]
+            px = (d * 29 + f * 23 + y * 17 + x * 5 + c * 11) % 256
+            assert r["source"] == src
+            assert (r["width"], r["height"]) == (w, h)
+            assert (r["timescale"], r["frame_dur"]) == (600, 24 + (f % 2) * 12)
+            assert r["px_sum"] == int(px.sum())
+            assert r["px_min"] == int(px.min())
+            assert r["px_max"] == int(px.max())
+            assert r["frame_bytes"] > 0 and r["frame_offset"] >= 28
