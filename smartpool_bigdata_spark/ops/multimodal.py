@@ -7,13 +7,16 @@ inspects raw bytes runs as Arrow-batched ``mapInPandas`` — vectorized
 transfer, ~10-100× over row-at-a-time Python UDFs — and every function
 declares its output schema explicitly so the plan stays statically typed.
 
-PNG is decoded/encoded REAL with the stdlib only (zlib inflate + the five
-scanline unfilters — see ``png_decode``/``png_encode``): no codec library
-needed, so image dims/pixel-stat/resize paths run end-to-end in any
-environment. Other compressed formats (JPEG) still need PIL and video
-needs ffmpeg — those remain stubbed behind import probes, with
-``deterministic_fake=True`` as a TEST-ONLY flag producing schema-correct
-fake outputs so the non-PNG plumbing stays testable.
+PNG, GIF89a, RIFF/WAV, ISO BMFF (MP4/MOV with the 'png ' video codec)
+and grayscale baseline JPEG are decoded/encoded REAL with the stdlib
+only (zlib inflate, the five PNG scanline unfilters, hand-rolled GIF
+LZW, box/sample-table demux, DCT + Annex-K Huffman — see the paired
+``*_decode``/``*_encode`` functions): no codec library needed, so the
+image/audio/video stat paths run end-to-end in any environment. What
+still needs absent libraries is exactly color/progressive JPEG (PIL)
+and inter-frame video codecs like H.264 (ffmpeg) — those remain behind
+import probes, with ``deterministic_fake=True`` as a TEST-ONLY flag
+producing schema-correct fake outputs so that plumbing stays testable.
 
 Scale: byte-feature extraction is scan-only map work (no shuffle). Media
 rows are large — pair these ops with ``spark.sql.files.maxPartitionBytes``
@@ -607,10 +610,11 @@ def decode_images(
     """Decode image payloads to (width, height, n_channels).
 
     PNG payloads (magic-sniffed) decode REAL via the stdlib
-    ``png_decode`` — no codec library needed. Other formats (JPEG/...)
-    need PIL; without it, non-PNG payloads raise unless
+    ``png_decode``, and grayscale baseline JPEG decodes REAL via
+    ``jpeg_decode`` — no codec library needed. Color/progressive JPEG
+    and other formats need PIL; without it, such payloads raise unless
     ``deterministic_fake=True`` (TEST-ONLY flag: schema-correct fake
-    dims derived from byte length, keeping non-PNG plumbing testable).
+    dims derived from byte length, keeping that plumbing testable).
     """
     out_schema = f"{id_col} BIGINT, width INT, height INT, n_channels INT"
 
@@ -631,6 +635,11 @@ def decode_images(
                 b = bytes(b) if b is not None else b""
                 if b[:8] == _PNG_SIG:
                     w, h, ch, _px = png_decode(b)
+                elif b[:2] == b"\xff\xd8" and not have_pil:
+                    # real stdlib path (grayscale baseline); color /
+                    # progressive variants raise ValueError naming PIL
+                    w, h, _px = jpeg_decode(b)
+                    ch = 1
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
 
@@ -1656,6 +1665,467 @@ def mp4_frame_stats(
                         )
                         + extra
                     )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col, *carry).mapInPandas(
+        batches, schema=out_schema
+    )
+
+# --- Baseline JPEG (ITU T.81 / JFIF): REAL stdlib codec ---------------
+#
+# The last PIL-guarded image format, made real for the grayscale
+# baseline case: full DCT -> zigzag -> differential-DC + run-length-AC
+# Huffman pipeline with the spec's Annex K code tables, marker framing
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) and 0xFF byte stuffing. The encoder
+# writes a unit (all-ones) quantization table — near-lossless archival
+# quality; the decoder honors whatever DQT the file declares, so it
+# reads any single-component baseline JPEG. Color (multi-component,
+# chroma-subsampled) and progressive JPEGs still need PIL and keep the
+# explicit guard in decode_images.
+#
+# Exactness note (what lets a SQL oracle value-lock a LOSSY codec): for
+# a block-CONSTANT input, the DCT concentrates everything in the DC
+# coefficient (8·(v−128), an exact float64 integer); every AC sum
+# cancels to ~1e-15 and quantizes to zero, and the DC-only IDCT returns
+# the constant exactly after rounding. So piecewise-constant frames
+# round-trip BIT-EXACT through the full Huffman/DCT machinery, while
+# general frames round-trip within ±1 (quantization rounding).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3.3 typical luminance Huffman tables:
+# (bits[1..16], huffval) — public spec constants.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical Huffman code assignment (T.81 C.2): codes of
+    increasing length in huffval order. Returns {symbol: (code, len)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_basis():
+    """The 8x8 DCT-II basis matrix B with B[u,x] = C(u)/2 ·
+    cos((2x+1)uπ/16); forward DCT of block s is B·s·Bᵀ, inverse is
+    Bᵀ·S·B (orthonormal)."""
+    import numpy as np
+
+    x = np.arange(8)
+    b = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    b[0] *= 1 / np.sqrt(2)
+    return b
+
+
+def jpeg_encode(pixels) -> bytes:
+    """REAL stdlib-only baseline JPEG encoder: 8-bit grayscale, unit
+    quantization table, Annex K Huffman tables, JFIF framing.
+
+    ``pixels`` is an HxW uint8 ndarray. Edge blocks replicate-pad to
+    8x8. Entropy stream is byte-stuffed (0xFF -> 0xFF 0x00)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("jpeg_encode needs a non-empty 2-D uint8 image")
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8))
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]            # replicate-pad bottom rows
+    padded[:, w:] = padded[:, w - 1 : w]   # then right columns
+    basis = _jpeg_dct_basis()
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, length):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+
+    def put_magnitude(v):
+        # category + value bits (T.81 F.1.2.1: negatives store v-1's
+        # low bits)
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if s:
+            bits_v = v if v > 0 else v + (1 << s) - 1
+            return s, bits_v
+        return 0, 0
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = basis @ block @ basis.T
+            q = np.rint(coef).astype(np.int64)  # unit quant table
+            zz = q.flatten()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s, bits_v = put_magnitude(diff)
+            code, ln = dc_codes[s]
+            put(code, ln)
+            if s:
+                put(bits_v, s)
+            run = 0
+            last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+            for i in range(1, 2 + last_nz):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    put(code, ln)
+                    run -= 16
+                s, bits_v = put_magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                put(code, ln)
+                put(bits_v, s)
+                run = 0
+            if last_nz < 62:
+                code, ln = ac_codes[0x00]  # EOB
+                put(code, ln)
+    if nbits:
+        put(0xFF >> (8 - (8 - nbits % 8) % 8), (8 - nbits % 8) % 8)  # 1-pad
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def dht(cls, tid, bits, vals):
+        return seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    return (
+        b"\xff\xd8"                                            # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))              # DQT, unit
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)           # SOF0
+              + bytes([1, 0x11, 0]))                           # comp 1, 1x1
+        + dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+        + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))             # SOS
+        + bytes(out)
+        + b"\xff\xd9"                                          # EOI
+    )
+
+
+def jpeg_decode(data: bytes):
+    """REAL stdlib-only baseline JPEG decoder for single-component
+    (grayscale) images: marker walk, DQT/DHT parse (canonical Huffman
+    reconstruction), SOF0 validation, entropy decode with 0xFF00
+    unstuffing, dezigzag + dequant + IDCT. Returns (width, height,
+    pixels HxW uint8 ndarray).
+
+    ValueError on truncation and on unsupported variants — progressive
+    (SOF2), arithmetic coding, restart intervals, 16-bit quant tables,
+    multi-component (color) scans — matching the error contract of the
+    other codecs. Color baseline JPEG decode remains PIL's job."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtables = {}
+    dc_tables = {}
+    ac_tables = {}
+    frame = None
+    scan = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG payload (marker)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG has no scan (EOI before SOS)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG payload (segment length)")
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        if ln < 2 or pos + ln > len(data):
+            raise ValueError("truncated JPEG payload (segment body)")
+        body = data[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated JPEG payload (DQT)")
+                qtables[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated JPEG payload (DHT)")
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated JPEG payload (DHT)")
+                vals = list(body[b + 17 : b + 17 + n])
+                codes = _jpeg_huff_codes(bits, vals)
+                # invert to (code, len) -> symbol for decode
+                table = {(c, l): sym for sym, (c, l) in codes.items()}
+                (dc_tables if cls == 0 else ac_tables)[tid] = table
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("non-8-bit JPEG precision unsupported")
+            if nc != 1:
+                raise ValueError(
+                    "multi-component (color) JPEG decode needs PIL; "
+                    "the stdlib path decodes grayscale baseline"
+                )
+            cid, sampling, tq = body[6:9]
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            frame = (w, h, tq)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive/extended JPEG (SOF%d) unsupported"
+                % (marker - 0xC0)
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if body[0] != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            scan = (td, ta)
+            break
+        # APPn / COM / others: skipped generically
+    w, h, tq = frame
+    if tq not in qtables:
+        raise ValueError(f"JPEG references missing quant table {tq}")
+    td, ta = scan
+    if td not in dc_tables or ta not in ac_tables:
+        raise ValueError("JPEG references missing Huffman table")
+    quant = qtables[tq]
+    dc_tab, ac_tab = dc_tables[td], ac_tables[ta]
+
+    # entropy-coded bit reader with 0xFF00 unstuffing
+    bitpos = 0
+    bytepos = pos
+
+    def read_bit():
+        nonlocal bitpos, bytepos
+        if bytepos >= len(data):
+            raise ValueError("truncated JPEG payload (entropy data)")
+        byte = data[bytepos]
+        if byte == 0xFF:
+            nxt = data[bytepos + 1] if bytepos + 1 < len(data) else None
+            if nxt != 0x00:
+                raise ValueError("JPEG marker inside entropy data")
+        bit = (byte >> (7 - bitpos)) & 1
+        bitpos += 1
+        if bitpos == 8:
+            bitpos = 0
+            bytepos += 1 + (1 if byte == 0xFF else 0)  # skip stuffing
+        return bit
+
+    def read_symbol(table):
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG Huffman code")
+
+    def receive_extend(s):
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    basis = _jpeg_dct_basis()
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_JPEG_ZIGZAG] = np.arange(64)
+    bh, bw = -(-h // 8), -(-w // 8)
+    img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_symbol(dc_tab)
+            if s > 11:
+                raise ValueError("corrupt JPEG DC category")
+            pred += receive_extend(s)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG AC run past block end")
+                zz[k] = receive_extend(s)
+                k += 1
+            coef = (zz * quant)[inv_zz].reshape(8, 8).astype(np.float64)
+            block = basis.T @ coef @ basis + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return w, h, img[:h, :w]
+
+
+def _det_jpeg_image(d: int):
+    """Deterministic BLOCK-CONSTANT grayscale test image for id d:
+    ``(1 + (d*2) % 3) x (1 + d % 3)`` blocks of 8x8, block value
+    v(by, bx) = (d*41 + by*13 + bx*7) % 256 — piecewise-constant so the
+    lossy JPEG pipeline is mathematically exact (see the codec header
+    note) and a SQL oracle replays every statistic from the (id, by,
+    bx) arithmetic."""
+    import numpy as np
+
+    bw = 1 + d % 3
+    bh = 1 + (d * 2) % 3
+    by = np.arange(bh, dtype=np.int64)[:, None]
+    bx = np.arange(bw, dtype=np.int64)[None, :]
+    vals = ((d * 41 + by * 13 + bx * 7) % 256).astype(np.uint8)
+    return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+
+
+def synthesize_jpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per id, encode the deterministic block-constant grayscale image
+    as REAL baseline JPEG bytes (``jpeg_encode`` — full DCT/zigzag/
+    Huffman pipeline) a downstream decoder must actually entropy-decode
+    and inverse-transform. ``carry`` as in ``synthesize_png``."""
+    carry = carry or {}
+    schema = f"{id_col} long, {out_col} binary" + "".join(
+        f", {c} {t}" for c, t in carry.items()
+    )
+
+    def gen(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            out = {
+                id_col: ids,
+                out_col: [jpeg_encode(_det_jpeg_image(int(d))) for d in ids],
+            }
+            for c in carry:
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *carry).mapInPandas(gen, schema=schema)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decode each JPEG payload (REAL stdlib baseline decode) and emit
+    exact integer pixel statistics — the grayscale twin of
+    ``png_pixel_stats``. Row-local Arrow map work, no shuffle;
+    ``carry`` columns pass through."""
+    carry = carry or {}
+    out_schema = (
+        f"{id_col} BIGINT, width INT, height INT, "
+        "px_sum BIGINT, px_min INT, px_max INT"
+        + "".join(f", {c} {t}" for c, t in carry.items())
+    )
+    cols = [id_col, "width", "height", "px_sum", "px_min", "px_max", *carry]
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, (d, b) in enumerate(zip(pdf[id_col], pdf[payload_col])):
+                if b is None:
+                    continue
+                w, h, px = jpeg_decode(bytes(b))
+                flat = px.astype("int64")
+                rows.append(
+                    (d, w, h, int(flat.sum()), int(flat.min()),
+                     int(flat.max()))
+                    + tuple(pdf[c].iloc[i] for c in carry)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col, *carry).mapInPandas(

@@ -2851,17 +2851,19 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pinned as R10_PENDING).
 GATE_PRIORITY: list[str] = [
     # --- r12 window: freshness rotation continues (the r11-verdict #2
-    # ask). Contents: the 2 R12_NEW queries gated at birth (the real
-    # RIFF/WAV container codec — r11-verdict #5 — and the real ISO BMFF
-    # video demux + 'png '-codec frame decode), the full 40-query
-    # R12_RECONFIRM_BACKLOG (the alphabetical tail of the r6-stale set,
-    # pinned last round — after these, no driver row predates r7), and
-    # 8 slots refreshing the oldest remaining rows (the 50 r7-stale
-    # greens, first 8 in name order; the other 42 are pinned as
-    # R13_RECONFIRM_BACKLOG in tests/test_registry_oracle.py).
-    # -- the 2 R12_NEW (real media-container codecs, gated at birth) --
+    # ask). Contents: the 3 R12_NEW queries gated at birth (the real
+    # RIFF/WAV container codec — r11-verdict #5 — plus the real ISO
+    # BMFF video demux + 'png '-codec frame decode and the real
+    # baseline-JPEG codec), the full 40-query R12_RECONFIRM_BACKLOG
+    # (the alphabetical tail of the r6-stale set, pinned last round —
+    # after these, no driver row predates r7), and 7 slots refreshing
+    # the oldest remaining rows (the 50 r7-stale greens, first 7 in
+    # name order; the other 43 are pinned as R13_RECONFIRM_BACKLOG in
+    # tests/test_registry_oracle.py).
+    # -- the 3 R12_NEW (real media codecs, gated at birth) --
     "audio_wav_chunk_stats",
     "video_mp4_frame_stats",
+    "image_jpeg_block_stats",
     # -- the 40 r6-stale re-confirmations (R12_RECONFIRM_BACKLOG) --
     "doc_exact_dedup",
     "doc_language_guess",
@@ -2903,7 +2905,7 @@ GATE_PRIORITY: list[str] = [
     "stream_user_sessions",
     "top_value_orders",
     "urgent_open_orders",
-    # -- r7-stale re-confirmations (first 8 of 50 in name order; two of
+    # -- r7-stale re-confirmations (first 7 of 50 in name order; two of
     # them, bpe_merge_candidates and contrastive_inbatch_pairs, are also
     # the r11 bench's flagged wobbles — a fresh driver row settles both)
     "basket_association_rules",
@@ -2913,7 +2915,6 @@ GATE_PRIORITY: list[str] = [
     "customer_rfm_segments",
     "customer_similarity_topk",
     "daily_seasonal_residuals",
-    "doc_bm25_topk",
 ]
 
 

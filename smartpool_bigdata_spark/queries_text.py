@@ -4310,6 +4310,71 @@ def video_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_jpeg_block_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, source,
+               1 + doc_id % 3 AS bw,
+               1 + (doc_id * 2) % 3 AS bh
+        FROM documents
+    ),
+    blocks AS (
+        SELECT d.doc_id, d.source, d.bw, d.bh,
+               (d.doc_id * 41 + by.by * 13 + bx.bx * 7) % 256 AS v
+        FROM dims d,
+             unnest(range(0, d.bh)) AS by(by),
+             unnest(range(0, d.bw)) AS bx(bx)
+    ),
+    per AS (
+        SELECT doc_id, source, max(bw) AS bw, max(bh) AS bh,
+               sum(v) * 64 AS psum, min(v) AS pmin, max(v) AS pmax
+        FROM blocks GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(bw * 8) AS BIGINT) AS total_width,
+           CAST(sum(bh * 8) AS BIGINT) AS total_height,
+           CAST(sum(psum) AS BIGINT) AS px_sum,
+           CAST(min(pmin) AS INT) AS px_min,
+           CAST(max(pmax) AS INT) AS px_max
+    FROM per GROUP BY source
+    """,
+    description="REAL baseline JPEG codec — the last PIL-guarded image "
+    "format, computed for the grayscale case (ops/multimodal.py:"
+    "jpeg_encode/jpeg_decode): full DCT -> zigzag -> differential-DC + "
+    "run-length-AC Huffman pipeline with the ITU T.81 Annex K code "
+    "tables, JFIF marker framing, 0xFF byte stuffing, unit quant "
+    "tables. A LOSSY codec is value-locked by construction: the test "
+    "frames are block-CONSTANT, so the DCT concentrates each block "
+    "into its DC coefficient (exact float64 integer), every AC "
+    "quantizes to zero, and the round-trip is bit-exact through the "
+    "entire entropy/transform machinery — the oracle regenerates every "
+    "statistic from the (id, by, bx) arithmetic WITHOUT parsing bytes. "
+    "General frames round-trip within +-1 (quantization rounding; unit "
+    "tests pin that bound). Color/progressive JPEG still needs PIL and "
+    "keeps the explicit guard. Scale: row-local mapInPandas, carry "
+    "column rides through, one scan, one agg shuffle.",
+)
+def image_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smartpool_bigdata_spark.ops.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg,
+    )
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source")
+    carry = {"source": "string"}
+    stats = jpeg_pixel_stats(synthesize_jpeg(docs, carry=carry), carry=carry)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("width").cast("bigint").alias("total_width"),
+        F.sum("height").cast("bigint").alias("total_height"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
 __reorder()
 
 

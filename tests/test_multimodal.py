@@ -659,3 +659,130 @@ def test_mp4_frame_stats_match_formula(spark):
             assert r["px_min"] == int(px.min())
             assert r["px_max"] == int(px.max())
             assert r["frame_bytes"] > 0 and r["frame_offset"] >= 28
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """For block-CONSTANT inputs the lossy JPEG pipeline is exact: the
+    DCT concentrates each block into an integral DC coefficient, every
+    AC quantizes to zero, and the full Huffman/DCT round-trip returns
+    the input bit-for-bit (the property the SQL oracle relies on)."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_jpeg_image,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    for bh, bw in [(1, 1), (3, 2), (2, 4)]:
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        w, h, back = jpeg_decode(jpeg_encode(img))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert np.array_equal(back, img)
+    for d in (0, 7, 123, 4567):
+        img = _det_jpeg_image(d)
+        _, _, back = jpeg_decode(jpeg_encode(img))
+        assert np.array_equal(back, img)
+
+
+def test_jpeg_general_roundtrip_near_lossless():
+    """With unit quant tables, arbitrary images (including non-multiple-
+    of-8 dims exercising replicate padding) round-trip within +-1 —
+    the quantization-rounding bound; this pins the DCT/IDCT pair and
+    the DC-differential chain beyond the exact block-constant case."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(17)
+    for shape in [(8, 8), (5, 5), (17, 23), (48, 64)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        w, h, back = jpeg_decode(jpeg_encode(img))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_error_contract():
+    """ValueError — never IndexError/struct.error — on truncation and
+    unsupported variants (progressive SOF2, 16-bit quant, restart
+    intervals, multi-component color naming PIL)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_jpeg_image,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    good = jpeg_encode(_det_jpeg_image(9))
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"JUNK" + good)
+    for cut in range(0, len(good), 3):
+        try:
+            jpeg_decode(good[:cut])
+        except ValueError:
+            pass  # the only exception type the contract allows
+    for i in range(len(good)):
+        mut = bytearray(good)
+        mut[i] ^= 0xFF
+        try:
+            jpeg_decode(bytes(mut))
+        except ValueError:
+            pass
+    # progressive marker
+    pos = good.index(b"\xff\xc0")
+    with _pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(good[:pos] + b"\xff\xc2" + good[pos + 2 :])
+    # color scan names the PIL residue
+    pos = good.index(b"\xff\xc0") + 9  # component count byte in SOF0
+    with _pytest.raises(ValueError, match="PIL"):
+        jpeg_decode(good[:pos] + b"\x03" + good[pos + 1 :])
+    # 16-bit quant table precision
+    pos = good.index(b"\xff\xdb") + 4
+    with _pytest.raises(ValueError, match="16-bit"):
+        jpeg_decode(good[:pos] + b"\x10" + good[pos + 1 :])
+    # nonzero restart interval
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    pos = good.index(b"\xff\xda")
+    with _pytest.raises(ValueError, match="restart"):
+        jpeg_decode(good[:pos] + dri + good[pos:])
+
+
+def test_jpeg_synthesize_and_stats_match_formula(spark):
+    """Spark-side loop: synthesize_jpeg -> jpeg_pixel_stats recovers
+    exact per-image stats matching the block formula, carry intact;
+    decode_images sniffs the JPEG magic and decodes real (1 channel)."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        decode_images,
+        jpeg_pixel_stats,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame(
+        [(4, "web"), (77, "print")], ["doc_id", "source"]
+    )
+    carry = {"source": "string"}
+    payloads = synthesize_jpeg(docs, carry=carry)
+    rows = {
+        r["doc_id"]: r
+        for r in jpeg_pixel_stats(payloads, carry=carry).collect()
+    }
+    for d, src in [(4, "web"), (77, "print")]:
+        bw, bh = 1 + d % 3, 1 + (d * 2) % 3
+        by = np.arange(bh)[:, None]
+        bx = np.arange(bw)[None, :]
+        v = (d * 41 + by * 13 + bx * 7) % 256
+        r = rows[d]
+        assert r["source"] == src
+        assert (r["width"], r["height"]) == (bw * 8, bh * 8)
+        assert r["px_sum"] == int(v.sum()) * 64
+        assert (r["px_min"], r["px_max"]) == (int(v.min()), int(v.max()))
+    dims = {r["doc_id"]: r for r in decode_images(payloads).collect()}
+    assert dims[4]["n_channels"] == 1
+    assert dims[77]["width"] == (1 + 77 % 3) * 8

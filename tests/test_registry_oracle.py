@@ -547,17 +547,21 @@ R11_WINDOW = R11_NEW | R11_RECONFIRM_BACKLOG | R11_RECONFIRM_R6
 
 # New in round 12, gated at birth: the REAL stdlib RIFF/WAV container
 # codec query (the r11 verdict's #5 ask — the last synthetic-framing
-# media column converted to a genuine container parse) and the REAL
+# media column converted to a genuine container parse), the REAL
 # ISO BMFF (MP4/MOV) demux + 'png '-codec per-frame decode (the video
-# modality's container path made real; H.264 stays an ffmpeg stub).
+# modality's container path made real; H.264 stays an ffmpeg stub),
+# and the REAL baseline-JPEG codec (grayscale DCT/Huffman path made
+# real and value-locked on block-constant frames; color stays a PIL
+# guard).
 R12_NEW = frozenset({
     "audio_wav_chunk_stats",
     "video_mp4_frame_stats",
+    "image_jpeg_block_stats",
 })
 
-# The 8 r12 re-confirmation slots left after the 2 new + 40 backlog:
+# The 7 r12 re-confirmation slots left after the 3 new + 40 backlog:
 # of the 50 queries whose NEWEST driver row is r7 (the oldest rows once
-# the r6 backlog is refreshed), the first 8 in name order.
+# the r6 backlog is refreshed), the first 7 in name order.
 R12_RECONFIRM_R7 = frozenset({
     "basket_association_rules",
     "bpe_merge_candidates",
@@ -566,12 +570,12 @@ R12_RECONFIRM_R7 = frozenset({
     "customer_rfm_segments",
     "customer_similarity_topk",
     "daily_seasonal_residuals",
-    "doc_bm25_topk",
 })
 
-# The alphabetical tail of the 50 r7-stale queries (the 42 that did
+# The alphabetical tail of the 50 r7-stale queries (the 43 that did
 # not fit the r12 window) — first in line for r13 re-confirmation.
 R13_RECONFIRM_BACKLOG = frozenset({
+    "doc_bm25_topk",
     "doc_char_entropy",
     "doc_dup_span_mass",
     "doc_groupwise_split",
@@ -619,10 +623,10 @@ R13_RECONFIRM_BACKLOG = frozenset({
 
 def test_gate_window_pinned():
     """The driver records correctness rows for exactly the FIRST 50
-    registry entries in iteration order. Pin the ROTATED r12 set: the 2
-    R12_NEW media-container codec queries (WAV + MP4, gated at birth),
+    registry entries in iteration order. Pin the ROTATED r12 set: the 3
+    R12_NEW media codec queries (WAV + MP4 + JPEG, gated at birth),
     the full 40-query R12_RECONFIRM_BACKLOG (the r6-stale tail — the
-    oldest driver rows anywhere), and the first 8 r7-stale
+    oldest driver rows anywhere), and the first 7 r7-stale
     re-confirmations. After this
     round no driver row predates r7. A refactor that reorders
     registration (round 2 silently pushed embedding_near_dup and all of
