@@ -636,10 +636,11 @@ def decode_images(
                 if b[:8] == _PNG_SIG:
                     w, h, ch, _px = png_decode(b)
                 elif b[:2] == b"\xff\xd8" and not have_pil:
-                    # real stdlib path (grayscale baseline); color /
-                    # progressive variants raise ValueError naming PIL
+                    # real stdlib path (grayscale + 4:4:4/4:2:0 color
+                    # baseline); progressive / exotic-sampling variants
+                    # raise ValueError naming PIL
                     w, h, _px = jpeg_decode(b)
-                    ch = 1
+                    ch = 1 if _px.ndim == 2 else 3
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
 
@@ -1728,6 +1729,35 @@ _JPEG_AC_VALS = [
 ]
 
 
+# ITU T.81 Annex K.3.3.2 typical chrominance Huffman tables — used by
+# the color (YCbCr) paths; DC categories share the 0..11 value list.
+_JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
 def _jpeg_huff_codes(bits, vals):
     """Canonical Huffman code assignment (T.81 C.2): codes of
     increasing length in huffval order. Returns {symbol: (code, len)}."""
@@ -1755,29 +1785,48 @@ def _jpeg_dct_basis():
     return b
 
 
-def jpeg_encode(pixels) -> bytes:
-    """REAL stdlib-only baseline JPEG encoder: 8-bit grayscale, unit
-    quantization table, Annex K Huffman tables, JFIF framing.
+def _jpeg_pad(plane, ph: int, pw: int):
+    """Replicate-pad a 2-D float plane to (ph, pw)."""
+    import numpy as np
 
-    ``pixels`` is an HxW uint8 ndarray. Edge blocks replicate-pad to
-    8x8. Entropy stream is byte-stuffed (0xFF -> 0xFF 0x00)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[-1:, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def jpeg_encode(pixels, subsampling: str = "420") -> bytes:
+    """REAL stdlib-only baseline JPEG encoder, unit quantization
+    tables, Annex K Huffman tables, JFIF framing.
+
+    ``pixels`` HxW uint8 -> single-component grayscale; HxWx3 uint8
+    RGB -> YCbCr with the Annex K chrominance code tables, either
+    ``subsampling="420"`` (luma 2x2 / chroma 1x1, box-averaged chroma —
+    the layout real-world encoders default to) or ``"444"`` (all 1x1).
+    Edge blocks replicate-pad to the MCU grid. Entropy stream is
+    byte-stuffed (0xFF -> 0xFF 0x00). The YCbCr planes stay float
+    through the DCT (no intermediate rounding), so gray inputs (R=G=B)
+    keep Cb=Cr=128 exactly and survive the color pipeline bit-exact
+    when block-constant."""
     import struct
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.float64)
-    h, w = px.shape
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError("jpeg_encode color input must be HxWx3 RGB")
+    if subsampling not in ("420", "444"):
+        raise ValueError("jpeg_encode subsampling must be '420' or '444'")
+    h, w = px.shape[:2]
     if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
-        raise ValueError("jpeg_encode needs a non-empty 2-D uint8 image")
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.empty((bh * 8, bw * 8))
-    padded[:h, :w] = px
-    padded[h:, :w] = px[-1:, :]            # replicate-pad bottom rows
-    padded[:, w:] = padded[:, w - 1 : w]   # then right columns
+        raise ValueError("jpeg_encode needs a non-empty uint8 image")
     basis = _jpeg_dct_basis()
 
-    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    luma_dc = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    luma_ac = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
     out = bytearray()
     acc = 0
@@ -1803,39 +1852,100 @@ def jpeg_encode(pixels) -> bytes:
             return s, bits_v
         return 0, 0
 
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = basis @ block @ basis.T
-            q = np.rint(coef).astype(np.int64)  # unit quant table
-            zz = q.flatten()[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s, bits_v = put_magnitude(diff)
-            code, ln = dc_codes[s]
+    def encode_block(block, dc_codes, ac_codes, pred):
+        coef = basis @ (block - 128.0) @ basis.T
+        q = np.rint(coef).astype(np.int64)  # unit quant table
+        zz = q.flatten()[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - pred
+        s, bits_v = put_magnitude(diff)
+        code, ln = dc_codes[s]
+        put(code, ln)
+        if s:
+            put(bits_v, s)
+        run = 0
+        last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+        for i in range(1, 2 + last_nz):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            s, bits_v = put_magnitude(v)
+            code, ln = ac_codes[(run << 4) | s]
             put(code, ln)
-            if s:
-                put(bits_v, s)
+            put(bits_v, s)
             run = 0
-            last_nz = max(np.nonzero(zz[1:])[0], default=-1)
-            for i in range(1, 2 + last_nz):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    put(code, ln)
-                    run -= 16
-                s, bits_v = put_magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                put(code, ln)
-                put(bits_v, s)
-                run = 0
-            if last_nz < 62:
-                code, ln = ac_codes[0x00]  # EOB
-                put(code, ln)
+        if last_nz < 62:
+            code, ln = ac_codes[0x00]  # EOB
+            put(code, ln)
+        return int(zz[0])
+
+    if not color:
+        bh, bw = -(-h // 8), -(-w // 8)
+        plane = _jpeg_pad(px, bh * 8, bw * 8)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                pred = encode_block(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    luma_dc,
+                    luma_ac,
+                    pred,
+                )
+    else:
+        chroma_dc = _jpeg_huff_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_VALS)
+        chroma_ac = _jpeg_huff_codes(
+            _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS
+        )
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        # JFIF YCbCr (full-range), kept float through the DCT
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            mh, mw = -(-h // 16), -(-w // 16)  # 16x16 MCUs
+            yp = _jpeg_pad(yy, mh * 16, mw * 16)
+            # 4:2:0 chroma: pad then 2x2 box-average
+            cbs = _jpeg_pad(cb, mh * 16, mw * 16)
+            crs = _jpeg_pad(cr, mh * 16, mw * 16)
+            cbs = cbs.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+            crs = crs.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+            py, pcb, pcr = 0, 0, 0
+            for my in range(mh):
+                for mx in range(mw):
+                    for by in range(2):
+                        for bx in range(2):
+                            y0, x0 = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+                            py = encode_block(
+                                yp[y0 : y0 + 8, x0 : x0 + 8],
+                                luma_dc, luma_ac, py,
+                            )
+                    pcb = encode_block(
+                        cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        chroma_dc, chroma_ac, pcb,
+                    )
+                    pcr = encode_block(
+                        crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        chroma_dc, chroma_ac, pcr,
+                    )
+        else:  # 4:4:4 — 8x8 MCUs, one block per component
+            mh, mw = -(-h // 8), -(-w // 8)
+            yp = _jpeg_pad(yy, mh * 8, mw * 8)
+            cbs = _jpeg_pad(cb, mh * 8, mw * 8)
+            crs = _jpeg_pad(cr, mh * 8, mw * 8)
+            py, pcb, pcr = 0, 0, 0
+            for my in range(mh):
+                for mx in range(mw):
+                    sl = (
+                        slice(my * 8, my * 8 + 8),
+                        slice(mx * 8, mx * 8 + 8),
+                    )
+                    py = encode_block(yp[sl], luma_dc, luma_ac, py)
+                    pcb = encode_block(cbs[sl], chroma_dc, chroma_ac, pcb)
+                    pcr = encode_block(crs[sl], chroma_dc, chroma_ac, pcr)
     if nbits:
         put(0xFF >> (8 - (8 - nbits % 8) % 8), (8 - nbits % 8) % 8)  # 1-pad
 
@@ -1847,31 +1957,50 @@ def jpeg_encode(pixels) -> bytes:
             0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
 
-    return (
+    head = (
         b"\xff\xd8"                                            # SOI
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, bytes([0]) + bytes([1] * 64))              # DQT, unit
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)           # SOF0
-              + bytes([1, 0x11, 0]))                           # comp 1, 1x1
-        + dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
-        + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))             # SOS
-        + bytes(out)
-        + b"\xff\xd9"                                          # EOI
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))              # DQT 0, unit
     )
+    if not color:
+        head += (
+            seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)         # SOF0
+                + bytes([1, 0x11, 0]))                         # comp 1, 1x1
+            + dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+            + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))         # SOS
+        )
+    else:
+        y_sampling = 0x22 if subsampling == "420" else 0x11
+        head += (
+            seg(0xDB, bytes([1]) + bytes([1] * 64))            # DQT 1, unit
+            + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)       # SOF0
+                  + bytes([1, y_sampling, 0])                  # Y, q0
+                  + bytes([2, 0x11, 1])                        # Cb 1x1, q1
+                  + bytes([3, 0x11, 1]))                       # Cr 1x1, q1
+            + dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+            + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+            + dht(0, 1, _JPEG_DC_CHROMA_BITS, _JPEG_DC_VALS)
+            + dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        )
+    return head + bytes(out) + b"\xff\xd9"                     # EOI
 
 
 def jpeg_decode(data: bytes):
-    """REAL stdlib-only baseline JPEG decoder for single-component
-    (grayscale) images: marker walk, DQT/DHT parse (canonical Huffman
-    reconstruction), SOF0 validation, entropy decode with 0xFF00
-    unstuffing, dezigzag + dequant + IDCT. Returns (width, height,
-    pixels HxW uint8 ndarray).
+    """REAL stdlib-only baseline JPEG decoder: marker walk, DQT/DHT
+    parse (canonical Huffman reconstruction), SOF0 validation, MCU-
+    interleaved entropy decode with 0xFF00 unstuffing, dezigzag +
+    dequant + IDCT, chroma upsampling and YCbCr->RGB for color.
+    Supports single-component grayscale, 3-component 4:4:4 (all 1x1)
+    and 3-component 4:2:0 (luma 2x2, chroma 1x1). Returns (width,
+    height, pixels) — HxW uint8 for grayscale, HxWx3 uint8 RGB for
+    color.
 
     ValueError on truncation and on unsupported variants — progressive
     (SOF2), arithmetic coding, restart intervals, 16-bit quant tables,
-    multi-component (color) scans — matching the error contract of the
-    other codecs. Color baseline JPEG decode remains PIL's job."""
+    other sampling layouts (4:2:2 etc.) — matching the error contract
+    of the other codecs. Those variants remain PIL's job."""
     import struct
 
     import numpy as np
@@ -1931,18 +2060,33 @@ def jpeg_decode(data: bytes):
                 (dc_tables if cls == 0 else ac_tables)[tid] = table
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG payload (SOF)")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("non-8-bit JPEG precision unsupported")
-            if nc != 1:
+            if nc not in (1, 3):
                 raise ValueError(
-                    "multi-component (color) JPEG decode needs PIL; "
-                    "the stdlib path decodes grayscale baseline"
+                    f"{nc}-component JPEG unsupported (1 or 3 only)"
                 )
-            cid, sampling, tq = body[6:9]
-            if sampling != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            frame = (w, h, tq)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG payload (SOF)")
+            comps = []
+            for i in range(nc):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+            samplings = [(hi, vi) for _, hi, vi, _ in comps]
+            if nc == 1 and samplings != [(1, 1)]:
+                raise ValueError("subsampled grayscale JPEG unsupported")
+            if nc == 3 and samplings not in (
+                [(1, 1), (1, 1), (1, 1)],   # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],   # 4:2:0
+            ):
+                raise ValueError(
+                    "JPEG sampling layout unsupported (4:4:4 and 4:2:0 "
+                    "decode here; 4:2:2 etc. need PIL)"
+                )
+            frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1956,20 +2100,32 @@ def jpeg_decode(data: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if body[0] != 1:
-                raise ValueError("multi-component JPEG scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0xF
-            scan = (td, ta)
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "JPEG non-interleaved / partial scans unsupported"
+                )
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG payload (SOS)")
+            scan = {}
+            for i in range(ns):
+                sel, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan[sel] = (tables >> 4, tables & 0xF)
             break
         # APPn / COM / others: skipped generically
-    w, h, tq = frame
-    if tq not in qtables:
-        raise ValueError(f"JPEG references missing quant table {tq}")
-    td, ta = scan
-    if td not in dc_tables or ta not in ac_tables:
-        raise ValueError("JPEG references missing Huffman table")
-    quant = qtables[tq]
-    dc_tab, ac_tab = dc_tables[td], ac_tables[ta]
+    w, h, comps = frame
+    per_comp = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        if cid not in scan:
+            raise ValueError("JPEG scan omits a frame component")
+        td, ta = scan[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("JPEG references missing Huffman table")
+        per_comp.append(
+            (hi, vi, qtables[tq], dc_tables[td], ac_tables[ta])
+        )
 
     # entropy-coded bit reader with 0xFF00 unstuffing
     bitpos = 0
@@ -2012,37 +2168,63 @@ def jpeg_decode(data: bytes):
     basis = _jpeg_dct_basis()
     inv_zz = np.empty(64, dtype=np.int64)
     inv_zz[_JPEG_ZIGZAG] = np.arange(64)
-    bh, bw = -(-h // 8), -(-w // 8)
-    img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            s = read_symbol(dc_tab)
-            if s > 11:
-                raise ValueError("corrupt JPEG DC category")
-            pred += receive_extend(s)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("corrupt JPEG AC run past block end")
-                zz[k] = receive_extend(s)
-                k += 1
-            coef = (zz * quant)[inv_zz].reshape(8, 8).astype(np.float64)
-            block = basis.T @ coef @ basis + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-    return w, h, img[:h, :w]
+
+    def decode_block(dc_tab, ac_tab, quant, pred):
+        zz = np.zeros(64, dtype=np.int64)
+        s = read_symbol(dc_tab)
+        if s > 11:
+            raise ValueError("corrupt JPEG DC category")
+        pred += receive_extend(s)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("corrupt JPEG AC run past block end")
+            zz[k] = receive_extend(s)
+            k += 1
+        coef = (zz * quant)[inv_zz].reshape(8, 8).astype(np.float64)
+        return basis.T @ coef @ basis + 128.0, pred
+
+    hmax = max(hi for hi, _, _, _, _ in per_comp)
+    vmax = max(vi for _, vi, _, _, _ in per_comp)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.empty((mch * vi * 8, mcw * hi * 8))
+        for hi, vi, _, _, _ in per_comp
+    ]
+    preds = [0] * len(per_comp)
+    for my in range(mch):
+        for mx in range(mcw):
+            for ci, (hi, vi, quant, dc_tab, ac_tab) in enumerate(per_comp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        block, preds[ci] = decode_block(
+                            dc_tab, ac_tab, quant, preds[ci]
+                        )
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample each component to full resolution and crop
+    full = []
+    for (hi, vi, _, _, _), plane in zip(per_comp, planes):
+        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return w, h, np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    yy, cb, cr = full
+    r = yy + 1.402 * (cr - 128.0)
+    g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = yy + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _det_jpeg_image(d: int):

@@ -737,10 +737,18 @@ def test_jpeg_decode_error_contract():
     pos = good.index(b"\xff\xc0")
     with _pytest.raises(ValueError, match="progressive"):
         jpeg_decode(good[:pos] + b"\xff\xc2" + good[pos + 2 :])
-    # color scan names the PIL residue
+    # 2-component frames are not a thing this decoder does
     pos = good.index(b"\xff\xc0") + 9  # component count byte in SOF0
+    with _pytest.raises(ValueError, match="unsupported"):
+        jpeg_decode(good[:pos] + b"\x02" + good[pos + 1 :])
+    # an unsupported sampling layout (4:2:2) names the PIL residue
+    color = jpeg_encode(
+        np.stack([_det_jpeg_image(9)] * 3, axis=-1), subsampling="444"
+    )
+    pos = color.index(b"\xff\xc0") + 11  # Y sampling byte in SOF0
+    assert color[pos] == 0x11
     with _pytest.raises(ValueError, match="PIL"):
-        jpeg_decode(good[:pos] + b"\x03" + good[pos + 1 :])
+        jpeg_decode(color[:pos] + b"\x21" + color[pos + 1 :])
     # 16-bit quant table precision
     pos = good.index(b"\xff\xdb") + 4
     with _pytest.raises(ValueError, match="16-bit"):
@@ -786,3 +794,46 @@ def test_jpeg_synthesize_and_stats_match_formula(spark):
     dims = {r["doc_id"]: r for r in decode_images(payloads).collect()}
     assert dims[4]["n_channels"] == 1
     assert dims[77]["width"] == (1 + 77 % 3) * 8
+
+def test_jpeg_color_roundtrip():
+    """Color baseline JPEG (YCbCr, Annex K chrominance tables): gray
+    inputs (R=G=B, Cb=Cr=128 exactly) survive BOTH sampling layouts
+    bit-exact when block-constant; 4:4:4 random color round-trips
+    within the conversion-rounding bound; 4:2:0 with 2x2-constant
+    clip-free chroma round-trips within the same bound (the chroma
+    subsample is exact there, isolating the conversion error)."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 256, (2, 3)).astype(np.uint8)
+    gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+    rgb = np.stack([gray] * 3, axis=-1)
+    for ss in ("420", "444"):
+        w, h, back = jpeg_decode(jpeg_encode(rgb, subsampling=ss))
+        assert back.shape == rgb.shape
+        assert np.array_equal(back, rgb), ss
+    # 4:4:4: only YCbCr conversion + unit-quant rounding
+    any_rgb = rng.integers(20, 236, (25, 33, 3)).astype(np.uint8)
+    _, _, back = jpeg_decode(jpeg_encode(any_rgb, subsampling="444"))
+    assert np.abs(back.astype(int) - any_rgb.astype(int)).max() <= 3
+    # 4:2:0: construct from YCbCr with 2x2-constant chroma, clip-free
+    yy = rng.integers(70, 180, (32, 48)).astype(np.float64)
+    cb = np.kron(rng.integers(110, 146, (16, 24)).astype(np.float64),
+                 np.ones((2, 2)))
+    cr = np.kron(rng.integers(110, 146, (16, 24)).astype(np.float64),
+                 np.ones((2, 2)))
+    smooth = np.stack(
+        [np.rint(yy + 1.402 * (cr - 128)),
+         np.rint(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+         np.rint(yy + 1.772 * (cb - 128))],
+        axis=-1,
+    ).astype(np.uint8)
+    _, _, back = jpeg_decode(jpeg_encode(smooth))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 3
+    # decode_images channel sniff rides the ndim
+    from smartpool_bigdata_spark.ops.multimodal import jpeg_decode as jd
+
+    assert jd(jpeg_encode(rgb))[2].ndim == 3
+    assert jd(jpeg_encode(gray))[2].ndim == 2
