@@ -1108,12 +1108,15 @@ def sample_frames(
     inside mapInPandas — the shape video decode needs: N input rows → M>N
     output rows with per-frame offsets).
 
-    STUB for codec work (ffmpeg absent): the fake samples a 'frame' every
-    ``every_n_bytes`` of payload, which exercises the real plumbing —
-    variable fan-out, frame_idx ordering, payload slicing.
+    ISO BMFF payloads (magic-sniffed on the ``ftyp`` box) resolve REAL
+    frame offsets from the container's own sample table
+    (``mp4_sample_table`` — metadata-only, no pixel decode), which is
+    the posture a 100 TB frame sampler needs: the box walk reads a few
+    KB per file and prunes the payload decode entirely. Non-BMFF
+    payloads (H.264 elementary streams etc. — ffmpeg territory) keep
+    the byte-stride fake behind ``deterministic_fake``; with the flag
+    off they raise the explicit guard.
     """
-    if not deterministic_fake:
-        raise NotImplementedError("video decode needs ffmpeg (not installed)")
     out_schema = f"{id_col} BIGINT, frame_idx INT, frame_offset BIGINT"
 
     def batches(it: Iterator):
@@ -1121,22 +1124,53 @@ def sample_frames(
         import pandas as pd
 
         for pdf in it:
-            # Vectorized fan-out: per-row frame counts -> np.repeat for the
-            # ids, one concatenated arange for the frame indices. No
-            # per-row Python loop over the batch.
-            sizes = pdf[payload_col].map(lambda b: len(b) if b is not None else 0)
+            payloads = pdf[payload_col]
+            is_bmff = payloads.map(
+                lambda b: b is not None and bytes(b[4:8]) == b"ftyp"
+            )
+            frames = {id_col: [], "frame_idx": [], "frame_offset": []}
+            for d, b in zip(pdf[id_col][is_bmff], payloads[is_bmff]):
+                _, _, _, _, spans, _ = mp4_sample_table(bytes(b))
+                frames[id_col].extend([d] * len(spans))
+                frames["frame_idx"].extend(range(len(spans)))
+                frames["frame_offset"].extend(off for off, _ in spans)
+            rest = pdf[~is_bmff.to_numpy()]
+            if len(rest) and not deterministic_fake:
+                raise NotImplementedError(
+                    "non-BMFF video decode needs ffmpeg (not installed)"
+                )
+            # Vectorized fake fan-out for the non-BMFF rows: per-row
+            # frame counts -> np.repeat for the ids, one concatenated
+            # arange for the frame indices.
+            sizes = rest[payload_col].map(
+                lambda b: len(b) if b is not None else 0
+            )
             n_frames = np.maximum(
                 0, -(-sizes.to_numpy() // every_n_bytes)
             ).astype("int64")
-            ids = np.repeat(pdf[id_col].to_numpy(), n_frames)
+            ids = np.repeat(rest[id_col].to_numpy(), n_frames)
             idxs = np.concatenate(
                 [np.arange(n) for n in n_frames]
             ) if len(n_frames) else np.array([], dtype="int64")
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    "frame_idx": idxs.astype("int32"),
-                    "frame_offset": (idxs * every_n_bytes).astype("int64"),
+                    id_col: np.concatenate(
+                        [np.asarray(frames[id_col], dtype="int64"), ids]
+                    ),
+                    "frame_idx": np.concatenate(
+                        [
+                            np.asarray(frames["frame_idx"], dtype="int64"),
+                            idxs,
+                        ]
+                    ).astype("int32"),
+                    "frame_offset": np.concatenate(
+                        [
+                            np.asarray(
+                                frames["frame_offset"], dtype="int64"
+                            ),
+                            idxs * every_n_bytes,
+                        ]
+                    ).astype("int64"),
                 }
             )
 
@@ -1377,24 +1411,22 @@ def _mp4_fullbox(data: bytes, s: int, e: int, tag: bytes):
     return s + 4
 
 
-def mp4_decode(data: bytes):
-    """REAL stdlib-only ISO BMFF demuxer + per-frame decoder for the
-    single-video-track ``'png '``-codec files ``mp4_encode`` writes (and
-    any spec-conforming equivalent): generic bounds-checked box walk,
-    full sample-table resolution — ``stsc`` chunk runs expanded against
-    ``stco``/``stsz`` to absolute sample spans (validated to land inside
-    an ``mdat``), ``stts`` expanded to per-sample durations (validated
-    against the ``mdhd`` duration) — then ``png_decode`` per sample.
+def mp4_sample_table(data: bytes):
+    """REAL stdlib-only ISO BMFF demux WITHOUT pixel decode: generic
+    bounds-checked box walk, full sample-table resolution — ``stsc``
+    chunk runs expanded against ``stco``/``stsz`` to absolute sample
+    spans (validated to land inside an ``mdat``), ``stts`` expanded to
+    per-sample durations (validated against the ``mdhd`` duration).
 
-    Returns ``(width, height, timescale, duration, frames)`` with one
-    ``(duration, offset, size, pixels HxWx3 uint8)`` tuple per frame, in
-    presentation order. ValueError on truncation, on unsupported
+    Returns ``(width, height, timescale, duration, spans, durs)`` with
+    ``spans`` a list of (absolute_offset, size) per sample in
+    presentation order. This is the metadata-only path a frame-sampling
+    pipeline wants at scale: resolving WHICH bytes to read costs a box
+    walk, not a decode. ValueError on truncation, on unsupported
     variants (64-bit boxes, version-1 headers, non-'png ' codecs,
     multiple video tracks), and on inconsistent sample tables — the
     same error contract as ``png_decode``/``gif_decode``/``wav_decode``."""
     import struct
-
-    import numpy as np
 
     mdat_ranges = []
     moov_span = None
@@ -1551,12 +1583,26 @@ def mp4_decode(data: bytes):
     if si != n_samples:
         raise ValueError("MP4 stsc maps fewer samples than stsz has")
 
-    frames = []
     for i, (off, sz) in enumerate(spans):
         if not any(s <= off and off + sz <= e for s, e in mdat_ranges):
             raise ValueError(
                 f"MP4 sample {i} [{off}:{off + sz}] outside every mdat"
             )
+    return tk_w, tk_h, timescale, duration, spans, durs
+
+
+def mp4_decode(data: bytes):
+    """REAL stdlib-only ISO BMFF demuxer + per-frame decoder: the
+    ``mp4_sample_table`` resolution followed by ``png_decode`` on every
+    sample span. Returns ``(width, height, timescale, duration,
+    frames)`` with one ``(duration, offset, size, pixels HxWx3 uint8)``
+    tuple per frame, in presentation order; same ValueError contract
+    as the table resolution."""
+    import numpy as np
+
+    tk_w, tk_h, timescale, duration, spans, durs = mp4_sample_table(data)
+    frames = []
+    for i, (off, sz) in enumerate(spans):
         w, h, ch, px = png_decode(bytes(data[off : off + sz]))
         if (w, h, ch) != (tk_w, tk_h, 3):
             raise ValueError("MP4 sample dims disagree with track header")

@@ -837,3 +837,42 @@ def test_jpeg_color_roundtrip():
 
     assert jd(jpeg_encode(rgb))[2].ndim == 3
     assert jd(jpeg_encode(gray))[2].ndim == 2
+
+def test_sample_frames_real_bmff_offsets(spark):
+    """ISO BMFF payloads get REAL frame offsets resolved from the
+    container's sample table (no pixel decode); non-BMFF payloads in
+    the same batch keep the byte-stride fake. The offsets must equal
+    what the full decoder reports for the same payload."""
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_video,
+        mp4_decode,
+        mp4_encode,
+        sample_frames,
+    )
+
+    payloads = {d: mp4_encode(*_det_video(d)) for d in (3, 10)}
+    rows = [(d, p) for d, p in payloads.items()] + [(99, b"x" * 130)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {}
+    for r in sample_frames(df, every_n_bytes=64).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["frame_offset"])
+        )
+    for d, p in payloads.items():
+        want = [
+            (i, off)
+            for i, (_, off, _, _) in enumerate(mp4_decode(p)[4])
+        ]
+        assert sorted(got[d]) == want
+    assert sorted(got[99]) == [(0, 0), (1, 64), (2, 128)]  # fake path
+    # with the fake disabled, BMFF rows still resolve real; the raw
+    # payload now raises the explicit guard
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(df, deterministic_fake=False).collect()
+    bmff_only = spark.createDataFrame(
+        [(3, payloads[3])], "doc_id long, payload binary"
+    )
+    n = sample_frames(bmff_only, deterministic_fake=False).count()
+    assert n == len(mp4_decode(payloads[3])[4])
