@@ -681,7 +681,9 @@ def resize_images(
     PNG payloads resize REAL: stdlib decode → nearest-neighbor sample
     (source index = floor(target_index * src_dim / target_dim), the
     classic NN mapping — pure integer arithmetic so SQL oracles can
-    recompute every output pixel) → stdlib re-encode. Non-PNG needs PIL;
+    recompute every output pixel) → stdlib re-encode. Baseline JPEG
+    payloads resize REAL too (stdlib decode → NN → JPEG re-encode,
+    grayscale or color as the input was). Other formats need PIL;
     ``deterministic_fake=True`` is the TEST-ONLY fallback emitting a
     size-correct cycled byte payload.
     """
@@ -716,6 +718,11 @@ def resize_images(
                     xs = (np.arange(target_w) * w) // target_w
                     small = px[ys][:, xs][:, :, :3]
                     payloads.append(png_encode(small))
+                elif b[:2] == b"\xff\xd8" and not have_pil:
+                    w, h, px = jpeg_decode(b)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    payloads.append(jpeg_encode(px[ys][:, xs]))
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
 

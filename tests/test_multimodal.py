@@ -876,3 +876,33 @@ def test_sample_frames_real_bmff_offsets(spark):
     )
     n = sample_frames(bmff_only, deterministic_fake=False).count()
     assert n == len(mp4_decode(payloads[3])[4])
+
+def test_resize_jpeg_real_path(spark):
+    """Baseline JPEG payloads resize REAL: decode -> NN -> JPEG
+    re-encode. Identity resize of a block-constant grayscale JPEG is
+    bit-exact through BOTH codec passes; a downsize matches a pure-
+    numpy NN recompute within the re-encode quantization bound."""
+    import numpy as np
+
+    from smartpool_bigdata_spark.ops.multimodal import (
+        _det_jpeg_image,
+        jpeg_decode,
+        jpeg_encode,
+        resize_images,
+    )
+
+    img = _det_jpeg_image(5)  # block-constant grayscale
+    h, w = img.shape
+    df = spark.createDataFrame(
+        [(1, jpeg_encode(img))], "doc_id long, payload binary"
+    )
+    same = resize_images(df, target_w=w, target_h=h).collect()[0]
+    assert (same["width"], same["height"]) == (w, h)
+    _, _, back = jpeg_decode(bytes(same["payload"]))
+    assert np.array_equal(back, img)  # exact through decode+NN+encode+decode
+    half = resize_images(df, target_w=w // 2, target_h=h // 2).collect()[0]
+    _, _, small = jpeg_decode(bytes(half["payload"]))
+    ys = (np.arange(h // 2) * h) // (h // 2)
+    xs = (np.arange(w // 2) * w) // (w // 2)
+    want = img[ys][:, xs]
+    assert np.abs(small.astype(int) - want.astype(int)).max() <= 1
