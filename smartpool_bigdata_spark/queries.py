@@ -4298,7 +4298,12 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.text import spark_hash64
 
-    orders = _t(spark, sf_dir, "orders").select(
+    # _ts (r12 optimization): the per-row string canonicalization + md5
+    # is the dominant cost and runs in the scan stage; single-split
+    # testdata scans serialized each table's digest on one core
+    # (stage_time_audit: exec 5.0 s vs wall 2.1 s over 23 tasks, the
+    # md5 map stages single-task). Spread is a no-op on cluster scans.
+    orders = _ts(spark, sf_dir, "orders").select(
         F.lit("orders").alias("tbl"),
         F.expr(
             spark_hash64(
@@ -4308,7 +4313,7 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _ts(spark, sf_dir, "lineitem").select(
         F.lit("lineitem").alias("tbl"),
         F.expr(
             spark_hash64(
@@ -5673,7 +5678,12 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_count_distinct/KMV (§SCALE) — same plan, sketch partials.",
 )
 def events_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # _ts (r12 optimization): the 6-way count-DISTINCT Expand and its
+    # partial aggregate run in the scan stage; the single-split testdata
+    # scan serialized the whole 6x fan-out on one core (stage_time_audit:
+    # 4 stages / 4 tasks, exec_s == wall_s == 2.5). Spread is a no-op on
+    # a multi-split cluster scan.
+    ev = _ts(spark, sf_dir, "events")
     num_cols = ["event_id", "user_id"]
     agg_exprs = []
     for c in ("event_id", "ts", "user_id", "value", "event_type", "props"):
@@ -8004,8 +8014,14 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops import text as T
     from pyspark.sql import Window
 
+    # _ts, not _t (r12 optimization): the 60x multiplier explode + the
+    # decimal partial aggregate run in the SCAN stage; on a single-split
+    # scan (single-row-group testdata parquet) the whole 6M-row expand
+    # ran on ONE core — stage_time_audit measured exec_s == wall_s == 3.9
+    # with 6 stages / 6 tasks. Re-spreading the scan parallelizes the
+    # map side; a no-op on a many-split cluster scan.
     ev = (
-        _t(spark, sf_dir, "events")
+        _ts(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_id", "event_type", "value")
     )
@@ -10279,6 +10295,98 @@ FROM em CROSS JOIN pat
 WHERE iter = 10
 """
 
+# r12 optimization: the Spark side runs the SAME EM algebra UNROLLED
+# (em0..em10 as chained CTEs) instead of WITH RECURSIVE. The recursion
+# is over a ONE-ROW state relation, so Spark's UnionLoop executes a
+# separate tiny job per iteration — stage_time_audit measured 56 stages
+# / 0.15 s of executor time under a 2.0 s wall: pure driver job-launch
+# latency, zero data work. Unrolling a FIXED 10-iteration loop into one
+# single-job plan removes all of it. The step/final expression text
+# below is copied VERBATIM from _ER_EM_LOOP (only the FROM clause and
+# explicit output aliases differ), so every intermediate double is
+# bit-identical to the recursive form the oracle still runs; the
+# recursion OPERATOR itself stays value-locked by the two *_cte queries
+# whose depth is data-dependent (order_ancestor_chain_cte,
+# segment_reach_bfs_cte).
+_ER_EM_STEP_UNROLLED = """
+    SELECT iter + 1 AS iter,
+           (r00*c00 + r01*c01 + r10*c10 + r11*c11) / n AS pi,
+           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               (r10*c10 + r11*c11)
+                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
+           ELSE m1 END AS m1,
+           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               ((1-r10)*c10 + (1-r11)*c11)
+                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
+           ELSE u1 END AS u1,
+           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               (r01*c01 + r11*c11)
+                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
+           ELSE m2 END AS m2,
+           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
+               ((1-r01)*c01 + (1-r11)*c11)
+                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
+           ELSE u2 END AS u2
+    FROM (
+        SELECT iter, m1, u1, m2, u2, c00, c01, c10, c11,
+               c00 + c01 + c10 + c11 AS n,
+               CASE WHEN pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2) > 0 THEN
+                   pi*(1-m1)*(1-m2)
+                       / (pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
+               ELSE CAST(0 AS DOUBLE) END AS r00,
+               CASE WHEN pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2 > 0 THEN
+                   pi*(1-m1)*m2
+                       / (pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2)
+               ELSE CAST(0 AS DOUBLE) END AS r01,
+               CASE WHEN pi*m1*(1-m2) + (1-pi)*u1*(1-u2) > 0 THEN
+                   pi*m1*(1-m2)
+                       / (pi*m1*(1-m2) + (1-pi)*u1*(1-u2))
+               ELSE CAST(0 AS DOUBLE) END AS r10,
+               CASE WHEN pi*m1*m2 + (1-pi)*u1*u2 > 0 THEN
+                   pi*m1*m2
+                       / (pi*m1*m2 + (1-pi)*u1*u2)
+               ELSE CAST(0 AS DOUBLE) END AS r11
+        FROM {prev} CROSS JOIN pat
+    )
+"""
+
+_ER_EM_FINAL_UNROLLED = """
+SELECT CAST(iter AS BIGINT) AS iter,
+       round(pi, 6) AS pi,
+       round(m1, 6) AS m_name3, round(u1, 6) AS u_name3,
+       round(m2, 6) AS m_bal, round(u2, 6) AS u_bal,
+       CAST(c00 + c01 + c10 + c11 AS BIGINT) AS n_pairs,
+       round(  CASE WHEN c00 > 0 THEN
+                   c00 * ln(pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
+               ELSE 0 END
+             + CASE WHEN c01 > 0 THEN
+                   c01 * ln(pi*(1-m1)*m2     + (1-pi)*(1-u1)*u2)
+               ELSE 0 END
+             + CASE WHEN c10 > 0 THEN
+                   c10 * ln(pi*m1*(1-m2)     + (1-pi)*u1*(1-u2))
+               ELSE 0 END
+             + CASE WHEN c11 > 0 THEN
+                   c11 * ln(pi*m1*m2         + (1-pi)*u1*u2)
+               ELSE 0 END, 4) AS loglik
+FROM em10 CROSS JOIN pat
+WHERE iter = 10
+"""
+
+
+def _er_em_unrolled_sql(pat_body: str, n_iter: int = 10) -> str:
+    """The _ER_EM_LOOP algebra as chained CTEs em0..em{n_iter}."""
+    ctes = [
+        f"pat AS ({pat_body})",
+        "em0 AS (SELECT 0 AS iter, CAST(0.1 AS DOUBLE) AS pi, "
+        "CAST(0.8 AS DOUBLE) AS m1, CAST(0.2 AS DOUBLE) AS u1, "
+        "CAST(0.8 AS DOUBLE) AS m2, CAST(0.2 AS DOUBLE) AS u2)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"em{i} AS ({_ER_EM_STEP_UNROLLED.format(prev=f'em{i-1}')})"
+        )
+    return "WITH " + ",\n".join(ctes) + _ER_EM_FINAL_UNROLLED
+
 _ER_EM_PAT_SQL = """
     SELECT CAST(sum(CASE WHEN NOT (a.name3 = b.name3)
                           AND NOT (abs(a.bal_cents - b.bal_cents) < 10000)
@@ -10354,7 +10462,9 @@ def customer_er_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({int(counts['c10'])} AS DOUBLE) AS c10, "
         f"CAST({int(counts['c11'])} AS DOUBLE) AS c11"
     )
-    return spark.sql(_ER_EM_LOOP.format(pat_body=pat_body))
+    # Unrolled loop (see _er_em_unrolled_sql): identical algebra, one
+    # job instead of 10 UnionLoop iterations over a 1-row state.
+    return spark.sql(_er_em_unrolled_sql(pat_body))
 
 
 @query(
