@@ -4291,9 +4291,11 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification primitive (compare two 100 TB replicas by exchanging "
     "16 bytes). Distinct-row count rides along to expose "
     "duplicate-row divergence the sum alone could mask. Scale: pure "
-    "map-side fold — one scan, no shuffle beyond the 2-row aggregate; "
-    "additive merge means per-partition digests combine exactly like "
-    "the sketch family.",
+    "map-side fold — one scan per table plus the 2-row aggregate "
+    "(under-split local scans additionally pay _ts's conditional "
+    "spread repartition so the md5 map work parallelizes; a no-op at "
+    "cluster split counts); additive merge means per-partition digests "
+    "combine exactly like the sketch family.",
 )
 def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.text import spark_hash64
@@ -6138,8 +6140,18 @@ _SIM_CAP = 64  # stop-item prune: drop parts with more distinct buyers
     "dropped from the vector space, the sparse analog of stop-word "
     "removal, applied identically in the oracle) bounds every part's "
     "contribution; dot products are exact integer aggregates; the "
-    "global top-50 is a TakeOrderedAndProject. The norm joins are "
-    "per-customer hash joins on a uniform key.",
+    "global top-50 is a TakeOrderedAndProject. r13 optimization (guide "
+    "§2.4/§5, verdict #4): the before-plan carried 58 Exchanges because "
+    "vec and pv were re-derived from the scans for every consumer "
+    "(keep, norms, and BOTH sides of the pair fan-out each replayed the "
+    "lineitem-orders join). vec and pv are now lazily "
+    "localCheckpoint-ed — materialized once INSIDE the timed action and "
+    "shared; pv's hash(p) partitioning survives the checkpoint, so the "
+    "a x b inverted-index self-join needs no exchange at all. The "
+    "per-customer norms (O(customers) rows of (key, double) — KBs at "
+    "sf0.1, still only ~1% of one vector shard at 100 TB since norms "
+    "are 16 bytes/customer) broadcast back over the dot products "
+    "instead of two more shuffles.",
 )
 def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -6148,15 +6160,23 @@ def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # shared by the stop-item prune AND the pruned-vector join;
+        # eager=False keeps the materialization inside the timed action
+        .localCheckpoint(eager=False)
     )
     keep = vec.groupBy("p").agg(F.count(F.lit(1)).alias("nb")).filter(
         F.col("nb") <= _SIM_CAP
     ).select("p")
-    # Every frame below scales with the data (vectors, norms), so none is
-    # broadcastable at 100 TB and none needs a sort: hint shuffled-hash
+    # The vector/pair frames scale with the data, so they are never
+    # broadcastable at 100 TB and never need a sort: hint shuffled-hash
     # explicitly rather than letting size estimates pick SortMergeJoin
     # (same post-aggregate-estimate trap corpus_token_budget_selection hit).
-    pv = vec.join(keep.hint("shuffle_hash"), "p")
+    pv = (
+        vec.join(keep.hint("shuffle_hash"), "p")
+        # shared by norms and both sides of the pair fan-out; keeps the
+        # join's hash(p) partitioning, so a x b below is exchange-free
+        .localCheckpoint(eager=False)
+    )
     norms = pv.groupBy("c").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
     )
@@ -6174,8 +6194,8 @@ def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("c").alias("cust_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("c").alias("cust_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(na.hint("shuffle_hash"), "cust_a")
-        .join(nb.hint("shuffle_hash"), "cust_b")
+        dots.join(F.broadcast(na), "cust_a")
+        .join(F.broadcast(nb), "cust_b")
         .select(
             "cust_a",
             "cust_b",
@@ -7187,11 +7207,23 @@ _ALS_STAGE_SPARK = "CAST(CAST({e} AS STRING) AS DECIMAL(38,20))"
     "production ALS distributes (factors co-partitioned with the "
     "rating shards; higher rank swaps the scalar divide for a k x k "
     "Gram solve, same data movement). Top-20 items by factor, "
-    "deterministic tie-break, TakeOrdered.",
+    "deterministic tie-break, TakeOrdered. r13: ratings (r), the "
+    "joined sweep frame (ru), and the item factors (vf) are lazily "
+    "localCheckpoint-ed so each is computed once per action instead of "
+    "once per consumer (the before-plan replayed the fact join per "
+    "half-step; see plans/r13).",
 )
 def purchase_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # r13 (guide §5, verdict #6): the rating triples and each factor
+    # frame are consumed by BOTH half-steps of the alternation (r by uf
+    # and ru; ru by vf and the MSE scan; vf by the MSE join and the
+    # final projection) — the before-plan re-derived the full
+    # lineitem-orders join + groupBy once per consumer (repeated
+    # LogicalRelation subtrees). Lazy localCheckpoints materialize each
+    # sweep frame once INSIDE the timed action, exactly how production
+    # ALS persists ratings/factors across alternations.
     r = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
@@ -7199,11 +7231,16 @@ def purchase_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("i_id"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .localCheckpoint(eager=False)
     )
     uf = r.groupBy("u_id").agg(
         (F.sum("r").cast("double") / F.count(F.lit(1))).alias("u")
     )
-    ru = r.join(uf.hint("shuffle_hash"), "u_id").select("i_id", "r", "u")
+    ru = (
+        r.join(uf.hint("shuffle_hash"), "u_id")
+        .select("i_id", "r", "u")
+        .localCheckpoint(eager=False)
+    )
     vf = ru.groupBy("i_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_raters"),
         (
@@ -7212,7 +7249,7 @@ def purchase_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "double"
             )
         ).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     scored = ru.join(vf.hint("shuffle_hash"), "i_id")
     mse = scored.agg(
         (
@@ -7347,6 +7384,10 @@ def als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["u_id", "i_id"],
             "left_anti",
         )
+        # r13 (guide §5, verdict #6): consumed by BOTH eval_users and
+        # the per_user scoring join — without this the post-cutoff scan
+        # + distinct + anti-join replayed once per consumer
+        .localCheckpoint(eager=False)
     )
     uf = train.groupBy("u_id").agg(
         (F.sum("r").cast("double") / F.count(F.lit(1))).alias("u")
@@ -8006,9 +8047,11 @@ def _bootstrap_ci_oracle() -> str:
     "value-locked cross-engine. Scale: one 60x explode absorbed by "
     "map-side combine into (types x 60) partial sums — the resample "
     "never materializes, no per-row Python, ONE md5 + one pass over "
-    "the data (the classic resample-by-copying bootstrap is "
-    "impossible at 100 TB; the multiplier form is the published "
-    "scale-out answer).",
+    "the data — plus, on under-split local scans only, _ts's "
+    "conditional spread repartition so the explode parallelizes (a "
+    "no-op at cluster split counts). The classic resample-by-copying "
+    "bootstrap is impossible at 100 TB; the multiplier form is the "
+    "published scale-out answer.",
 )
 def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops import text as T
@@ -8770,13 +8813,25 @@ FROM chain GROUP BY depth
     "termination (the node > 1 guard; floor(int/int) division is "
     "fractional in BOTH dialects, so the parent arithmetic is "
     "engine-identical). Scale: Spark executes each recursion level as "
-    "a distributed self-join on the orderkey — the same shuffle shape "
-    "per level as the hand-rolled BFS, with the engine owning "
-    "fixpoint detection; chain length is log2(key), so the level "
-    "count is bounded and each level shrinks.",
+    "a join of the shrinking chain frontier against the orders view, "
+    "with the engine owning fixpoint detection; chain length is "
+    "log2(key), so the level count is bounded and each level shrinks. "
+    "r13 optimization (guide §3, problem knowledge the optimizer "
+    "lacks): the recursion's reachable-key closure is provably "
+    "[1, 1023] — seeds are BETWEEN 1 AND 1023 and parent = "
+    "floor(node/2) only shrinks keys — so the Spark-side view is "
+    "pre-filtered to o_orderkey <= 1023 before registration; each "
+    "UnionLoop level then joins a ~1023-row broadcastable relation "
+    "(min/max row-group pruning at the scan) instead of re-scanning "
+    "and shuffling the full orders table per level. The SQL text is "
+    "unchanged and the result provably identical (keys outside the "
+    "closure can never appear in any level).",
 )
 def order_ancestor_chain_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _view(spark, sf_dir, "orders_ancestor_cte", _t(spark, sf_dir, "orders"))
+    orders_closure = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1023
+    )
+    view = _view(spark, sf_dir, "orders_ancestor_cte", orders_closure)
     return spark.sql(_ANCESTOR_CHAIN_CTE.format(orders=view))
 
 
@@ -9043,37 +9098,53 @@ FROM dist GROUP BY hop
         lineitem="lineitem", orders="orders", customer="customer"
     ),
     description="Recursive-CTE twin of segment_reach_bfs: the SAME "
-    "multi-source BFS over the real symmetrized purchase graph, but "
-    "expressed as WITH RECURSIVE and executed by Spark 4's native "
-    "fixpoint operator instead of ops.graph.bfs_hops' hand-rolled "
-    "iterate-and-localCheckpoint loop — the cross-check that "
-    "value-locks the engine's recursion against the Pregel-style "
-    "implementation (tests/test_properties.py::test_bfs_cte_twin_"
-    "matches_handrolled asserts the two queries' outputs are "
-    "identical row-for-row). Spark's recursive "
-    "CTE supports UNION ALL only (UNION-distinct raises "
-    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so min-hop BFS is "
-    "recovered without path explosion by DISTINCT-ing each frontier "
-    "LEVEL inside the recursive member (per level each node appears "
-    "once, so level rows are bounded by |V| — never by path count, "
-    "which is combinatorial on this dense bipartite graph) and taking "
-    "min(hop) per node at the end. The SAME SQL text runs on both "
-    "engines. Plan note (why the hand-rolled loop stays the scale "
-    "path): the native operator re-derives each level from the FULL "
-    "previous level without a visited-set anti-join, so every level "
-    "re-emits all reachable nodes (~|V| rows/level regardless of how "
-    "many are new), while bfs_hops' frontier shrinks to only "
-    "newly-discovered nodes — at depth d the CTE does O(d*|V|) node "
-    "emissions vs the loop's O(|V|); for this 4-hop graph both are "
-    "sub-second, and the CTE wins on plan simplicity (no driver "
-    "round-trips, one job).",
+    "multi-source BFS over the real symmetrized purchase graph, "
+    "value-locked against DuckDB's WITH RECURSIVE min-hop evaluation "
+    "(the oracle keeps the recursive SQL verbatim; "
+    "tests/test_properties.py::test_bfs_cte_twin_matches_handrolled "
+    "additionally asserts the two registry queries' outputs are "
+    "identical row-for-row). r13 optimization (guide §2, verdict #3): "
+    "the Spark side no longer executes the native UnionLoop fixpoint — "
+    "measured 6-9 s because the operator re-derives each level from "
+    "the FULL previous level without a visited-set anti-join (every "
+    "level re-emits all reachable nodes, ~|V| rows/level, plus 2 "
+    "exchanges per hop over an unshrinking relation; before-plan in "
+    "plans/r13/). It now runs ops.graph.bfs_hops' frontier loop — per "
+    "hop ONE edge join + ONE distinct + ONE anti-join against the "
+    "visited set, localCheckpoint-cut lineage, isEmpty early-stop — "
+    "whose frontier shrinks to newly-discovered nodes: O(|V|) total "
+    "node emissions vs the CTE's O(d*|V|). Same unrolled-algebra-vs-"
+    "recursive-oracle pattern as customer_er_em_params. Results are "
+    "provably identical: level-DISTINCT UNION ALL + final min(hop) "
+    "assigns every node its minimum hop distance, which is exactly "
+    "what the visited-set loop computes.",
 )
 def segment_reach_bfs_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    names = {
-        t: _view(spark, sf_dir, f"{t}_bfscte", _t(spark, sf_dir, t))
-        for t in ("lineitem", "orders", "customer")
-    }
-    return spark.sql(_REACH_BFS_CTE.format(**names))
+    from smartpool_bigdata_spark.ops.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    dist = bfs_hops(edges, seeds, max_hops=4)
+    return dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node") > 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+    )
 
 
 @query(
@@ -10213,102 +10284,30 @@ def hourly_value_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fellegi-Sunter EM: the fixpoint loop as a recursive CTE over a 1-ROW
-# state relation. The loop text is shared VERBATIM between Spark and the
-# DuckDB oracle (same discipline as _REACH_BFS_CTE / _OLS_D*) — only the
-# `pat` body differs: the oracle computes the four agreement-pattern
-# counts from the blocked pair join in SQL, the Spark side inlines the
-# SAME integers as literals (one aggregate collected driver-side, the
-# watermark discipline) so the engine does not re-run the pair join once
-# per EM iteration. Identical counts + identical loop text = bit-identical
-# doubles at every iteration.
-_ER_EM_LOOP = """
-WITH RECURSIVE pat AS ({pat_body}),
-em(iter, pi, m1, u1, m2, u2) AS (
-    SELECT 0, CAST(0.1 AS DOUBLE), CAST(0.8 AS DOUBLE),
-           CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.2 AS DOUBLE)
-    UNION ALL
-    -- boundary guards are SEMANTIC, not ANSI appeasement: a pattern
-    -- with zero count drives its m/u to the boundary, after which the
-    -- responsibility is 0/0 (DuckDB would emit NaN and poison every
-    -- later iteration; ANSI Spark throws) — a zero-weight pattern's
-    -- responsibility is definitionally 0, and an empty class keeps its
-    -- previous parameters
-    SELECT iter + 1,
-           (r00*c00 + r01*c01 + r10*c10 + r11*c11) / n,
-           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
-               (r10*c10 + r11*c11)
-                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
-           ELSE m1 END,
-           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
-               ((1-r10)*c10 + (1-r11)*c11)
-                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
-           ELSE u1 END,
-           CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
-               (r01*c01 + r11*c11)
-                   / (r00*c00 + r01*c01 + r10*c10 + r11*c11)
-           ELSE m2 END,
-           CASE WHEN n - (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
-               ((1-r01)*c01 + (1-r11)*c11)
-                   / (n - (r00*c00 + r01*c01 + r10*c10 + r11*c11))
-           ELSE u2 END
-    FROM (
-        SELECT iter, m1, u1, m2, u2, c00, c01, c10, c11,
-               c00 + c01 + c10 + c11 AS n,
-               CASE WHEN pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2) > 0 THEN
-                   pi*(1-m1)*(1-m2)
-                       / (pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
-               ELSE CAST(0 AS DOUBLE) END AS r00,
-               CASE WHEN pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2 > 0 THEN
-                   pi*(1-m1)*m2
-                       / (pi*(1-m1)*m2 + (1-pi)*(1-u1)*u2)
-               ELSE CAST(0 AS DOUBLE) END AS r01,
-               CASE WHEN pi*m1*(1-m2) + (1-pi)*u1*(1-u2) > 0 THEN
-                   pi*m1*(1-m2)
-                       / (pi*m1*(1-m2) + (1-pi)*u1*(1-u2))
-               ELSE CAST(0 AS DOUBLE) END AS r10,
-               CASE WHEN pi*m1*m2 + (1-pi)*u1*u2 > 0 THEN
-                   pi*m1*m2
-                       / (pi*m1*m2 + (1-pi)*u1*u2)
-               ELSE CAST(0 AS DOUBLE) END AS r11
-        FROM em CROSS JOIN pat WHERE iter < 10
-    )
-)
-SELECT CAST(iter AS BIGINT) AS iter,
-       round(pi, 6) AS pi,
-       round(m1, 6) AS m_name3, round(u1, 6) AS u_name3,
-       round(m2, 6) AS m_bal, round(u2, 6) AS u_bal,
-       CAST(c00 + c01 + c10 + c11 AS BIGINT) AS n_pairs,
-       round(  CASE WHEN c00 > 0 THEN
-                   c00 * ln(pi*(1-m1)*(1-m2) + (1-pi)*(1-u1)*(1-u2))
-               ELSE 0 END
-             + CASE WHEN c01 > 0 THEN
-                   c01 * ln(pi*(1-m1)*m2     + (1-pi)*(1-u1)*u2)
-               ELSE 0 END
-             + CASE WHEN c10 > 0 THEN
-                   c10 * ln(pi*m1*(1-m2)     + (1-pi)*u1*(1-u2))
-               ELSE 0 END
-             + CASE WHEN c11 > 0 THEN
-                   c11 * ln(pi*m1*m2         + (1-pi)*u1*u2)
-               ELSE 0 END, 4) AS loglik
-FROM em CROSS JOIN pat
-WHERE iter = 10
-"""
-
-# r12 optimization: the Spark side runs the SAME EM algebra UNROLLED
-# (em0..em10 as chained CTEs) instead of WITH RECURSIVE. The recursion
-# is over a ONE-ROW state relation, so Spark's UnionLoop executes a
-# separate tiny job per iteration — stage_time_audit measured 56 stages
-# / 0.15 s of executor time under a 2.0 s wall: pure driver job-launch
-# latency, zero data work. Unrolling a FIXED 10-iteration loop into one
-# single-job plan removes all of it. The step/final expression text
-# below is copied VERBATIM from _ER_EM_LOOP (only the FROM clause and
-# explicit output aliases differ), so every intermediate double is
-# bit-identical to the recursive form the oracle still runs; the
-# recursion OPERATOR itself stays value-locked by the two *_cte queries
-# whose depth is data-dependent (order_ancestor_chain_cte,
-# segment_reach_bfs_cte).
-_ER_EM_STEP_UNROLLED = """
+# Fellegi-Sunter EM: the fixpoint loop over a 1-ROW state relation.
+# The oracle runs it as WITH RECURSIVE; the Spark side runs the SAME
+# algebra UNROLLED (em0..em10 as chained CTEs — r12 optimization: the
+# recursion is over one row, so Spark's UnionLoop executed a separate
+# tiny job per iteration; stage_time_audit measured 56 stages / 0.15 s
+# of executor time under a 2.0 s wall — pure driver job-launch latency).
+# Both forms are RENDERED FROM THE SAME step/final expression constants
+# below (r12 ADVICE: the unrolled text was a hand-maintained copy; now
+# a future edit to the algebra reaches both engines by construction),
+# so every intermediate double is bit-identical across engines. The
+# `pat` body is the only other difference: the oracle computes the four
+# agreement-pattern counts from the blocked pair join in SQL, the Spark
+# side inlines the SAME integers as literals (one aggregate collected
+# driver-side, the watermark discipline) so the engine never re-runs
+# the pair join. The recursion OPERATOR itself stays value-locked by
+# order_ancestor_chain_cte, whose depth is data-dependent.
+#
+# Boundary guards in the step are SEMANTIC, not ANSI appeasement: a
+# pattern with zero count drives its m/u to the boundary, after which
+# the responsibility is 0/0 (DuckDB would emit NaN and poison every
+# later iteration; ANSI Spark throws) — a zero-weight pattern's
+# responsibility is definitionally 0, and an empty class keeps its
+# previous parameters.
+_ER_EM_STEP = """
     SELECT iter + 1 AS iter,
            (r00*c00 + r01*c01 + r10*c10 + r11*c11) / n AS pi,
            CASE WHEN (r00*c00 + r01*c01 + r10*c10 + r11*c11) > 0 THEN
@@ -10346,11 +10345,11 @@ _ER_EM_STEP_UNROLLED = """
                    pi*m1*m2
                        / (pi*m1*m2 + (1-pi)*u1*u2)
                ELSE CAST(0 AS DOUBLE) END AS r11
-        FROM {prev} CROSS JOIN pat
+        FROM {src} CROSS JOIN pat{guard}
     )
 """
 
-_ER_EM_FINAL_UNROLLED = """
+_ER_EM_FINAL = """
 SELECT CAST(iter AS BIGINT) AS iter,
        round(pi, 6) AS pi,
        round(m1, 6) AS m_name3, round(u1, 6) AS u_name3,
@@ -10368,13 +10367,32 @@ SELECT CAST(iter AS BIGINT) AS iter,
              + CASE WHEN c11 > 0 THEN
                    c11 * ln(pi*m1*m2         + (1-pi)*u1*u2)
                ELSE 0 END, 4) AS loglik
-FROM em10 CROSS JOIN pat
-WHERE iter = 10
+FROM {last} CROSS JOIN pat
+WHERE iter = {n}
 """
 
+_ER_EM_N_ITER = 10
 
-def _er_em_unrolled_sql(pat_body: str, n_iter: int = 10) -> str:
-    """The _ER_EM_LOOP algebra as chained CTEs em0..em{n_iter}."""
+_ER_EM_LOOP = (
+    """
+WITH RECURSIVE pat AS ({pat_body}),
+em(iter, pi, m1, u1, m2, u2) AS (
+    SELECT 0, CAST(0.1 AS DOUBLE), CAST(0.8 AS DOUBLE),
+           CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.2 AS DOUBLE)
+    UNION ALL
+"""
+    + _ER_EM_STEP.format(src="em", guard=f" WHERE iter < {_ER_EM_N_ITER}")
+    + """
+)
+"""
+    + _ER_EM_FINAL.format(last="em", n=_ER_EM_N_ITER)
+)
+
+
+def _er_em_unrolled_sql(pat_body: str, n_iter: int = _ER_EM_N_ITER) -> str:
+    """The _ER_EM_LOOP algebra as chained CTEs em0..em{n_iter}, rendered
+    from the same _ER_EM_STEP/_ER_EM_FINAL constants as the recursive
+    oracle form."""
     ctes = [
         f"pat AS ({pat_body})",
         "em0 AS (SELECT 0 AS iter, CAST(0.1 AS DOUBLE) AS pi, "
@@ -10383,9 +10401,13 @@ def _er_em_unrolled_sql(pat_body: str, n_iter: int = 10) -> str:
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"em{i} AS ({_ER_EM_STEP_UNROLLED.format(prev=f'em{i-1}')})"
+            f"em{i} AS ({_ER_EM_STEP.format(src=f'em{i - 1}', guard='')})"
         )
-    return "WITH " + ",\n".join(ctes) + _ER_EM_FINAL_UNROLLED
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + _ER_EM_FINAL.format(last=f"em{n_iter}", n=n_iter)
+    )
 
 _ER_EM_PAT_SQL = """
     SELECT CAST(sum(CASE WHEN NOT (a.name3 = b.name3)
@@ -10423,18 +10445,21 @@ _ER_EM_PAT_SQL = """
     "customer_er_em_params",
     oracle=_ER_EM_LOOP.format(pat_body=_ER_EM_PAT_SQL),
     description="EM parameter ESTIMATION for Fellegi-Sunter record "
-    "linkage (Winkler's unsupervised m/u fitting), with the fixpoint "
-    "loop expressed as a RECURSIVE CTE over a 1-row state relation — "
-    "the engine owns the iteration, no driver loop: because the two "
+    "linkage (Winkler's unsupervised m/u fitting). Because the two "
     "comparison fields are binary, the E-step collapses from "
     "per-pair responsibilities to per-PATTERN responsibilities over a "
     "4-cell contingency table (c00..c11), so each EM iteration is pure "
-    "scalar algebra on one row and 10 iterations append 10 state rows. "
-    "The loop SQL text runs VERBATIM on both engines; the pattern "
+    "scalar algebra on one row. The ORACLE runs the fixpoint as a "
+    "RECURSIVE CTE; the Spark side runs the algebra UNROLLED as "
+    "chained CTEs em0..em10 (r12: the UnionLoop executed one tiny job "
+    "per iteration over the 1-row state — pure driver latency) — both "
+    "forms render from the same step/final SQL constants, so every "
+    "intermediate double is bit-identical and the unrolled chain is "
+    "value-locked against the recursive form. The pattern "
     "counts come from the same composite-blocked pair join as "
     "customer_er_match_scores — computed ONCE (the Spark side collects "
     "the four integers as driver scalars and inlines them, so the "
-    "recursion never re-executes the pair join; the oracle computes "
+    "iteration never re-executes the pair join; the oracle computes "
     "them in its pat CTE — same integers, same doubles). Outputs the "
     "converged class prior, per-field m/u probabilities, and the "
     "mixture log-likelihood. On this synthetic-no-duplicates testbed "

@@ -1096,19 +1096,30 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KenLM-perplexity filter (captures word-order structure a unigram "
     "model is blind to). Scale: the bigram table shuffles on the "
     "uniform (h1,h2) key; unigram counts + follower fan-outs are "
-    "O(vocab) aggregates that BROADCAST back over the position stream. "
+    "O(vocab) aggregates that BROADCAST back over the position stream; "
+    "r13: the tokenize+hash stage, position stream, and LM count "
+    "tables are lazily localCheckpoint-ed (one tokenize pass instead "
+    "of four — the signature-table pattern) and the token total folds "
+    "out of the unigram table. "
     "ln() bit-identical across engines, per-doc mean decimal-stable. "
     "Docs with fewer than 2 tokens have no bigrams and are excluded on "
     "both sides.",
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
+    # r13 (guide §5/§2.3, verdict #5): ONE tokenize pass. The before-plan
+    # re-ran the tokenize+hash scan once per consumer (unigram counts,
+    # token total, bigram counts, and the scored position stream — 4
+    # passes, 36 Exchanges); every stage below is lazily
+    # localCheckpoint-ed so it is computed once inside the timed action,
+    # and the token total now folds out of the unigram table
+    # (sum(c1) == count of all tokens) instead of a second explode pass.
     th = docs.select(
         "doc_id",
         F.expr(
             f"transform({T.spark_tokens('text')}, t -> {T.spark_hash64('t')})"
         ).alias("th"),
-    )
+    ).localCheckpoint(eager=False)
     pos = (
         th.filter(F.expr("size(th) >= 2"))
         .select(
@@ -1121,11 +1132,16 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(th, i)").alias("h1"),
             F.expr("element_at(th, i + 1)").alias("h2"),
         )
+        .localCheckpoint(eager=False)
     )
     tok = th.select(F.explode("th").alias("h"))
-    uni = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c1"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
-    bi = pos.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = tok.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).localCheckpoint(eager=False)
+    tot = uni.agg(F.sum("c1").alias("n"))
+    bi = pos.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)
     fol = bi.groupBy("h1").agg(F.count(F.lit(1)).cast("bigint").alias("f1"))
     scored = (
         pos.join(bi, ["h1", "h2"])
@@ -2654,10 +2670,14 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.relational import top_n_per_group
 
     ev = _ts(spark, sf_dir, "events")
+    # r13 (guide §5, verdict #9): the distinct (type, md5(user)) stream
+    # feeds FOUR consumers (sketches, type pairs, the exact-audit group,
+    # per-type cardinalities) — lazily checkpoint so the scan + md5 +
+    # distinct run once inside the timed action instead of per consumer
     hashed = ev.select(
         "event_type",
         F.expr(T.spark_hash64("CAST(user_id AS STRING)")).alias("h"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sk = top_n_per_group(
         hashed, ["event_type"], [F.col("h").asc()], _KMV_K,
         method="row_number", rank_col="rn", low_cardinality=True,
@@ -2678,6 +2698,8 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
             F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
         )
+        # shared by the per-pair rank pass and the union-size count
+        .localCheckpoint(eager=False)
     )
     ur = top_n_per_group(
         u, ["ta", "tb"], [F.col("h").asc()], _KMV_K,

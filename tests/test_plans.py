@@ -489,8 +489,8 @@ def test_r9_additions_plan_posture(plans):
         # Q15: one suppkey hash agg, scalar max broadcast crossJoined,
         # supplier names broadcast — never a global window
         "top_revenue_supplier",
-        # recursive-CTE BFS twin: the loop body is owned by the engine's
-        # UnionLoop node; the lock covers the dist/histogram tail
+        # BFS CTE twin (r13: Spark side runs the bfs_hops frontier loop,
+        # not the UnionLoop); the lock covers the dist/histogram tail
         "segment_reach_bfs_cte",
         # Q7: nation-filtered dims broadcast twice (supplier + customer
         # roles), one orderkey shuffle
@@ -524,8 +524,9 @@ def test_r9_additions_plan_posture(plans):
         # BH-FDR: one cell hash agg + 1-row global broadcast; the
         # rank/step-up windows run on the 120-row hypothesis family
         "hourly_value_bh_fdr",
-        # ER-EM: one blocked pair-count agg; the recursive-CTE fixpoint
-        # iterates a 1-row state relation (UnionLoop, no driver loop)
+        # ER-EM: one blocked pair-count agg; the EM algebra runs as the
+        # UNROLLED em0..em10 CTE chain on the Spark side (one job over a
+        # 1-row state; the DuckDB oracle keeps the WITH RECURSIVE form)
         "customer_er_em_params",
         # ER closure: blocked pair join + large-star/small-star CC
         "customer_er_entity_clusters",

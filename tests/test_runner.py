@@ -84,6 +84,84 @@ def test_bench_compact_line_bounded_at_any_registry_size():
     assert d3["still_above_prior"] == []
 
 
+def test_bench_compact_line_caps_disclosure_lists():
+    """r12 verdict #2/#4: at 8 cores the unbounded stall_retried /
+    fresh_session_remeasured lists alone exceeded the 1800-char budget
+    and the driver got ZERO per-query timings. The compact line must
+    carry every list as count + bounded sample and still fit >=25 of the
+    slowest timings."""
+    import json
+
+    from bench import compact_line
+
+    long_names = [f"query_with_a_very_long_name_{i:03d}" for i in range(60)]
+    full = {
+        "metric": "total_query_sec",
+        "value": 162.0,
+        "unit": "sec",
+        "queries": {n: round(0.5 + i * 0.013, 3)
+                    for i, n in enumerate(long_names * 4)},  # 60 uniq names
+        "value_first_run": 280.0,
+        "value_r2_subset": 16.5,
+        "value_r5_headline_subset": 49.1,
+        "value_r7_headline_subset": 126.3,
+        "host_factor_jvm": 0.983,
+        "value_r2_subset_normalized": 16.8,
+        "value_r5_headline_subset_normalized": 50.0,
+        "value_r7_headline_subset_normalized": 128.5,
+        "canary_rel_jvm": 1.0,
+        "canary_rel_arrow": 1.0,
+        "stall_retried": long_names[:47],
+        "fast_retried": long_names[:12],
+        "fresh_session_remeasured": long_names[:35],
+        "still_above_prior": long_names[:8],
+        "fresh_canary_jvm_sec": 0.531,
+        "fresh_canary_arrow_sec": 0.892,
+        "n_queries": 233,
+        "sf": 0.1,
+        "canary_jvm_sec": 0.623,
+        "canary_arrow_sec": 0.878,
+    }
+    line = compact_line(full)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert len(d["queries"]) >= 25, len(d["queries"])
+    assert d["stall_retried_n"] == 47 and len(d["stall_retried"]) <= 5
+    assert d["fresh_session_remeasured_n"] == 35
+    assert len(d["fresh_session_remeasured"]) <= 5
+    # the slowest query always survives
+    slowest = max(full["queries"], key=full["queries"].get)
+    assert slowest in d["queries"]
+
+
+def test_bench_fast_tail_symmetry():
+    """r12 verdict #8: the retry protocol fires on both tails. A lone
+    reading below prior/1.5 is re-run; if never reproduced it is
+    excluded from the committed min; two sub-bar runs confirm a genuine
+    improvement at no extra cost."""
+    from bench import committed_value, fast_unconfirmed
+
+    # lone fast fluke -> earns retries up to 4 total
+    assert fast_unconfirmed([2.0, 7.9], prior=8.0)
+    assert fast_unconfirmed([2.0, 7.9, 8.0], prior=8.0)
+    assert not fast_unconfirmed([2.0, 7.9, 8.0, 8.1], prior=8.0)  # cap
+    # confirmed improvement (both runs low) -> no retry
+    assert not fast_unconfirmed([2.0, 2.1], prior=8.0)
+    # no prior, or reading within the band -> no retry
+    assert not fast_unconfirmed([2.0, 2.1], prior=None)
+    assert not fast_unconfirmed([6.0, 7.0], prior=8.0)
+    # sub-floor absolute deltas never fire
+    assert not fast_unconfirmed([0.01, 0.09], prior=0.09)
+
+    # committed value: unconfirmed lone outlier excluded...
+    assert committed_value([2.0, 7.9, 8.0, 8.1], prior=8.0) == 7.9
+    # ...confirmed improvement keeps the plain min...
+    assert committed_value([2.0, 2.1], prior=8.0) == 2.0
+    # ...and the no-outlier / no-prior paths are the plain min too
+    assert committed_value([7.9, 8.2], prior=8.0) == 7.9
+    assert committed_value([2.0, 7.9], prior=None) == 2.0
+
+
 def test_bench_stall_retry_predicate():
     """Stall-proofing (r10 verdict #1): readings >1.5x their prior
     steady value (by an absolute >0.1 s) earn extra materializations,

@@ -74,7 +74,8 @@ MEASURED_RATIO = {
     "channel_shapley_attribution": 21.648,
     # one cell agg + 120-row family windows, absolute bytes 0.01 MB
     "hourly_value_bh_fdr": 1.1,
-    # same blocked pair join as the scorer, then 1-row recursion
+    # same blocked pair join as the scorer, then the unrolled 1-row
+    # em0..em10 CTE chain (the oracle keeps WITH RECURSIVE)
     "customer_er_em_params": 16.105,
     # blocked pair join + star-contraction CC rounds, 0.12 MB absolute
     # (re-measured r10 after pinning the post-checkpoint joins to
@@ -91,14 +92,13 @@ MEASURED_RATIO = {
     # the 5-gram explode IS the shuffle (vocab agg of exploded grams
     # over a 0.003 MB pruned text scan); absolute bytes 0.63 MB
     "vocab_good_turing": 184.299,
-    # r10: the recursive-CTE fixpoint shapes, pinned so a recursion
-    # regression (a frontier that stops shrinking, a lost per-level
-    # DISTINCT) fails as bytes. The CTE BFS's 72x is per-level frontier
-    # re-shuffles over a 0.13 MB pruned scan (9.7 MB absolute — the
-    # declarative-fixpoint cost the hand-rolled twin's checkpoint scans
-    # avoid, see SCALE.md r10 probe); the hand-rolled twin's 0.107 is
-    # the same traversal with checkpoint re-scans counted as input
-    "segment_reach_bfs_cte": 72.057,
+    # r13: segment_reach_bfs_cte's Spark side now runs the same
+    # bfs_hops frontier loop as the hand-rolled twin (the native
+    # UnionLoop fixpoint re-emitted every reachable node per level —
+    # 72.057 ratio, 9.7 MB absolute — see plans/r13 and
+    # OPTIMIZATION_r13.md); both twins now pin the checkpoint-scan
+    # traversal ratio
+    "segment_reach_bfs_cte": 0.107,
     "segment_reach_bfs": 0.107,
     # log2(key)-level ancestor chain: each level joins a shrinking
     # frontier against broadcast orders; 0.31 MB absolute
