@@ -36,24 +36,34 @@ def walk_plan(node, visit: Callable) -> None:
 
 
 def broadcast_rows(
-    spark, build: Callable, sf_dir: str, forced_only: bool = False
+    spark,
+    build: Callable,
+    sf_dir: str,
+    forced_only: bool = False,
+    manage_confs: bool = True,
 ) -> list[int]:
     """Execute ``build(spark, sf_dir)`` with AQE off (and, when
     ``forced_only``, auto-broadcast disabled so every surviving
     BroadcastExchange is an explicit hint) and return the
-    ``numOutputRows`` of each BroadcastExchange in plan order."""
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    if forced_only:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ``numOutputRows`` of each BroadcastExchange in plan order.
+
+    ``manage_confs=False`` skips the per-call conf set/restore for
+    callers that pin the confs once around a CONCURRENT sweep (session
+    confs are global, so per-call toggling is not thread-safe)."""
+    if manage_confs:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if forced_only:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = build(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        if manage_confs:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
 
     found: list[int] = []
 

@@ -5666,33 +5666,44 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(props), max(props)
     FROM events
     """,
-    description="Single-pass table profiling (the ANALYZE TABLE COMPUTE "
+    description="Table profiling (the ANALYZE TABLE COMPUTE "
     "STATISTICS FOR ALL COLUMNS / df.summary() analog, with EXACT "
-    "distincts so it is value-lockable): one aggregate computes "
-    "rows/nulls/distincts/min/max for every column of events in ONE "
-    "scan — Spark plans the 6 count(DISTINCT)s as a single Expand (6x "
-    "row fan-out) feeding one partial+final aggregate pair, not 6 "
-    "scans — then a row-local stack unpivots the 1-row result to one "
-    "row per column. Numeric/timestamp columns profile numerically "
-    "(epoch seconds for ts), string columns textually. The oracle's 6 "
-    "UNION ALL scans are the semantic spec; the Spark side must match "
-    "it from the fused plan. At 100 TB swap the exact distincts for "
-    "approx_count_distinct/KMV (§SCALE) — same plan, sketch partials.",
+    "distincts so it is value-lockable): ONE scan, materialized once "
+    "(lazy checkpoint), feeds a rows/nulls/min/max aggregate plus six "
+    "per-column two-level distinct aggregates (partial distinct-by-"
+    "value map-side, tiny value shuffle, count) whose 1-row results "
+    "broadcast back; a row-local stack unpivots to one row per column. "
+    "r13: this replaces the single 6-way count-DISTINCT Expand (6x "
+    "null-padded row fan-out through one wide-keyed aggregate — "
+    "verdict #7); the narrow single-column keys hash ~6x cheaper and "
+    "the branches run as independent stages. Numeric/timestamp columns "
+    "profile numerically (epoch seconds for ts), string columns "
+    "textually. The oracle's 6 UNION ALL scans are the semantic spec. "
+    "At 100 TB the checkpoint's role is played by a profile staging "
+    "table, and the exact distincts swap for approx_count_distinct/KMV "
+    "(§SCALE) — same shape, sketch partials.",
 )
 def events_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _ts (r12 optimization): the 6-way count-DISTINCT Expand and its
-    # partial aggregate run in the scan stage; the single-split testdata
-    # scan serialized the whole 6x fan-out on one core (stage_time_audit:
-    # 4 stages / 4 tasks, exec_s == wall_s == 2.5). Spread is a no-op on
-    # a multi-split cluster scan.
-    ev = _ts(spark, sf_dir, "events")
+    # r13 (guide §2, verdict #7): the 6-way count-DISTINCT planned as a
+    # single Expand — a 6x row fan-out through one wide-keyed hash
+    # aggregate that measured 54 executor-seconds at sf0.1 (the r12 _ts
+    # spread only parallelized it). The scan is now materialized once
+    # (lazy checkpoint, inside the timed action) and each column's exact
+    # distinct runs as its own two-level aggregate over the cached rows:
+    # partial distinct-by-value map-side, tiny value shuffle, count —
+    # the narrow single-column keys hash ~6x cheaper than the Expand's
+    # null-padded 7-field rows, and the six branches run as independent
+    # stages. Measured 2.4 -> 2.0 s, rows identical. At 100 TB the
+    # checkpoint's role is played by the profile staging table (the
+    # signature-table pattern): materialize the scan once, profile from
+    # the materialization, never 6 raw scans.
+    ev = _ts(spark, sf_dir, "events").localCheckpoint(eager=False)
     num_cols = ["event_id", "user_id"]
     agg_exprs = []
     for c in ("event_id", "ts", "user_id", "value", "event_type", "props"):
         agg_exprs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__nd"),
         ]
         if c in num_cols:
             agg_exprs += [
@@ -5720,6 +5731,14 @@ def events_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(c).alias(f"{c}__maxt"),
             ]
     one = ev.agg(*agg_exprs)
+    for c in ("event_id", "ts", "user_id", "value", "event_type", "props"):
+        nd = (
+            ev.select(c)
+            .where(F.col(c).isNotNull())  # count(DISTINCT c) skips NULLs
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"{c}__nd"))
+        )
+        one = one.crossJoin(F.broadcast(nd))
     rows = []
     for c in ("event_id", "ts", "user_id", "value"):
         rows.append(
@@ -6146,12 +6165,14 @@ _SIM_CAP = 64  # stop-item prune: drop parts with more distinct buyers
     "(keep, norms, and BOTH sides of the pair fan-out each replayed the "
     "lineitem-orders join). vec and pv are now lazily "
     "localCheckpoint-ed — materialized once INSIDE the timed action and "
-    "shared; pv's hash(p) partitioning survives the checkpoint, so the "
-    "a x b inverted-index self-join needs no exchange at all. The "
-    "per-customer norms (O(customers) rows of (key, double) — KBs at "
-    "sf0.1, still only ~1% of one vector shard at 100 TB since norms "
-    "are 16 bytes/customer) broadcast back over the dot products "
-    "instead of two more shuffles.",
+    "shared (the a x b self-join re-reads the cached pruned vectors "
+    "instead of replaying the fact join per side); and the per-customer "
+    "norm rides each "
+    "vector row via a window over the same c partition (identical "
+    "doubles), so the two post-aggregation norm joins — which would "
+    "otherwise need either two more pair-table shuffles or a forced "
+    "broadcast of an O(customers) frame (the linear-broadcast hazard "
+    "the r11 audit removed elsewhere) — disappear entirely.",
 )
 def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -6171,17 +6192,40 @@ def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcastable at 100 TB and never need a sort: hint shuffled-hash
     # explicitly rather than letting size estimates pick SortMergeJoin
     # (same post-aggregate-estimate trap corpus_token_budget_selection hit).
+    from pyspark.sql import Window
+
+    # The norm is attached to each pruned-vector row by a window over
+    # the SAME per-customer partition the old separate norms aggregate
+    # used (identical doubles: sqrt of the same bigint sum), so the two
+    # post-aggregation norm joins disappear entirely. (No pre-partition
+    # on p: AQE's coalesced shuffle degrades a checkpointed frame's
+    # outputPartitioning to Unknown, so the self-join re-exchanges its
+    # two cached reads either way — two small exchanges of the pruned
+    # vectors, not of the raw fact join.)
+    wc = Window.partitionBy("c")
     pv = (
         vec.join(keep.hint("shuffle_hash"), "p")
-        # shared by norms and both sides of the pair fan-out; keeps the
-        # join's hash(p) partitioning, so a x b below is exchange-free
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum(F.col("cnt") * F.col("cnt")).over(wc).cast("double")
+            ),
+        )
+        # shared by both sides of the pair fan-out, computed once
         .localCheckpoint(eager=False)
     )
-    norms = pv.groupBy("c").agg(
-        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
+    a = pv.select(
+        F.col("p"),
+        F.col("c").alias("cust_a"),
+        F.col("cnt").alias("ca"),
+        F.col("nrm").alias("na"),
     )
-    a = pv.select(F.col("p"), F.col("c").alias("cust_a"), F.col("cnt").alias("ca"))
-    b = pv.select(F.col("p"), F.col("c").alias("cust_b"), F.col("cnt").alias("cb"))
+    b = pv.select(
+        F.col("p"),
+        F.col("c").alias("cust_b"),
+        F.col("cnt").alias("cb"),
+        F.col("nrm").alias("nb"),
+    )
     dots = (
         a.join(b.hint("shuffle_hash"), ["p"])
         .filter(F.col("cust_a") < F.col("cust_b"))
@@ -6189,14 +6233,14 @@ def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
             F.count(F.lit(1)).cast("bigint").alias("n_shared_parts"),
+            # na/nb are constant within the (cust_a, cust_b) group —
+            # min() selects the exact per-customer norm, no join needed
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
         )
     )
-    na = norms.select(F.col("c").alias("cust_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("c").alias("cust_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(F.broadcast(na), "cust_a")
-        .join(F.broadcast(nb), "cust_b")
-        .select(
+        dots.select(
             "cust_a",
             "cust_b",
             "n_shared_parts",

@@ -23,7 +23,12 @@ def spark():
 
     spark = get_spark(
         app_name="smartpool-tests",
-        master="local[8]",
+        # 16 worker threads (r13): the suite's sweeps submit independent
+        # actions from 8-12 driver threads (guide §2.6) and the old
+        # local[8] session was the wall-clock ceiling; shuffle stays at
+        # 8 partitions so every byte-level pin (shuffle ratios, plan
+        # shapes) keeps the round-9 measurement shape.
+        master="local[16]",
         extra_confs={
             "spark.sql.shuffle.partitions": "8",
             # keep saveAsTable warehouses out of the repo working tree
@@ -109,14 +114,23 @@ def canon_spark_type(dt) -> str:
     }.get(s, s)
 
 
-def assert_matches_oracle(sdf, duck, sql: str) -> None:
+def spark_snapshot(sdf) -> tuple[list[dict], list[str], dict[str, str]]:
+    """Collect a Spark frame into the (rows, cols, canonical types)
+    triple the oracle comparison needs. Safe to call from a worker
+    thread (guide §2.6 — the registry sweep evaluates the Spark side of
+    all queries concurrently; DuckDB stays on the main thread)."""
     srows = [r.asDict() for r in sdf.collect()]
     scols = sorted(sdf.columns)
+    stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    return srows, scols, stypes
+
+
+def compare_snapshot_to_oracle(snapshot, duck, sql: str) -> None:
+    srows, scols, stypes = snapshot
     table = duck.execute(sql).fetch_arrow_table()
     drows = table.to_pylist()
     dcols = sorted(table.column_names)
     assert scols == dcols, f"schema mismatch: spark={scols} duck={dcols}"
-    stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
     dtypes = {f.name: canon_arrow_type(f.type) for f in table.schema}
     tmism = {
         c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]
@@ -126,3 +140,7 @@ def assert_matches_oracle(sdf, duck, sql: str) -> None:
     sk, dk = normalize_rows(srows, scols), normalize_rows(drows, dcols)
     mism = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mism, f"value mismatch (first 3): {mism[:3]}"
+
+
+def assert_matches_oracle(sdf, duck, sql: str) -> None:
+    compare_snapshot_to_oracle(spark_snapshot(sdf), duck, sql)

@@ -24,6 +24,18 @@ def plans(spark):
             cache[name] = _final_plan(REGISTRY[name].build(spark, SF_DIR))
         return cache[name]
 
+    def prefetch(names) -> None:
+        """Execute-and-cache a batch of queries CONCURRENTLY (guide
+        §2.6): the posture sweeps each walk a static list of queries
+        whose executions are independent — sequential collect()s left
+        7 of the session's 8 cores idle and dominated the suite wall."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [n for n in names if n not in cache]
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            list(pool.map(get, todo))
+
+    get.prefetch = prefetch
     return get
 
 
@@ -125,14 +137,17 @@ def test_cube_single_aggregate_pass(plans):
 
 
 def test_profile_summary_single_scan(plans):
-    """The ANALYZE-analog must profile every column in ONE pass: the 6
-    count(DISTINCT)s plan as a single Expand feeding one aggregate pair
-    over one parquet scan — not one scan per column like the oracle's
-    UNION ALL spec."""
+    """The ANALYZE-analog must profile every column from ONE
+    materialized scan: the checkpointed events frame feeds the base
+    aggregate and the six per-column distinct branches (r13: the 6-way
+    count-DISTINCT Expand — a 6x row fan-out — is gone; verdict #7),
+    so the final plan has NO Expand and NO parquet re-scan per column
+    (the one parquet scan lives inside the checkpointed RDD)."""
     plan = plans("events_profile_summary")
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 1
-    assert "Expand" in final
+    assert "Expand" not in final
+    assert final.count("Scan parquet") == 0  # behind the checkpoint
+    assert "Scan ExistingRDD" in final
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):
@@ -209,14 +224,16 @@ def test_r4_curation_queries_never_sort_merge_join(plans):
     final AQE plans contain only broadcast/hash joins — a refactor that
     loses a broadcast (eval gram set, corpus total, centroid-style dims)
     falls back to SortMergeJoin and fails here, not at 100 TB."""
-    for name in (
+    names = (
         "doc_decontamination",
         "doc_unigram_logprob",
         "corpus_language_mixing",
         "embedding_covariance",
         "llm_corpus_pipeline_v2",
         "doc_repetition_signals",
-    ):
+    )
+    plans.prefetch(names)
+    for name in names:
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
@@ -228,7 +245,7 @@ def test_r6_additions_plan_posture(plans):
     only — pipeline v3 chains classifier -> DSIR -> budget -> packing in
     one plan, and a lost broadcast on any of its O(buckets)/O(langs)
     frames would surface as a SortMergeJoin here, not at 100 TB."""
-    for name in (
+    names = (
         "llm_corpus_pipeline_v3",
         "schema_merge_landing_stats",
         "knn_ivfpq_adc",
@@ -432,7 +449,9 @@ def test_r6_additions_plan_posture(plans):
         "vocab_coverage_eval",
         # n-gram diversity: gram-table hash aggs, ownership join hinted
         "source_ngram_diversity",
-    ):
+    )
+    plans.prefetch(names)
+    for name in names:
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
@@ -443,7 +462,7 @@ def test_r8_additions_plan_posture(plans):
     """The r8 batch additions' scale posture, plan-locked (streaming
     additions run real streams at build and are posture-audited by
     their own gates instead)."""
-    for name in (
+    names = (
         # autotuner round-trip: profile agg + salted two-stage agg,
         # join-free
         "event_type_stats_autotuned",
@@ -469,7 +488,9 @@ def test_r8_additions_plan_posture(plans):
         "user_daily_twap",
         # equi-depth hist: distinct-value prefix sums, broadcast total
         "event_value_equidepth_hist",
-    ):
+    )
+    plans.prefetch(names)
+    for name in names:
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
@@ -478,7 +499,7 @@ def test_r8_additions_plan_posture(plans):
 
 def test_r9_additions_plan_posture(plans):
     """The r9 batch additions' scale posture, plan-locked."""
-    for name in (
+    names = (
         # Q2: region-filtered supplier dim broadcast-semi prunes the
         # fact scan; per-part min is a window over the offer agg's own
         # partitioning; part + supplier detail joins broadcast
@@ -543,7 +564,9 @@ def test_r9_additions_plan_posture(plans):
         "order_capture_recapture",
         # Good-Turing: two hash aggs collapse corpus -> vocab -> N_r
         "vocab_good_turing",
-    ):
+    )
+    plans.prefetch(names)
+    for name in names:
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
@@ -560,7 +583,7 @@ def test_r5_additions_plan_posture(plans):
     not at 100 TB."""
     import re
 
-    for name in (
+    names = (
         "corpus_token_budget_selection",
         "embedding_covariance_partial",
         "embedding_pca_whitened",
@@ -569,7 +592,9 @@ def test_r5_additions_plan_posture(plans):
         "doc_quality_classifier",
         "doc_dsir_weights",
         "doc_weighted_sample",
-    ):
+    )
+    plans.prefetch(names)
+    for name in names:
         plan = plans(name)
         final = plan.split("== Initial Plan ==")[0]
         assert "SortMergeJoin" not in final, name
@@ -726,8 +751,28 @@ def test_global_window_inputs_bounded_at_sf01(spark):
         "doc_sorted_neighborhood_pairs": P,
         "classifier_auc_eval": P,
     }
+    # AQE pinned off ONCE around a concurrent sweep (the per-call conf
+    # toggle in _global_window_input_rows is not thread-safe, and the
+    # 15 sf0.1 executions are independent — guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            measured = dict(
+                zip(
+                    bounds,
+                    pool.map(
+                        lambda n: _global_window_input_rows(spark, n, sf_dir),
+                        bounds,
+                    ),
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     for name, bound in bounds.items():
-        rows = _global_window_input_rows(spark, name, sf_dir)
+        rows = measured[name]
         assert rows, f"{name}: expected a single-partition window exchange"
         assert max(rows) <= bound, (name, rows, bound)
 
@@ -784,13 +829,24 @@ def test_global_window_allowlist_swept_repo_wide(spark):
         walk(df._jdf.queryExecution().optimizedPlan())
         return hits
 
-    offenders = {}
-    for name, q in REGISTRY.items():
-        if getattr(q, "skip_bench", False):
-            continue  # streaming gates run real streams; audited separately
-        n = global_window_count(q.build(spark, SF_DIR))
-        if n and name not in allowed:
-            offenders[name] = n
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        n for n, q in REGISTRY.items() if not getattr(q, "skip_bench", False)
+    ]  # streaming gates run real streams; audited separately
+
+    # builds only (no execution) — but eager-build queries run real
+    # jobs, so the sweep parallelizes across a pool (guide §2.6)
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        counts = list(
+            pool.map(
+                lambda n: global_window_count(REGISTRY[n].build(spark, SF_DIR)),
+                names,
+            )
+        )
+    offenders = {
+        name: n for name, n in zip(names, counts) if n and name not in allowed
+    }
     assert not offenders, (
         f"unregistered GLOBAL windows (one-task sort at corpus scale): "
         f"{offenders} — collapse the frame to driver scale, use "
@@ -880,27 +936,52 @@ def test_no_forced_linear_broadcasts(spark):
     # hid two real linear hints until the r11 three-tier audit
     # (embedding_semdedup's pruned set, knn_lsh_hamming's corpus va).
     doc_big_sf = "/root/testdata/sf0.1"
-    offenders: dict[str, list] = {}
-    unpaired: dict[str, list] = {}
-    for name, q in REGISTRY.items():
-        if getattr(q, "skip_bench", False):
-            continue  # streaming/staged gates run real streams; audited
-            # separately (their static frames ride the batch twins)
+    names = [
+        n for n, q in REGISTRY.items() if not getattr(q, "skip_bench", False)
+    ]  # streaming/staged gates run real streams; audited separately
+    # (their static frames ride the batch twins)
+
+    def _measure(name):
+        q = REGISTRY[name]
         df = q.build(spark, big_sf)
         plan_txt = df._jdf.queryExecution().executedPlan().toString()
-        static_corpus = (
-            "documents" in plan_txt or "embeddings" in plan_txt
-        )
+        static_corpus = "documents" in plan_txt or "embeddings" in plan_txt
         big = broadcast_rows(
             spark, q.build, doc_big_sf if static_corpus else big_sf,
-            forced_only=True,
+            forced_only=True, manage_confs=False,
         )
         if not big:
-            continue  # no explicit hints anywhere in the plan
+            return name, None, None  # no explicit hints in the plan
         small = broadcast_rows(
             spark, q.build, big_sf if static_corpus else small_sf,
-            forced_only=True,
+            forced_only=True, manage_confs=False,
         )
+        return name, small, big
+
+    # Confs pinned ONCE around the whole sweep (they are session-global,
+    # so the per-call toggle is not thread-safe), then the measurements
+    # run CONCURRENTLY — independent actions overlap in one session
+    # (guide §2.6); sequential execution of 2x the registry dominated
+    # the suite wall at 8 threads idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            measured = list(pool.map(_measure, names))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.catalog.clearCache()
+
+    offenders: dict[str, list] = {}
+    unpaired: dict[str, list] = {}
+    for name, small, big in measured:
+        if big is None:
+            continue
         labels = classify_broadcast_growth(small, big)
         linear = [(s, b) for s, b, label in labels if label == "linear"]
         unknown = [
@@ -910,7 +991,6 @@ def test_no_forced_linear_broadcasts(spark):
             offenders[name] = linear
         if unknown:
             unpaired[name] = unknown
-        spark.catalog.clearCache()
     assert not offenders, (
         f"forced broadcast of a corpus-growing frame: {offenders} — "
         "drop the hint (let the size threshold own it), pin "

@@ -7,17 +7,62 @@ from __future__ import annotations
 import pytest
 
 from smartpool_bigdata_spark.queries import REGISTRY
-from tests.conftest import SF_DIR, assert_matches_oracle
+from tests.conftest import (
+    SF_DIR,
+    assert_matches_oracle,
+    compare_snapshot_to_oracle,
+    spark_snapshot,
+)
+
+# Queries whose build must run alone: jdbc_live_roundtrip boots the
+# embedded Derby engine and must set its system properties before any
+# other Derby use in the JVM (conftest gotcha), and the Python
+# data-source queries race spark.dataSource.register against concurrent
+# lookups (observed: DATA_SOURCE_NOT_FOUND for 'ledger' under the pool).
+_SERIAL_FIRST = (
+    "jdbc_live_roundtrip",
+    "sensor_feed_stats",
+    "sensor_feed_stream_stats",
+    "ledger_roundtrip_stats",
+    "ledger_time_travel_stats",
+    "ledger_vacuum_stats",
+)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(spark, duck, name):
-    q = REGISTRY[name]
-    sdf = q.build(spark, SF_DIR)
-    if q.oracle is None:
-        assert sdf.count() >= 0  # rows-only check, mirroring the driver
-        return
-    assert_matches_oracle(sdf, duck, q.oracle)
+def test_query_matches_oracle(spark, duck):
+    """The driver's correctness gate over the FULL registry. The Spark
+    side of every query is evaluated CONCURRENTLY from a small thread
+    pool (guide §2.6 — independent actions overlap inside one session;
+    r13: this sweep ran the 293 queries sequentially and dominated the
+    suite wall time); the DuckDB oracle runs + comparisons stay on the
+    main thread (duckdb connections are not thread-safe). Coverage is
+    unchanged: same queries, same row/schema/type/value comparison."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in sorted(REGISTRY) if n not in _SERIAL_FIRST]
+
+    def _spark_side(name):
+        q = REGISTRY[name]
+        sdf = q.build(spark, SF_DIR)
+        if q.oracle is None:
+            return name, None, sdf.count()
+        return name, spark_snapshot(sdf), None
+
+    results = [_spark_side(n) for n in _SERIAL_FIRST if n in REGISTRY]
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        results += list(pool.map(_spark_side, names))
+
+    failures = {}
+    for name, snapshot, rowcount in results:
+        q = REGISTRY[name]
+        try:
+            if snapshot is None:
+                assert rowcount >= 0  # rows-only check, like the driver
+            else:
+                compare_snapshot_to_oracle(snapshot, duck, q.oracle)
+        except AssertionError as exc:  # collect all, report together
+            failures[name] = str(exc)[:300]
+    assert not failures, f"{len(failures)} queries off oracle: {failures}"
 
 
 def test_entry_contract(spark):
